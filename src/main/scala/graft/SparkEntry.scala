@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Ingest, Refresh}
+import graft.queries.Parity
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's §3.1 hot path on sf0.001 — scan → null
+    * normalize → full-refresh columnar extract → count (driver smoke-checks
+    * rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Ingest.normalizeNulls(Tables.lineitem(spark, sfDir))
+    val extract = s"${sys.props("java.io.tmpdir")}/graft_entry_extract"
+    val cnt = Refresh.overwrite(li, extract)
+    import spark.implicits._
+    Seq(cnt).toDF("row_count").filter(col("row_count") > 0)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Parity.all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Parity.all.flatMap(q => q.sql.map(q.name -> _)).toMap
+
+  /** Headline subset Bench times per round (heaviest/most representative). */
+  def benchQueries: Seq[String] = Seq(
+    "q_count_full_refresh", "q_fk_join", "q_multi_join", "q_semi_join",
+    "q_upsert_antijoin", "q_dedup", "q_topk_latest", "q_window_tumbling",
+    "q_session_lag", "q_select_multiple_split"
+  ).filter(queries.contains)
 }

@@ -1,0 +1,56 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Metadata-catalog relational primitives.
+  *
+  * The reference keeps pipeline metadata in Postgres via SQLAlchemy and
+  * leans on a handful of relational operations: point lookups
+  * (app/crud/base.py:26-27), offset/limit pagination (base.py:29-32),
+  * conjunctive filters (app/crud/crud_hyperfile.py:37-44), FK relationship
+  * joins (app/models/hyperfile.py:57-62), existence checks before create
+  * (app/utils/onadata_utils.py:268-270), create-or-get upserts
+  * (onadata_utils.py:265-292) and job dedup (app/jobs/scheduler.py:38-40).
+  *
+  * Re-expressed Spark-first. Scale posture: catalog tables are small
+  * relative to extract data — joins against them should broadcast (callers
+  * wrap with `broadcast(...)`); upsert/dedup are expressed as anti-joins /
+  * window-rank so they shuffle once on the key and never collect.
+  */
+object Catalog {
+
+  /** P1: point lookup by key — `filter(id == k).first()` shape. */
+  def pointLookup(df: DataFrame, keyCol: String, key: Any): DataFrame =
+    df.filter(col(keyCol) === lit(key))
+
+  /** P2: deterministic offset/limit pagination. The reference pages with
+    * `.offset(skip).limit(limit)` (defaults 0/100). A page is only
+    * meaningful under a total order, so a sort key is required.
+    */
+  def paginate(df: DataFrame, sortCols: Seq[String], skip: Int, limit: Int): DataFrame =
+    df.orderBy(sortCols.map(col): _*).offset(skip).limit(limit)
+
+  /** J3: semi-join existence check — "already registered?". */
+  def existing(candidates: DataFrame, registry: DataFrame, keys: Seq[String]): DataFrame =
+    candidates.join(registry, keys, "left_semi")
+
+  /** J4: upsert (MERGE) — incoming rows win on key collision, all other
+    * existing rows survive. One shuffle on the key; no driver round-trip.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming, keys, "left_anti").unionByName(incoming)
+
+  /** A3: keyed dedup keeping the first row per key under `orderCol` — the
+    * deterministic form of `dropDuplicates` (which keeps an arbitrary row).
+    * Implemented as a rank-1 window: single shuffle on the dedup key, and
+    * at 100 TB the window's sort is per-key (no global sort).
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

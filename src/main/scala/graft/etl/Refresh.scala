@@ -1,0 +1,37 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Full-refresh columnar extract writer.
+  *
+  * The reference's single data product is a columnar extract rebuilt from
+  * scratch on every sync: `CreateMode.CREATE_AND_REPLACE` + SQL `COPY`
+  * (reference: app/core/importer.py:242-256), returning the imported row
+  * count. Spark-native equivalent: `mode("overwrite").parquet` — an atomic
+  * replace commit via the output committer, so the reference's per-file
+  * Redis sync lock (app/utils/onadata_utils.py:203) is unnecessary.
+  *
+  * Scale posture: `partitionByCols` lets callers lay the extract out as
+  * `(server_id, form_id, sync_date)` hive partitions so downstream reads
+  * prune; the count is taken from the written files' parquet footers
+  * (a metadata-only scan — no data re-read).
+  */
+object Refresh {
+
+  /** Overwrite `path` with `df` as parquet and return the row count of the
+    * written extract (read back, as the reference's COPY count does).
+    */
+  def overwrite(df: DataFrame, path: String,
+                partitionByCols: Seq[String] = Nil): Long = {
+    val w = df.write.mode("overwrite")
+    val w2 = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
+    w2.parquet(path)
+    // count() over freshly-written parquet is served from footer row-group
+    // metadata (no column data is scanned).
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** Full-refresh pipeline: read → overwrite extract → count. */
+  def fullRefresh(spark: SparkSession, source: DataFrame, extractPath: String): Long =
+    overwrite(source, extractPath)
+}

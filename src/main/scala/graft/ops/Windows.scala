@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/top-k/sessionization operators.
+  *
+  * The reference's "latest artifact" semantics are latest-by-overwrite
+  * (app/crud/crud_hyperfile.py:49-53) — the real relational meaning is
+  * top-1-per-key by recency, which we implement properly. The cron
+  * full-refresh tick (app/jobs/scheduler.py:10,76-89) maps to tumbling
+  * time windows in batch and Trigger.ProcessingTime in streaming.
+  *
+  * Scale posture: every operator here shuffles exactly once on its
+  * partition key; rank windows sort per-key, never globally. Top-k with a
+  * global order uses orderBy().limit(k), which Spark executes as per-
+  * partition top-k + a k-row driver merge (TakeOrderedAndProject) — no full
+  * sort at 100 TB.
+  */
+object Windows {
+
+  /** W1: latest row per key (deterministic: ties broken by `tieBreak`). */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W2: global top-k under an explicit order. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** T1 batch analog: tumbling windows by truncating the timestamp. */
+  def tumbling(tsCol: Column, unit: String): Column = date_trunc(unit, tsCol)
+
+  /** Sessionization (batch analog of session windows): a session starts at
+    * the first event per key or after a gap > `gapSeconds`. Returns the
+    * input plus `session_id` (1-based per key). Single shuffle on the key;
+    * the lag/cumsum windows reuse the same partitioning (one sort).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+                 gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val prevTs = lag(unix_micros(col(tsCol)), 1).over(byKey)
+    val isStart = when(
+      prevTs.isNull || (unix_micros(col(tsCol)) - prevTs) > gapSeconds * 1000000L, 1
+    ).otherwise(0)
+    df.withColumn("__start", isStart)
+      .withColumn("session_id", sum(col("__start")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__start")
+  }
+}

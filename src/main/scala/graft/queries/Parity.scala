@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.catalog.Catalog
+import graft.etl.{Ingest, Refresh}
+import graft.ops.{Shape, State, Windows}
+
+/** One oracle-checked query per operator in SURVEY.md §2.
+  *
+  * Each entry pairs a Spark-first implementation with ANSI SQL that DuckDB
+  * runs over the same parquet tables; the driver hash-compares results
+  * (column names are aliased identically on both sides; every query has a
+  * deterministic total ORDER BY; aggregate outputs use engine-portable
+  * types: BIGINT / DOUBLE / VARCHAR / TIMESTAMP / BOOLEAN).
+  */
+case class Q(name: String,
+             fn: (SparkSession, String) => DataFrame,
+             sql: Option[String])
+
+object Parity {
+
+  private def tmpExtract(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_extract_$name"
+
+  val all: Seq[Q] = Seq(
+
+    // S1 — CSV-policy scan: null sentinels ("n/a", "") → null, projection.
+    Q("q_scan_project",
+      (s, d) => Ingest.normalizeNulls(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, NULLIF(NULLIF(lang, 'n/a'), '') AS lang,
+             |NULLIF(NULLIF(source, 'n/a'), '') AS source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // S3/A1 — full-refresh overwrite of the columnar extract + row count.
+    Q("q_count_full_refresh",
+      (s, d) => {
+        val cnt = Refresh.overwrite(Tables.lineitem(s, d), tmpExtract("lineitem"))
+        import s.implicits._
+        Seq(cnt).toDF("cnt")
+      },
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    // P1 — point lookup by key.
+    Q("q_point_lookup",
+      (s, d) => Catalog.pointLookup(Tables.customer(s, d), "c_custkey", 42L)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer WHERE c_custkey = 42""".stripMargin.replace("\n", " "))),
+
+    // P3 — conjunctive equality/range predicate.
+    Q("q_filter_conjunctive",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "))),
+
+    // P4 — boolean-flag filter (derived is_open flag, reference is_active).
+    Q("q_boolean_filter",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("is_open", col("o_orderstatus") === "O")
+        .filter(col("is_open"))
+        .select("o_orderkey", "o_custkey", "is_open")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, (o_orderstatus = 'O') AS is_open
+             |FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
+    // P5 — string-key lookup.
+    Q("q_string_eq_lookup",
+      (s, d) => Tables.nation(s, d).filter(col("n_name") === "NATION_7")
+        .select("n_nationkey", "n_name", "n_regionkey"),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_7'")),
+
+    // P8 — validate/cast with null-on-failure (try_cast on both engines).
+    Q("q_validate_cast",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("try_cast(regexp_replace(source, '^src', '') AS BIGINT)").as("src_num"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, TRY_CAST(regexp_replace(source, '^src', '') AS BIGINT) AS src_num
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // P2 — deterministic offset/limit pagination.
+    Q("q_pagination",
+      (s, d) => Catalog.paginate(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_orderkey"), skip = 100, limit = 100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin.replace("\n", " "))),
+
+    // W2 — global top-k (TakeOrderedAndProject, no full sort at scale).
+    Q("q_sort_limit",
+      (s, d) => Windows.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // J1 — FK equi-join (small dim broadcast).
+    Q("q_fk_join",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, n_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // J2 — 3-way join chain (file→user→server analog).
+    Q("q_multi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, n_name, r_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // J3 — semi-join existence check.
+    Q("q_semi_join",
+      (s, d) => Catalog.existing(Tables.customer(s, d),
+          Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // J4 — upsert / MERGE via anti-join + union.
+    Q("q_upsert_antijoin",
+      (s, d) => {
+        val base = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+        val incoming = base.filter(col("c_nationkey") === 1)
+          .withColumn("c_acctbal", lit(0.0))
+        Catalog.upsert(base, incoming, Seq("c_custkey"))
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, CAST(0.0 AS DOUBLE) AS c_acctbal
+             |FROM customer WHERE c_nationkey = 1
+             |UNION ALL
+             |SELECT c_custkey, c_nationkey, c_acctbal
+             |FROM customer WHERE c_nationkey <> 1
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // A3 — deterministic keyed dedup (first row per key).
+    Q("q_dedup",
+      (s, d) => Catalog.dedupFirst(Tables.events(s, d),
+          Seq("user_id", "event_type"), "event_id")
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id FROM (
+             |SELECT user_id, event_type, event_id,
+             |row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+             |FROM events) t WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin.replace("\n", " "))),
+
+    // Set op — EXCEPT (customers with open orders but no finished ones).
+    Q("q_set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+
+    // P6 — projection + rename into response labels.
+    Q("q_rename_labels",
+      (s, d) => Shape.renameLabels(Tables.customer(s, d),
+          Seq("c_custkey" -> "customer_id", "c_name" -> "customer_name",
+              "c_mktsegment" -> "segment"))
+        .orderBy("customer_id"),
+      Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
+             |c_mktsegment AS segment FROM customer
+             |ORDER BY customer_id""".stripMargin.replace("\n", " "))),
+
+    // F2 — XLSForm group-prefix strip (value-level form of the rename).
+    Q("q_remove_group_name",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Shape.removeGroupPrefix(concat(lit("grp/"), col("lang"))).as("label"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, regexp_replace(concat('grp/', lang), '^.*/', '') AS label
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // F3 — select-multiple value shape: split to array + membership/size.
+    Q("q_select_multiple_value",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Shape.selectMultipleToArray(col("text"))).cast(LongType).as("n_opts"),
+          array_contains(Shape.selectMultipleToArray(col("text")), "join").as("has_join"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_opts,
+             |list_contains(string_split(text, ' '), 'join') AS has_join
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // F4 — select-multiple split shape: wide 0/1-ish encoding by pivot
+    // (conditional aggregation with map-side partial combine).
+    Q("q_select_multiple_split",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("error"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // F5 — JSON metadata key access (meta_data["sync-failures"] analog).
+    Q("q_json_metadata",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // F6 — timestamp truncation, interval arithmetic, epoch extraction.
+    Q("q_timestamps",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          date_trunc("hour", col("ts")).as("ts_hour"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("ts_plus"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, date_trunc('hour', ts) AS ts_hour,
+             |ts + INTERVAL 1 HOUR AS ts_plus,
+             |CAST(epoch_us(ts) AS BIGINT) AS ts_us
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // F1 — URL building by string concat/format.
+    Q("q_url_concat",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://example.org/"), col("source"), lit("/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, concat('https://example.org/', source, '/',
+             |CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // A2 — failure counter with deactivation threshold (>= 3).
+    Q("q_group_count_threshold",
+      (s, d) => State.toDeactivate(Tables.events(s, d), "user_id",
+          col("event_type") === "error")
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, count(*) AS failures FROM events
+             |WHERE event_type = 'error' GROUP BY user_id
+             |HAVING count(*) >= ${State.FailureThreshold}
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // W1 — latest row per key (top-1-per-group by recency).
+    Q("q_topk_latest",
+      (s, d) => Windows.latestPerKey(Tables.events(s, d), "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |SELECT user_id, event_id, event_type,
+             |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // T1 batch analog — tumbling 1-hour window aggregation.
+    Q("q_window_tumbling",
+      (s, d) => Tables.events(s, d)
+        .groupBy(Windows.tumbling(col("ts"), "hour").as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+             |count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
+    // Sessionization — lag/cumsum batch analog of session windows
+    // (30-minute inactivity gap; n_sessions per user).
+    Q("q_session_lag",
+      (s, d) => Windows.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+          gapSeconds = 1800)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions FROM (
+             |SELECT user_id, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |FROM (
+             |SELECT user_id, ts, event_id,
+             |CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |THEN 1 ELSE 0 END AS is_start FROM events) a ) b
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeGroupNames strips XLSForm group prefixes from headers") {
+    val df = Seq((1, "A", 3.0)).toDF("hh/name", "hh/sub/age", "plain")
+    assert(Shape.removeGroupNames(df).columns.toSeq == Seq("name", "age", "plain"))
+  }
+
+  test("renameLabels subsets and renames") {
+    val df = Seq((1, "x", true)).toDF("a", "b", "c")
+    val out = Shape.renameLabels(df, Seq("b" -> "label_b", "a" -> "label_a"))
+    assert(out.columns.toSeq == Seq("label_b", "label_a"))
+  }
+
+  test("select-multiple round trip: value shape → split indicators") {
+    val df = Seq((1L, "piped well"), (2L, "piped"), (3L, "")).toDF("id", "water")
+    val wide = df.groupBy($"id")
+      .agg(Shape.splitIndicators($"water", Seq("piped", "well")).head,
+           Shape.splitIndicators($"water", Seq("piped", "well")).last)
+      .orderBy("id").as[(Long, Int, Int)].collect().toSeq
+    assert(wide == Seq((1L, 1, 1), (2L, 1, 0), (3L, 0, 0)))
+  }
+
+  test("failure counter flags entities at the threshold") {
+    val log = Seq((1L, false), (1L, false), (1L, false), (2L, false), (2L, true))
+      .toDF("file_id", "ok")
+    val out = State.failureCounts(log, "file_id", !$"ok")
+      .orderBy("file_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 3L, true), (2L, 1L, false)))
+    val deact = State.toDeactivate(log, "file_id", !$"ok").as[(Long, Long)].collect()
+    assert(deact.toSeq == Seq((1L, 3L)))
+  }
+
+  test("syncable excludes queued/syncing (the 202 guard)") {
+    val df = Seq(("a", "queued"), ("b", "syncing"), ("c", "file_available"),
+      ("d", "latest_sync_failed")).toDF("id", "status")
+    assert(State.syncable(df, "status").as[(String, String)].collect().map(_._1).toSeq
+      == Seq("c", "d"))
+  }
+
+  test("latestPerKey picks newest with deterministic tie-break") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "old"),
+      (1L, "2024-01-01 11:00:00", 2L, "new"),
+      (1L, "2024-01-01 11:00:00", 3L, "tie_wins"),
+      (2L, "2024-01-01 09:00:00", 4L, "only"))
+      .toDF("k", "ts_s", "id", "tag")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = Windows.latestPerKey(df, "k", "ts", "id")
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(out == Seq("tie_wins", "only"))
+  }
+
+  test("sessionize splits on gap and numbers sessions per key") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L),  // same session (10 min gap)
+      (1L, "2024-01-01 11:00:00", 3L),  // new session (50 min gap)
+      (2L, "2024-01-01 10:00:00", 4L))
+      .toDF("user", "ts_s", "id")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = Windows.sessionize(df, "user", "ts", "id", gapSeconds = 1800)
+      .orderBy("id").select("session_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 2L, 1L))
+  }
+}
