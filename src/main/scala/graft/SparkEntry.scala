@@ -22,15 +22,20 @@ object SparkEntry {
     Seq(cnt).toDF("row_count").filter(col("row_count") > 0)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * north-star extension operators (dedup / similarity / text /
+    * multimodal) from graft.queries.Extensions.
+    */
+  private def allQ = Parity.all ++ graft.queries.Extensions.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.all.map(q => q.name -> q.fn).toMap
+    allQ.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Parity.all.flatMap(q => q.sql.map(q.name -> _)).toMap
+    allQ.flatMap(q => q.sql.map(q.name -> _)).toMap
 
   /** Headline subset Bench times per round (heaviest/most representative). */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * The reference dedups only metadata rows by unique key
+  * (app/models/hyperfile.py:43, app/jobs/scheduler.py:38-40); a
+  * training-data pipeline needs content dedup at corpus scale. Design:
+  *
+  *  - Exact: hash-groupBy on a content fingerprint — one shuffle keyed by
+  *    a 128-bit digest, no text comparison, no skew (digests are uniform).
+  *  - Near-dup: shingle → MinHash signature → LSH band bucketing. The
+  *    all-pairs comparison is never materialized: candidate pairs come
+  *    only from band-bucket collisions (cost ~ duplicates, not n²), then
+  *    are verified with exact Jaccard restricted to the candidate set.
+  *  - SimHash: per-token 32-bit hashes vote per bit position; near-dups
+  *    are pairs within a Hamming radius. Banding the signature gives the
+  *    same collision-driven scale path as MinHash.
+  *
+  * All hashing is md5-derived and engine-portable, so every stage is
+  * reproducible in the DuckDB oracle — no JVM-private hash functions in
+  * results. No UDFs: shingling/hashing are codegen'd expressions; the
+  * only shuffles are keyed groupBys and the bucket joins.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`orderCol` row per content fingerprint.
+    * Fingerprint is md5 of normalized text (TextAnalysis.fingerprintMd5).
+    */
+  def exact(docs: DataFrame, textCol: String, orderCol: String): DataFrame =
+    graft.catalog.Catalog.dedupFirst(
+      docs.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
+      Seq("__fp"), orderCol).drop("__fp")
+
+  /** Word n-gram shingles, distinct per document: (id, shingle) rows.
+    * Documents shorter than `n` words yield no shingles (excluded from
+    * near-dup detection, as is standard).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    // guard: sequence(0, k) with k < 0 is a DESCENDING sequence in Spark,
+    // not empty — short docs must yield an empty shingle array instead.
+    val sh = when(size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array())
+    docs.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** MinHash signature: k independent permutations approximated by salted
+    * md5; signature component i = min over shingles of md5(i || shingle).
+    * Lexicographic min over the hex digest is a uniform permutation of the
+    * shingle space and identical across engines. One shuffle (groupBy id)
+    * with full map-side partial aggregation (min is commutative).
+    */
+  def minhashSignature(sh: DataFrame, k: Int = 6): DataFrame =
+    sh.groupBy(col("id"))
+      .agg(
+        min(md5(concat(lit("0"), col("shingle")))).as("s0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(i.toString), col("shingle")))).as(s"s$i")): _*)
+
+  /** LSH banding: rows (band_id, band_key, id) where band_key concatenates
+    * `rows` consecutive signature components. Two documents sharing any
+    * band key are candidates: P(candidate) = 1-(1-j^rows)^bands, steep
+    * around the target Jaccard threshold.
+    */
+  def lshBands(sig: DataFrame, k: Int = 6, rows: Int = 2): DataFrame = {
+    val bands = (0 until k / rows).map { b =>
+      sig.select(
+        lit(b).as("band_id"),
+        concat_ws("|", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("band_key"),
+        col("id"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs (id_a < id_b) from LSH band-bucket collisions. The
+    * self-join is per (band_id, band_key) bucket — cost is quadratic only
+    * inside a bucket, i.e. proportional to actual collisions.
+    */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band_id"), col("band_key"), col("id").as("id_a"))
+    val b = bandsDf.select(col("band_id"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingles, restricted to `pairs` — the
+    * verification stage after LSH candidate generation. Never all-pairs:
+    * the shingle join keys on (doc, shingle) of the candidate set only.
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → signature → bands →
+    * candidates → Jaccard-verified pairs at `threshold`.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val pairs = lshCandidates(lshBands(minhashSignature(sh, k), k, bandRows))
+    jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs exact n-gram Jaccard at `threshold` — the small-data oracle
+    * for [[nearDupPairs]]. The shingle self-join is quadratic in shingle
+    * document frequency; use only where the corpus (or a blocking key)
+    * bounds it. At 100 TB use [[nearDupPairs]].
+    */
+  def jaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash: per-token hash = first 8 md5 hex digits as a long;
+    * bit b of the signature is set iff tokens with bit b set outnumber
+    * those without (ties count as set). Tokens vote with multiplicity.
+    * One groupBy with 32 map-side-combinable sums.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val voteCols = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$b"))
+    val votes = tok.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("id"),
+      (0 until SimhashBits).map(b =>
+        when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`. All-pairs formulation
+    * for oracle-checkable sizes; the scale path buckets signature bands
+    * (split the 32 bits into (maxHamming+1) bands — any pair within the
+    * radius shares at least one exact band, pigeonhole) and compares only
+    * within buckets.
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sig.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs at scale: band the signature into
+    * (maxHamming+1) chunks; by pigeonhole any pair within the Hamming
+    * radius collides on >= 1 exact band. Join per band bucket, distinct,
+    * then verify the radius — no cross join.
+    */
+  def simhashPairsBanded(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = SimhashBits / nBands + (if (SimhashBits % nBands == 0) 0 else 1)
+    val banded = (0 until nBands).map { b =>
+      val key = shiftright(col("simhash"), b * width)
+        .bitwiseAND((1L << math.min(width, SimhashBits - b * width)) - 1L)
+      sig.select(lit(b).as("band_id"), key.as("band_key"),
+        col("id"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band_id"), col("band_key"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

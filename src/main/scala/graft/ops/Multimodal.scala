@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in batched executor-side passes.
+  *
+  * The Spark-side contract is real and tested — schema, partition-local
+  * batched execution (`mapPartitions`, the Scala analog of `mapInPandas`),
+  * deterministic output shape — while the media codecs themselves are
+  * STUBBED (no image/audio libraries in this environment): `decodeStub`
+  * derives a fake fixed-size feature vector and fake dimensions from the
+  * payload bytes deterministically. Swapping in a real decoder changes
+  * only the function body, not the plumbing.
+  *
+  * Scale posture: payloads stay on executors end to end (no collect); the
+  * decode pass is partition-local with zero shuffle; feature vectors are
+  * fixed-size `array<float>` ready for [[Similarity]] ANN; metadata-only
+  * queries (byte_len, digest) never deserialize the payload column thanks
+  * to parquet column pruning.
+  */
+object Multimodal {
+
+  val MetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sha256", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false)))
+
+  /** Attach a binary payload + metadata struct to a documents-like frame
+    * (text re-encoded as utf-8 bytes stands in for real media bytes).
+    * Pure projection: encode/sha2/octet_length are codegen'd.
+    */
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col(textCol)).cast(LongType).as("byte_len"),
+        sha2(col(textCol).cast(BinaryType), 256).as("sha256"),
+        lit("text").as("modality")))
+
+  val FeatureDim = 16
+
+  /** STUB decoder: stands in for image/audio decode + feature extraction.
+    * Deterministic fake: feature i = byte at stride i scaled to [0, 1);
+    * "width"/"height" derived from the byte length. Replace the body with
+    * a real codec (e.g. javax.imageio / ffmpeg bindings) to productionize;
+    * the signature and batch shape are the real contract.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = payload.length
+    val width = math.max(1, n % 640)
+    val height = math.max(1, (n * 7) % 480)
+    val feats = Array.tabulate(FeatureDim) { i =>
+      if (n == 0) 0.0f
+      else (payload((i.toLong * n / FeatureDim).toInt % n) & 0xFF) / 256.0f
+    }
+    (width, height, feats)
+  }
+
+  /** Partition-local batched decode pass: payload → (width, height,
+    * features). Runs once per row inside `mapPartitions` so per-partition
+    * decoder state (a real codec context) is initialized once per task,
+    * exactly like `mapInPandas` batches.
+    */
+  def decodeFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("features", ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // real decoder: initialize codec context here, once per partition
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, f))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling stub for video-like payloads: pick `n` deterministic
+    * byte offsets (frame anchors) per payload; one output row per frame —
+    * a generator (explode) over a computed offsets array, no UDF.
+    */
+  def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame =
+    df
+      .withColumn("__len", octet_length(col(payloadCol)).cast(LongType))
+      .withColumn("frame_no", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_offset", floor(col("frame_no") * col("__len") / n))
+      .drop("__len")
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * The reference pipeline ingests survey text columns and defers all
+  * analysis to downstream consumers; a 100 TB corpus pipeline needs these
+  * in-engine. Everything here is a pure codegen'd projection or a single
+  * map-side-combinable aggregation — no UDFs, no driver round-trips, and
+  * each scales linearly with rows regardless of partition count.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the split shape shared by every operator
+    * here (and by the DuckDB oracle's `string_split`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokens), as BIGINT for engine portability. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: count maximal letter-runs and digit-runs
+    * ("abc123def" → 3). A deterministic, tokenizer-free approximation of
+    * subword token counts, RE2-safe (no lookarounds) so the same pattern
+    * runs in the DuckDB oracle.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+"), lit(0))).cast(LongType)
+
+  /** English-ish stopword markers used by quality scoring and lang-ID. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  val MarkersDe: Seq[String] = Seq("der", "die", "das", "und", "nicht", "ist")
+  val MarkersEs: Seq[String] = Seq("el", "la", "los", "las", "es", "y", "que")
+
+  private def countIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast(LongType)
+
+  /** Quality-scoring features: char length, token count, mean token
+    * length, punctuation ratio, stopword ratio. Ratios are DOUBLE and
+    * deterministic (integer inputs, fixed op order).
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val nChars = length(text).cast(LongType)
+    val nToks = tokenCount(text)
+    Seq(
+      nChars.as("q_chars"),
+      nToks.as("q_tokens"),
+      (nChars.cast(DoubleType) / nToks.cast(DoubleType)).as("q_mean_tok_len"),
+      (length(regexp_replace(text, "[^.!?,;:]", "")).cast(DoubleType) /
+        nChars.cast(DoubleType)).as("q_punct_ratio"),
+      (countIn(text, StopwordsEn).cast(DoubleType) / nToks.cast(DoubleType))
+        .as("q_stopword_ratio"))
+  }
+
+  /** Language-ID by marker-word voting (n-gram-free heuristic): count
+    * marker hits per language (with multiplicity) and argmax with a fixed
+    * tie-break order en > de > es. Pure projection — at 100 TB this is a
+    * single scan with no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val en = countIn(text, StopwordsEn)
+    val de = countIn(text, MarkersDe)
+    val es = countIn(text, MarkersEs)
+    when(en >= de && en >= es, lit("en"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. The canonical exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
+    * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
+    * a bag-of-words hash it distinguishes permutations — and overflow-free
+    * on engines with checked 64-bit arithmetic.
+    */
+  val FingerprintPrime = 1000000007L
+
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)),
+      lit(0L),
+      (acc, h) => (acc * 131L + h) % FingerprintPrime)
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension queries: dedup, similarity search, text analysis,
+  * multimodal — the training-data-pipeline operators beyond the
+  * reference's own surface (BASELINE.json north_star).
+  *
+  * Every oracle-checked query here uses only engine-portable hashing
+  * (md5/sha256 hex) and double arithmetic with a fixed fold order, so
+  * Spark and DuckDB produce bit-identical results. Probabilistic stages
+  * (MinHash, LSH bands) are deterministic functions of the content —
+  * the oracle reproduces the same signatures, hence the same candidate
+  * sets. Spark-only queries (LSH ANN probe) omit oracle SQL → the driver
+  * records a rows-only check.
+  */
+object Extensions {
+
+  /** DuckDB shingle CTE shared by the MinHash/Jaccard oracles (3-word
+    * shingles, distinct per doc; 1-based list indexing, range is [a, b)).
+    */
+  private val ShinglesCte =
+    """sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
+      |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)""".stripMargin
+
+  private val SigCols = (0 until 6)
+    .map(i => s"min(md5('$i' || shingle)) AS s$i").mkString(", ")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Text analysis ---------------------------------------------------
+
+    Q("q_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("q_quality_score",
+      (s, d) => {
+        val feats = Tables.documents(s, d)
+          .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
+        feats.select(feats.columns.map {
+          case c if feats.schema(c).dataType == DoubleType => round(col(c), 5).as(c)
+          case c => col(c)
+        }.toSeq: _*).orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |length(text) AS q_chars,
+             |len(string_split(text, ' ')) AS q_tokens,
+             |round(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 5) AS q_mean_tok_len,
+             |round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 5) AS q_punct_ratio,
+             |round(CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 5) AS q_stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("q_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CASE
+             |WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+             |WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS lang_pred FROM (
+             |SELECT doc_id,
+             |len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS n_en,
+             |len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.MarkersDe)}))) AS n_de,
+             |len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.MarkersEs)}))) AS n_es
+             |FROM documents) v ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("q_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+          TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |list_transform(string_split(text, ' '),
+             |t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT))),
+             |(a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintPrime}) AS fp_roll
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ---- Deduplication ---------------------------------------------------
+
+    // Exact dedup: survivors per source after fingerprint-keyed dedup
+    // keeping min doc_id (hash-groupBy; no text comparison).
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
+             |SELECT source, doc_id, row_number() OVER (
+             |PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |ORDER BY doc_id) AS rn FROM documents) t
+             |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    Q("q_minhash_signature",
+      (s, d) => Dedup.minhashSignature(
+          Dedup.shingles(Tables.documents(s, d), "doc_id", "text"), k = 6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH $ShinglesCte
+             |SELECT id AS doc_id, $SigCols FROM sh GROUP BY id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    Q("q_minhash_lsh_pairs",
+      (s, d) => Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8, k = 6, bandRows = 2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ShinglesCte,
+             |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
+             |bands AS (
+             |SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
+             |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
+             |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+             |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
+             |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+             |GROUP BY c.id_a, c.id_b)
+             |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Exact all-pairs n-gram Jaccard — the ground truth the LSH pipeline
+    // approximates (oracle-scale only; quadratic in shingle frequency).
+    Q("q_ngram_jaccard",
+      (s, d) => Dedup.jaccardAllPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ShinglesCte,
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i FROM sh a
+             |JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    Q("q_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val votes = (0 until Dedup.SimhashBits).map(b =>
+          s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+        val combine = (0 until Dedup.SimhashBits).map(b =>
+          s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id AS id,
+           |CAST(concat('0x', substring(md5(t.tok), 1, 8)) AS BIGINT) AS h
+           |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t),
+           |votes AS (SELECT id, $votes FROM tok GROUP BY id)
+           |SELECT id AS doc_id, $combine AS simhash FROM votes ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")
+      }),
+
+    // SimHash near-dup pairs within Hamming radius 1, via the banded
+    // (pigeonhole) join — the scale path; the oracle verifies all-pairs.
+    Q("q_simhash_pairs",
+      (s, d) => Dedup.simhashPairsBanded(
+          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxHamming = 1)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val votes = (0 until Dedup.SimhashBits).map(b =>
+          s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+        val combine = (0 until Dedup.SimhashBits).map(b =>
+          s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id AS id,
+           |CAST(concat('0x', substring(md5(t.tok), 1, 8)) AS BIGINT) AS h
+           |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t),
+           |votes AS (SELECT id, $votes FROM tok GROUP BY id),
+           |sig AS (SELECT id, $combine AS simhash FROM votes)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.id < b.id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+      }),
+
+    // ---- Similarity search ----------------------------------------------
+
+    // Brute-force exact cosine top-10 to a query vector (vec_id = 0):
+    // one scan + TakeOrderedAndProject; double arithmetic, sequential
+    // fold — bit-identical to DuckDB's list_cosine_similarity.
+    Q("q_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0).toArray
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", query, k = 10)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // Embedding near-dup pairs, exact all-pairs at oracle scale (the
+    // LSH-blocked variant is q_ann_lsh / Similarity.nearDupPairs).
+    Q("q_embed_neardup",
+      (s, d) => Similarity.allPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |CAST(b.embedding AS DOUBLE[])), 6) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |CAST(b.embedding AS DOUBLE[])) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Sign-LSH ANN probe: not ANSI-expressible (driver does a rows-only
+    // check); recall vs q_ann_bruteforce is asserted in ExtensionsSpec.
+    Q("q_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0).toArray
+        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", query, k = 10, nPlanes = 4, probeRadius = 2)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      None),
+
+    // ---- Multimodal ------------------------------------------------------
+
+    // Binary-payload metadata: byte length + content digest over the
+    // payload column (documents.text stands in for the opaque bytes; the
+    // decode stage itself is the stubbed mapPartitions in Multimodal).
+    Q("q_multimodal_meta",
+      (s, d) => Multimodal.withPayload(Tables.documents(s, d))
+        .select(col("doc_id"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.sha256").as("sha256"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |sha256(text) AS sha256
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Specs for the training-data-pipeline extension operators:
+  * dedup (exact / MinHash+LSH / SimHash), similarity search, text
+  * analysis, multimodal plumbing.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TextAnalysis -----------------------------------------------------
+
+  test("tokenCount / subwordCount") {
+    val df = Seq((1L, "hello world foo"), (2L, "abc123def x")).toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.tokenCount($"text").as("t"),
+        TextAnalysis.subwordCount($"text").as("s"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L), (2L, 2L, 4L))) // abc|123|def|x
+  }
+
+  test("langId votes marker words with fixed tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el la los las es y que"),
+      (4L, "xyzzy plugh")) // no markers anywhere → tie → en
+      .toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "en"), (2L, "de"), (3L, "es"), (4L, "en")))
+  }
+
+  test("fingerprintMd5 is whitespace/case insensitive; rolling is order sensitive") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"),   // same md5 fingerprint
+      (3L, "world hello"))                          // same bag, different order
+      .toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprintMd5($"text").as("m"),
+        TextAnalysis.fingerprintRolling(lower($"text")).as("r"))
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(fp(0)._2 == fp(1)._2)
+    assert(fp(1)._3 != fp(2)._3) // rolling hash distinguishes permutations
+  }
+
+  test("quality features are well-formed ratios") {
+    val rows = Tables.documents(spark, sf).limit(50)
+      .select(TextAnalysis.qualityFeatures($"text"): _*).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // punct ratio
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // stopword ratio
+    }
+  }
+
+  // ---- Dedup ------------------------------------------------------------
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val df = Seq((1L, "a b c"), (5L, "A  b C"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("shingles are distinct n-grams; short docs drop out") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text").as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash LSH finds the planted near-dups that exact jaccard finds") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardAllPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH candidates ⊆ verified exact pairs, and recall is high at j≥0.9
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 9 / 10)
+  }
+
+  test("simhash banded pairs == all-pairs within radius") {
+    val sig = Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text")
+    val banded = Dedup.simhashPairsBanded(sig, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allp = Dedup.simhashPairs(sig, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(allp.nonEmpty && banded == allp)
+  }
+
+  // ---- Similarity -------------------------------------------------------
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", round(Similarity.cosine($"a", $"b"), 9).as("c"))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 0.0)))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val base = emb.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshTopK(base, "vec_id", "embedding", query, 10,
+        nPlanes = 4, probeRadius = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // isotropic synthetic embeddings are sign-LSH's worst case: with 4
+    // planes probed at radius 2 (11/16 buckets) expect >= half the true
+    // top-10; real clustered corpora do far better at tighter probes
+    assert((exact intersect approx).size >= 5)
+  }
+
+  test("LSH bucket pruning actually reduces scanned rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val planes = Similarity.hyperplanes(8, 64)
+    val counts = emb.withColumn("b", Similarity.lshBucket($"embedding", planes))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    // 500 vectors into 256 buckets: the largest bucket must be far below n
+    assert(counts < 50)
+  }
+
+  // ---- Multimodal -------------------------------------------------------
+
+  test("payload + meta struct round trip") {
+    val df = Multimodal.withPayload(Seq((1L, "abc")).toDF("doc_id", "text"))
+    val r = df.select($"meta.byte_len", $"meta.sha256", $"meta.modality", $"payload").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(2) == "text")
+    assert(new String(r.getAs[Array[Byte]](3), "UTF-8") == "abc")
+  }
+
+  test("decodeFeatures is a partition-local pass with stable schema") {
+    val df = Multimodal.decodeFeatures(
+      Multimodal.withPayload(Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")))
+    assert(df.columns.takeRight(3).toSeq == Seq("width", "height", "features"))
+    val feats = df.orderBy("doc_id").select("features").as[Array[Float]].collect()
+    assert(feats.forall(_.length == Multimodal.FeatureDim))
+    assert(feats.forall(_.forall(v => v >= 0.0f && v < 1.0f)))
+    // determinism: same payload → same features
+    val again = Multimodal.decodeFeatures(
+      Multimodal.withPayload(Seq((1L, "hello world")).toDF("doc_id", "text")))
+      .select("features").as[Array[Float]].head()
+    assert(again.toSeq == feats(0).toSeq)
+  }
+
+  test("sampleFrames emits n deterministic offsets per payload") {
+    val df = Multimodal.sampleFrames(
+      Multimodal.withPayload(Seq((1L, "0123456789")).toDF("doc_id", "text")), n = 4)
+    val out = df.select("frame_no", "frame_offset").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((0, 0L), (1, 2L), (2, 5L), (3, 7L)))
+  }
+}
