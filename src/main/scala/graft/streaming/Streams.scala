@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.etl.Refresh
+
+/** Structured Streaming re-expression of the reference's scheduling/state
+  * machinery.
+  *
+  * The reference runs a cron every 15 min that fully refreshes each active
+  * extract (app/jobs/scheduler.py:10,76-89), tracks a per-file consecutive
+  * `sync-failures` counter that deactivates the pipeline at 3
+  * (app/utils/hyper_utils.py:239-263), and guards concurrent syncs with a
+  * Redis lock (app/utils/onadata_utils.py:203). Spark-native:
+  *
+  *  - cron tick            → `Trigger.AvailableNow` (drain-and-stop, for
+  *                           external schedulers) or
+  *                           `Trigger.ProcessingTime` (resident loop)
+  *  - full refresh         → `foreachBatch` + atomic parquet overwrite
+  *                           (the output committer replaces the Redis lock)
+  *  - failure counter      → `flatMapGroupsWithState` keyed by file id —
+  *                           exactly-once state via the checkpoint, scales
+  *                           horizontally by key hash, no external store
+  *  - windowed monitoring  → watermarked tumbling-window aggregation
+  */
+object Streams {
+
+  // ---- T1: scheduled full refresh --------------------------------------
+
+  /** One sync tick as a streaming query: drain everything new in `srcDir`
+    * (CSV landing zone, the reference's export staging), apply `prepare`,
+    * and full-refresh the parquet extract per batch. `AvailableNow`
+    * processes all available input then stops — the external-cron shape;
+    * pass `Trigger.ProcessingTime("15 minutes")` for the resident shape.
+    */
+  def refreshQuery(spark: SparkSession, srcDir: String, schemaDdl: String,
+                   extractPath: String, checkpoint: String,
+                   prepare: DataFrame => DataFrame = identity,
+                   trigger: Trigger = Trigger.AvailableNow()) = {
+    val src = spark.readStream
+      .schema(schemaDdl)
+      .option("header", "true")
+      .csv(srcDir)
+    prepare(src).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Refresh.overwrite(batch, extractPath); () }
+      }
+      .start()
+  }
+
+  // ---- A2/T3: consecutive-failure tracker ------------------------------
+
+  val FailureThreshold = 3
+
+  case class SyncEvent(fileId: Long, seq: Long, success: Boolean)
+
+  case class FileState(consecutiveFailures: Int, active: Boolean)
+
+  /** Emitted after each batch for each file that saw events: the updated
+    * counter, the resulting status, and whether this batch crossed the
+    * deactivation threshold.
+    */
+  case class FileUpdate(fileId: Long, consecutiveFailures: Int,
+                        status: String, deactivated: Boolean)
+
+  /** Per-key state transition: events are folded in `seq` order; a success
+    * zeroes the counter (status file_available), a failure increments it
+    * (latest_sync_failed), and reaching the threshold deactivates the file
+    * (file_unavailable) — after which further events are ignored, like the
+    * reference's cancelled cron job.
+    */
+  def step(state: FileState, events: Seq[SyncEvent]): (FileState, Boolean) = {
+    var s = state
+    var crossed = false
+    events.sortBy(_.seq).foreach { e =>
+      if (s.active) {
+        if (e.success) s = FileState(0, active = true)
+        else {
+          val n = s.consecutiveFailures + 1
+          if (n >= FailureThreshold) { s = FileState(n, active = false); crossed = true }
+          else s = FileState(n, active = true)
+        }
+      }
+    }
+    (s, crossed)
+  }
+
+  def statusOf(s: FileState): String =
+    if (!s.active) "file_unavailable"
+    else if (s.consecutiveFailures == 0) "file_available"
+    else "latest_sync_failed"
+
+  /** The streaming failure tracker. State lives in the checkpoint (RocksDB
+    * or HDFS-backed), partitioned by key hash — at 100 TB of sync logs the
+    * state size is O(files), not O(events), and recovery is exactly-once.
+    */
+  def trackFailures(events: Dataset[SyncEvent]): Dataset[FileUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.fileId)
+      .flatMapGroupsWithState[FileState, FileUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fileId: Long, it: Iterator[SyncEvent], gs: GroupState[FileState]) =>
+          val prev = gs.getOption.getOrElse(FileState(0, active = true))
+          val (next, crossed) = step(prev, it.toSeq)
+          gs.update(next)
+          Iterator.single(
+            FileUpdate(fileId, next.consecutiveFailures, statusOf(next), crossed))
+      }
+  }
+
+  /** Batch formulation of the same fold (for backfills over a sync-log
+    * table): last-state per file via the identical [[step]] function,
+    * distributed by key with mapGroups.
+    */
+  def trackFailuresBatch(events: Dataset[SyncEvent]): Dataset[FileUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.fileId).mapGroups { (fileId, it) =>
+      val (s, crossed) = step(FileState(0, active = true), it.toSeq)
+      FileUpdate(fileId, s.consecutiveFailures, statusOf(s), crossed)
+    }
+  }
+
+  // ---- Monitoring: watermarked tumbling windows ------------------------
+
+  /** Per-window event counts with late-data tolerance `watermark` — the
+    * streaming flavor of Parity's q_window_tumbling. Append output emits
+    * each window once, when the watermark passes it.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Streams._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("step: success resets, threshold deactivates, post-deactivation ignored") {
+    val s0 = FileState(0, active = true)
+    assert(step(s0, Seq(SyncEvent(1, 1, success = false)))._1 == FileState(1, true))
+    assert(step(FileState(2, true), Seq(SyncEvent(1, 1, success = true)))._1 == FileState(0, true))
+    val (dead, crossed) = step(FileState(2, true), Seq(SyncEvent(1, 1, success = false)))
+    assert(dead == FileState(3, false) && crossed)
+    // events after deactivation change nothing
+    assert(step(dead, Seq(SyncEvent(1, 2, success = true)))._1 == dead)
+    // fold order follows seq, not input order
+    val (s, _) = step(s0, Seq(SyncEvent(1, 2, success = false), SyncEvent(1, 1, success = true)))
+    assert(s == FileState(1, true))
+  }
+
+  test("trackFailures maintains state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SyncEvent]
+    val q = trackFailures(input.toDS())
+      .writeStream.format("memory").queryName("updates")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_track"))
+      .start()
+    try {
+      input.addData(SyncEvent(1, 1, success = false), SyncEvent(1, 2, success = false),
+        SyncEvent(2, 1, success = true))
+      q.processAllAvailable()
+      input.addData(SyncEvent(1, 3, success = false)) // crosses threshold
+      q.processAllAvailable()
+      val out = spark.table("updates").as[FileUpdate].collect()
+        .groupBy(_.fileId).view.mapValues(_.last).toMap
+      assert(out(1L) == FileUpdate(1L, 3, "file_unavailable", deactivated = true))
+      assert(out(2L) == FileUpdate(2L, 0, "file_available", deactivated = false))
+    } finally q.stop()
+  }
+
+  test("batch formulation agrees with streaming fold") {
+    val events = Seq(
+      SyncEvent(1, 1, success = false), SyncEvent(1, 2, success = false),
+      SyncEvent(1, 3, success = false), SyncEvent(1, 4, success = true),
+      SyncEvent(2, 1, success = false), SyncEvent(2, 2, success = true),
+      SyncEvent(2, 3, success = false)).toDS()
+    val out = trackFailuresBatch(events).collect().map(u => u.fileId -> u).toMap
+    assert(out(1L).status == "file_unavailable") // dead at seq 3, seq 4 ignored
+    assert(out(2L) == FileUpdate(2L, 1, "latest_sync_failed", deactivated = false))
+  }
+
+  test("refreshQuery drains a CSV landing dir into the parquet extract") {
+    val src = tmp("landing")
+    val extract = tmp("extract") + "/data"
+    Files.writeString(java.nio.file.Path.of(src, "batch1.csv"),
+      "id,name\n1,a\n2,b\n")
+    val q = refreshQuery(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_refresh"))
+    q.awaitTermination()
+    val got = spark.read.parquet(extract).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("windowedCounts emits finalized windows under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val q = Streams.windowedCounts(df, "ts", "k", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wins")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_win"))
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:20:00"), "a"))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window to finalize it
+      input.addData((ts("2024-01-01 13:00:00"), "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("wins")
+        .select($"win_start".cast("string"), $"k", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)))
+    } finally q.stop()
+  }
+}
