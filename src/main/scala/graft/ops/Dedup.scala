@@ -35,11 +35,14 @@ object Dedup {
       docs.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
       Seq("__fp"), orderCol).drop("__fp")
 
-  /** Word n-gram shingles, distinct per document: (id, shingle) rows.
+  /** Word n-gram shingle stream, WITH multiplicity: (id, shingle) rows.
+    * Narrow (no shuffle) — downstream operators that are multiset-
+    * invariant (MinHash `min`) consume this directly; set-semantics
+    * consumers dedup the (much smaller) subset they actually need.
     * Documents shorter than `n` words yield no shingles (excluded from
     * near-dup detection, as is standard).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val w = split(col(textCol), " ")
     // guard: sequence(0, k) with k < 0 is a DESCENDING sequence in Spark,
     // not empty — short docs must yield an empty shingle array instead.
@@ -48,14 +51,25 @@ object Dedup {
         sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
       .otherwise(array())
-    docs.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+    // a compact doc table often arrives in few input splits; the shingle
+    // explode multiplies rows ~200x, so spread docs across the cluster
+    // BEFORE exploding (otherwise the hash-heavy pipeline runs on the few
+    // scan tasks regardless of cluster size)
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(sh).as("shingle"))
   }
+
+  /** Distinct shingle sets per document (the set used by Jaccard). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
 
   /** MinHash signature: k independent permutations approximated by salted
     * md5; signature component i = min over shingles of md5(i || shingle).
     * Lexicographic min over the hex digest is a uniform permutation of the
     * shingle space and identical across engines. One shuffle (groupBy id)
-    * with full map-side partial aggregation (min is commutative).
+    * with full map-side partial aggregation (min is commutative) —
+    * accepts the raw multiset stream since `min` is duplicate-invariant,
+    * so no distinct shuffle is needed upstream.
     */
   def minhashSignature(sh: DataFrame, k: Int = 6): DataFrame =
     sh.groupBy(col("id"))
@@ -70,13 +84,16 @@ object Dedup {
     * around the target Jaccard threshold.
     */
   def lshBands(sig: DataFrame, k: Int = 6, rows: Int = 2): DataFrame = {
-    val bands = (0 until k / rows).map { b =>
-      sig.select(
+    // single pass: explode one array of band structs rather than a union
+    // of per-band selects (a union re-evaluates the signature subtree once
+    // per band)
+    val bandStructs = array((0 until k / rows).map { b =>
+      struct(
         lit(b).as("band_id"),
-        concat_ws("|", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("band_key"),
-        col("id"))
-    }
-    bands.reduce(_ unionByName _)
+        concat_ws("|", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("band_key"))
+    }: _*)
+    sig.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"), col("id"))
   }
 
   /** Candidate pairs (id_a < id_b) from LSH band-bucket collisions. The
@@ -97,10 +114,18 @@ object Dedup {
     * the shingle join keys on (doc, shingle) of the candidate set only.
     */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // only candidate documents' shingles matter — semi-join down from the
+    // full corpus BEFORE the distinct and the (id, shingle)-keyed
+    // shuffles (candidate count ~ duplicates, so this is the difference
+    // between shuffling the corpus and shuffling the dup set); distinct
+    // here gives set semantics whether the input is raw or deduped
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(candIds, Seq("id"), "left_semi").distinct()
+    val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(shc.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shc.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -116,9 +141,16 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
-    val pairs = lshCandidates(lshBands(minhashSignature(sh, k), k, bandRows))
-    jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
+    // shingle stream stays narrow (multiset; no distinct shuffle — MinHash
+    // min is duplicate-invariant). Persist only the SMALL intermediates
+    // that multiple joins consume: the signature table (O(docs)) and the
+    // candidate pairs (O(dups)); re-deriving the narrow shingle stream
+    // per consumer is a scan, not a shuffle.
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shRaw = shinglesRaw(docs, idCol, textCol)
+    val sig = minhashSignature(shRaw, k).persist(disk)
+    val pairs = lshCandidates(lshBands(sig, k, bandRows)).persist(disk)
+    jaccardForPairs(pairs, shRaw).filter(col("jaccard") >= threshold)
   }
 
   /** All-pairs exact n-gram Jaccard at `threshold` — the small-data oracle
@@ -129,6 +161,7 @@ object Dedup {
   def jaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -180,12 +213,17 @@ object Dedup {
   def simhashPairsBanded(sig: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val width = SimhashBits / nBands + (if (SimhashBits % nBands == 0) 0 else 1)
-    val banded = (0 until nBands).map { b =>
+    val bandStructs = array((0 until nBands).map { b =>
       val key = shiftright(col("simhash"), b * width)
         .bitwiseAND((1L << math.min(width, SimhashBits - b * width)) - 1L)
-      sig.select(lit(b).as("band_id"), key.as("band_key"),
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }: _*)
+    // one pass over the signature (vs a union re-evaluating it per band),
+    // persisted because both sides of the bucket self-join consume it
+    val banded = sig.select(col("id"), col("simhash"), explode(bandStructs).as("band"))
+      .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"),
         col("id"), col("simhash"))
-    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_id"), col("band_key"),

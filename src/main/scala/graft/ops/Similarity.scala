@@ -17,11 +17,19 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns, computed
-    * in doubles via codegen'd higher-order functions (zip_with + fold) —
-    * no UDF, stays in WholeStageCodegen.
+  /** Cosine similarity between two array<float|double> columns: the
+    * fused single-loop native expression (graft.functions.
+    * CosineSimilarity) — zero allocation per pair, whole-stage codegen.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Composable higher-order-function formulation of [[cosine]] (zip_with
+    * + folds). Numerically identical (same element order, double
+    * accumulation); kept as the reference implementation the native
+    * expression is verified against in ExtensionsSpec.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def fold(xs: Column): Column =
       aggregate(xs, lit(0.0d), (acc, x) => acc + x)
     val ad = transform(a, x => x.cast(DoubleType))

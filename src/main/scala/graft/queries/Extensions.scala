@@ -107,7 +107,7 @@ object Extensions {
 
     Q("q_minhash_signature",
       (s, d) => Dedup.minhashSignature(
-          Dedup.shingles(Tables.documents(s, d), "doc_id", "text"), k = 6)
+          Dedup.shinglesRaw(Tables.documents(s, d), "doc_id", "text"), k = 6)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(s"""WITH $ShinglesCte

@@ -103,6 +103,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 0.0)))
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).filter($"id_a" < $"id_b").limit(5000)
+    val diff = pairs.select(
+        Similarity.cosine($"va", $"vb").as("native"),
+        Similarity.cosineHof($"va", $"vb").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0L)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val query = emb.filter($"vec_id" === 0)
