@@ -291,6 +291,59 @@ object Parity {
              |count(*) AS n, round(sum(value), 2) AS total
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // W — ranking + offset window functions (rank/dense_rank/lag) under a
+    // deterministic per-key total order.
+    Q("q_rank_lag",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            rank().over(w).cast(LongType).as("rnk"),
+            dense_rank().over(w).cast(LongType).as("drnk"),
+            lag(col("event_id"), 1).over(w).as("prev_event"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |CAST(rank() OVER w AS BIGINT) AS rnk,
+             |CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |lag(event_id) OVER w AS prev_event
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
+    // A — ROLLUP hierarchy subtotals (partial agg + grouping-id ordering;
+    // NULLS FIRST pinned on both engines for the subtotal rows).
+    Q("q_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "))),
+
+    // A — CUBE over two dimensions.
+    Q("q_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "))),
+
+    // A — HLL++ approximate distinct (engine-specific sketch → rows-only
+    // driver check; accuracy vs exact distinct asserted in ParitySpec).
+    Q("q_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Sessionization — lag/cumsum batch analog of session windows
     // (30-minute inactivity gap; n_sessions per user).
     Q("q_session_lag",

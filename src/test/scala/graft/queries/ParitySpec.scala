@@ -9,8 +9,10 @@ import graft.{SparkEntry, SparkSpec}
   */
 class ParitySpec extends SparkSpec {
 
+  private val allQ = Parity.all ++ Extensions.all
+
   test("every query key has a distinct name and runs on sf0.001") {
-    val names = Parity.all.map(_.name)
+    val names = allQ.map(_.name)
     assert(names.distinct.size == names.size)
   }
 
@@ -18,7 +20,7 @@ class ParitySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  for (q <- Parity.all) {
+  for (q <- allQ) {
     test(s"${q.name} executes and is non-degenerate") {
       val df = q.fn(spark, sf)
       val n = df.count()
@@ -33,6 +35,19 @@ class ParitySpec extends SparkSpec {
   test("oracleSql keys are a subset of queries keys") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+    }
   }
 
   test("benchQueries reference existing queries") {
