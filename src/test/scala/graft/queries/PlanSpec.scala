@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan pins: the properties that make these queries survive a
+  * 100 TB scale-up. A correctness-preserving refactor that silently loses
+  * pushdown, pruning, broadcast, or top-k short-circuiting fails here,
+  * not in a cluster bill.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val p = plan("q_filter_conjunctive")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(p.contains("EqualTo(l_returnflag,R)"), "predicate not pushed")
+    // the PushedFilters list is elided in toString; the range predicate
+    // shows untruncated in the scan's DataFilters
+    assert(p.contains(">= 45.0)"), "range not pushed")
+  }
+
+  test("column pruning reaches the scan (projection of 4 of 16 lineitem cols)") {
+    val p = plan("q_filter_conjunctive")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q_fk_join").contains("BroadcastHashJoin"))
+    val multi = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(multi).size >= 2,
+      "3-way dim chain should broadcast both dims")
+  }
+
+  test("global top-k short-circuits as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_upsert_antijoin").contains("LeftAnti"))
+  }
+
+  test("aggregations use partial (map-side) combine") {
+    val p = plan("q_window_tumbling")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("scan-only text queries contain no shuffle at all") {
+    for (q <- Seq("q_token_count", "q_lang_id", "q_fingerprint")) {
+      val p = plan(q)
+      // a global sort for output determinism is allowed; no hash-partition
+      // exchange may appear
+      assert(!p.contains("hashpartitioning"), s"$q shuffles: ${p.take(300)}")
+    }
+  }
+
+  test("native cosine expression appears in the ANN plan (not a UDF)") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("cosine_sim"), p.take(500))
+    assert(!p.contains("UDF"), "ANN hot path fell back to a UDF")
+  }
+}
