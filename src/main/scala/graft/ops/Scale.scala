@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew/scale utilities: the techniques that keep keyed operations healthy
+  * at 100 TB when key distributions are not (SURVEY.md §7.4 posture).
+  *
+  * AQE's skew-join splitting handles most runtime skew; these are the
+  * explicit, plan-level tools for when the skew is known in advance or
+  * the operation (stateful agg, non-AQE-eligible join) needs it.
+  */
+object Scale {
+
+  /** Deterministic salt in [0, n) derived from `entropy` (any column with
+    * per-row spread, e.g. the row's unique id). Deterministic — replays
+    * and retries salt identically, unlike rand().
+    */
+  def salt(entropy: Column, n: Int): Column = pmod(xxhash64(entropy), lit(n.toLong))
+
+  /** Two-stage salted aggregation: partial-aggregate on (keys, salt) —
+    * splitting each hot key across `n` reducers — then final-aggregate on
+    * keys. `partialAggs` and `finalAggs` must compose (sum/sum,
+    * count/sum, min/min, ...). For algebraic aggregates Spark's map-side
+    * combine usually suffices; this is for the cases where one reducer
+    * key still overflows a task (extreme hot keys, memory-heavy buffers).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], entropy: Column, n: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", salt(entropy, n))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+
+  /** Skew-safe equi-join of a large skewed side against a small side:
+    * the large side gets a deterministic salt, the small side is
+    * replicated once per salt value, and the join key becomes
+    * (keys, salt) — so a hot key's rows spread over `n` tasks instead of
+    * one straggler. Result is row-identical to the unsalted join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 entropy: Column, n: Int, joinType: String = "inner"): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", salt(entropy, n))
+    val replicated = small.withColumn("__salt", explode(
+      array((0 until n).map(i => lit(i.toLong)): _*)))
+    saltedLarge.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

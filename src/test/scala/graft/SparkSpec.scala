@@ -10,6 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.etl.Refresh
+
+/** Scale-toolkit specs: salted agg/join equivalence, bucketed co-located
+  * joins (no exchange), and partition-pruned extract layout.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("qty"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val salted = Scale.saltedAgg(li, Seq("l_returnflag"), $"l_orderkey", 8,
+        partialAggs = Seq(sum($"l_quantity").as("p_qty"), count(lit(1)).as("p_n")),
+        finalAggs = Seq(sum($"p_qty").as("qty"), sum($"p_n").as("n")))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (q, n)) =>
+      assert(math.abs(salted(k)._1 - q) < 1e-6 && salted(k)._2 == n)
+    }
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val custDim = Tables.customer(spark, sf)
+      .select($"c_custkey".as("o_custkey"), $"c_name")
+    val plain = orders.join(custDim, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
+    val salted = Scale.saltedJoin(orders, custDim, Seq("o_custkey"),
+        entropy = $"o_orderkey", n = 8)
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh.contains("graft"), s"warehouse must be a scratch dir, got $wh")
+    // fresh in-memory catalog + stale on-disk warehouse from a prior JVM
+    // → drop both sides before recreating
+    for (t <- Seq("orders_bkt", "customer_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(new java.net.URI(wh).getPath, t)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, sf)
+      .select($"c_custkey".as("o_custkey"), $"c_acctbal")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("customer_bkt")
+    val joined = spark.table("orders_bkt").join(spark.table("customer_bkt"), "o_custkey")
+    // bucketed-bucketed equi-join on the bucket key needs no shuffle;
+    // disable broadcast to force the merge path and prove co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles: ${plan.take(600)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("partitioned extract layout prunes partitions at read") {
+    val path = java.nio.file.Files.createTempDirectory("extract_part").toString + "/events"
+    val ev = Tables.events(spark, sf).withColumn("day", to_date($"ts"))
+    Refresh.overwrite(ev, path, partitionByCols = Seq("event_type"))
+    val read = spark.read.parquet(path).filter($"event_type" === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
+    assert(read.count() > 0)
+    // pruned scan must not list non-matching partition directories' files
+    val allTypes = spark.read.parquet(path).select("event_type").distinct().count()
+    assert(allTypes > 1)
+  }
+}
