@@ -111,6 +111,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `m` coarse
+    * centroids (the inverted-file cell), probe only the `nProbe` cells
+    * closest to the query, rank the probed subset exactly. Centroids here
+    * are a deterministic sample of the corpus (every (n/m)-th vector by
+    * id rank) — a k-means refinement drops in without changing the plan
+    * shape. With a cell-partitioned index layout, non-probed cells are
+    * pruned at the source exactly like the sign-LSH variant's buckets.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Long, Array[Double])]): DataFrame = {
+    // argmax over m centroid similarities, computed as a greatest() over
+    // struct(sim, cell) pairs — single scan, no shuffle, codegen'd
+    val cells = centroids.map { case (cellId, c) =>
+      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
+        lit(cellId).as("cell"))
+    }
+    vectors.withColumn("__best", greatest(cells: _*))
+      .withColumn("__cell", col("__best.cell"))
+      .drop("__best")
+  }
+
+  /** Deterministic coarse centroids: the m lowest-id vectors. */
+  def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                   m: Int): Array[(Long, Array[Double])] =
+    vectors.orderBy(col(idCol)).limit(m)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int, m: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+    def cos(c: Array[Double]): Double = {
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(c.map(x => x * x).sum)
+      val nb = math.sqrt(query.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val probeCells = centroids.map { case (id, c) => id -> cos(c) }
+      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1)
+    val q = array(query.map(lit): _*)
+    ivfAssign(vectors, idCol, vecCol, centroids)
+      .filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs: id_a < id_b with cosine >= threshold.
     * Blocked by LSH bucket (pairs must share a bucket) — collision-driven
     * cost like MinHash banding, not n². For exact all-pairs semantics at

@@ -75,6 +75,16 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** PII scrubbing: redact email addresses and bare URLs. RE2-safe
+    * patterns (no lookarounds) so the DuckDB oracle applies the identical
+    * regex; extend the pattern list per deployment's PII policy.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
   /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
     * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
     * a bag-of-words hash it distinguishes permutations — and overflow-free

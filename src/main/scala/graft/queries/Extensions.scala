@@ -91,6 +91,42 @@ object Extensions {
              |(a, b) -> (a * 131 + b) % ${TextAnalysis.FingerprintPrime}) AS fp_roll
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Corpus word-frequency top-k: the canonical map-side-combinable
+    // explode+count; at 100 TB one shuffle keyed by word, then a k-row
+    // TakeOrderedAndProject merge.
+    Q("q_word_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20),
+      Some("""SELECT w.word AS word, count(*) AS n
+             |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS word) w
+             |GROUP BY w.word ORDER BY n DESC, word LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // PII scrubbing (emails/URLs injected deterministically so the redact
+    // path is actually exercised by the synthetic corpus).
+    Q("q_pii_scrub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(
+            concat(col("source"), lit("@example.com http://x.io/"),
+              col("doc_id").cast("string"), lit(" "), col("text"))).as("clean"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(
+             |concat(source, '@example.com http://x.io/', CAST(doc_id AS VARCHAR), ' ', text),
+             |'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+             |'${TextAnalysis.UrlRe}', '<URL>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Document-length histogram (100-char buckets).
+    Q("q_len_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
     // ---- Deduplication ---------------------------------------------------
 
     // Exact dedup: survivors per source after fingerprint-keyed dedup

@@ -131,6 +131,25 @@ class ExtensionsSpec extends SparkSpec {
     assert((exact intersect approx).size >= 5)
   }
 
+  test("IVF probe recall vs brute force; cell assignment partitions the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val base = emb.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(base, "vec_id", "embedding", query, 10,
+        m = 16, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect ivf).size >= 5)
+    // every vector lands in exactly one cell; cells are non-degenerate
+    val cells = Similarity.ivfAssign(base, "vec_id", "embedding",
+        Similarity.ivfCentroids(base, "vec_id", "embedding", 16))
+      .groupBy("__cell").count()
+    assert(cells.count() > 8)
+    assert(cells.agg(sum("count")).as[Long].head() == base.count())
+  }
+
   test("LSH bucket pruning actually reduces scanned rows") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)
