@@ -1,0 +1,102 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed typed metadata store: the reference's Postgres catalog
+  * re-expressed as `Dataset[T]` tables with anti-join-enforced unique
+  * keys and full-refresh overwrite commits.
+  *
+  * Semantics mapped from the reference:
+  *  - create-or-get (app/utils/onadata_utils.py:265-292): semi-join
+  *    existence check, anti-join insert — the row that already holds the
+  *    unique key wins, exactly like the DB constraint + get-then-create.
+  *  - status update + failure accounting (app/core/importer.py:129-220,
+  *    app/utils/hyper_utils.py:239-263): pure column transforms guarded
+  *    by the FileStatus transition table.
+  *  - Catalog tables are small: every join against extract-scale data
+  *    should broadcast (callers wrap in `broadcast(...)`).
+  *
+  * Writes are read-modify-overwrite of a small parquet dataset — atomic
+  * via the output committer; the lastUpdated stamp is caller-provided so
+  * replays are deterministic (no wall-clock in the data path).
+  */
+class MetaStore(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  private def path(table: String) = s"$root/$table"
+
+  def readHyperFiles(): Dataset[HyperFileMeta] =
+    spark.read.parquet(path("hyperfiles")).as[HyperFileMeta]
+
+  def writeHyperFiles(ds: Dataset[HyperFileMeta]): Unit = {
+    // self-check the unique key before commit (cheap: catalog-sized)
+    val dupes = ds.groupBy($"userId", $"formId").count().filter($"count" > 1).count()
+    require(dupes == 0, s"unique (userId, formId) violated by $dupes keys")
+    // read-modify-overwrite on the same path needs a materialized plan
+    val rows = ds.collect().toSeq
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
+  }
+
+  def initHyperFiles(rows: Seq[HyperFileMeta]): Unit =
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
+
+  /** Create-or-get: insert only rows whose (userId, formId) is absent;
+    * existing rows (and their state) are preserved verbatim.
+    */
+  def createOrGet(incoming: Dataset[HyperFileMeta]): Dataset[HyperFileMeta] = {
+    val existing = readHyperFiles()
+    val fresh = incoming.join(existing, Seq("userId", "formId"), "left_anti")
+      .as[HyperFileMeta]
+    val merged = existing.unionByName(fresh)
+    writeHyperFiles(merged)
+    readHyperFiles()
+  }
+
+  /** Guarded status transition for one file id; illegal transitions are
+    * no-ops (the reference answers HTTP 202 and leaves the row alone).
+    */
+  def transition(fileId: Long, to: String, at: java.sql.Timestamp): Unit = {
+    require(FileStatus.All.contains(to), s"unknown status $to")
+    val updated = readHyperFiles().map { f =>
+      if (f.id == fileId && FileStatus.canTransition(f.fileStatus, to))
+        f.copy(fileStatus = to, lastUpdated = at)
+      else f
+    }
+    writeHyperFiles(updated)
+  }
+
+  /** Failure accounting (threshold from ops.State.FailureThreshold): on
+    * failure bump sync-failures and set latest_sync_failed; at the
+    * threshold deactivate (file_unavailable, isActive=false) — the
+    * reference also cancels the cron job there. On success zero the
+    * counter and set file_available.
+    */
+  def recordSyncResult(fileId: Long, success: Boolean,
+                       at: java.sql.Timestamp, reason: String = ""): Unit = {
+    val thr = graft.ops.State.FailureThreshold
+    val updated = readHyperFiles().map { f =>
+      if (f.id != fileId) f
+      else if (success)
+        f.copy(fileStatus = FileStatus.FileAvailable,
+          metaData = f.metaData + (MetaKeys.SyncFailures -> "0") - MetaKeys.FailureReason,
+          lastUpdated = at)
+      else {
+        val n = f.metaData.getOrElse(MetaKeys.SyncFailures, "0").toInt + 1
+        val dead = n >= thr
+        f.copy(
+          fileStatus = if (dead) FileStatus.FileUnavailable else FileStatus.LatestSyncFailed,
+          isActive = f.isActive && !dead,
+          metaData = f.metaData +
+            (MetaKeys.SyncFailures -> n.toString) +
+            (MetaKeys.FailureReason -> reason),
+          lastUpdated = at)
+      }
+    }
+    writeHyperFiles(updated)
+  }
+
+  /** P4: the schedulable set (app/crud/crud_hyperfile.py:34-35). */
+  def activeFiles(): Dataset[HyperFileMeta] =
+    readHyperFiles().filter(_.isActive)
+}

@@ -1,0 +1,73 @@
+package graft.catalog
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class MetaStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshStore(): MetaStore = {
+    val root = java.nio.file.Files.createTempDirectory("metastore").toString
+    val store = new MetaStore(spark, root)
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.FileAvailable,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), ts("2024-01-01 00:00:00")),
+      HyperFileMeta(2L, 10L, 200L, "b.parquet", FileStatus.Queued,
+        isActive = true, Map.empty, ts("2024-01-01 00:00:00"))))
+    store
+  }
+
+  test("createOrGet inserts only absent (userId, formId) keys") {
+    val store = freshStore()
+    val incoming = Seq(
+      // collides with existing (10, 100) — must NOT replace it
+      HyperFileMeta(99L, 10L, 100L, "clobber.parquet", FileStatus.Queued,
+        isActive = true, Map.empty, ts("2024-02-01 00:00:00")),
+      HyperFileMeta(3L, 11L, 100L, "c.parquet", FileStatus.Queued,
+        isActive = true, Map.empty, ts("2024-02-01 00:00:00"))).toDS()
+    val out = store.createOrGet(incoming).collect().map(f => f.id -> f).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).filename == "a.parquet") // existing row preserved
+  }
+
+  test("transition respects the status guard (202 semantics)") {
+    val store = freshStore()
+    store.transition(2L, FileStatus.Syncing, ts("2024-01-02 00:00:00"))
+    assert(store.readHyperFiles().filter(_.id == 2L).head().fileStatus
+      == FileStatus.Syncing)
+    // syncing -> queued is illegal: no-op
+    store.transition(2L, FileStatus.Queued, ts("2024-01-03 00:00:00"))
+    val f = store.readHyperFiles().filter(_.id == 2L).head()
+    assert(f.fileStatus == FileStatus.Syncing)
+    assert(f.lastUpdated == ts("2024-01-02 00:00:00"))
+  }
+
+  test("recordSyncResult: 3 consecutive failures deactivate; success resets") {
+    val store = freshStore()
+    store.recordSyncResult(1L, success = false, ts("2024-01-02 00:00:00"), "boom1")
+    store.recordSyncResult(1L, success = false, ts("2024-01-03 00:00:00"), "boom2")
+    var f = store.readHyperFiles().filter(_.id == 1L).head()
+    assert(f.fileStatus == FileStatus.LatestSyncFailed && f.isActive)
+    assert(f.metaData(MetaKeys.SyncFailures) == "2")
+    store.recordSyncResult(1L, success = false, ts("2024-01-04 00:00:00"), "boom3")
+    f = store.readHyperFiles().filter(_.id == 1L).head()
+    assert(f.fileStatus == FileStatus.FileUnavailable && !f.isActive)
+    assert(store.activeFiles().collect().map(_.id).toSet == Set(2L))
+    // success on the other file zeroes the counter
+    store.recordSyncResult(2L, success = true, ts("2024-01-05 00:00:00"))
+    val g = store.readHyperFiles().filter(_.id == 2L).head()
+    assert(g.fileStatus == FileStatus.FileAvailable)
+    assert(g.metaData(MetaKeys.SyncFailures) == "0")
+  }
+
+  test("writeHyperFiles rejects duplicate unique keys") {
+    val store = freshStore()
+    val bad = Seq(
+      HyperFileMeta(7L, 1L, 1L, "x", FileStatus.Queued, true, Map.empty, ts("2024-01-01 00:00:00")),
+      HyperFileMeta(8L, 1L, 1L, "y", FileStatus.Queued, true, Map.empty, ts("2024-01-01 00:00:00"))).toDS()
+    intercept[IllegalArgumentException] { store.writeHyperFiles(bad) }
+  }
+}
