@@ -127,6 +127,27 @@ object Extensions {
       Some("""SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n
              |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
 
+    // Percentile-based quality cutoff: keep documents at/above the p25
+    // stopword-ratio bar — the canonical corpus-filtering shape (scalar
+    // subquery threshold; exact interpolated percentile on both engines).
+    Q("q_quality_filter",
+      (s, d) => {
+        val feats = Tables.documents(s, d).select(col("doc_id"),
+          (size(filter(TextAnalysis.tokens(col("text")),
+            t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast("double") /
+            size(TextAnalysis.tokens(col("text"))).cast("double")).as("swr"))
+        val thr = feats.agg(expr("percentile(swr, 0.25)")).head().getDouble(0)
+        feats.filter(col("swr") >= thr)
+          .select(col("doc_id"), round(col("swr"), 5).as("swr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH feats AS (SELECT doc_id,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr FROM documents)
+             |SELECT doc_id, round(swr, 5) AS swr FROM feats
+             |WHERE swr >= (SELECT quantile_cont(swr, 0.25) FROM feats)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- Deduplication ---------------------------------------------------
 
     // Exact dedup: survivors per source after fingerprint-keyed dedup

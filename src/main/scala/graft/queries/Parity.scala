@@ -335,6 +335,23 @@ object Parity {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "))),
 
+    // W — explicit frame spec: trailing moving average over a 4-row frame
+    // (per-key sort reused by both window functions; no global sort).
+    Q("q_moving_avg",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            round(avg(col("value")).over(w), 4).as("mov_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, round(avg(value) OVER (
+             |PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+             |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // A — HLL++ approximate distinct (engine-specific sketch → rows-only
     // driver check; accuracy vs exact distinct asserted in ParitySpec).
     Q("q_approx_distinct",
