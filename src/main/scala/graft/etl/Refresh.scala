@@ -34,4 +34,26 @@ object Refresh {
   /** Full-refresh pipeline: read → overwrite extract → count. */
   def fullRefresh(spark: SparkSession, source: DataFrame, extractPath: String): Long =
     overwrite(source, extractPath)
+
+  /** Incremental refresh: MERGE the delta into the extract by key —
+    * incoming rows win on key collision, absent keys append. The scale
+    * alternative to the reference's rebuild-everything tick: cost ∝
+    * |extract| + |delta| (one anti-join shuffle) instead of a full
+    * re-export, and late data still lands because every tick re-merges.
+    * The merged frame must be materialized before the overwrite commit
+    * (the plan reads the path being replaced).
+    */
+  def incremental(spark: SparkSession, delta: DataFrame, extractPath: String,
+                  keys: Seq[String]): Long = {
+    val exists = new java.io.File(extractPath).exists()
+    val merged =
+      if (!exists) delta
+      else graft.catalog.Catalog.upsert(spark.read.parquet(extractPath), delta, keys)
+    val staging = extractPath + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val committed = spark.read.parquet(staging)
+    committed.write.mode("overwrite").parquet(extractPath)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+    spark.read.parquet(extractPath).count()
+  }
 }

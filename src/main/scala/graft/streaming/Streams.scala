@@ -126,6 +126,18 @@ object Streams {
     }
   }
 
+  // ---- Streaming dedup -------------------------------------------------
+
+  /** Exactly-once-per-key event stream within the watermark horizon: the
+    * streaming flavor of exact dedup (state holds one entry per key and
+    * is evicted once the watermark passes — bounded state at any rate).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- Monitoring: watermarked tumbling windows ------------------------
 
   /** Per-window event counts with late-data tolerance `watermark` — the

@@ -8,6 +8,18 @@ import graft.SparkSpec
 class EtlSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
+  test("incremental refresh merges delta by key: updates win, inserts append") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("incr").toString + "/extract"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    assert(Refresh.incremental(spark, base, path, Seq("id")) == 2L)
+    val delta = Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    assert(Refresh.incremental(spark, delta, path, Seq("id")) == 3L)
+    val got = spark.read.parquet(path).as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+  }
+
   test("TypePolicy collapses every type to {Long, Double, String}") {
     val schema = StructType(Seq(
       StructField("i", IntegerType), StructField("l", LongType),

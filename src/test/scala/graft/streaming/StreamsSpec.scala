@@ -71,6 +71,30 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b")))
   }
 
+  test("dedupStream drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "event_id", "payload")
+    val q = dedupStream(df, "ts", Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_dedup"))
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:01"), 1L, "dup-in-batch"),
+        (ts("2024-01-01 10:00:02"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 1L, "dup-across-batch"),
+        (ts("2024-01-01 10:06:00"), 3L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("deduped").select("event_id", "payload")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("windowedCounts emits finalized windows under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
