@@ -352,6 +352,20 @@ object Parity {
              |ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
              |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // A — skew-safe two-stage salted aggregation: result-identical to the
+    // plain GROUP BY (integral aggregates, so re-association is exact);
+    // hot keys spread over 8 salt buckets before the final combine.
+    Q("q_salted_agg",
+      (s, d) => graft.ops.Scale.saltedAgg(Tables.lineitem(s, d),
+          Seq("l_returnflag"), col("l_orderkey"), 8,
+          partialAggs = Seq(count(lit(1)).as("p_n"), sum(col("l_linenumber")).as("p_s")),
+          finalAggs = Seq(sum(col("p_n")).as("n"), sum(col("p_s")).cast(LongType).as("s")))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(l_linenumber) AS BIGINT) AS s
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
     // A — HLL++ approximate distinct (engine-specific sketch → rows-only
     // driver check; accuracy vs exact distinct asserted in ParitySpec).
     Q("q_approx_distinct",
