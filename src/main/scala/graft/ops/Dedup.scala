@@ -153,17 +153,31 @@ object Dedup {
     jaccardForPairs(pairs, shRaw).filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs exact n-gram Jaccard at `threshold` — the small-data oracle
-    * for [[nearDupPairs]]. The shingle self-join is quadratic in shingle
-    * document frequency; use only where the corpus (or a blocking key)
-    * bounds it. At 100 TB use [[nearDupPairs]].
+  /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering
+    * (the PPJoin candidate condition): order each document's shingles by
+    * a global total order (md5 — uniform, engine-free); any pair with
+    * Jaccard >= t MUST share a shingle within each side's first
+    * |S| - ceil(t*|S|) + 1 shingles, so the candidate self-join runs on
+    * prefixes only (~(1-t) of the rows, (1-t)^2 of the pair blowup) and
+    * the verified result is identical to the naive all-pairs join.
+    * Still inherently quadratic in prefix document frequency — for
+    * collision-driven cost at corpus scale use [[nearDupPairs]].
     */
   def jaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(md5(col("shingle")), col("shingle"))
+    val prefix = sh
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .filter(col("__rk") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .select("id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = prefix.select(col("id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)

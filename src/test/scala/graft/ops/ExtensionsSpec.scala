@@ -82,6 +82,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.size >= exact.size * 9 / 10)
   }
 
+  test("prefix-filtered exact jaccard == naive all-pairs join") {
+    val docs = Tables.documents(spark, sf)
+    val prefix = Dedup.jaccardAllPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // naive candidate generation: full shingle self-join (no prefix cut)
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val naiveCands = sh.select($"id".as("id_a"), $"shingle")
+      .join(sh.select($"id".as("id_b"), $"shingle"), Seq("shingle"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct()
+    val naive = Dedup.jaccardForPairs(naiveCands, sh)
+      .filter($"jaccard" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty && prefix == naive)
+  }
+
   test("simhash banded pairs == all-pairs within radius") {
     val sig = Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text")
     val banded = Dedup.simhashPairsBanded(sig, maxHamming = 2)
