@@ -20,8 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  /** W1: latest row per key (deterministic: ties broken by `tieBreak`). */
+  /** W1: latest row per key (deterministic: ties broken by `tieBreak`).
+    *
+    * Formulated as `max_by(row, (ts, tieBreak))` — an algebraic aggregate
+    * with map-side partial combine, so at most ONE row per key per input
+    * partition reaches the shuffle. The rank-window formulation
+    * ([[latestPerKeyWindow]]) shuffles and sorts EVERY row; at 100 TB of
+    * events that difference is the whole job.
+    */
   def latestPerKey(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(keyCol))
+      .agg(max_by(payload, struct(col(tsCol), col(tieBreak))).as("__top"))
+      .select(df.columns.map(c => col(s"__top.$c").as(c)): _*)
+  }
+
+  /** Rank-window formulation of [[latestPerKey]] (general top-n shape;
+    * kept as the reference implementation the aggregate form is verified
+    * against, and the template for n > 1).
+    */
+  def latestPerKeyWindow(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieBreak).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

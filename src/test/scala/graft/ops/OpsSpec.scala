@@ -57,6 +57,15 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("tie_wins", "only"))
   }
 
+  test("latestPerKey aggregate form == rank-window form on real events") {
+    val ev = graft.Tables.events(spark, sf)
+    val viaAgg = Windows.latestPerKey(ev, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val viaWin = Windows.latestPerKeyWindow(ev, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(viaAgg.nonEmpty && viaAgg == viaWin)
+  }
+
   test("sessionize splits on gap and numbers sessions per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L),

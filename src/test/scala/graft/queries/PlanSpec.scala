@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("latest-per-key aggregates partially map-side (no rank window)") {
+    val p = plan("q_topk_latest")
+    assert(p.contains("partial_max_by"), p.take(400))
+    assert(!p.contains("row_number"), "fell back to the full-shuffle rank window")
+  }
+
   test("native cosine expression appears in the ANN plan (not a UDF)") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("cosine_sim"), p.take(500))
