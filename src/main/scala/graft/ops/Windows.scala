@@ -48,6 +48,22 @@ object Windows {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Top-k rows per key, LARGEST first by `orderCols` (lexicographic).
+    * Uses a bounded-priority-queue aggregate (CollectTopK) with map-side
+    * partial combine: each input partition contributes at most k rows per
+    * key to the shuffle — unlike a rank window, which shuffles and sorts
+    * everything. The generalization of [[latestPerKey]] to n > 1.
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String], k: Int): DataFrame = {
+    val payload = struct(
+      (orderCols ++ df.columns.filterNot(orderCols.contains)).map(col): _*)
+    df.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.graftshim.Shim.collectTopK(payload, k, reverse = false)
+        .as("__top"))
+      .select(explode(col("__top")).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** T1 batch analog: tumbling windows by truncating the timestamp. */
   def tumbling(tsCol: Column, unit: String): Column = date_trunc(unit, tsCol)
 

@@ -281,6 +281,20 @@ object Parity {
              |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // W — top-3-per-key via the bounded-priority-queue aggregate
+    // (partial_collect_top_k: ≤ k rows per key per partition shuffle,
+    // vs the oracle's full-shuffle rank window — identical results).
+    Q("q_topk_per_key",
+      (s, d) => Windows.topKPerKey(Tables.events(s, d), "user_id",
+          Seq("ts", "event_id"), k = 3)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |SELECT user_id, event_id, event_type,
+             |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) t WHERE rn <= 3
+             |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // T1 batch analog — tumbling 1-hour window aggregation.
     Q("q_window_tumbling",
       (s, d) => Tables.events(s, d)

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bounded top-k collect aggregate (catalyst's CollectTopK: a
+    * TypedImperativeAggregate over a BoundedPriorityQueue — partial
+    * map-side combine with at most k elements per partition buffer).
+    * `reverse = false` keeps the k LARGEST by the child's ordering,
+    * `reverse = true` the k smallest.
+    * (CollectTopK is private[aggregate]; constructed by GraftTopK there.)
+    */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+        .collectTopK(expression(c), k, reverse))
 }

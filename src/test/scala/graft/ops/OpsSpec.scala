@@ -66,6 +66,22 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg.nonEmpty && viaAgg == viaWin)
   }
 
+  test("topKPerKey == rank-window top-k on real events") {
+    val ev = graft.Tables.events(spark, sf)
+    val viaAgg = Windows.topKPerKey(ev, "user_id", Seq("ts", "event_id"), 3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val viaWin = ev.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= 3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(viaAgg.nonEmpty && viaAgg == viaWin)
+    // partial combine in the plan: bounded buffers, not a rank window
+    val plan = Windows.topKPerKey(ev, "user_id", Seq("ts", "event_id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collect_top_k"), plan.take(400))
+  }
+
   test("sessionize splits on gap and numbers sessions per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L),
