@@ -121,7 +121,11 @@ object Dedup {
     // here gives set semantics whether the input is raw or deduped
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
+    // shc is consumed by three operators (sizes + both sides of inter);
+    // persist so the corpus-wide shingle derivation + semi-join runs once —
+    // shc itself is O(candidate docs), tiny relative to the corpus
     val shc = sh.join(candIds, Seq("id"), "left_semi").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shc.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))

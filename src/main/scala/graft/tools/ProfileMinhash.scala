@@ -17,10 +17,21 @@ object ProfileMinhash {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    t("warm docs")(Tables.documents(spark, d).count())
-    t("neardup run1")(Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", 0.8).count())
-    t("neardup run2")(Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", 0.8).count())
-    t("neardup run3")(Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", 0.8).count())
+    val docs = Tables.documents(spark, d)
+    t("warm docs")(docs.count())
+    t("neardup run1")(Dedup.nearDupPairs(docs, "doc_id", "text", 0.8).count())
+    // stage breakdown (steady state)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shRaw = Dedup.shinglesRaw(docs, "doc_id", "text")
+    t("stage shingles count")(shRaw.count())
+    val sig = t("stage signature") {
+      val s = Dedup.minhashSignature(shRaw, 6).persist(disk); s.count(); s
+    }
+    val pairs = t("stage candidates") {
+      val p = Dedup.lshCandidates(Dedup.lshBands(sig, 6, 2)).persist(disk); p.count(); p
+    }
+    t("stage jaccard")(Dedup.jaccardForPairs(pairs, shRaw).filter(col("jaccard") >= 0.8).count())
+    t("neardup run3")(Dedup.nearDupPairs(docs, "doc_id", "text", 0.8).count())
     spark.stop()
   }
 }
