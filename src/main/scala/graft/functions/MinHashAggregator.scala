@@ -26,10 +26,14 @@ class MinHashAggregator(k: Int)
 
   override def zero: Array[String] = Array.fill(k)(null)
 
+  private val width = graft.ops.Dedup.sigWidth(k)
+
   override def reduce(buf: Array[String], shingle: String): Array[String] = {
+    // one digest per shingle; component i = hex chunk [i*w, (i+1)*w)
+    val digest = md5Hex(shingle)
     var i = 0
     while (i < k) {
-      val h = md5Hex(i.toString + shingle)
+      val h = digest.substring(i * width, i * width + width)
       if (buf(i) == null || h < buf(i)) buf(i) = h
       i += 1
     }

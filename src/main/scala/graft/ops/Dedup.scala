@@ -63,20 +63,44 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shinglesRaw(docs, idCol, textCol, n).distinct()
 
-  /** MinHash signature: k independent permutations approximated by salted
-    * md5; signature component i = min over shingles of md5(i || shingle).
-    * Lexicographic min over the hex digest is a uniform permutation of the
-    * shingle space and identical across engines. One shuffle (groupBy id)
-    * with full map-side partial aggregation (min is commutative) —
+  /** Hex-digit width of one signature component (disjoint md5 chunks). */
+  def sigWidth(k: Int): Int = math.max(32 / k, 4)
+
+  /** MinHash signature: k approximately-independent permutations derived
+    * from ONE md5 per shingle (Broder's scheme with chunked hashes):
+    * component i = min over shingles of hex digits [i*w, (i+1)*w) of
+    * md5(shingle), w = 32/k. Lexicographic min over a hex chunk is a
+    * uniform permutation of the shingle space, identical across engines,
+    * and costs one digest per shingle instead of k. One shuffle (groupBy
+    * id) with full map-side partial aggregation (min is commutative) —
     * accepts the raw multiset stream since `min` is duplicate-invariant,
     * so no distinct shuffle is needed upstream.
     */
-  def minhashSignature(sh: DataFrame, k: Int = 6): DataFrame =
+  def minhashSignature(sh: DataFrame, k: Int = 6): DataFrame = {
+    val w = sigWidth(k)
+    val h = md5(col("shingle"))
     sh.groupBy(col("id"))
       .agg(
-        min(md5(concat(lit("0"), col("shingle")))).as("s0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(i.toString), col("shingle")))).as(s"s$i")): _*)
+        min(h.substr(1, w)).as("s0"),
+        (1 until k).map(i => min(h.substr(i * w + 1, w)).as(s"s$i")): _*)
+  }
+
+  /** MinHash signature computed as a NARROW projection — no explode, no
+    * shuffle. Same values as [[minhashSignature]] (min over the multiset
+    * equals min over the set): the native
+    * [[graft.functions.MinHashSignature]] expression carries all k
+    * running chunk minima in one fused pass per document, so signature
+    * cost is pure map-side compute that scales linearly with corpus size
+    * on any number of executors. Documents with fewer than `n` words are
+    * excluded (no shingles), as in the exploded formulation.
+    */
+  def minhashSignatureNarrow(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, k: Int = 6): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.MinHashSignature(col(textCol), n, k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"s$i")): _*)
 
   /** LSH banding: rows (band_id, band_key, id) where band_key concatenates
     * `rows` consecutive signature components. Two documents sharing any
@@ -145,16 +169,24 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2): DataFrame = {
-    // shingle stream stays narrow (multiset; no distinct shuffle — MinHash
-    // min is duplicate-invariant). Persist only the SMALL intermediates
-    // that multiple joins consume: the signature table (O(docs)) and the
-    // candidate pairs (O(dups)); re-deriving the narrow shingle stream
-    // per consumer is a scan, not a shuffle.
+    // Signature is a narrow per-document projection (native expression —
+    // no explode, no shuffle); the ONLY corpus-wide shuffle in the
+    // pipeline is the band bucket join. Verification joins each candidate
+    // pair (O(dups), persisted) back to its two texts — AQE broadcasts
+    // the pair side, so the corpus is only ever scanned, never shuffled —
+    // and the native ShingleJaccard expression verifies each pair
+    // locally; the 200x shingle blowup of the relational formulation
+    // never materializes at all.
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shRaw = shinglesRaw(docs, idCol, textCol)
-    val sig = minhashSignature(shRaw, k).persist(disk)
+    val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(disk)
     val pairs = lshCandidates(lshBands(sig, k, bandRows)).persist(disk)
-    jaccardForPairs(pairs, shRaw).filter(col("jaccard") >= threshold)
+    val txt = docs.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering

@@ -28,8 +28,9 @@ object Extensions {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
       |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)""".stripMargin
 
+  // one md5 per shingle, component i = hex chunk [i*5, i*5+5) (Dedup.sigWidth(6)=5)
   private val SigCols = (0 until 6)
-    .map(i => s"min(md5('$i' || shingle)) AS s$i").mkString(", ")
+    .map(i => s"min(substr(md5(shingle), ${i * 5 + 1}, 5)) AS s$i").mkString(", ")
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
@@ -163,8 +164,7 @@ object Extensions {
              |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 
     Q("q_minhash_signature",
-      (s, d) => Dedup.minhashSignature(
-          Dedup.shinglesRaw(Tables.documents(s, d), "doc_id", "text"), k = 6)
+      (s, d) => Dedup.minhashSignatureNarrow(Tables.documents(s, d), "doc_id", "text", k = 6)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(s"""WITH $ShinglesCte

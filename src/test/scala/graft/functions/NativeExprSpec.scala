@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.ops.Dedup
+
+/** Specs for the native MinHashSignature / ShingleJaccard expressions:
+  * value parity with the composable (exploded SQL-aggregate) forms on
+  * real data, plus split-semantics edge cases (multi-space, short docs).
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native minhash signature == exploded groupBy signature on documents") {
+    val docs = Tables.documents(spark, sf)
+    val narrow = Dedup.minhashSignatureNarrow(docs, "doc_id", "text")
+    val exploded = Dedup.minhashSignature(
+      Dedup.shinglesRaw(docs, "doc_id", "text"))
+    assert(narrow.count() === exploded.count())
+    assert(narrow.exceptAll(exploded).isEmpty && exploded.exceptAll(narrow).isEmpty)
+  }
+
+  test("minhash signature split semantics: multi-space and short docs") {
+    val df = Seq(
+      (1L, "a  b c d"),          // empty word from double space
+      (2L, "one two"),           // < 3 words -> excluded
+      (3L, "x y z"),             // exactly one shingle
+      (4L, " lead and trail ")   // leading/trailing empties are words
+    ).toDF("doc_id", "text")
+    val narrow = Dedup.minhashSignatureNarrow(df, "doc_id", "text")
+    val exploded = Dedup.minhashSignature(Dedup.shinglesRaw(df, "doc_id", "text"))
+    assert(narrow.exceptAll(exploded).isEmpty && exploded.exceptAll(narrow).isEmpty)
+    assert(narrow.filter($"id" === 2L).isEmpty)
+  }
+
+  test("shingle jaccard matches the relational shingle-join formulation") {
+    val docs = Tables.documents(spark, sf).limit(50).cache()
+    val pairs = docs.select($"doc_id".as("id_a"))
+      .crossJoin(docs.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val relational = Dedup.jaccardForPairs(
+        pairs, Dedup.shingles(docs, "doc_id", "text"))
+      .withColumnRenamed("jaccard", "j_rel")
+    val native = pairs
+      .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+      .select($"id_a", $"id_b", ShingleJaccard($"ta", $"tb", 3).as("j_nat"))
+    val joined = relational.join(native, Seq("id_a", "id_b"), "full_outer")
+      // relational form omits zero-intersection pairs (inner shingle join);
+      // the native form returns 0.0 there
+      .filter(coalesce($"j_nat", lit(0d)) =!= 0d || $"j_rel".isNotNull)
+    assert(joined.filter(abs($"j_rel" - $"j_nat") > 1e-12).isEmpty)
+  }
+
+  test("shingle jaccard edge cases") {
+    val df = Seq(
+      (1L, "a b c", "a b c"),     // identical -> 1.0
+      (2L, "a b c", "x y z"),     // disjoint -> 0.0
+      (3L, "a b", "a b c"),       // left has no shingles -> 0.0
+      (4L, "a b", "c d")          // both empty -> null
+    ).toDF("id", "ta", "tb")
+    val out = df.select($"id", ShingleJaccard($"ta", $"tb", 3).as("j"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+    assert(out(4L) === null)
+  }
+
+  test("minhash signature of null text is null row-filtered") {
+    val df = Seq((1L, Some("a b c d")), (2L, None))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashSignatureNarrow(df, "doc_id", "text").count() === 1)
+  }
+}
