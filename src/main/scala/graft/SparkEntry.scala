@@ -49,6 +49,6 @@ object SparkEntry {
     "q_session_lag", "q_select_multiple_split",
     "q_dedup_exact", "q_minhash_lsh_pairs", "q_simhash_pairs",
     "q_ann_bruteforce", "q_ann_lsh", "q_token_count", "q_quality_score",
-    "q_lang_id", "q_fingerprint"
+    "q_lang_id", "q_fingerprint", "q_asof_join", "q_range_join"
   ).filter(queries.contains)
 }

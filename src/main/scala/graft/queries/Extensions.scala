@@ -313,6 +313,61 @@ object Extensions {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              |sha256(text) AS sha256
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ---- Temporal joins Spark lacks natively -----------------------------
+
+    // Backward as-of join (graft.ops.AsOf): each purchase matched to the
+    // latest preceding view by the same user — union + running
+    // last(ignoreNulls), ONE shuffle, no range blowup. Right side is
+    // pre-aggregated to unique (user, ts) so tie semantics are exact on
+    // both engines (DuckDB ASOF JOIN is the oracle).
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts").as("view_ts"))
+          .agg(max(col("value")).as("view_value"))
+        graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+            "ts", "view_ts", Seq("view_ts", "view_value"), prefix = "")
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |views AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+             |FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
+             |FROM purchases p ASOF LEFT JOIN views v
+             |ON p.user_id = v.user_id AND p.ts >= v.view_ts
+             |ORDER BY p.event_id""".stripMargin.replace("\n", " "))),
+
+    // Pure range (interval) join (graft.ops.RangeJoin): events inside the
+    // top-20 error-heavy incident windows. No equi key — the bin trick
+    // turns Spark's only native plan (BroadcastNestedLoopJoin) into a
+    // partitionable equi-join on the time bin + exact range filter.
+    Q("q_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val wins = ev.filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("hour")).limit(20)
+          .select((col("hour") + expr("INTERVAL 10 MINUTES")).as("win_start"),
+            (col("hour") + expr("INTERVAL 50 MINUTES")).as("win_end"))
+        graft.ops.RangeJoin.joinRange(
+            ev.select(col("event_id"), col("ts")), "ts",
+            wins, "win_start", "win_end", binSeconds = 3600)
+          .select(col("event_id"), col("win_start"))
+          .orderBy("event_id", "win_start")
+      },
+      Some("""WITH wins AS (
+             |SELECT date_trunc('hour', ts) + INTERVAL 10 MINUTE AS win_start,
+             |date_trunc('hour', ts) + INTERVAL 50 MINUTE AS win_end
+             |FROM events WHERE event_type = 'error'
+             |GROUP BY date_trunc('hour', ts) ORDER BY count(*) DESC, 1 LIMIT 20)
+             |SELECT e.event_id, w.win_start FROM events e JOIN wins w
+             |ON e.ts >= w.win_start AND e.ts < w.win_end
+             |ORDER BY e.event_id, w.win_start""".stripMargin.replace("\n", " ")))
   )
 }
