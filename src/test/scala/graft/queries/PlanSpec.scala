@@ -73,4 +73,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p.take(500))
     assert(!p.contains("UDF"), "ANN hot path fell back to a UDF")
   }
+
+  test("as-of join is one shuffle + window, not a range join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("NestedLoop"), "as-of fell back to a nested-loop join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "as-of lost the running-window formulation")
+    // exactly the union's key shuffle (+1 for the right side's unique-ts
+    // pre-aggregation), never a per-pair join exchange pair
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"as-of join shuffles $shuffles times:\n${p.take(800)}")
+  }
+
+  test("range join is a partitionable equi-join on bin, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("NestedLoop"),
+      "range join fell back to BroadcastNestedLoopJoin")
+    assert(p.contains("Join"), p.take(400))
+  }
+
+  test("minhash signature is a narrow native projection (no explode/shuffle)") {
+    val df = graft.ops.Dedup.minhashSignatureNarrow(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_signature"), p.take(400))
+    assert(!p.contains("Generate"), "signature exploded shingles")
+    assert(!p.contains("Exchange"), s"signature shuffled:\n${p.take(400)}")
+  }
+
+  test("LSH verification uses the native shingle_jaccard, no shingle shuffle") {
+    val p = plan("q_minhash_lsh_pairs")
+    assert(p.contains("shingle_jaccard"), p.take(500))
+    assert(!p.contains("Generate explode(transform"),
+      "verification re-exploded shingle rows")
+  }
 }
