@@ -240,6 +240,15 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash as a NARROW projection via the native
+    * [[graft.functions.SimHash]] expression — same values as [[simhash]]
+    * with no token explode and no shuffle; null-text rows (absent from
+    * the exploded form) are filtered.
+    */
+  def simhashNarrow(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), graft.functions.SimHash(col(textCol)).as("simhash"))
+
   /** SimHash near-dup pairs within `maxHamming`. All-pairs formulation
     * for oracle-checkable sizes; the scale path buckets signature bands
     * (split the 32 bits into (maxHamming+1) bands — any pair within the

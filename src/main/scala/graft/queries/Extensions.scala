@@ -210,7 +210,7 @@ object Extensions {
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     Q("q_simhash",
-      (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      (s, d) => Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some {
@@ -230,7 +230,7 @@ object Extensions {
     // (pigeonhole) join — the scale path; the oracle verifies all-pairs.
     Q("q_simhash_pairs",
       (s, d) => Dedup.simhashPairsBanded(
-          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxHamming = 1)
+          Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text"), maxHamming = 1)
         .orderBy("id_a", "id_b"),
       Some {
         val votes = (0 until Dedup.SimhashBits).map(b =>

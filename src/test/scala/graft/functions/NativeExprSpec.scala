@@ -67,6 +67,20 @@ class NativeExprSpec extends SparkSpec {
     assert(out(4L) === null)
   }
 
+  test("native simhash == exploded vote-sum simhash on documents") {
+    val docs = Tables.documents(spark, sf)
+    val narrow = Dedup.simhashNarrow(docs, "doc_id", "text")
+    val exploded = Dedup.simhash(docs, "doc_id", "text")
+    assert(narrow.exceptAll(exploded).isEmpty && exploded.exceptAll(narrow).isEmpty)
+  }
+
+  test("native simhash edge cases: empty string and multi-space tokens") {
+    val df = Seq((1L, ""), (2L, "a  b"), (3L, "x")).toDF("doc_id", "text")
+    val narrow = Dedup.simhashNarrow(df, "doc_id", "text")
+    val exploded = Dedup.simhash(df, "doc_id", "text")
+    assert(narrow.exceptAll(exploded).isEmpty && exploded.exceptAll(narrow).isEmpty)
+  }
+
   test("minhash signature of null text is null row-filtered") {
     val df = Seq((1L, Some("a b c d")), (2L, None))
       .toDF("doc_id", "text")

@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"signature shuffled:\n${p.take(400)}")
   }
 
+  test("simhash is a narrow native projection (no explode/shuffle)") {
+    val df = graft.ops.Dedup.simhashNarrow(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("simhash32"), p.take(400))
+    assert(!p.contains("Generate") && !p.contains("Exchange"),
+      s"simhash exploded or shuffled:\n${p.take(400)}")
+  }
+
   test("LSH verification uses the native shingle_jaccard, no shingle shuffle") {
     val p = plan("q_minhash_lsh_pairs")
     assert(p.contains("shingle_jaccard"), p.take(500))
