@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and dataset splitting — the
+  * reproducible alternative to `df.sample` for training-data pipelines:
+  * assignment depends only on the row's key, so it is stable across
+  * runs, engines, partitionings and cluster sizes, and never needs a
+  * seed exchange or a persisted sample table. Pure narrow projections —
+  * no shuffle, no state.
+  *
+  * Hash = first 4 hex digits of md5 of the key rendered as a string
+  * (engine-portable; same value in DuckDB/any SQL with md5). The 65536
+  * hash values modulo `buckets` carry a ≤0.06% bucket-size bias for
+  * buckets=100 — irrelevant for split purposes and identical on every
+  * engine.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the key's md5. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets
+
+  /** Add a `split` column ("train"/"val"/"test") by hash bucket:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest test.
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Keep ~pct% of rows, chosen deterministically by key hash. */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+}

@@ -315,6 +315,32 @@ object Extensions {
              |sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // ---- Deterministic sampling / splits ---------------------------------
+
+    // Content-hash train/val/test split (graft.ops.Sampling): stable
+    // across runs/engines/partitionings, narrow, no shuffle — the
+    // reproducible alternative to df.sample for corpus curation.
+    Q("q_hash_split",
+      (s, d) => graft.ops.Sampling.deterministicSplit(
+          Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+             |WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (
+             |SELECT doc_id,
+             |CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+             |FROM documents) x ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Exact per-group median (percentile == DuckDB quantile_cont).
+    Q("q_group_median",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+             |count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // ---- Temporal joins Spark lacks natively -----------------------------
 
     // Backward as-of join (graft.ops.AsOf): each purchase matched to the
