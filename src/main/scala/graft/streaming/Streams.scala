@@ -138,6 +138,24 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming content near-dup suppression: drop any document whose
+    * MinHash signature was already seen inside the watermark horizon.
+    * Possible precisely because the native signature expression is a
+    * STATELESS narrow projection — no shuffle or explode stands between
+    * the source and the stateful dedup operator, so the only state is
+    * the bounded dedup map keyed by the k signature components (LSH-
+    * grade near-dup: identical signature ⇒ near-identical content).
+    */
+  def nearDupSuppressStream(docs: DataFrame, tsCol: String, textCol: String,
+                            watermark: String = "10 minutes",
+                            k: Int = 6): DataFrame =
+    docs
+      .withColumn("__sig", graft.functions.MinHashSignature(col(textCol), 3, k))
+      .filter(col("__sig").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   // ---- Monitoring: watermarked tumbling windows ------------------------
 
   /** Per-window event counts with late-data tolerance `watermark` — the

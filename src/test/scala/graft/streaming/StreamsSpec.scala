@@ -95,6 +95,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSuppressStream drops near-identical docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = nearDupSuppressStream(df, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_neardup"))
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val doc = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, doc),
+        (ts("2024-01-01 10:00:01"), 2L, doc),               // exact dup
+        (ts("2024-01-01 10:00:02"), 3L, "a wholly different document text"),
+        (ts("2024-01-01 10:00:03"), 4L, "hi"))              // < 3 words: no signature, filtered
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 5L, doc))   // dup across batch
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("windowedCounts emits finalized windows under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
