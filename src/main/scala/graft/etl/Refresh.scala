@@ -56,4 +56,43 @@ object Refresh {
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
     spark.read.parquet(extractPath).count()
   }
+
+  /** Compact an extract to ~`targetFileBytes` parquet files. Incremental
+    * refresh ticks accrete small files; at cluster scale the resulting
+    * task explosion and namenode/list pressure dominate read cost. One
+    * `coalesce` (narrow — no shuffle) to ceil(bytes/target) partitions,
+    * staged rewrite, atomic replace.
+    */
+  def compact(spark: SparkSession, extractPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = new java.io.File(extractPath)
+    val bytes = Option(fs.listFiles()).map(_.filter(_.isFile)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = extractPath + "__compact"
+    spark.read.parquet(extractPath).coalesce(parts)
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite").parquet(extractPath)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+    spark.read.parquet(extractPath).count()
+  }
+
+  /** Overwrite `path` range-sorted on `sortCols`: rows are range-
+    * partitioned then sorted within each file, so every file covers a
+    * disjoint key range and parquet min/max footer stats let selective
+    * readers skip whole files/row groups — the poor man's clustered
+    * index for the extract, at zero read-side cost.
+    */
+  def overwriteSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                      numFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
 }

@@ -20,6 +20,43 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
   }
 
+  test("compact coalesces a many-file extract without losing rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("cpt").toString + "/extract"
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(50).write.parquet(path)
+    val filesBefore = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 40)
+    assert(Refresh.compact(spark, path, targetFileBytes = 1L << 30) == 1000L)
+    val filesAfter = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1, s"expected 1 compacted file, got $filesAfter")
+    assert(spark.read.parquet(path).as[Long].collect().sorted.toSeq ==
+      (1L to 1000L).toSeq)
+  }
+
+  test("overwriteSorted yields disjoint per-file key ranges (skippable files)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("srt").toString + "/extract"
+    val df = (1L to 10000L).map(i => (i * 2654435761L % 10000L, i)).toDF("k", "v")
+    assert(Refresh.overwriteSorted(df, path, Seq("k"), numFiles = 4) == 10000L)
+    // per-file min/max must not overlap across files
+    val ranges = spark.read.parquet(path)
+      .select(input_file_name().as("f"), $"k")
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"file ranges overlap: $a vs $b")
+    }
+    // a selective filter prunes to a subset of files via footer stats
+    val pruned = spark.read.parquet(path).filter($"k" < 100)
+      .select(input_file_name()).distinct().count()
+    assert(pruned == 1, s"selective read touched $pruned files")
+  }
+
   test("TypePolicy collapses every type to {Long, Double, String}") {
     val schema = StructType(Seq(
       StructField("i", IntegerType), StructField("l", LongType),
