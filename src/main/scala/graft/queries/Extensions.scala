@@ -315,6 +315,23 @@ object Extensions {
              |sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Data profiling (graft.etl.Profile): one scan, every column's stats,
+    // unpivoted via stack — the explicit form of the reference's
+    // infer-types-from-the-whole-CSV pass.
+    Q("q_profile",
+      (s, d) => graft.etl.Profile.numeric(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_discount", "l_extendedprice", "l_tax"))
+        .orderBy("col"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col, count(*) AS n, count($c) AS n_nonnull,
+             |round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+             |count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_discount", "l_extendedprice", "l_tax")
+          .map(one).mkString("", " UNION ALL ", " ORDER BY col")
+          .replace("\n", " ")
+      }),
+
     // ---- Deterministic sampling / splits ---------------------------------
 
     // Content-hash train/val/test split (graft.ops.Sampling): stable
