@@ -80,6 +80,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: stands in for image resize/transcode. Deterministic
+    * fake: stride-samples the payload down to ~`targetBytes` (keeps the
+    * first byte, then every ceil(n/targetBytes)-th). The real contract is
+    * the shape: payload in → smaller payload out, partition-local.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val n = payload.length
+    if (n <= targetBytes) payload
+    else {
+      val stride = math.ceil(n.toDouble / targetBytes).toInt
+      val out = new Array[Byte]((n + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+      out
+    }
+  }
+
+  /** Partition-local batched resize pass: rewrites the payload column in
+    * place (same schema out), decoder/encoder state initialized once per
+    * task — the write-side twin of [[decodeFeatures]].
+    */
+  def resizePayloads(df: DataFrame, targetBytes: Int,
+                     payloadCol: String = "payload"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      // real transcoder: initialize codec context here, once per partition
+      rows.map { r =>
+        val resized = resizeStub(r.getAs[Array[Byte]](idx), targetBytes)
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video-like payloads: pick `n` deterministic
     * byte offsets (frame anchors) per payload; one output row per frame —
     * a generator (explode) over a computed offsets array, no UDF.

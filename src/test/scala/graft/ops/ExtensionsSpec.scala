@@ -199,6 +199,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(again.toSeq == feats(0).toSeq)
   }
 
+  test("resizePayloads shrinks payloads in place, schema preserved") {
+    val src = Multimodal.withPayload(
+      Seq((1L, "a" * 100), (2L, "b")).toDF("doc_id", "text"))
+    val out = Multimodal.resizePayloads(src, targetBytes = 10)
+    assert(out.schema == src.schema)
+    val sizes = out.orderBy("doc_id").select(octet_length($"payload"))
+      .as[Int].collect().toSeq
+    assert(sizes.head <= 10 && sizes.head > 0)
+    assert(sizes(1) == 1)  // already under target: unchanged
+    // deterministic
+    val again = Multimodal.resizePayloads(src, targetBytes = 10)
+      .orderBy("doc_id").select($"payload").as[Array[Byte]].collect()
+    assert(again.head.toSeq ==
+      out.orderBy("doc_id").select($"payload").as[Array[Byte]].collect().head.toSeq)
+  }
+
   test("sampleFrames emits n deterministic offsets per payload") {
     val df = Multimodal.sampleFrames(
       Multimodal.withPayload(Seq((1L, "0123456789")).toDF("doc_id", "text")), n = 4)
