@@ -123,10 +123,26 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) from LSH band-bucket collisions. The
     * self-join is per (band_id, band_key) bucket — cost is quadratic only
     * inside a bucket, i.e. proportional to actual collisions.
+    *
+    * `maxBucket` is the production super-bucket guard: a boilerplate-
+    * heavy corpus can put 10^5 near-identical docs in one bucket, turning
+    * that bucket's self-join into 10^10 pairs on a single task. Buckets
+    * larger than the cap are dropped (bounded recall loss, and only for
+    * documents so duplicated that OTHER bands almost surely still pair
+    * them); the extra cost is one map-side-combined count per bucket.
     */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band_id"), col("band_key"), col("id").as("id_a"))
-    val b = bandsDf.select(col("band_id"), col("band_key"), col("id").as("id_b"))
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bounded =
+      if (maxBucket == Int.MaxValue) bandsDf
+      else {
+        val ok = bandsDf.groupBy(col("band_id"), col("band_key"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+          .select("band_id", "band_key")
+        bandsDf.join(ok, Seq("band_id", "band_key"), "left_semi")
+      }
+    val a = bounded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
+    val b = bounded.select(col("band_id"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

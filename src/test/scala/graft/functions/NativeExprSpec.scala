@@ -81,6 +81,21 @@ class NativeExprSpec extends SparkSpec {
     assert(narrow.exceptAll(exploded).isEmpty && exploded.exceptAll(narrow).isEmpty)
   }
 
+  test("lshCandidates super-bucket cap drops only oversized buckets") {
+    val doc = "the same boilerplate text repeated in every mirror page here"
+    val docs = ((1L to 50L).map(i => (i, doc)) ++
+      Seq((100L, "one unique document about something else entirely"),
+          (101L, "one unique document about something else entirely")))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignatureNarrow(docs, "doc_id", "text"))
+    // uncapped: the 50-clone bucket contributes 50*49/2 pairs
+    assert(Dedup.lshCandidates(bands).count() === 50L * 49 / 2 + 1)
+    // capped at 10: boilerplate buckets dropped, the small pair survives
+    val capped = Dedup.lshCandidates(bands, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
   test("minhash signature of null text is null row-filtered") {
     val df = Seq((1L, Some("a b c d")), (2L, None))
       .toDF("doc_id", "text")
