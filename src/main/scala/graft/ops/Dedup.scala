@@ -285,7 +285,8 @@ object Dedup {
     * radius collides on >= 1 exact band. Join per band bucket, distinct,
     * then verify the radius — no cross join.
     */
-  def simhashPairsBanded(sig: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairsBanded(sig: DataFrame, maxHamming: Int,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val nBands = maxHamming + 1
     val width = SimhashBits / nBands + (if (SimhashBits % nBands == 0) 0 else 1)
     val bandStructs = array((0 until nBands).map { b =>
@@ -295,9 +296,21 @@ object Dedup {
     }: _*)
     // one pass over the signature (vs a union re-evaluating it per band),
     // persisted because both sides of the bucket self-join consume it
-    val banded = sig.select(col("id"), col("simhash"), explode(bandStructs).as("band"))
+    val bandedAll = sig.select(col("id"), col("simhash"), explode(bandStructs).as("band"))
       .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"),
         col("id"), col("simhash"))
+    // same super-bucket guard as lshCandidates: a boilerplate-dominated
+    // band value must not force a quadratic single-bucket self-join
+    val bounded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else {
+        val ok = bandedAll.groupBy(col("band_id"), col("band_key"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+          .select("band_id", "band_key")
+        bandedAll.join(ok, Seq("band_id", "band_key"), "left_semi")
+      }
+    val banded = bounded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
