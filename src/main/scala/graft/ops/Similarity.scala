@@ -166,9 +166,20 @@ object Similarity {
     * oracle scale use [[allPairs]].
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+                   threshold: Double, nPlanes: Int = 4, dim: Int = 64,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val withBucket = vectors.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val withBucketAll = vectors.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    // super-bucket guard (see Dedup.lshCandidates): an embedding-space
+    // hot spot must not force a quadratic single-bucket self-join
+    val withBucket =
+      if (maxBucket == Int.MaxValue) withBucketAll
+      else {
+        val ok = withBucketAll.groupBy(col("__bucket"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+          .select("__bucket")
+        withBucketAll.join(ok, Seq("__bucket"), "left_semi")
+      }
     val a = withBucket.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = withBucket.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, Seq("__bucket"))
