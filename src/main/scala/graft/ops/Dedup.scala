@@ -232,7 +232,17 @@ object Dedup {
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
+    // verification is per-pair native ShingleJaccard over the two texts
+    // (identical values to the relational jaccardForPairs formulation,
+    // but broadcast joins + local compare instead of shingle-keyed
+    // shuffles — see nearDupPairs)
+    val txt = docs.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   val SimhashBits = 32
