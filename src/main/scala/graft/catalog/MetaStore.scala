@@ -33,9 +33,13 @@ class MetaStore(spark: SparkSession, root: String) {
     // self-check the unique key before commit (cheap: catalog-sized)
     val dupes = ds.groupBy($"userId", $"formId").count().filter($"count" > 1).count()
     require(dupes == 0, s"unique (userId, formId) violated by $dupes keys")
-    // read-modify-overwrite on the same path needs a materialized plan
-    val rows = ds.collect().toSeq
-    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
+    // read-modify-overwrite on the same path: materialize into staging
+    // (no driver round-trip), then atomically rename into place — the
+    // same commit pattern as Refresh.incremental
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path("hyperfiles"))
+    val staging = new org.apache.hadoop.fs.Path(path("hyperfiles") + "__staging")
+    ds.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    graft.etl.Refresh.swapInto(fs, staging, target)
   }
 
   def initHyperFiles(rows: Seq[HyperFileMeta]): Unit =

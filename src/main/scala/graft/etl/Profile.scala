@@ -21,17 +21,23 @@ object Profile {
     * comparability.
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
-      Seq(count(col(c)).cast("long").as(s"nn__$c"),
-        round(min(col(c)), 4).cast("double").as(s"mn__$c"),
-        round(max(col(c)), 4).cast("double").as(s"mx__$c"),
-        countDistinct(col(c)).cast("long").as(s"nd__$c"))
+    // internal aliases are positional, so profiled column names never
+    // enter a parsed expression string (a name with a quote or backtick
+    // would break a selectExpr-built unpivot); input references are
+    // backtick-quoted since col() itself parses attribute names
+    def in(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = count(lit(1)).cast("long").as("n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(in(c)).cast("long").as(s"nn__$i"),
+        round(min(in(c)), 4).cast("double").as(s"mn__$i"),
+        round(max(in(c)), 4).cast("double").as(s"mx__$i"),
+        countDistinct(in(c)).cast("long").as(s"nd__$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', n, `nn__$c`, `mn__$c`, `mx__$c`, `nd__$c`")
-      .mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.length}, $stackArgs) AS (col, n, n_nonnull, min_v, max_v, n_distinct)")
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col"), col("n"), col(s"nn__$i").as("n_nonnull"),
+        col(s"mn__$i").as("min_v"), col(s"mx__$i").as("max_v"),
+        col(s"nd__$i").as("n_distinct"))
+    }: _*)
+    one.select(explode(entries).as("e")).select(col("e.*"))
   }
 }

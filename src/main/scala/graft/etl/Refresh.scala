@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Full-refresh columnar extract writer.
@@ -17,6 +18,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (a metadata-only scan — no data re-read).
   */
 object Refresh {
+
+  /** Resolve the Hadoop FileSystem for `path` — extracts live wherever
+    * the URI scheme says (`file://`, `hdfs://`, `s3a://`, ...), never on
+    * the driver's local disk specifically.
+    */
+  private[graft] def hfs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Swap a fully-written `staging` directory into place at `target`:
+    * move the current extract (if any) aside, rename staging in, drop the
+    * old copy. Each rename is atomic on HDFS/local filesystems, so a
+    * crash at any point leaves a COMPLETE extract either at `target`, at
+    * `target__old` (recoverable), or in staging — never a partial mix,
+    * and the data is written exactly once (no second Spark rewrite). On
+    * object stores rename is a server-side copy; prefer the direct
+    * `mode("overwrite")` commit path of [[overwrite]] there.
+    */
+  private[graft] def swapInto(fs: FileSystem, staging: Path, target: Path): Unit = {
+    val old = new Path(target.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    fs.delete(old, true)
+  }
 
   /** Overwrite `path` with `df` as parquet and return the row count of the
     * written extract (read back, as the reference's COPY count does).
@@ -40,41 +68,43 @@ object Refresh {
     * alternative to the reference's rebuild-everything tick: cost ∝
     * |extract| + |delta| (one anti-join shuffle) instead of a full
     * re-export, and late data still lands because every tick re-merges.
-    * The merged frame must be materialized before the overwrite commit
-    * (the plan reads the path being replaced).
+    * The merged frame is materialized into a staging directory (the plan
+    * reads the path being replaced) and then renamed into place — the
+    * data is written once, not rewritten.
     */
   def incremental(spark: SparkSession, delta: DataFrame, extractPath: String,
                   keys: Seq[String]): Long = {
-    val exists = new java.io.File(extractPath).exists()
+    val (fs, target) = hfs(spark, extractPath)
     val merged =
-      if (!exists) delta
+      if (!fs.exists(target)) delta
       else graft.catalog.Catalog.upsert(spark.read.parquet(extractPath), delta, keys)
-    val staging = extractPath + "__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    val committed = spark.read.parquet(staging)
-    committed.write.mode("overwrite").parquet(extractPath)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+    val staging = new Path(extractPath + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    swapInto(fs, staging, target)
     spark.read.parquet(extractPath).count()
   }
 
   /** Compact an extract to ~`targetFileBytes` parquet files. Incremental
     * refresh ticks accrete small files; at cluster scale the resulting
     * task explosion and namenode/list pressure dominate read cost. One
-    * `coalesce` (narrow — no shuffle) to ceil(bytes/target) partitions,
-    * staged rewrite, atomic replace.
+    * `coalesce` (narrow — no shuffle) to ceil(bytes/target) partitions
+    * written to staging AT the final layout (so `targetFileBytes` above
+    * the read-split size is honored — no second rewrite to re-split it),
+    * then renamed into place via [[swapInto]]. Sizing uses the recursive
+    * content summary, so hive-partitioned layouts are measured too; the
+    * compacted OUTPUT is a flat layout — re-partition via
+    * [[overwrite]](..., partitionByCols) if the extract must stay
+    * hive-partitioned.
     */
   def compact(spark: SparkSession, extractPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = new java.io.File(extractPath)
-    val bytes = Option(fs.listFiles()).map(_.filter(_.isFile)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val (fs, target) = hfs(spark, extractPath)
+    val bytes = fs.getContentSummary(target).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staging = extractPath + "__compact"
+    val staging = new Path(extractPath + "__compact")
     spark.read.parquet(extractPath).coalesce(parts)
-      .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite").parquet(extractPath)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+      .write.mode("overwrite").parquet(staging.toString)
+    swapInto(fs, staging, target)
     spark.read.parquet(extractPath).count()
   }
 

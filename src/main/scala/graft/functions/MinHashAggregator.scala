@@ -20,6 +20,9 @@ import org.apache.spark.sql.expressions.Aggregator
 class MinHashAggregator(k: Int)
     extends Aggregator[String, Array[String], Array[String]] {
 
+  // chunked-md5 scheme supports only k*sigWidth(k) <= 32 (k <= 8)
+  graft.ops.Dedup.requireChunkableK(k)
+
   private def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -35,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSignature(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
 
-  require(n >= 1 && k >= 1 && k <= 32, s"need 1<=k<=32, n>=1; got n=$n k=$k")
+  require(n >= 1, s"need n >= 1; got n=$n")
+  // chunked-md5 scheme: k disjoint sigWidth(k)-digit chunks of one
+  // 32-hex-char digest — only k <= 8 fits (larger k would read past the
+  // digest and corrupt signatures silently)
+  graft.ops.Dedup.requireChunkableK(k)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -39,7 +39,12 @@ object AsOf {
       keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
         struct(leftCols.map(col): _*).as("__l") :+
         lit(null).cast(rType).as("__r"): _*)
-    val r = right.select(
+    // SQL comparison semantics: a right row with NULL ts never satisfies
+    // leftTs >= rightTs, so it must not enter the carry-forward window
+    // (nulls-first ordering would otherwise make it the "preceding" match
+    // for every left row). Left rows with NULL ts sort before all right
+    // rows and correctly get a null match.
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(lType).as("__l") :+
         struct(rightCols.map(col): _*).as("__r"): _*)

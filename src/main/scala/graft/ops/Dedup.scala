@@ -27,6 +27,32 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
+  /** Default super-bucket cap for every banded near-dup pipeline. A
+    * boilerplate-heavy corpus puts 10^4..10^6 near-identical documents in
+    * ONE band bucket; an uncapped self-join there is quadratic on a single
+    * task. 4096 keeps the worst bucket's pair blowup at ~8M local
+    * comparisons (safe for one task) while being far above any bucket an
+    * oracle-scale corpus produces, so capped and uncapped results agree at
+    * test scale. Pass `Int.MaxValue` explicitly to disable.
+    */
+  val DefaultMaxBucket: Int = 4096
+
+  private val Disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Materialize `result` while `intermediates` are cached, then release
+    * them — persisted intermediates never outlive the invocation, so
+    * repeated pipeline calls in a long-lived session don't accrete cached
+    * blocks. The returned frame stays persisted (it is consumed at least
+    * once by the caller's own action); callers running many pipelines
+    * should `unpersist()` the result when done with it.
+    */
+  private def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    try {
+      result.persist(Disk)
+      result.count()
+      result
+    } finally intermediates.foreach(_.unpersist(blocking = false))
+
   /** Exact dedup: keep the lowest-`orderCol` row per content fingerprint.
     * Fingerprint is md5 of normalized text (TextAnalysis.fingerprintMd5).
     */
@@ -66,6 +92,15 @@ object Dedup {
   /** Hex-digit width of one signature component (disjoint md5 chunks). */
   def sigWidth(k: Int): Int = math.max(32 / k, 4)
 
+  /** The chunked-md5 scheme draws k disjoint `sigWidth(k)`-digit chunks
+    * from one 32-hex-char digest, so it only supports k with
+    * k*sigWidth(k) <= 32 (i.e. k <= 8) — beyond that, chunk offsets run
+    * off the digest. Fail fast instead of corrupting signatures.
+    */
+  def requireChunkableK(k: Int): Unit =
+    require(k >= 1 && k * sigWidth(k) <= 32,
+      s"chunked-md5 minhash needs k*sigWidth(k) <= 32 (k <= 8); got k=$k")
+
   /** MinHash signature: k approximately-independent permutations derived
     * from ONE md5 per shingle (Broder's scheme with chunked hashes):
     * component i = min over shingles of hex digits [i*w, (i+1)*w) of
@@ -77,6 +112,7 @@ object Dedup {
     * so no distinct shuffle is needed upstream.
     */
   def minhashSignature(sh: DataFrame, k: Int = 6): DataFrame = {
+    requireChunkableK(k)
     val w = sigWidth(k)
     val h = md5(col("shingle"))
     sh.groupBy(col("id"))
@@ -97,6 +133,7 @@ object Dedup {
   def minhashSignatureNarrow(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, k: Int = 6): DataFrame =
     docs.select(col(idCol).as("id"),
+      // k validated by the MinHashSignature constructor (requireChunkableK)
         graft.functions.MinHashSignature(col(textCol), n, k).as("__sig"))
       .filter(col("__sig").isNotNull)
       .select(col("id") +:
@@ -124,14 +161,15 @@ object Dedup {
     * self-join is per (band_id, band_key) bucket — cost is quadratic only
     * inside a bucket, i.e. proportional to actual collisions.
     *
-    * `maxBucket` is the production super-bucket guard: a boilerplate-
-    * heavy corpus can put 10^5 near-identical docs in one bucket, turning
-    * that bucket's self-join into 10^10 pairs on a single task. Buckets
-    * larger than the cap are dropped (bounded recall loss, and only for
-    * documents so duplicated that OTHER bands almost surely still pair
-    * them); the extra cost is one map-side-combined count per bucket.
+    * `maxBucket` is the production super-bucket guard (ON by default at
+    * [[DefaultMaxBucket]]): a boilerplate-heavy corpus can put 10^5
+    * near-identical docs in one bucket, turning that bucket's self-join
+    * into 10^10 pairs on a single task. Buckets larger than the cap are
+    * dropped (bounded recall loss, and only for documents so duplicated
+    * that OTHER bands almost surely still pair them); the extra cost is
+    * one map-side-combined count per bucket.
     */
-  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bounded =
       if (maxBucket == Int.MaxValue) bandsDf
       else {
@@ -165,44 +203,46 @@ object Dedup {
     // persist so the corpus-wide shingle derivation + semi-join runs once —
     // shc itself is O(candidate docs), tiny relative to the corpus
     val shc = sh.join(candIds, Seq("id"), "left_semi").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Disk)
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shc.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(shc.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+    eagerly(result, shc)
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → signature → bands →
     * candidates → Jaccard-verified pairs at `threshold`.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2): DataFrame = {
+                   threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Signature is a narrow per-document projection (native expression —
     // no explode, no shuffle); the ONLY corpus-wide shuffle in the
-    // pipeline is the band bucket join. Verification joins each candidate
-    // pair (O(dups), persisted) back to its two texts — AQE broadcasts
-    // the pair side, so the corpus is only ever scanned, never shuffled —
-    // and the native ShingleJaccard expression verifies each pair
-    // locally; the 200x shingle blowup of the relational formulation
-    // never materializes at all.
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(disk)
-    val pairs = lshCandidates(lshBands(sig, k, bandRows)).persist(disk)
+    // pipeline is the band bucket join (super-bucket-capped, see
+    // lshCandidates). Verification joins each candidate pair (O(dups),
+    // persisted) back to its two texts — AQE broadcasts the pair side, so
+    // the corpus is only ever scanned, never shuffled — and the native
+    // ShingleJaccard expression verifies each pair locally; the 200x
+    // shingle blowup of the relational formulation never materializes.
+    val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
+    val pairs = lshCandidates(lshBands(sig, k, bandRows), maxBucket).persist(Disk)
     val txt = docs.select(col(idCol), col(textCol))
-    pairs
+    val result = pairs
       .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
       .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    eagerly(result, sig, pairs)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering
@@ -217,8 +257,7 @@ object Dedup {
     */
   def jaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs, idCol, textCol).persist(Disk)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(md5(col("shingle")), col("shingle"))
     val prefix = sh
@@ -227,7 +266,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       .filter(col("__rk") <= col("__n") - ceil(col("__n") * threshold) + 1)
       .select("id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Disk)
     val pairs = prefix.select(col("id").as("id_a"), col("shingle"))
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -237,12 +276,13 @@ object Dedup {
     // but broadcast joins + local compare instead of shingle-keyed
     // shuffles — see nearDupPairs)
     val txt = docs.select(col(idCol), col(textCol))
-    pairs
+    val result = pairs
       .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
       .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    eagerly(result, sh, prefix)
   }
 
   val SimhashBits = 32
@@ -296,7 +336,7 @@ object Dedup {
     * then verify the radius — no cross join.
     */
   def simhashPairsBanded(sig: DataFrame, maxHamming: Int,
-                         maxBucket: Int = Int.MaxValue): DataFrame = {
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = maxHamming + 1
     val width = SimhashBits / nBands + (if (SimhashBits % nBands == 0) 0 else 1)
     val bandStructs = array((0 until nBands).map { b =>
@@ -320,17 +360,17 @@ object Dedup {
           .select("band_id", "band_key")
         bandedAll.join(ok, Seq("band_id", "band_key"), "left_semi")
       }
-    val banded = bounded
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bounded.persist(Disk)
     val a = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_id", "band_key"))
+    val result = a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    eagerly(result, banded)
   }
 }

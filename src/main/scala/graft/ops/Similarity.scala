@@ -95,13 +95,18 @@ object Similarity {
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int, nPlanes: Int = 8,
               probeRadius: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"need 1 <= nPlanes <= 62, got $nPlanes")
     val planes = hyperplanes(nPlanes, query.length)
     val qBucket = (0 until nPlanes).map { p =>
       val dot = planes(p).zip(query).map { case (a, b) => a * b }.sum
       if (dot >= 0) 1L << p else 0L
     }.sum
-    val probes = (0L until (1L << nPlanes))
-      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeRadius)
+    // enumerate probe buckets as bit-flip combinations (sum_{i<=r} C(P,i)
+    // values) instead of scanning all 2^P buckets — driver cost stays
+    // polynomial in the plane count
+    val probes = (0 to probeRadius).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(c => c.foldLeft(qBucket)((b, p) => b ^ (1L << p))))
     val q = array(query.map(lit): _*)
     vectors
       .withColumn("__bucket", lshBucket(col(vecCol), planes))
@@ -167,11 +172,12 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nPlanes: Int = 4, dim: Int = 64,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val withBucketAll = vectors.withColumn("__bucket", lshBucket(col(vecCol), planes))
-    // super-bucket guard (see Dedup.lshCandidates): an embedding-space
-    // hot spot must not force a quadratic single-bucket self-join
+    // super-bucket guard, ON by default (see Dedup.lshCandidates): an
+    // embedding-space hot spot must not force a quadratic single-bucket
+    // self-join
     val withBucket =
       if (maxBucket == Int.MaxValue) withBucketAll
       else {

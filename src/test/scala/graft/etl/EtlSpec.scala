@@ -114,6 +114,17 @@ class EtlSpec extends SparkSpec {
     assert(rows(1).isNullAt(out.columns.indexOf("income")))
   }
 
+  test("Profile.numeric handles hostile column names (no string-built SQL)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("it's", "back`tick")
+    val out = Profile.numeric(df, Seq("it's", "back`tick"))
+      .orderBy("col")
+      .select("col", "n", "n_nonnull", "min_v", "max_v", "n_distinct")
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("back`tick", 2L, 2L, 2.0, 4.0, 2L),
+      ("it's", 2L, 2L, 1.0, 3.0, 2L)))
+  }
+
   test("full refresh overwrites and returns count") {
     import spark.implicits._
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_refresh"

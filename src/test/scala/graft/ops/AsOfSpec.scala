@@ -32,6 +32,21 @@ class AsOfSpec extends SparkSpec {
       4L -> Some("c"), 5L -> None))
   }
 
+  test("asof join: null timestamps never match (SQL comparison semantics)") {
+    val left = Seq(
+      (1L, 10L, Option(ts("2024-01-01 10:30:00"))),
+      (2L, 10L, Option.empty[Timestamp])  // null left ts -> no match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, Option.empty[Timestamp], "ghost"),  // null right ts -> never a match
+      (10L, Option(ts("2024-01-01 10:00:00")), "a")
+    ).toDF("k", "rt", "v")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .orderBy("id").select($"id", $"asof_v")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq(1L -> Some("a"), 2L -> None))
+  }
+
   test("asof join matches a window-free oracle on events") {
     val ev = graft.Tables.events(spark, sf)
     val l = ev.filter($"event_type" === "purchase")
