@@ -4,8 +4,32 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times the headline queries at SPARK_GRAFT_SF_DIR
   * and prints exactly one JSON line for the driver.
+  *
+  * Harness integrity rules:
+  *  - a query that throws is NOT timed as ~0s — it is excluded from the
+  *    total and reported under "errors" (a regression must never
+  *    masquerade as a speedup);
+  *  - the cache is cleared between timed runs, so best-of-2 measures
+  *    steady-state compute, not a cache hit of the first run (persist()
+  *    matches by analyzed plan, and several pipelines persist
+  *    intermediates internally);
+  *  - the JSON line goes to stdout AND to a file (SPARK_GRAFT_BENCH_OUT,
+  *    default bench_out.json) so the driver's parser never has to fish
+  *    it out of sbt log prefixes.
   */
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,28 +47,47 @@ object Bench {
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
     // JVM/codegen warm-up on the smallest SF so we time the query, not
-    // the first-call compilation; per-query timing then uses a full
-    // materialization (count) at the target SF.
+    // the first-call compilation; a query that fails here fails loudly in
+    // the timed loop below, so the warm-up itself may stay quiet.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
+
     // best-of-2 at the target SF: the first run can still absorb SF-
     // specific JIT/codegen; the min is the steady-state figure and is
-    // stable round over round.
+    // stable round over round. Cache cleared between runs (see above).
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      var err: Option[Throwable] = None
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => err = Some(e); None }
+        spark.catalog.clearCache()
+        t
       }
-      name -> times.min
+      (name, times, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, ts, _) =>
+      jsonStr(k) + ":" + (if (ts.nonEmpty) ts.min.toString else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.filter(_._2.isEmpty)
+    val errs = failed.map { case (k, _, e) =>
+      jsonStr(k) + ":" + jsonStr(e.map(_.toString).getOrElse("?").take(300))
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2.minOption).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs}"""
+
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    failed.foreach { case (k, _, e) =>
+      System.err.println(s"[bench] FAILED $k: ${e.map(_.toString).getOrElse("?")}")
+    }
     spark.stop()
   }
 }

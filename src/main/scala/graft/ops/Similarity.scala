@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -83,8 +83,9 @@ object Similarity {
 
   /** ANN top-k via sign-LSH: scan only rows whose bucket is within
     * `probeRadius` bit flips of the query's bucket (multi-probe). Exact
-    * cosine ranks the probed subset. With a bucket-partitioned index
-    * layout the non-probed partitions are pruned at the source.
+    * cosine ranks the probed subset. With the bucket-partitioned index
+    * layout ([[writeLshIndex]]/[[probeLshIndex]]) the non-probed
+    * partitions are pruned at the source — PlanSpec pins it.
     *
     * Recall/scan tradeoff: with plane count P and radius r the probe
     * covers sum_{i<=r} C(P,i) of 2^P buckets. On clustered real-world
@@ -95,22 +96,63 @@ object Similarity {
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int, nPlanes: Int = 8,
               probeRadius: Int = 1): DataFrame = {
+    val probes = probeBuckets(query, nPlanes, probeRadius)
+    val planes = hyperplanes(nPlanes, query.length)
+    val q = array(query.map(lit): _*)
+    vectors
+      .withColumn("__bucket", lshBucket(col(vecCol), planes))
+      .filter(col("__bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-probe bucket set for `query`: its own sign-LSH bucket plus
+    * every bucket within `probeRadius` bit flips, enumerated as bit-flip
+    * combinations (sum_{i<=r} C(P,i) values) instead of scanning all 2^P
+    * buckets — driver cost stays polynomial in the plane count.
+    */
+  def probeBuckets(query: Array[Double], nPlanes: Int, probeRadius: Int): Seq[Long] = {
     require(nPlanes >= 1 && nPlanes <= 62, s"need 1 <= nPlanes <= 62, got $nPlanes")
     val planes = hyperplanes(nPlanes, query.length)
     val qBucket = (0 until nPlanes).map { p =>
       val dot = planes(p).zip(query).map { case (a, b) => a * b }.sum
       if (dot >= 0) 1L << p else 0L
     }.sum
-    // enumerate probe buckets as bit-flip combinations (sum_{i<=r} C(P,i)
-    // values) instead of scanning all 2^P buckets — driver cost stays
-    // polynomial in the plane count
-    val probes = (0 to probeRadius).flatMap(r =>
+    (0 to probeRadius).flatMap(r =>
       (0 until nPlanes).combinations(r)
         .map(c => c.foldLeft(qBucket)((b, p) => b ^ (1L << p))))
+  }
+
+  /** Materialized ANN index: the corpus written as a `bucket=`-hive-
+    * partitioned parquet extract, bucket = sign-LSH bucket of the
+    * embedding. This is the layout that turns multi-probe ANN's "scan
+    * only probed buckets" from a row filter into SOURCE-level partition
+    * pruning: a probe lists only the probed `bucket=` directories
+    * (PartitionFilters), so non-probed data is never read — the property
+    * PlanSpec pins. Bucket count 2^nPlanes sizes partition granularity;
+    * keep it well below the store's file-listing comfort zone.
+    */
+  def writeLshIndex(vectors: DataFrame, vecCol: String, path: String,
+                    nPlanes: Int, dim: Int): Long = {
+    val planes = hyperplanes(nPlanes, dim)
+    graft.etl.Refresh.overwrite(
+      vectors.withColumn("bucket", lshBucket(col(vecCol), planes)),
+      path, partitionByCols = Seq("bucket"))
+  }
+
+  /** Probe a [[writeLshIndex]] extract: exact cosine top-k over only the
+    * probed bucket partitions (same semantics as [[lshTopK]] over the
+    * raw corpus, minus the per-row bucket computation — the bucket is
+    * the partition key).
+    */
+  def probeLshIndex(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String, query: Array[Double], k: Int,
+                    nPlanes: Int, probeRadius: Int = 1): DataFrame = {
+    val probes = probeBuckets(query, nPlanes, probeRadius)
     val q = array(query.map(lit): _*)
-    vectors
-      .withColumn("__bucket", lshBucket(col(vecCol), planes))
-      .filter(col("__bucket").isin(probes: _*))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

@@ -37,6 +37,34 @@ object Parity {
              |NULLIF(NULLIF(source, 'n/a'), '') AS source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // S1/S5 end-to-end — the reference's actual input format: a CSV
+    // export with BOTH null sentinels ("n/a", "") and mixed inferable
+    // types, read through Ingest.readCsv's inferSchema → null-normalize →
+    // type-collapse policy (app/core/importer.py:54-74). The fixture is
+    // derived deterministically from the customer table and staged at a
+    // fixed path both engines read.
+    Q("q_csv_ingest",
+      (s, d) => {
+        val fixture = "/tmp/graft_csv_fixture"
+        Tables.customer(s, d).select(
+            col("c_custkey"),
+            col("c_name"),
+            when(col("c_custkey") % 7 === 0, lit("n/a"))
+              .otherwise(col("c_acctbal").cast("string")).as("c_acctbal"),
+            when(col("c_custkey") % 11 === 0, lit(""))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(fixture)
+        Ingest.readCsv(s, fixture)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             |FROM read_csv('/tmp/graft_csv_fixture/*.csv', header=true,
+             |nullstr=['n/a',''],
+             |columns={'c_custkey':'BIGINT','c_name':'VARCHAR','c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'})
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
     // S3/A1 — full-refresh overwrite of the columnar extract + row count.
     Q("q_count_full_refresh",
       (s, d) => {
@@ -260,6 +288,37 @@ object Parity {
       Some("""SELECT doc_id, concat('https://example.org/', source, '/',
              |CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // F7 — at-rest token crypto via built-in AES (app/core/security.py:
+    // 25-46 Fernet analog): encrypt → base64 → decode → decrypt, all
+    // codegen'd scalars. DuckDB has no AES, so the oracle checks the
+    // roundtrip output — which is the identity exactly when the crypto
+    // path works end to end.
+    Q("q_crypto_roundtrip",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          graft.functions.Security.decryptToken(
+            graft.functions.Security.encryptToken(
+              col("c_name"), "0123456789abcdef", "ECB"),
+            "0123456789abcdef", "ECB").as("c_name_rt"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name AS c_name_rt
+             |FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // F9 — UUID minting (app/core/security.py:51). The oracle-checkable
+    // form is the deterministic RFC-4122-shaped id (md5-derived, v4
+    // layout); the built-in random uuid() is spec-tested for shape.
+    Q("q_uuid_stable",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          graft.functions.Security.deterministicUuid(col("c_custkey")).as("uid"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, concat(
+             |substr(h, 1, 8), '-', substr(h, 9, 4), '-4', substr(h, 14, 3),
+             |'-a', substr(h, 18, 3), '-', substr(h, 21, 12)) AS uid
+             |FROM (SELECT c_custkey,
+             |md5(concat('uuid:', CAST(c_custkey AS VARCHAR))) AS h
+             |FROM customer) t ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
 
     // A2 — failure counter with deactivation threshold (>= 3).
     Q("q_group_count_threshold",

@@ -50,6 +50,15 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("built-in uuid() mints distinct RFC-4122 v4 ids (F9)") {
+    val ids = graft.Tables.customer(spark, sf).limit(100)
+      .select(graft.functions.Security.randomUuid().as("u"))
+      .collect().map(_.getString(0))
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    assert(ids.forall(_.matches(re)), ids.take(3).mkString(","))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("benchQueries reference existing queries") {
     assert(SparkEntry.benchQueries.nonEmpty)
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))

@@ -110,6 +110,43 @@ class PlanSpec extends SparkSpec {
       s"simhash exploded or shuffled:\n${p.take(400)}")
   }
 
+  test("bucket-partitioned ANN index prunes non-probed partitions at the source") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+
+    val emb = graft.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ann_idx").toString + "/index"
+    val nPlanes = 4
+    graft.ops.Similarity.writeLshIndex(emb, "embedding", path, nPlanes, dim = 64)
+
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val probe = graft.ops.Similarity.probeLshIndex(
+      spark, path, "vec_id", "embedding", query, k = 10, nPlanes, probeRadius = 1)
+
+    val top = probe.queryExecution.executedPlan
+    val inner = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = inner.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty, "probe lost its partition filter")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    // radius-1 multi-probe on 4 planes touches at most 5 of up to 16 buckets
+    assert(selected <= nPlanes + 1, s"probe scanned $selected partitions")
+    assert(selected < total, s"no source-level pruning ($selected of $total)")
+    // and the pruned probe returns exactly what the row-filter variant does
+    val viaFilter = graft.ops.Similarity.lshTopK(
+      emb, "vec_id", "embedding", query, k = 10, nPlanes, probeRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaFilter)
+  }
+
   test("LSH verification uses the native shingle_jaccard, no shingle shuffle") {
     val p = plan("q_minhash_lsh_pairs")
     assert(p.contains("shingle_jaccard"), p.take(500))

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.SparkSpec
 import graft.streaming.Streams._
@@ -69,6 +69,55 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination()
     val got = spark.read.parquet(extract).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("T4: a resident refresh query is cancellable; the extract survives") {
+    val src = tmp("landing_cancel")
+    val extract = tmp("extract_cancel") + "/data"
+    Files.writeString(java.nio.file.Path.of(src, "b1.csv"), "id,name\n1,a\n")
+    val q = refreshQuery(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_cancel"), trigger = Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(extract).count() == 1L)
+    } finally q.stop() // the reference's scheduler job-cancel analog
+    assert(!q.isActive)
+    // work landing after cancellation is not picked up ...
+    Files.writeString(java.nio.file.Path.of(src, "b2.csv"), "id,name\n2,b\n")
+    Thread.sleep(1500)
+    assert(spark.read.parquet(extract).count() == 1L)
+    // ... and cancel drops only the job, never the data product
+  }
+
+  test("T5: bootstrap re-registers one refresh query per active catalog file") {
+    import graft.catalog._
+    val root = tmp("metastore_boot")
+    val store = new MetaStore(spark, root)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.FileAvailable,
+        isActive = true, Map.empty, t0),
+      HyperFileMeta(2L, 10L, 200L, "b.parquet", FileStatus.LatestSyncFailed,
+        isActive = true, Map.empty, t0),
+      HyperFileMeta(3L, 10L, 300L, "dead.parquet", FileStatus.FileUnavailable,
+        isActive = false, Map.empty, t0)))
+    // the startup re-schedule: activeFiles is the schedulable set; each
+    // gets its own refresh query (the reference re-creates cron jobs from
+    // the DB on boot, app/utils/onadata_utils.py:295-303)
+    val jobs = store.activeFiles().collect().toSeq.map { f =>
+      val src = tmp(s"landing_boot_${f.id}")
+      Files.writeString(java.nio.file.Path.of(src, "b.csv"), s"id,name\n${f.id},x\n")
+      val extract = tmp(s"extract_boot_${f.id}") + "/data"
+      val q = refreshQuery(spark, src, "id LONG, name STRING", extract,
+        tmp(s"ckpt_boot_${f.id}"))
+      (f.id, extract, q)
+    }
+    assert(jobs.map(_._1).toSet == Set(1L, 2L), "inactive file must get no job")
+    jobs.foreach(_._3.awaitTermination()) // AvailableNow: drain then stop
+    jobs.foreach { case (id, extract, _) =>
+      val got = spark.read.parquet(extract).as[(Long, String)].collect().toSeq
+      assert(got == Seq((id, "x")))
+    }
   }
 
   test("dedupStream drops duplicate keys across micro-batches") {
