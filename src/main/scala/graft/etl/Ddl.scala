@@ -1,0 +1,36 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** S4 — DDL surface. The reference creates a Hyper schema + table per
+  * extract before COPYing into it (app/core/importer.py:242-256,
+  * `CreateMode.CREATE_AND_REPLACE`). Spark-native equivalent: session-
+  * catalog databases plus EXTERNAL parquet tables registered over the
+  * extract paths, so downstream SQL addresses extracts by name while the
+  * data keeps living wherever the FileSystem URI points (the table is a
+  * pointer, not a copy — dropping it never deletes the extract).
+  */
+object Ddl {
+
+  private def quote(ident: String): String =
+    ident.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  def createDatabase(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${quote(name)}")
+    ()
+  }
+
+  /** Register `path` (a parquet extract) as external table `table`
+    * (optionally db-qualified). Schema comes from the parquet footers.
+    */
+  def registerExtract(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS ${quote(table)} USING parquet LOCATION '${path.replace("'", "''")}'")
+    ()
+  }
+
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${quote(table)}")
+    ()
+  }
+}

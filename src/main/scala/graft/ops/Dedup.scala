@@ -285,6 +285,39 @@ object Dedup {
     eagerly(result, sh, prefix)
   }
 
+  /** Benchmark decontamination: for every document, how many of its
+    * distinct word n-grams also appear anywhere in `bench` (the eval/test
+    * corpus), plus the overlap ratio — the standard train-set
+    * contamination check before a training run.
+    *
+    * Scale posture: the benchmark shingle set is eval-corpus-sized (MBs),
+    * so it is BROADCAST; the training corpus is scanned once — its
+    * per-document shingle counts come from a narrow array projection
+    * (no corpus-wide distinct), and only the rows whose shingle HITS the
+    * broadcast set (∝ contamination, not corpus size) reach the per-doc
+    * count shuffle. Documents with no n-grams are excluded.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+    val own = docs.select(col(idCol).as("id"),
+        size(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
+          .cast(LongType).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val hits = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("id")).agg(countDistinct(col("shingle")).as("n_overlap"))
+    own.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash: per-token hash = first 8 md5 hex digits as a long;

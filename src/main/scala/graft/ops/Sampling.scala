@@ -38,4 +38,16 @@ object Sampling {
   /** Keep ~pct% of rows, chosen deterministically by key hash. */
   def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), 100) < pct)
+
+  /** Keep ~pct% of rows within EACH stratum (e.g. per source/language),
+    * deterministically: the bucket key mixes stratum and row key, so the
+    * sample stays unbiased inside every stratum even when row keys
+    * cluster by stratum (sequential ids per source, say). Narrow — the
+    * balanced-mixture builder for training-data curation.
+    */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, keyCol: String,
+                             pct: Int): DataFrame =
+    df.filter(hashBucket(
+      concat_ws("|", col(strataCol).cast("string"), col(keyCol).cast("string")),
+      100) < pct)
 }

@@ -85,6 +85,35 @@ object TextAnalysis {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
+  /** Word n-gram shingles of one document as an ARRAY column (with
+    * multiplicity) — the narrow, per-row form of Dedup's shingle stream:
+    * no explode, no shuffle, usable inside any projection. Documents with
+    * fewer than `n` words yield an empty array.
+    */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array())
+  }
+
+  /** Intra-document repetition ratio: the fraction of word n-grams that
+    * are duplicates of an earlier n-gram in the SAME document
+    * (1 - distinct/total) — the canonical "repetitious text" quality
+    * signal for corpus filtering (documents dominated by boilerplate
+    * loops score near 1). Pure narrow projection via array ops: at 100 TB
+    * this is a single scan, no explode, no shuffle. NULL for documents
+    * too short to have an n-gram.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingleArray(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast(DoubleType) /
+        size(sh).cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
   /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
     * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
     * a bag-of-words hash it distinguishes permutations — and overflow-free

@@ -149,6 +149,22 @@ object Extensions {
              |WHERE swr >= (SELECT quantile_cont(swr, 0.25) FROM feats)
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Intra-document repetition ratio (duplicate word 3-grams / total) —
+    // the "repetitious text" quality signal; narrow array projection,
+    // no explode, no shuffle.
+    Q("q_repetition",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text")), 5).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE WHEN len(sh) > 0
+             |THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 5)
+             |ELSE NULL END AS rep_ratio FROM (
+             |SELECT doc_id, list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM (
+             |SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- Deduplication ---------------------------------------------------
 
     // Exact dedup: survivors per source after fingerprint-keyed dedup
@@ -249,6 +265,32 @@ object Extensions {
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
       }),
 
+    // Benchmark decontamination: per-train-doc count/ratio of distinct
+    // 3-grams that appear anywhere in the held-out "benchmark" slice
+    // (doc_id % 50 == 0 stands in for the eval corpus). Broadcast bench
+    // shingle set; only hit rows shuffle.
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        Dedup.contamination(train, bench, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+            round(col("overlap_ratio"), 5).as("overlap_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesCte,
+             |own AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles
+             |FROM sh WHERE id % 50 <> 0 GROUP BY id),
+             |b AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+             |hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_overlap FROM sh
+             |WHERE id % 50 <> 0 AND shingle IN (SELECT shingle FROM b) GROUP BY id)
+             |SELECT own.id AS doc_id, n_shingles,
+             |CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+             |round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_shingles, 5) AS overlap_ratio
+             |FROM own LEFT JOIN hits ON own.id = hits.id
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- Similarity search ----------------------------------------------
 
     // Brute-force exact cosine top-10 to a query vector (vec_id = 0):
@@ -347,6 +389,20 @@ object Extensions {
              |SELECT doc_id,
              |CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
              |FROM documents) x ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Stratified deterministic sampling: ~20% of documents per source by
+    // stratum-mixed hash — the balanced-mixture builder (per-stratum
+    // counts prove balance; assignment is engine-stable).
+    Q("q_stratified_sample",
+      (s, d) => graft.ops.Sampling.stratifiedSampleByHash(
+          Tables.documents(s, d), "source", "doc_id", pct = 20)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_sampled FROM (
+             |SELECT source, CAST(concat('0x', substring(md5(
+             |concat(CAST(source AS VARCHAR), '|', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS b
+             |FROM documents) t WHERE b < 20
+             |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 
     // Exact per-group median (percentile == DuckDB quantile_cont).
     Q("q_group_median",

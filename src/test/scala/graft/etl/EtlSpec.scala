@@ -125,6 +125,20 @@ class EtlSpec extends SparkSpec {
       ("it's", 2L, 2L, 1.0, 3.0, 2L)))
   }
 
+  test("S4: DDL registers an extract as a catalog table addressable by SQL") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ddl").toString + "/extract"
+    Refresh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path)
+    Ddl.createDatabase(spark, "graft_meta")
+    Ddl.registerExtract(spark, "graft_meta.ext", path)
+    assert(spark.catalog.tableExists("graft_meta.ext"))
+    assert(spark.sql("SELECT count(*) FROM graft_meta.ext").head().getLong(0) == 2L)
+    Ddl.dropTable(spark, "graft_meta.ext")
+    assert(!spark.catalog.tableExists("graft_meta.ext"))
+    // external table: dropping the pointer never deletes the extract
+    assert(spark.read.parquet(path).count() == 2L)
+  }
+
   test("full refresh overwrites and returns count") {
     import spark.implicits._
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_refresh"

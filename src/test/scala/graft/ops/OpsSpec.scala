@@ -82,6 +82,47 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("partial_collect_top_k"), plan.take(400))
   }
 
+  test("repetitionRatio: duplicate n-grams / total, null when too short") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // 7 shingles, 3 distinct -> 1 - 3/7
+      (2L, "one two three four"),  // 2 shingles, all distinct -> 0.0
+      (3L, "too short")            // < 3 words -> null
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.repetitionRatio($"text").as("r"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out(0)._2.exists(r => math.abs(r - (1.0 - 3.0 / 7.0)) < 1e-12))
+    assert(out(1)._2.contains(0.0))
+    assert(out(2)._2.isEmpty)
+  }
+
+  test("contamination counts distinct shingles shared with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox runs away"),  // shares 2 of its 4 shingles
+      (2L, "wholly unrelated text here also now")  // shares none
+    ).toDF("id", "text")
+    val out = Dedup.contamination(docs, bench, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 4L, 0L, 0.0)))
+  }
+
+  test("stratified sample is deterministic and a per-stratum subset") {
+    val df = (1L to 400L).map(i => (s"src${i % 4}", i)).toDF("source", "id")
+    val s1 = Sampling.stratifiedSampleByHash(df, "source", "id", 25)
+      .as[(String, Long)].collect().toSet
+    val s2 = Sampling.stratifiedSampleByHash(df, "source", "id", 25)
+      .as[(String, Long)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // every stratum retains roughly pct% (within loose bounds at n=100)
+    val perStratum = s1.groupBy(_._1).view.mapValues(_.size)
+    assert(perStratum.size == 4)
+    perStratum.foreach { case (s, n) => assert(n > 5 && n < 50, s"$s: $n") }
+    // growing pct only adds rows (nested samples)
+    val s3 = Sampling.stratifiedSampleByHash(df, "source", "id", 50)
+      .as[(String, Long)].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
   test("sessionize splits on gap and numbers sessions per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L),
