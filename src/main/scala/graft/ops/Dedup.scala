@@ -235,14 +235,29 @@ object Dedup {
     // shingle blowup of the relational formulation never materializes.
     val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
     val pairs = lshCandidates(lshBands(sig, k, bandRows), maxBucket).persist(Disk)
-    val txt = docs.select(col(idCol), col(textCol))
+    val txt = candidateTexts(docs, idCol, textCol, pairs)
     val result = pairs
-      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
-      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerly(result, sig, pairs)
+    eagerly(result, sig, pairs, txt)
+  }
+
+  /** Texts of just the candidate-pair documents: ONE corpus scan (a
+    * broadcast semi-join against the candidate id set) instead of the two
+    * full scans that joining each pair side directly against the corpus
+    * would cost — at 100 TB the verification stage reads the corpus once,
+    * and the surviving table is O(candidate docs), cached.
+    */
+  private def candidateTexts(docs: DataFrame, idCol: String, textCol: String,
+                             pairs: DataFrame): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("__cid"))
+      .union(pairs.select(col("id_b").as("__cid"))).distinct()
+    docs.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+      .join(broadcast(candIds), Seq("__cid"), "left_semi")
+      .persist(Disk)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering
@@ -274,15 +289,17 @@ object Dedup {
     // verification is per-pair native ShingleJaccard over the two texts
     // (identical values to the relational jaccardForPairs formulation,
     // but broadcast joins + local compare instead of shingle-keyed
-    // shuffles — see nearDupPairs)
-    val txt = docs.select(col(idCol), col(textCol))
-    val result = pairs
-      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
-      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+    // shuffles — see nearDupPairs); candidate texts come from one
+    // semi-joined corpus scan
+    val pairsC = pairs.persist(Disk)
+    val txt = candidateTexts(docs, idCol, textCol, pairsC)
+    val result = pairsC
+      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerly(result, sh, prefix)
+    eagerly(result, sh, prefix, pairsC, txt)
   }
 
   /** Benchmark decontamination: for every document, how many of its

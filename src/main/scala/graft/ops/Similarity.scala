@@ -187,21 +187,58 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              query: Array[Double], k: Int, m: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+  private def nearestCells(centroids: Array[(Long, Array[Double])],
+                           query: Array[Double], nProbe: Int): Seq[Long] = {
     def cos(c: Array[Double]): Double = {
       val dot = c.zip(query).map { case (a, b) => a * b }.sum
       val na = math.sqrt(c.map(x => x * x).sum)
       val nb = math.sqrt(query.map(x => x * x).sum)
       dot / (na * nb)
     }
-    val probeCells = centroids.map { case (id, c) => id -> cos(c) }
-      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1)
+    centroids.map { case (id, c) => id -> cos(c) }
+      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1).toSeq
+  }
+
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int, m: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+    val probeCells = nearestCells(centroids, query, nProbe)
     val q = array(query.map(lit): _*)
     ivfAssign(vectors, idCol, vecCol, centroids)
       .filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialized IVF index: the corpus written as `cell=`-hive-
+    * partitioned parquet (cell = nearest coarse centroid), the IVF
+    * analog of [[writeLshIndex]] — probing `nProbe` cells becomes
+    * source-level partition pruning. Returns the centroids; keep them
+    * with the index (they are the probe map).
+    */
+  def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                    path: String, m: Int = 16): Array[(Long, Array[Double])] = {
+    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+    graft.etl.Refresh.overwrite(
+      ivfAssign(vectors, idCol, vecCol, centroids)
+        .withColumnRenamed("__cell", "cell"),
+      path, partitionByCols = Seq("cell"))
+    centroids
+  }
+
+  /** Probe a [[writeIvfIndex]] extract: exact cosine top-k over only the
+    * `nProbe` nearest cells' partitions.
+    */
+  def probeIvfIndex(spark: SparkSession, path: String,
+                    centroids: Array[(Long, Array[Double])], idCol: String,
+                    vecCol: String, query: Array[Double], k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val probeCells = nearestCells(centroids, query, nProbe)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

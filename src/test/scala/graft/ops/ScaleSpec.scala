@@ -73,6 +73,21 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("count-min sketch bounds heavy-hitter counts (mergeable sketch surface)") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val eps = 0.001
+    val cms = ev.stat.countMinSketch("event_type", eps = eps, confidence = 0.99, seed = 42)
+    val exact = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      // CMS never undercounts; overcount bounded by eps * stream length
+      assert(est >= n, s"$k: $est < $n")
+      assert(est <= n + (eps * total).toLong + 1, s"$k: $est vs $n")
+    }
+  }
+
   test("partitioned extract layout prunes partitions at read") {
     val path = java.nio.file.Files.createTempDirectory("extract_part").toString + "/events"
     val ev = Tables.events(spark, sf).withColumn("day", to_date($"ts"))

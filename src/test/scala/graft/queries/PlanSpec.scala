@@ -147,6 +147,41 @@ class PlanSpec extends SparkSpec {
     assert(viaIndex == viaFilter)
   }
 
+  test("IVF cell-partitioned index prunes non-probed cells at the source") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+
+    val emb = graft.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+    val centroids = graft.ops.Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, m = 8)
+
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val nProbe = 2
+    val probe = graft.ops.Similarity.probeIvfIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 10, nProbe)
+
+    val inner = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = inner.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty, "probe lost its partition filter")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected <= nProbe && selected < total,
+      s"no source-level pruning ($selected of $total)")
+    // pruned probe == recompute-and-filter variant
+    val viaAssign = graft.ops.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", query, k = 10, m = 8, nProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaAssign)
+  }
+
   test("LSH verification uses the native shingle_jaccard, no shingle shuffle") {
     val p = plan("q_minhash_lsh_pairs")
     assert(p.contains("shingle_jaccard"), p.take(500))
