@@ -138,6 +138,72 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** A detected streaming duplicate: `docId` arrived with the same
+    * MinHash signature as the earlier `firstDocId`.
+    */
+  case class DupMatch(firstDocId: Long, docId: Long)
+
+  /** State of [[nearDupPairsStream]]: first doc seen per signature. */
+  case class FirstSeen(docId: Long, expiresAtMs: Long)
+
+  /** Streaming near-dup PAIR detection — the lineage-emitting complement
+    * of [[nearDupSuppressStream]]: instead of silently dropping
+    * duplicates, emit (first_doc, dup_doc) for every later arrival whose
+    * signature was already seen inside the watermark horizon.
+    *
+    * State: one (signature → first doc id) entry, keyed by the k
+    * signature components, evicted by event-time timeout once the
+    * watermark passes `watermark` beyond the first sighting — bounded at
+    * any input rate, exactly like dropDuplicatesWithinWatermark's own
+    * state. The signature is the stateless narrow native expression, so
+    * nothing stands between source and the stateful operator.
+    */
+  def nearDupPairsStream(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String, watermark: String = "10 minutes",
+                         k: Int = 6): Dataset[DupMatch] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val horizon = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    docs
+      .withColumn("__sig",
+        concat_ws("|", graft.functions.MinHashSignature(col(textCol), 3, k)))
+      .filter(col("__sig") =!= "")
+      .select(col("__sig"), col(idCol).cast("long").as("__id"),
+        col(tsCol).as("__ts"))
+      // watermark AFTER the projection: tagging the pre-rename column and
+      // then aliasing it can drop the event-time tag the stateful
+      // operator's checker looks for
+      .withWatermark("__ts", watermark)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeen, DupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         gs: GroupState[FirstSeen]) =>
+          if (gs.hasTimedOut) { gs.remove(); Iterator.empty }
+          else {
+            val batch = it.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val dups = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
+            var st = gs.getOption
+            val isNew = st.isEmpty
+            batch.foreach { case (_, id, ts) =>
+              st match {
+                case Some(s) => if (id != s.docId) dups += DupMatch(s.docId, id)
+                case None => st = Some(FirstSeen(id, ts.getTime + horizon))
+              }
+            }
+            // set the eviction clock only when the state is first created
+            // (re-setting could move the timeout behind the watermark)
+            if (isNew) st.foreach { s =>
+              gs.update(s)
+              gs.setTimeoutTimestamp(s.expiresAtMs)
+            }
+            dups.iterator
+          }
+      }
+  }
+
   /** Streaming content near-dup suppression: drop any document whose
     * MinHash signature was already seen inside the watermark horizon.
     * Possible precisely because the native signature expression is a

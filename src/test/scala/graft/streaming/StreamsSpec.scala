@@ -170,6 +170,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream emits (first, dup) lineage across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = nearDupPairsStream(df, "ts", "doc_id", "text", "1 hour")
+      .writeStream.format("memory").queryName("dup_pairs")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_duppairs"))
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val doc = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, doc),
+        (ts("2024-01-01 10:00:01"), 2L, doc),               // dup in batch
+        (ts("2024-01-01 10:00:02"), 3L, "a wholly different document text"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 4L, doc))   // dup across batch
+      q.processAllAvailable()
+      val got = spark.table("dup_pairs").as[DupMatch].collect().toSet
+      assert(got == Set(DupMatch(1L, 2L), DupMatch(1L, 4L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts emits finalized windows under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
