@@ -114,6 +114,33 @@ object TextAnalysis {
       .otherwise(lit(null).cast(DoubleType))
   }
 
+  /** Overlapping token-window chunks — the pretraining/RAG chunker:
+    * windows of `size` tokens advancing by `size - overlap`, the last
+    * window keeping the (shorter) tail; a document at or under `size`
+    * tokens yields itself as one chunk. Pure narrow array projection —
+    * chunking a 100 TB corpus is one scan, and the downstream explode
+    * multiplies rows only by ~n_tokens/(size-overlap).
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val w = tokens(text)
+    val nChunks = greatest(lit(1L),
+      ceil((org.apache.spark.sql.functions.size(w) - lit(overlap))
+        .cast(DoubleType) / step).cast(LongType))
+    transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(w, (i * step + 1).cast("int"), lit(size))))
+  }
+
+  /** Truncate to the first `maxTokens` whitespace tokens (training-prep
+    * length cap). Split→slice→re-join reproduces the original byte-exact
+    * when under the cap (single-space join is the split's inverse,
+    * empties preserved).
+    */
+  def truncateTokens(text: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(tokens(text), 1, maxTokens))
+
   /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
     * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
     * a bag-of-words hash it distinguishes permutations — and overflow-free

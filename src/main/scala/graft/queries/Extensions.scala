@@ -165,6 +165,36 @@ object Extensions {
              |SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Overlapping token-window chunking (64-token windows, 16 overlap) —
+    // the pretraining/RAG chunker; chunk text re-joins byte-exact.
+    Q("q_chunk",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), size = 64, overlap = 16)))
+        .select(col("doc_id"), col("pos").cast("bigint").as("chunk_id"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH c AS (SELECT doc_id, list_transform(
+             |range(0, greatest(1, CAST(ceil(CAST(len(w) - 16 AS DOUBLE) / 48) AS BIGINT))),
+             |i -> array_to_string(w[(i*48+1):(i*48+64)], ' ')) AS chunks
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id, chunks[i] AS chunk
+             |FROM c, LATERAL (SELECT unnest(range(1, len(chunks) + 1)) AS i) x
+             |ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "))),
+
+    // Token-count truncation (first 32 tokens; byte-exact under the cap).
+    Q("q_truncate",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.truncateTokens(col("text"), 32).as("text_trunc"),
+          TextAnalysis.tokenCount(
+            TextAnalysis.truncateTokens(col("text"), 32)).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, array_to_string(w[1:32], ' ') AS text_trunc,
+             |CAST(len(string_split(array_to_string(w[1:32], ' '), ' ')) AS BIGINT) AS n_tokens
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- Deduplication ---------------------------------------------------
 
     // Exact dedup: survivors per source after fingerprint-keyed dedup

@@ -95,6 +95,35 @@ class OpsSpec extends SparkSpec {
     assert(out(2)._2.isEmpty)
   }
 
+  test("chunks: overlap-windowed, tail kept, short doc = one chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // under size
+      (3L, "")                                         // empty text
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.chunks($"text", size = 4, overlap = 1).as("c"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toMap
+    // step 3: [w1..w4], [w4..w7], [w7..w10] — exactly covers, tail exact
+    assert(out(1L) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out(2L) == Seq("a b"))
+    assert(out(3L) == Seq(""))
+    // reassembly: dropping each later chunk's overlap tokens rebuilds the doc
+    val rebuilt = (out(1L).head +: out(1L).tail.map(_.split(" ").drop(1).mkString(" ")))
+      .filter(_.nonEmpty).mkString(" ")
+    assert(rebuilt == (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("truncateTokens is byte-exact under the cap, caps over it") {
+    // "a  b c" splits to 4 tokens (the empty token between the spaces)
+    val df = Seq((1L, "a  b c"), (2L, "x y z w v")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.truncateTokens($"text", 4).as("t4"),
+        TextAnalysis.truncateTokens($"text", 3).as("t3"))
+      .orderBy("id").as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("a  b c", "a  b")) // byte-exact at the cap; empty token counts
+    assert(out(2L)._2 == "x y z")
+  }
+
   test("contamination counts distinct shingles shared with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
     val docs = Seq(
