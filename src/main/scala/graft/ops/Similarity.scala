@@ -244,6 +244,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** L2-normalize a vector column onto the unit sphere (double
+    * precision, sequential fold — oracle-reproducible). Normalized
+    * storage turns cosine into a pure dot product downstream.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val d = transform(vec, _.cast(DoubleType))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  /** Symmetric int8 quantization: struct(scale = max|x| / 127,
+    * q = round(x / scale) as tinyint) — 4x/8x storage shrink for ANN
+    * index extracts at <1% cosine error on typical embeddings. All-zero
+    * vectors quantize to scale 0 + zeros. Narrow projection.
+    */
+  def quantize8(vec: Column): Column = {
+    val d = transform(vec, _.cast(DoubleType))
+    val maxabs = array_max(transform(d, x => abs(x)))
+    val scale = when(maxabs > 0, maxabs / 127.0d).otherwise(lit(0.0d))
+    struct(
+      scale.as("scale"),
+      when(maxabs > 0, transform(d, x => round(x / maxabs * 127.0d).cast("byte")))
+        .otherwise(transform(d, _ => lit(0).cast("byte"))).as("q"))
+  }
+
+  /** Inverse of [[quantize8]]: q * scale back to double. */
+  def dequantize8(qv: Column): Column =
+    transform(qv.getField("q"), x => x.cast(DoubleType) * qv.getField("scale"))
+
   /** Embedding near-dup pairs: id_a < id_b with cosine >= threshold.
     * Blocked by LSH bucket (pairs must share a bucket) — collision-driven
     * cost like MinHash banding, not n². For exact all-pairs semantics at

@@ -357,6 +357,22 @@ object Extensions {
              |CAST(b.embedding AS DOUBLE[])) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // L2 normalization of the embedding column (norm + first unit
+    // component; normalized storage turns cosine into a dot product).
+    Q("q_embed_norm",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (a, x) => a + x))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), round(norm, 6).as("norm"),
+            round(element_at(Similarity.l2Normalize(col("embedding")), 1), 6).as("u1"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, round(sqrt(s2), 6) AS norm, round(l[1] / sqrt(s2), 6) AS u1
+             |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l,
+             |list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s2
+             |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // Sign-LSH ANN probe: not ANSI-expressible (driver does a rows-only
     // check); recall vs q_ann_bruteforce is asserted in ExtensionsSpec.
     Q("q_ann_lsh",

@@ -152,6 +152,30 @@ class OpsSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
   }
 
+  test("int8 quantization round-trips embeddings within the scale bound") {
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+    val rows = emb.select(
+        $"vec_id",
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.dequantize8(Similarity.quantize8(col("embedding"))).as("dq"),
+        Similarity.cosine(col("embedding"),
+          Similarity.dequantize8(Similarity.quantize8(col("embedding")))).as("cos"))
+      .as[(Long, Seq[Double], Seq[Double], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, dq, cos) =>
+      val scale = v.map(math.abs).max / 127.0
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-9, s"vec $id: $a vs $b")
+      }
+      assert(cos > 0.999, s"vec $id cosine degraded to $cos")
+    }
+    // all-zero vectors quantize to scale 0 + zeros (no NaN)
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(Similarity.dequantize8(Similarity.quantize8(col("embedding"))).as("dq"))
+      .as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0, 0.0))
+  }
+
   test("sessionize splits on gap and numbers sessions per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L),
