@@ -302,6 +302,59 @@ object Dedup {
     eagerly(result, sh, prefix, pairsC, txt)
   }
 
+  /** Dedup clusters: connected components over the near-dup pair graph,
+    * labelling every paired document with the smallest doc id reachable
+    * from it (the canonical representative). Pairwise matches alone
+    * over-keep: a~b and b~c must collapse to ONE survivor even when a~c
+    * was never emitted — that's this closure.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors'; converges in O(component
+    * diameter) rounds. Scale posture: the edge set is O(detected dups),
+    * orders of magnitude smaller than the corpus, so each round is a
+    * join+groupBy over the dup set only; intermediate labels are
+    * persisted and rolled per round (no lineage blowup).
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col("id_a").cast(LongType).as("src"),
+      col("id_b").cast(LongType).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(Disk)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).persist(Disk)
+    labels.count()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nl")).as("__nmin"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(Disk)
+      changed = next.join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iters += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("id", "doc_id")
+  }
+
+  /** Canonical survivors after clustering: every unpaired document plus
+    * the min-id representative of each near-dup cluster.
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = clusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: for every document, how many of its
     * distinct word n-grams also appear anywhere in `bench` (the eval/test
     * corpus), plus the overlap ratio — the standard train-set

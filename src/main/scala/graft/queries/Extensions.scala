@@ -34,6 +34,24 @@ object Extensions {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Shared CTE chain reproducing the MinHash+LSH candidate/verify
+    * pipeline in DuckDB (used by the pairs query and the cluster
+    * closure on top of it).
+    */
+  private val LshPairsCtes =
+    s"""$ShinglesCte,
+       |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
+       |bands AS (
+       |SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
+       |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
+       |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+       |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
+       |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |GROUP BY c.id_a, c.id_b)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Text analysis ---------------------------------------------------
@@ -222,22 +240,31 @@ object Extensions {
           threshold = 0.8, k = 6, bandRows = 2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH $ShinglesCte,
-             |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
-             |bands AS (
-             |SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
-             |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
-             |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
-             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-             |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
-             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-             |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
-             |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-             |GROUP BY c.id_a, c.id_b)
+      Some(s"""WITH $LshPairsCtes
              |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
              |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Dedup clusters: connected components over the verified near-dup
+    // pairs — a~b, b~c collapse to one cluster even without an a~c pair.
+    // Spark side: iterative min-label propagation over the (tiny) dup
+    // edge set; oracle: recursive-CTE transitive closure.
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.clusters(
+          Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.8).select("id_a", "id_b"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+             |vpairs AS (SELECT id_a, id_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Exact all-pairs n-gram Jaccard — the ground truth the LSH pipeline
     // approximates (oracle-scale only; quadratic in shingle frequency).

@@ -124,6 +124,18 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 == "x y z")
   }
 
+  test("clusters: transitive closure labels min id; canonicalDocs keeps survivors") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = (1L to 12L).toDF("doc_id")
+    val kept = Dedup.canonicalDocs(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    // cluster {1,2,3} keeps 1; {10,11} keeps 10; unpaired docs survive
+    assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
+  }
+
   test("contamination counts distinct shingles shared with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
     val docs = Seq(
