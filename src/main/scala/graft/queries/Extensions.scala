@@ -348,6 +348,32 @@ object Extensions {
              |FROM own LEFT JOIN hits ON own.id = hits.id
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Canonical corpus after near-dup collapse — the end-to-end "dedup
+    // the corpus" operation: pairs → clusters → keep each cluster's
+    // min-id representative plus all unpaired documents.
+    Q("q_dedup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+          .select("id_a", "id_b")
+        Dedup.canonicalDocs(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+             |vpairs AS (SELECT id_a, id_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |losers AS (SELECT src AS doc_id FROM reach
+             |GROUP BY src HAVING least(src, min(dst)) <> src)
+             |SELECT doc_id, source FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- Similarity search ----------------------------------------------
 
     // Brute-force exact cosine top-10 to a query vector (vec_id = 0):

@@ -221,4 +221,19 @@ class ExtensionsSpec extends SparkSpec {
     val out = df.select("frame_no", "frame_offset").as[(Int, Long)].collect().toSeq
     assert(out == Seq((0, 0L), (1, 2L), (2, 5L), (3, 7L)))
   }
+
+  test("decoded multimodal features feed ANN directly (decode → top-k handoff)") {
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+    // the decode output is a fixed-size array<float> — exactly the ANN
+    // vector contract; probe with doc 0's own features, expect itself #1
+    val q = feats.orderBy("doc_id")
+      .select(org.apache.spark.sql.functions.col("features").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val top = Similarity.bruteForceTopK(feats, "doc_id", "features", q, k = 3)
+      .collect()
+    assert(top.length == 3)
+    assert(top.head.getLong(0) == feats.orderBy("doc_id").select("doc_id").head().getLong(0))
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
 }
