@@ -289,6 +289,29 @@ object Parity {
              |CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // X25 end-to-end — incremental MERGE refresh through the extract
+    // commit path: overwrite a base extract, merge a delta by key
+    // (incoming wins), read the committed result back. Exercises
+    // Refresh.overwrite + Refresh.incremental + the atomic rename swap
+    // inside the CORRECTNESS gate.
+    Q("q_incremental_merge",
+      (s, d) => {
+        val path = tmpExtract("incr_merge")
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        Refresh.overwrite(base, path)
+        val delta = base.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
+        Refresh.incremental(s, delta, path, Seq("c_custkey"))
+        s.read.parquet(path)
+          .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acct"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |round(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal * 2, 2)
+             |ELSE c_acctbal END, 2) AS acct
+             |FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
     // F7 — at-rest token crypto via built-in AES (app/core/security.py:
     // 25-46 Fernet analog): encrypt → base64 → decode → decrypt, all
     // codegen'd scalars. DuckDB has no AES, so the oracle checks the
@@ -464,6 +487,52 @@ object Parity {
              |CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              |OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
              |THEN 1 ELSE 0 END AS is_start FROM events) a ) b
-             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q1 shape — the canonical pricing-summary scan+agg: wide
+    // map-side-combinable aggregate over the fact table, tiny output.
+    Q("q_tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q3 shape — shipping-priority: selective dim filters, 3-way
+    // join (broadcastable sides), aggregate, top-10.
+    Q("q_tpch_q3",
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " ")))
   )
 }
