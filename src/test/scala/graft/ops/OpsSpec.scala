@@ -124,6 +124,29 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 == "x y z")
   }
 
+  test("clusters matches a union-find reference on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x.toInt).toLong).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 15
+      val edges = Seq.fill(18)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges), s"trial $trial: $edges")
+    }
+  }
+
   test("clusters: transitive closure labels min id; canonicalDocs keeps survivors") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(pairs)

@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
       s"simhash exploded or shuffled:\n${p.take(400)}")
   }
 
+  test("TPC-H Q1 shape: pushdown reaches the scan, aggregate combines map-side") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("TPC-H Q3 shape: dims broadcast, top-10 short-circuits") {
+    val p = plan("q_tpch_q3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer/orders sides should broadcast against lineitem")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 lost its short-circuit")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(400))
+  }
+
   test("bucket-partitioned ANN index prunes non-probed partitions at the source") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
