@@ -53,6 +53,45 @@ object Streams {
       .start()
   }
 
+  /** One full sync tick WITH catalog accounting — the reference's
+    * `import_to_hyper` loop end to end (app/core/importer.py:129-220):
+    * drain the landing dir, refresh the extract, and record the outcome
+    * in the metadata catalog — success resets the failure counter and
+    * marks file_available; a throwing batch records a failure (counter
+    * bump, latest_sync_failed, deactivation at the threshold) instead of
+    * silently dying. `prepare` is the per-batch transform (the
+    * reference's clean/normalize step); its exceptions are failures too.
+    */
+  def syncTick(spark: SparkSession, srcDir: String, schemaDdl: String,
+               extractPath: String, checkpoint: String,
+               store: graft.catalog.MetaStore, fileId: Long,
+               at: java.sql.Timestamp,
+               prepare: DataFrame => DataFrame = identity,
+               trigger: Trigger = Trigger.AvailableNow()) = {
+    val src = spark.readStream
+      .schema(schemaDdl)
+      .option("header", "true")
+      .csv(srcDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            Refresh.overwrite(prepare(batch), extractPath)
+            store.recordSyncResult(fileId, success = true, at)
+          } catch {
+            case e: Throwable =>
+              store.recordSyncResult(fileId, success = false, at,
+                reason = String.valueOf(e.getMessage))
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
   // ---- A2/T3: consecutive-failure tracker ------------------------------
 
   val FailureThreshold = 3

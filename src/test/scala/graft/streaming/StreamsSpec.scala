@@ -170,6 +170,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("syncTick records success and failure outcomes in the catalog") {
+    import graft.catalog._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val store = new MetaStore(spark, tmp("metastore_sync"))
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.Queued,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), t0)))
+
+    // success path: extract written, counter zeroed, file_available
+    val src = tmp("landing_sync")
+    Files.writeString(java.nio.file.Path.of(src, "b.csv"), "id,name\n1,a\n")
+    val extract = tmp("extract_sync") + "/data"
+    val q = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_sync_ok"), store, fileId = 1L, at = t0)
+    q.awaitTermination()
+    assert(spark.read.parquet(extract).count() == 1L)
+    var f = store.readHyperFiles().collect().head
+    assert(f.fileStatus == FileStatus.FileAvailable)
+    assert(f.metaData(MetaKeys.SyncFailures) == "0")
+
+    // failure path: a throwing prepare records the failure instead of
+    // killing the stream — counter bumps, status latest_sync_failed
+    Files.writeString(java.nio.file.Path.of(src, "b2.csv"), "id,name\n2,b\n")
+    val q2 = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_sync_fail"), store, fileId = 1L, at = t0,
+      prepare = _ => throw new RuntimeException("export corrupt"))
+    q2.awaitTermination()
+    f = store.readHyperFiles().collect().head
+    assert(f.fileStatus == FileStatus.LatestSyncFailed)
+    assert(f.metaData(MetaKeys.SyncFailures) == "1")
+    assert(f.metaData(MetaKeys.FailureReason) == "export corrupt")
+    // the last good extract survives the failed tick
+    assert(spark.read.parquet(extract).count() == 1L)
+  }
+
   test("nearDupPairsStream emits (first, dup) lineage across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
