@@ -74,7 +74,10 @@ object Bench {
       jsonStr(k) + ":" + (if (ts.nonEmpty) ts.min.toString else "null")
     }.mkString("{", ",", "}")
     val failed = results.filter(_._2.isEmpty)
-    val errs = failed.map { case (k, _, e) =>
+    // report ANY error, including flaky one-of-two failures that still
+    // produced a timing — a nondeterministic regression must not
+    // masquerade as healthy
+    val errs = results.filter(_._3.nonEmpty).map { case (k, _, e) =>
       jsonStr(k) + ":" + jsonStr(e.map(_.toString).getOrElse("?").take(300))
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.minOption).sum
@@ -85,8 +88,9 @@ object Bench {
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    failed.foreach { case (k, _, e) =>
-      System.err.println(s"[bench] FAILED $k: ${e.map(_.toString).getOrElse("?")}")
+    results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
+      val kind = if (ts.isEmpty) "FAILED" else "FLAKY"
+      System.err.println(s"[bench] $kind $k: ${e.map(_.toString).getOrElse("?")}")
     }
     spark.stop()
   }

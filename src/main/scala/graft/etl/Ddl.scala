@@ -24,8 +24,10 @@ object Ddl {
     * (optionally db-qualified). Schema comes from the parquet footers.
     */
   def registerExtract(spark: SparkSession, table: String, path: String): Unit = {
+    // Spark string literals escape with backslash, not SQL-standard ''
+    val lit = path.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS ${quote(table)} USING parquet LOCATION '${path.replace("'", "''")}'")
+      s"CREATE TABLE IF NOT EXISTS ${quote(table)} USING parquet LOCATION '$lit'")
     ()
   }
 

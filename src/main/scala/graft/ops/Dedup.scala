@@ -49,7 +49,14 @@ object Dedup {
   private def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
     try {
       result.persist(Disk)
-      result.count()
+      try result.count()
+      catch {
+        case t: Throwable =>
+          // a failed materialization must not leave the result frame
+          // registered in the cache manager
+          result.unpersist(blocking = false)
+          throw t
+      }
       result
     } finally intermediates.foreach(_.unpersist(blocking = false))
 
@@ -316,8 +323,9 @@ object Dedup {
     * persisted and rolled per round (no lineage blowup).
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(col("id_a").cast(LongType).as("src"),
-      col("id_b").cast(LongType).as("dst"))
+    // ids keep their natural type (long, string, ...) — min/least give
+    // the component's smallest id under that type's ordering
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(Disk)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -343,6 +351,9 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist(blocking = false)
+    // the returned frame is the last round's persisted labels (its
+    // lineage chains through every round, so the cache IS the result);
+    // callers running many clusterings should unpersist() it when done
     labels.withColumnRenamed("id", "doc_id")
   }
 

@@ -42,12 +42,16 @@ object Sampling {
   /** Keep ~pct% of rows within EACH stratum (e.g. per source/language),
     * deterministically: the bucket key mixes stratum and row key, so the
     * sample stays unbiased inside every stratum even when row keys
-    * cluster by stratum (sequential ids per source, say). Narrow — the
-    * balanced-mixture builder for training-data curation.
+    * cluster by stratum (sequential ids per source, say). The mix
+    * concatenates the two parts' fixed-width md5 digests, so no
+    * (stratum, key) pair can collide with another by sharing a separator
+    * character, and nulls coalesce to "" identically on every engine.
+    * Narrow — the balanced-mixture builder for training-data curation.
     */
   def stratifiedSampleByHash(df: DataFrame, strataCol: String, keyCol: String,
                              pct: Int): DataFrame =
     df.filter(hashBucket(
-      concat_ws("|", col(strataCol).cast("string"), col(keyCol).cast("string")),
+      concat(md5(coalesce(col(strataCol).cast("string"), lit(""))),
+        md5(coalesce(col(keyCol).cast("string"), lit("")))),
       100) < pct)
 }

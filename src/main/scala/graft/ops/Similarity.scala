@@ -251,7 +251,8 @@ object Similarity {
   def l2Normalize(vec: Column): Column = {
     val d = transform(vec, _.cast(DoubleType))
     val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    transform(d, x => x / n)
+    // an all-zero vector stays zero rather than going NaN component-wise
+    when(n > 0, transform(d, x => x / n)).otherwise(d)
   }
 
   /** Symmetric int8 quantization: struct(scale = max|x| / 127,

@@ -499,7 +499,8 @@ object Extensions {
         .orderBy("source"),
       Some("""SELECT source, count(*) AS n_sampled FROM (
              |SELECT source, CAST(concat('0x', substring(md5(
-             |concat(CAST(source AS VARCHAR), '|', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS b
+             |concat(md5(coalesce(CAST(source AS VARCHAR), '')),
+             |md5(coalesce(CAST(doc_id AS VARCHAR), '')))), 1, 4)) AS BIGINT) % 100 AS b
              |FROM documents) t WHERE b < 20
              |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 

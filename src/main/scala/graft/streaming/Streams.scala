@@ -29,11 +29,24 @@ object Streams {
 
   // ---- T1: scheduled full refresh --------------------------------------
 
+  /** Each landing file is a COMPLETE export (the reference's polled CSV
+    * snapshot); when one drain picks up several — catch-up after downtime
+    * — the latest by filename wins. Concatenating full snapshots would
+    * duplicate every row. Landing filenames must sort chronologically
+    * (timestamped export names, as the reference produces).
+    */
+  private def latestExport(batch: DataFrame): DataFrame = {
+    val withFile = batch.withColumn("__file", input_file_name())
+    val latest = withFile.agg(max(col("__file"))).head().getString(0)
+    withFile.filter(col("__file") === latest).drop("__file")
+  }
+
   /** One sync tick as a streaming query: drain everything new in `srcDir`
     * (CSV landing zone, the reference's export staging), apply `prepare`,
-    * and full-refresh the parquet extract per batch. `AvailableNow`
-    * processes all available input then stops — the external-cron shape;
-    * pass `Trigger.ProcessingTime("15 minutes")` for the resident shape.
+    * and full-refresh the parquet extract from the LATEST export in the
+    * batch (see [[latestExport]]). `AvailableNow` processes all available
+    * input then stops — the external-cron shape; pass
+    * `Trigger.ProcessingTime("15 minutes")` for the resident shape.
     */
   def refreshQuery(spark: SparkSession, srcDir: String, schemaDdl: String,
                    extractPath: String, checkpoint: String,
@@ -43,12 +56,12 @@ object Streams {
       .schema(schemaDdl)
       .option("header", "true")
       .csv(srcDir)
-    prepare(src).writeStream
+    src.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Refresh.overwrite(batch, extractPath); () }
+        if (!batch.isEmpty) { Refresh.overwrite(prepare(latestExport(batch)), extractPath); () }
       }
       .start()
   }
@@ -79,7 +92,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           try {
-            Refresh.overwrite(prepare(batch), extractPath)
+            Refresh.overwrite(prepare(latestExport(batch)), extractPath)
             store.recordSyncResult(fileId, success = true, at)
           } catch {
             case e: Throwable =>

@@ -139,6 +139,17 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2L)
   }
 
+  test("Ddl.registerExtract escapes hostile paths and identifiers") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ddl_q").toString
+    val path = base + "/o'brien extract"
+    Refresh.overwrite(Seq((1L, "x")).toDF("id", "v"), path)
+    Ddl.createDatabase(spark, "graft_meta")
+    Ddl.registerExtract(spark, "graft_meta.quoted_ext", path)
+    assert(spark.sql("SELECT count(*) FROM graft_meta.quoted_ext").head().getLong(0) == 1L)
+    Ddl.dropTable(spark, "graft_meta.quoted_ext")
+  }
+
   test("full refresh overwrites and returns count") {
     import spark.implicits._
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_refresh"

@@ -159,6 +159,12 @@ class OpsSpec extends SparkSpec {
     assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("clusters works over string ids (no silent numeric cast)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(labels == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
+  }
+
   test("contamination counts distinct shingles shared with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
     val docs = Seq(

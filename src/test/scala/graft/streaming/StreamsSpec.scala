@@ -120,6 +120,20 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("catch-up drain: latest export wins, snapshots are not concatenated") {
+    val src = tmp("landing_catchup")
+    // two COMPLETE exports land before one AvailableNow drain
+    Files.writeString(java.nio.file.Path.of(src, "export_2024-01-01.csv"),
+      "id,name\n1,a\n2,b\n")
+    Files.writeString(java.nio.file.Path.of(src, "export_2024-01-02.csv"),
+      "id,name\n1,a2\n3,c\n")
+    val extract = tmp("extract_catchup") + "/data"
+    val q = refreshQuery(spark, src, "id LONG, name STRING", extract, tmp("ckpt_catchup"))
+    q.awaitTermination()
+    val got = spark.read.parquet(extract).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c")), s"expected only the latest snapshot, got $got")
+  }
+
   test("dedupStream drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
