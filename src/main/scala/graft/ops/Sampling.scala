@@ -50,8 +50,30 @@ object Sampling {
     */
   def stratifiedSampleByHash(df: DataFrame, strataCol: String, keyCol: String,
                              pct: Int): DataFrame =
-    df.filter(hashBucket(
-      concat(md5(coalesce(col(strataCol).cast("string"), lit(""))),
-        md5(coalesce(col(keyCol).cast("string"), lit("")))),
-      100) < pct)
+    df.filter(stratumBucket(col(strataCol), col(keyCol)) < pct)
+
+  /** The stratum-mixed bucket shared by stratified/weighted sampling:
+    * fixed-width md5 digests of both parts concatenated (no separator
+    * ambiguity), nulls coalesced to "" identically on every engine.
+    */
+  def stratumBucket(strata: Column, key: Column): Column =
+    hashBucket(
+      concat(md5(coalesce(strata.cast("string"), lit(""))),
+        md5(coalesce(key.cast("string"), lit("")))),
+      100)
+
+  /** Weighted training mixture: keep ~pctByStratum(s)% of each stratum
+    * `s` (and `defaultPct`% of unlisted strata) — the per-source mixture
+    * builder (e.g. wiki at 100%, web at 30%). Deterministic, narrow, and
+    * nested across weight changes: raising one source's weight only ADDS
+    * rows from that source, so mixture iterations reuse shards.
+    */
+  def weightedMixture(df: DataFrame, strataCol: String, keyCol: String,
+                      pctByStratum: Map[String, Int],
+                      defaultPct: Int = 0): DataFrame = {
+    val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(stratumBucket(col(strataCol), col(keyCol)) < pct)
+  }
 }

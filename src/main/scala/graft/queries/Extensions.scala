@@ -504,6 +504,24 @@ object Extensions {
              |FROM documents) t WHERE b < 20
              |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 
+    // Weighted training mixture: per-source sampling rates (src0 full,
+    // src1 half, src2 fifth, everything else 10%) — deterministic and
+    // nested under weight raises.
+    Q("q_weighted_mixture",
+      (s, d) => graft.ops.Sampling.weightedMixture(
+          Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 100, "src1" -> 50, "src2" -> 20), defaultPct = 10)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_sampled FROM (
+             |SELECT source, CAST(concat('0x', substring(md5(
+             |concat(md5(coalesce(CAST(source AS VARCHAR), '')),
+             |md5(coalesce(CAST(doc_id AS VARCHAR), '')))), 1, 4)) AS BIGINT) % 100 AS b
+             |FROM documents) t
+             |WHERE b < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+             |WHEN 'src2' THEN 20 ELSE 10 END)
+             |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
+
     // Exact per-group median (percentile == DuckDB quantile_cont).
     Q("q_group_median",
       (s, d) => Tables.orders(s, d)

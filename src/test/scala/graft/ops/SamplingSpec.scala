@@ -34,4 +34,24 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(300))
   }
+
+  test("weightedMixture applies per-stratum rates and nests under raises") {
+    val docs = Tables.documents(spark, sf)
+    val mix = Sampling.weightedMixture(docs, "source", "doc_id",
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 10)
+    val bySrc = mix.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 100% stratum fully present; 0% stratum absent; default strata partial
+    assert(bySrc("src0") == docs.filter($"source" === "src0").count())
+    assert(!bySrc.contains("src1"))
+    assert(bySrc.getOrElse("src2", 0L) < docs.filter($"source" === "src2").count())
+    // raising a weight only ADDS rows (nested samples)
+    val raised = Sampling.weightedMixture(docs, "source", "doc_id",
+      Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
+    assert(mix.select("doc_id").exceptAll(raised.select("doc_id")).isEmpty)
+    // identical to stratifiedSampleByHash at a uniform rate
+    val uniformA = Sampling.weightedMixture(docs, "source", "doc_id", Map(), defaultPct = 20)
+    val uniformB = Sampling.stratifiedSampleByHash(docs, "source", "doc_id", 20)
+    assert(uniformA.select("doc_id").exceptAll(uniformB.select("doc_id")).isEmpty)
+    assert(uniformB.select("doc_id").exceptAll(uniformA.select("doc_id")).isEmpty)
+  }
 }
