@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.LongType
   *    all-pairs comparison is never materialized: candidate pairs come
   *    only from band-bucket collisions (cost ~ duplicates, not n²), then
   *    are verified with exact Jaccard restricted to the candidate set.
-  *  - SimHash: per-token 32-bit hashes vote per bit position; near-dups
+  *  - SimHash: per-token 64-bit hashes vote per bit position; near-dups
   *    are pairs within a Hamming radius. Banding the signature gives the
   *    same collision-driven scale path as MinHash.
   *
@@ -46,7 +46,7 @@ object Dedup {
     * once by the caller's own action); callers running many pipelines
     * should `unpersist()` the result when done with it.
     */
-  private def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
+  private[ops] def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
     try {
       result.persist(Disk)
       try result.count()
@@ -59,6 +59,28 @@ object Dedup {
       }
       result
     } finally intermediates.foreach(_.unpersist(blocking = false))
+
+  /** Keep only rows whose `keys` bucket holds <= `maxBucket` rows, and
+    * record what was dropped in [[CapMetrics]] — the shared super-bucket
+    * guard of every banded near-dup pipeline. The drop statistics cost one
+    * extra aggregation pass over `input` (map-side-combined count per
+    * bucket key, then a key-space-sized reduction); pipelines call this on
+    * a persisted frame so the pass reads cache, not the corpus.
+    */
+  private[ops] def capByKey(input: DataFrame, keys: Seq[String],
+                            maxBucket: Int, pipeline: String): DataFrame =
+    if (maxBucket == Int.MaxValue) {
+      CapMetrics.record(CapReport(pipeline, maxBucket, 0L, 0L))
+      input
+    } else {
+      val counts = input.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+      val d = counts.filter(col("__bn") > maxBucket)
+        .agg(count(lit(1)).as("nb"), coalesce(sum(col("__bn")), lit(0L)).as("nr"))
+        .head()
+      CapMetrics.record(CapReport(pipeline, maxBucket, d.getLong(0), d.getLong(1)))
+      val ok = counts.filter(col("__bn") <= maxBucket).select(keys.map(col): _*)
+      input.join(ok, keys, "left_semi")
+    }
 
   /** Exact dedup: keep the lowest-`orderCol` row per content fingerprint.
     * Fingerprint is md5 of normalized text (TextAnalysis.fingerprintMd5).
@@ -174,18 +196,14 @@ object Dedup {
     * into 10^10 pairs on a single task. Buckets larger than the cap are
     * dropped (bounded recall loss, and only for documents so duplicated
     * that OTHER bands almost surely still pair them); the extra cost is
-    * one map-side-combined count per bucket.
+    * one map-side-combined count per bucket. The drop is NOT silent:
+    * dropped bucket/row counts land in [[CapMetrics]] under
+    * `"minhash_lsh"` (WARN-logged when the cap engages), so a corpus that
+    * outgrows the band geometry is visible as recall loss, not as an
+    * empty result.
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bounded =
-      if (maxBucket == Int.MaxValue) bandsDf
-      else {
-        val ok = bandsDf.groupBy(col("band_id"), col("band_key"))
-          .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucket)
-          .select("band_id", "band_key")
-        bandsDf.join(ok, Seq("band_id", "band_key"), "left_semi")
-      }
+    val bounded = capByKey(bandsDf, Seq("band_id", "band_key"), maxBucket, "minhash_lsh")
     val a = bounded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
     val b = bounded.select(col("band_id"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band_id", "band_key"))
@@ -399,17 +417,27 @@ object Dedup {
           col("n_shingles").cast("double")).as("overlap_ratio"))
   }
 
-  val SimhashBits = 32
+  /** 64 signature bits: with `maxHamming = 1` banding that is 2 bands of
+    * 2^32 keys each — a band key space that still spreads a billion-doc
+    * corpus (E[bucket] ~ n/2^32), unlike 32-bit SimHash whose 2^16 keys
+    * per band put every bucket over the cap at ~10^8 docs.
+    */
+  val SimhashBits = 64
 
-  /** 32-bit SimHash: per-token hash = first 8 md5 hex digits as a long;
+  /** 64-bit SimHash: per-token hash = first 16 md5 hex digits as a long;
     * bit b of the signature is set iff tokens with bit b set outnumber
     * those without (ties count as set). Tokens vote with multiplicity.
-    * One groupBy with 32 map-side-combinable sums.
+    * One groupBy with 64 map-side-combinable sums.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // two 32-bit halves via conv (conv of 16 hex digits would cross the
+    // signed-long range and null out under cast); hi << 32 wraps into the
+    // sign bit exactly like the native expression's big-endian load
+    val hHi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType)
+    val hLo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType)
     val tok = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h", shiftleft(hHi, 32).bitwiseOR(hLo))
     val voteCols = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$b"))
@@ -431,7 +459,7 @@ object Dedup {
 
   /** SimHash near-dup pairs within `maxHamming`. All-pairs formulation
     * for oracle-checkable sizes; the scale path buckets signature bands
-    * (split the 32 bits into (maxHamming+1) bands — any pair within the
+    * (split the 64 bits into (maxHamming+1) bands — any pair within the
     * radius shares at least one exact band, pigeonhole) and compares only
     * within buckets.
     */
@@ -454,27 +482,25 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = SimhashBits / nBands + (if (SimhashBits % nBands == 0) 0 else 1)
     val bandStructs = array((0 until nBands).map { b =>
-      val key = shiftright(col("simhash"), b * width)
-        .bitwiseAND((1L << math.min(width, SimhashBits - b * width)) - 1L)
+      val bits = math.min(width, SimhashBits - b * width)
+      // (1L << 64) wraps to 1 in JVM shift semantics — a full-width band
+      // (maxHamming = 0) masks with -1L (all 64 bits) explicitly
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+      val key = shiftright(col("simhash"), b * width).bitwiseAND(mask)
       struct(lit(b).as("band_id"), key.as("band_key"))
     }: _*)
     // one pass over the signature (vs a union re-evaluating it per band),
-    // persisted because both sides of the bucket self-join consume it
+    // persisted because the cap's bucket count, then both sides of the
+    // bucket self-join, consume it
     val bandedAll = sig.select(col("id"), col("simhash"), explode(bandStructs).as("band"))
       .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"),
         col("id"), col("simhash"))
-    // same super-bucket guard as lshCandidates: a boilerplate-dominated
-    // band value must not force a quadratic single-bucket self-join
-    val bounded =
-      if (maxBucket == Int.MaxValue) bandedAll
-      else {
-        val ok = bandedAll.groupBy(col("band_id"), col("band_key"))
-          .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucket)
-          .select("band_id", "band_key")
-        bandedAll.join(ok, Seq("band_id", "band_key"), "left_semi")
-      }
-    val banded = bounded.persist(Disk)
+      .persist(Disk)
+    // same super-bucket guard as lshCandidates (drops recorded in
+    // CapMetrics under "simhash_banded"): a boilerplate-dominated band
+    // value must not force a quadratic single-bucket self-join
+    val banded = capByKey(bandedAll, Seq("band_id", "band_key"), maxBucket,
+      "simhash_banded").persist(Disk)
     val a = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_id"), col("band_key"),
@@ -485,6 +511,6 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    eagerly(result, banded)
+    eagerly(result, bandedAll, banded)
   }
 }

@@ -71,15 +71,46 @@ object Similarity {
   /** Sign-LSH bucket id of a vector column: bit p set iff dot(v, plane_p)
     * >= 0. A pure expression over literal plane arrays — evaluated at scan
     * time, usable as a partition/bucketing key for the index layout.
+    *
+    * Guarded: a row whose vector length differs from the plane dimension
+    * raises at execution instead of silently bucketing on a truncated
+    * prefix (`zip_with` zips to the shorter array — a 768-dim embedding
+    * against 64-dim planes would otherwise hash 64 components and drop
+    * 704 without a signal).
     */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    val bucket = planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
       val dot = aggregate(
         zip_with(transform(vec, x => x.cast(DoubleType)), planeCol, (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"lsh_bucket: expected $dim-dim vector, got dim "),
+      size(vec).cast("string"))))
+  }
+
+  /** Vector dimension, read from the first row — one narrow single-row
+    * fetch. Fails on an empty corpus (there is no dimension to derive).
+    */
+  def dimOf(vectors: DataFrame, vecCol: String): Int = {
+    val head = vectors.select(size(col(vecCol)).as("d")).head(1)
+    require(head.nonEmpty, s"cannot derive dim of '$vecCol': no rows")
+    head(0).getInt(0)
+  }
+
+  /** Plane count sized to the corpus: enough buckets that the EXPECTED
+    * bucket population n/2^P sits at ~maxBucket/4 (headroom for hot
+    * spots), clamped to [4, 24] — 2^24 partitions is already past any
+    * store's file-listing comfort zone for the materialized index layout.
+    */
+  def nPlanesFor(corpusSize: Long, maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Int = {
+    val target = math.max(1L, maxBucket.toLong / 4)
+    val p = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / target)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, p))
+  }
 
   /** ANN top-k via sign-LSH: scan only rows whose bucket is within
     * `probeRadius` bit flips of the query's bucket (multi-probe). Exact
@@ -278,29 +309,41 @@ object Similarity {
     * Blocked by LSH bucket (pairs must share a bucket) — collision-driven
     * cost like MinHash banding, not n². For exact all-pairs semantics at
     * oracle scale use [[allPairs]].
+    *
+    * Geometry is derived from the DATA by default: `dim <= 0` reads the
+    * vector dimension from the first row (a mismatched row then raises,
+    * see [[lshBucket]]); `nPlanes <= 0` sizes the bucket space to the
+    * corpus via [[nPlanesFor]] (one map-side count) so expected bucket
+    * occupancy stays under the cap at any corpus size — a fixed small
+    * plane count silently caps EVERY bucket once the corpus outgrows
+    * 2^nPlanes * maxBucket. Drops are recorded in [[CapMetrics]] under
+    * `"embed_neardup"`.
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, nPlanes: Int = 4, dim: Int = 64,
+                   threshold: Double, nPlanes: Int = 0, dim: Int = 0,
                    maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val withBucketAll = vectors.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val d = if (dim > 0) dim else dimOf(vectors, vecCol)
+    val p = if (nPlanes > 0) nPlanes else nPlanesFor(vectors.count(), maxBucket)
+    val planes = hyperplanes(p, d)
+    // persisted: bucket assignment (the per-row plane dot products) is the
+    // expensive projection — the cap's bucket count and both self-join
+    // sides read it from cache, not recompute it
+    val withBucketAll = vectors
+      .select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+      .withColumn("__bucket", lshBucket(col("__nv"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // super-bucket guard, ON by default (see Dedup.lshCandidates): an
     // embedding-space hot spot must not force a quadratic single-bucket
     // self-join
-    val withBucket =
-      if (maxBucket == Int.MaxValue) withBucketAll
-      else {
-        val ok = withBucketAll.groupBy(col("__bucket"))
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-          .select("__bucket")
-        withBucketAll.join(ok, Seq("__bucket"), "left_semi")
-      }
-    val a = withBucket.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = withBucket.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("__bucket"))
+    val withBucket = graft.ops.Dedup.capByKey(
+      withBucketAll, Seq("__bucket"), maxBucket, "embed_neardup")
+    val a = withBucket.select(col("__bucket"), col("__nid").as("id_a"), col("__nv").as("v_a"))
+    val b = withBucket.select(col("__bucket"), col("__nid").as("id_b"), col("__nv").as("v_b"))
+    val result = a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
+    graft.ops.Dedup.eagerly(result, withBucketAll)
   }
 
   /** Exact all-pairs cosine at `threshold` (oracle-scale only). */

@@ -291,8 +291,10 @@ object Extensions {
           s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
         val combine = (0 until Dedup.SimhashBits).map(b =>
           s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        // 16 hex digits parse as UBIGINT (BIGINT overflows past bit 62);
+        // the signed combine reproduces the two's-complement long exactly
         s"""WITH tok AS (SELECT doc_id AS id,
-           |CAST(concat('0x', substring(md5(t.tok), 1, 8)) AS BIGINT) AS h
+           |CAST(concat('0x', substring(md5(t.tok), 1, 16)) AS UBIGINT) AS h
            |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t),
            |votes AS (SELECT id, $votes FROM tok GROUP BY id)
            |SELECT id AS doc_id, $combine AS simhash FROM votes ORDER BY doc_id"""
@@ -311,7 +313,7 @@ object Extensions {
         val combine = (0 until Dedup.SimhashBits).map(b =>
           s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
         s"""WITH tok AS (SELECT doc_id AS id,
-           |CAST(concat('0x', substring(md5(t.tok), 1, 8)) AS BIGINT) AS h
+           |CAST(concat('0x', substring(md5(t.tok), 1, 16)) AS UBIGINT) AS h
            |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t),
            |votes AS (SELECT id, $votes FROM tok GROUP BY id),
            |sig AS (SELECT id, $combine AS simhash FROM votes)

@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
     val df = graft.ops.Dedup.simhashNarrow(
       graft.Tables.documents(spark, sf), "doc_id", "text")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("simhash32"), p.take(400))
+    assert(p.contains("simhash64"), p.take(400))
     assert(!p.contains("Generate") && !p.contains("Exchange"),
       s"simhash exploded or shuffled:\n${p.take(400)}")
   }
