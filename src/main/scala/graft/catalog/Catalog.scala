@@ -42,6 +42,24 @@ object Catalog {
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(incoming, keys, "left_anti").unionByName(incoming)
 
+  /** [[upsert]] under schema drift: the sides may disagree on non-key
+    * columns (source added or removed a field between syncs — the
+    * reference absorbs this by re-inferring the schema and rebuilding
+    * every tick, app/core/importer.py:54-74, 242-249; merging instead
+    * must tolerate the drift). Fill policy: the output schema is the
+    * UNION of both schemas, and a column absent from a row's side is
+    * null — explicitly, additive evolution where old rows read null for
+    * new fields and dropped fields stay readable on old rows.
+    */
+  def upsertEvolving(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    keys.foreach { k =>
+      require(existing.columns.contains(k) && incoming.columns.contains(k),
+        s"merge key '$k' must exist on both sides")
+    }
+    existing.join(incoming, keys, "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+  }
+
   /** A3: keyed dedup keeping the first row per key under `orderCol` — the
     * deterministic form of `dropDuplicates` (which keeps an arbitrary row).
     * Implemented as a rank-1 window: single shuffle on the dedup key, and

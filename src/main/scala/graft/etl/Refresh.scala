@@ -64,46 +64,141 @@ object Refresh {
     overwrite(source, extractPath)
 
   /** Incremental refresh: MERGE the delta into the extract by key —
-    * incoming rows win on key collision, absent keys append. The scale
-    * alternative to the reference's rebuild-everything tick: cost ∝
-    * |extract| + |delta| (one anti-join shuffle) instead of a full
-    * re-export, and late data still lands because every tick re-merges.
-    * The merged frame is materialized into a staging directory (the plan
-    * reads the path being replaced) and then renamed into place — the
-    * data is written once, not rewritten.
+    * incoming rows win on key collision, absent keys append, and keys in
+    * `deletes` (a tombstone frame carrying the key columns) are removed.
+    * The scale alternative to the reference's rebuild-everything tick
+    * (which absorbs schema drift and deletions by re-exporting the world,
+    * app/core/importer.py:242-249): cost ∝ |extract| + |delta| (anti-join
+    * shuffles on the key) instead of a full re-export, and late data
+    * still lands because every tick re-merges.
+    *
+    * Schema drift is tolerated like the reference's per-tick re-inference
+    * (importer.py:54-74): the merged schema is the union of extract and
+    * delta schemas, and columns absent from a side null-fill
+    * ([[graft.catalog.Catalog.upsertEvolving]]) — additive evolution
+    * without a rebuild.
+    *
+    * A tombstoned key that also appears in `delta` stays deleted (MERGE
+    * semantics: the delete clause wins the tick). The merged frame is
+    * materialized into a staging directory (the plan reads the path being
+    * replaced) and then renamed into place — the data is written once,
+    * not rewritten.
     */
   def incremental(spark: SparkSession, delta: DataFrame, extractPath: String,
-                  keys: Seq[String]): Long = {
+                  keys: Seq[String], deletes: Option[DataFrame] = None): Long = {
     val (fs, target) = hfs(spark, extractPath)
-    val merged =
+    val upserted =
       if (!fs.exists(target)) delta
-      else graft.catalog.Catalog.upsert(spark.read.parquet(extractPath), delta, keys)
+      else graft.catalog.Catalog.upsertEvolving(
+        spark.read.parquet(extractPath), delta, keys)
+    val merged = deletes match {
+      case Some(tomb) => upserted.join(
+        tomb.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      case None => upserted
+    }
     val staging = new Path(extractPath + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     swapInto(fs, staging, target)
     spark.read.parquet(extractPath).count()
   }
 
-  /** Compact an extract to ~`targetFileBytes` parquet files. Incremental
-    * refresh ticks accrete small files; at cluster scale the resulting
-    * task explosion and namenode/list pressure dominate read cost. One
-    * `coalesce` (narrow — no shuffle) to ceil(bytes/target) partitions
-    * written to staging AT the final layout (so `targetFileBytes` above
-    * the read-split size is honored — no second rewrite to re-split it),
-    * then renamed into place via [[swapInto]]. Sizing uses the recursive
-    * content summary, so hive-partitioned layouts are measured too; the
-    * compacted OUTPUT is a flat layout — re-partition via
-    * [[overwrite]](..., partitionByCols) if the extract must stay
-    * hive-partitioned.
+  /** Hive partition column names of an extract, inferred from the
+    * directory layout (each level of `col=value` directories is one
+    * partition column). Empty for a flat extract.
+    */
+  private[etl] def partitionColumnsOf(fs: FileSystem, root: Path): Seq[String] = {
+    val subdirs = fs.listStatus(root).filter(_.isDirectory)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (subdirs.isEmpty) Nil
+    else subdirs.head.getPath.getName.split("=", 2)(0) +:
+      partitionColumnsOf(fs, subdirs.head.getPath)
+  }
+
+  /** Leaf partition directories (depth = partition column count) with
+    * their recursive byte sizes.
+    */
+  private def leafPartitions(fs: FileSystem, root: Path, depth: Int): Seq[(Path, Long)] =
+    if (depth == 0) Seq(root -> fs.getContentSummary(root).getLength)
+    else fs.listStatus(root).filter(_.isDirectory)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .toSeq.flatMap(s => leafPartitions(fs, s.getPath, depth - 1))
+
+  /** Hive path-name unescape (%xx sequences, the encoding Spark/Hive use
+    * for partition values in directory names).
+    */
+  private[etl] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Compact an extract to ~`targetFileBytes` parquet files, PRESERVING
+    * its hive partition layout. Incremental refresh ticks accrete small
+    * files; at cluster scale the resulting task explosion and
+    * namenode/list pressure dominate read cost.
+    *
+    * Flat extract: one `coalesce` (narrow — no shuffle) to
+    * ceil(bytes/target) partitions, written to staging AT the final
+    * layout (so `targetFileBytes` above the read-split size is honored —
+    * no second rewrite to re-split it), then renamed into place via
+    * [[swapInto]].
+    *
+    * Hive-partitioned extract (e.g. the `bucket=`-partitioned ANN index,
+    * [[graft.ops.Similarity.writeLshIndex]]): compaction happens WITHIN
+    * each partition — per-leaf file counts are sized from each leaf's
+    * bytes, rows are shuffled on (partition cols, deterministic salt mod
+    * that count) in ONE job, and the staging output is written with the
+    * same `partitionBy`, so source-level partition pruning on the
+    * compacted extract is preserved. File counts are approximate (hash
+    * co-location can merge two salt groups of one partition into a task);
+    * the per-leaf sizing pass lists the tree once on the driver — fine to
+    * ~10^5 partitions, beyond which compact per subtree.
     */
   def compact(spark: SparkSession, extractPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions._
     val (fs, target) = hfs(spark, extractPath)
-    val bytes = fs.getContentSummary(target).getLength
-    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val partCols = partitionColumnsOf(fs, target)
     val staging = new Path(extractPath + "__compact")
-    spark.read.parquet(extractPath).coalesce(parts)
-      .write.mode("overwrite").parquet(staging.toString)
+    if (partCols.isEmpty) {
+      val bytes = fs.getContentSummary(target).getLength
+      val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      spark.read.parquet(extractPath).coalesce(parts)
+        .write.mode("overwrite").parquet(staging.toString)
+    } else {
+      import spark.implicits._
+      val leaves = leafPartitions(fs, target, partCols.length)
+      val plan = leaves.map { case (p, bytes) =>
+        // leaf path suffix col1=v1/.../colN=vN -> unescaped values
+        val vals = p.toString.split('/').takeRight(partCols.length)
+          .map(seg => unescapePathName(seg.split("=", 2)(1))).toSeq
+        (vals, math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong))
+      }.toDF("__pv", "__nf")
+      val df = spark.read.parquet(extractPath)
+      val dataCols = df.columns.filterNot(partCols.contains).toSeq
+      // join the tiny per-leaf plan on string-cast partition values, then
+      // salt deterministically so each leaf splits into ~its file count
+      val keyExpr = array(partCols.map(c => col(c).cast("string")): _*)
+      df.join(broadcast(plan), keyExpr === col("__pv"), "left")
+        .withColumn("__salt",
+          pmod(xxhash64(dataCols.map(col): _*), coalesce(col("__nf"), lit(1L))))
+        .repartition(partCols.map(col) :+ col("__salt"): _*)
+        .drop("__pv", "__nf", "__salt")
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
+    }
     swapInto(fs, staging, target)
     spark.read.parquet(extractPath).count()
   }

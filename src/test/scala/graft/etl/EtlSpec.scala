@@ -20,6 +20,54 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
   }
 
+  test("incremental refresh absorbs schema drift: added column null-fills old rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("incr_ev").toString + "/extract"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    assert(Refresh.incremental(spark, base, path, Seq("id")) == 2L)
+    // next sync's source grew a column (and drops nothing)
+    val delta = Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "name", "score")
+    assert(Refresh.incremental(spark, delta, path, Seq("id")) == 3L)
+    val got = spark.read.parquet(path).select("id", "name", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b2", Some(25.0)), (3L, "c", Some(30.0))))
+    // a later sync from a source that DROPPED the column still merges
+    val shrunk = Seq((4L, "d")).toDF("id", "name")
+    assert(Refresh.incremental(spark, shrunk, path, Seq("id")) == 4L)
+    assert(spark.read.parquet(path).filter($"id" === 4L)
+      .select("score").as[Option[Double]].head().isEmpty)
+  }
+
+  test("incremental refresh applies tombstone deletes, and delete wins over upsert") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("incr_del").toString + "/extract"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    assert(Refresh.incremental(spark, base, path, Seq("id")) == 3L)
+    val delta = Seq((2L, "b2"), (4L, "d")).toDF("id", "name")
+    val tombs = Seq(Tuple1(3L), Tuple1(2L)).toDF("id")
+    // 2 is both updated and tombstoned — the delete clause wins the tick
+    assert(Refresh.incremental(spark, delta, path, Seq("id"), Some(tombs)) == 2L)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (4L, "d")))
+  }
+
+  test("compact preserves a hive-partitioned layout, compacting within partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("cpt_part").toString + "/extract"
+    val df = (1L to 300L).map(i => (i, i % 3)).toDF("id", "bucket")
+    // accrete many small files per partition, as incremental ticks would
+    df.repartition(20).write.partitionBy("bucket").parquet(path)
+    def partFiles(b: Long) = new java.io.File(s"$path/bucket=$b").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert((0L to 2L).forall(partFiles(_) >= 10))
+    assert(Refresh.compact(spark, path, targetFileBytes = 1L << 30) == 300L)
+    // layout preserved, one file per partition at this target size
+    (0L to 2L).foreach(b => assert(partFiles(b) == 1,
+      s"bucket=$b has ${partFiles(b)} files"))
+    val got = spark.read.parquet(path).as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == (1L to 300L) && got.forall(r => r._1 % 3 == r._2))
+  }
+
   test("compact coalesces a many-file extract without losing rows") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("cpt").toString + "/extract"

@@ -136,6 +136,9 @@ class PlanSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("ann_idx").toString + "/index"
     val nPlanes = 4
     graft.ops.Similarity.writeLshIndex(emb, "embedding", path, nPlanes, dim = 64)
+    // compaction preserves the bucket= layout — pruning below runs on the
+    // COMPACTED extract
+    graft.etl.Refresh.compact(spark, path)
 
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
