@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   *    intermediates internally);
   *  - the JSON line goes to stdout AND to a file (SPARK_GRAFT_BENCH_OUT,
   *    default bench_out.json) so the driver's parser never has to fish
-  *    it out of sbt log prefixes.
+  *    it out of sbt log prefixes;
+  *  - "delta_vs_prev" carries per-query cur/prev time ratios against the
+  *    previous round's record (SPARK_GRAFT_BENCH_PREV, default
+  *    bench_prev.json — only when that record was measured at the SAME
+  *    sf dir), so a regression is machine-visible in the round record;
+  *  - "cap_drops" snapshots the super-bucket CapMetrics after the timed
+  *    runs: at oracle/bench scale every pipeline must report 0 dropped.
   */
 object Bench {
 
@@ -81,9 +87,38 @@ object Bench {
       jsonStr(k) + ":" + jsonStr(e.map(_.toString).getOrElse("?").take(300))
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.minOption).sum
+
+    // previous round's figures: per-query cur/prev ratio, only when the
+    // prev record exists and was measured at the same sf dir (a 0.01-vs-
+    // 0.1 "delta" would be noise presented as signal)
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json")
+    val prev: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
+        if (!txt.contains("\"sf\":" + jsonStr(sfDir))) Map.empty
+        else {
+          val qStart = txt.indexOf("\"queries\":{") + "\"queries\":{".length
+          val qTxt = txt.substring(qStart, txt.indexOf("}", qStart))
+          "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val deltas = results.flatMap { case (k, ts, _) =>
+      for (cur <- ts.minOption; p <- prev.get(k))
+        yield jsonStr(k) + ":" + (cur / p)
+    }.mkString("{", ",", "}")
+
+    // super-bucket cap observability: the LAST timed run per pipeline —
+    // non-zero drops at bench scale mean the geometry no longer fits
+    val capDrops = graft.ops.CapMetrics.snapshot.toSeq.sortBy(_._1)
+      .map { case (p, r) =>
+        jsonStr(p) + s""":{"dropped_buckets":${r.droppedBuckets},"dropped_rows":${r.droppedRows}}"""
+      }.mkString("{", ",", "}")
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs}"""
+        s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
+        s""""delta_vs_prev":$deltas,"cap_drops":$capDrops}"""
 
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

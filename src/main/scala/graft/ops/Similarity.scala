@@ -218,6 +218,41 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  /** Lloyd's (k-means) refinement of the coarse centroids, entirely in
+    * DataFrame ops: per round, assign every vector to its nearest
+    * centroid by cosine ([[ivfAssign]] — a narrow greatest() scan), then
+    * average each cell's members with one map-side-combined groupBy
+    * carrying `dim` sum columns (codegen'd; fine for embedding dims in
+    * the hundreds — a multi-thousand-dim corpus should refine on a
+    * sample). Only m rows ever reach the driver per round.
+    *
+    * Deterministic: seeded by the id-rank sample, FIXED iteration count,
+    * and an emptied cell keeps its previous centroid — index build and
+    * probe always agree. Means are used unnormalized (cosine assignment
+    * ignores magnitude). Tightened centroids raise probe recall at the
+    * same nProbe without changing any plan shape — assignment, index
+    * layout, and pruning are identical to the id-rank variant.
+    */
+  def ivfCentroidsKMeans(vectors: DataFrame, idCol: String, vecCol: String,
+                         m: Int, iters: Int = 5): Array[(Long, Array[Double])] = {
+    var cents = ivfCentroids(vectors, idCol, vecCol, m)
+    if (cents.isEmpty) return cents
+    val dim = cents(0)._2.length
+    val v = col(vecCol).cast("array<double>")
+    (0 until iters).foreach { _ =>
+      val sums = ivfAssign(vectors, idCol, vecCol, cents)
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i => sum(element_at(v, i + 1)).as(s"__c$i")): _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 2) / r.getLong(1)))
+        .toMap
+      cents = cents.map { case (cell, old) => (cell, sums.getOrElse(cell, old)) }
+    }
+    cents
+  }
+
   private def nearestCells(centroids: Array[(Long, Array[Double])],
                            query: Array[Double], nProbe: Int): Seq[Long] = {
     def cos(c: Array[Double]): Double = {
@@ -232,8 +267,10 @@ object Similarity {
 
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int, m: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(vectors, idCol, vecCol, m)
     val probeCells = nearestCells(centroids, query, nProbe)
     val q = array(query.map(lit): _*)
     ivfAssign(vectors, idCol, vecCol, centroids)
@@ -250,8 +287,11 @@ object Similarity {
     * with the index (they are the probe map).
     */
   def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-                    path: String, m: Int = 16): Array[(Long, Array[Double])] = {
-    val centroids = ivfCentroids(vectors, idCol, vecCol, m)
+                    path: String, m: Int = 16,
+                    kmeansIters: Int = 0): Array[(Long, Array[Double])] = {
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(vectors, idCol, vecCol, m)
     graft.etl.Refresh.overwrite(
       ivfAssign(vectors, idCol, vecCol, centroids)
         .withColumnRenamed("__cell", "cell"),

@@ -31,13 +31,24 @@ object Streams {
 
   /** Each landing file is a COMPLETE export (the reference's polled CSV
     * snapshot); when one drain picks up several — catch-up after downtime
-    * — the latest by filename wins. Concatenating full snapshots would
-    * duplicate every row. Landing filenames must sort chronologically
-    * (timestamped export names, as the reference produces).
+    * — the latest by the file's MODIFICATION TIME wins (filename ordering
+    * is only chronological for zero-padded timestamp names; a landing dir
+    * with mixed naming would silently refresh from the wrong snapshot).
+    * Name breaks mtime ties deterministically. Concatenating full
+    * snapshots would duplicate every row.
+    *
+    * The file list is one driver-side status call per drained file —
+    * a drain holds at most a few snapshot exports, never data-scale.
     */
   private def latestExport(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
     val withFile = batch.withColumn("__file", input_file_name())
-    val latest = withFile.agg(max(col("__file"))).head().getString(0)
+    val files = withFile.select("__file").distinct().collect().map(_.getString(0))
+    val latest = files.maxBy { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (fs.getFileStatus(p).getModificationTime, f)
+    }
     withFile.filter(col("__file") === latest).drop("__file")
   }
 
@@ -288,4 +299,22 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Sessionized per-key activity — the streaming flavor of Parity's
+    * batch sessionization (q_session_lag): events of one key within `gap`
+    * of each other merge into one session window; a session is emitted
+    * exactly once, when the watermark passes its end (Append mode). State
+    * is one open session per ACTIVE key — merged on arrival, evicted on
+    * emission — so state size tracks concurrently-active keys, not event
+    * history, at any input rate.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
 }

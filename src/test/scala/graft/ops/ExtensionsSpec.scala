@@ -165,6 +165,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(cells.agg(sum("count")).as[Long].head() == base.count())
   }
 
+  test("k-means refinement improves IVF probe recall at fixed nProbe") {
+    // deterministic CLUSTERED corpus (what real embeddings look like —
+    // k-means has nothing to find on the isotropic synthetic table): 8
+    // directional clusters, ids grouped by cluster, so the id-rank seed
+    // centroids all sample cluster 0 — the degenerate case refinement
+    // must recover from
+    val dim = 16
+    val nClusters = 8
+    val perCluster = 40
+    def center(c: Int): Array[Double] =
+      Array.tabulate(dim)(i => math.sin(c * 31.0 + i * 7.0))
+    def point(c: Int, j: Int): Array[Double] = {
+      val ctr = center(c)
+      Array.tabulate(dim)(i => ctr(i) + 0.15 * math.sin((c * perCluster + j) * 13.0 + i * 5.0))
+    }
+    val rows = for (c <- 0 until nClusters; j <- 0 until perCluster)
+      yield ((c * perCluster + j).toLong, point(c, j))
+    val base = rows.toDF("vec_id", "embedding")
+    val queries = (0 until nClusters).map(c => point(c, perCluster + 1))
+
+    val idRank = Similarity.ivfCentroids(base, "vec_id", "embedding", 16)
+    val refined = Similarity.ivfCentroidsKMeans(base, "vec_id", "embedding", 16, iters = 10)
+    // deterministic: same sample seed + fixed iterations => identical centroids
+    val refined2 = Similarity.ivfCentroidsKMeans(base, "vec_id", "embedding", 16, iters = 10)
+    assert(refined.zip(refined2).forall { case ((i1, c1), (i2, c2)) =>
+      i1 == i2 && c1.toSeq == c2.toSeq })
+
+    def recallSum(cents: Array[(Long, Array[Double])]): Int = queries.map { query =>
+      val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", query, 10)
+        .select("vec_id").as[Long].collect().toSet
+      // probe at a TIGHT nProbe=2, where centroid quality dominates recall
+      val cells = cents.map { case (id, c) =>
+        val dot = c.zip(query).map { case (a, b) => a * b }.sum
+        val na = math.sqrt(c.map(x => x * x).sum)
+        val nb = math.sqrt(query.map(x => x * x).sum)
+        id -> dot / (na * nb)
+      }.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSeq
+      val q = org.apache.spark.sql.functions.array(query.map(lit): _*)
+      val probed = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+        .filter($"__cell".isin(cells: _*))
+        .select($"vec_id", Similarity.cosine($"embedding", q).as("sim"))
+        .orderBy($"sim".desc, $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect probed).size
+    }.sum
+    val baseRecall = recallSum(idRank)
+    val kmRecall = recallSum(refined)
+    info(s"recall@10 over $nClusters cluster queries, nProbe=2: " +
+      s"id-rank=$baseRecall kmeans=$kmRecall of ${10 * nClusters}")
+    assert(kmRecall > baseRecall,
+      s"k-means refinement did not improve recall: $kmRecall <= $baseRecall")
+  }
+
   test("LSH bucket pruning actually reduces scanned rows") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)

@@ -134,6 +134,50 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "a2"), (3L, "c")), s"expected only the latest snapshot, got $got")
   }
 
+  test("catch-up drain orders by modification time, not filename") {
+    val src = tmp("landing_mtime")
+    // the OLDER snapshot has the lexicographically GREATER name — filename
+    // ordering would refresh from the stale export
+    val stale = java.nio.file.Path.of(src, "zz_legacy_export.csv")
+    Files.writeString(stale, "id,name\n1,old\n9,stale\n")
+    val fresh = java.nio.file.Path.of(src, "aa_export.csv")
+    Files.writeString(fresh, "id,name\n1,new\n3,c\n")
+    // pin mtimes so the ordering is deterministic regardless of write speed
+    stale.toFile.setLastModified(1700000000000L)
+    fresh.toFile.setLastModified(1700000060000L)
+    val extract = tmp("extract_mtime") + "/data"
+    val q = refreshQuery(spark, src, "id LONG, name STRING", extract, tmp("ckpt_mtime"))
+    q.awaitTermination()
+    val got = spark.read.parquet(extract).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (3L, "c")), s"expected the newest snapshot, got $got")
+  }
+
+  test("sessionCounts merges events within the gap and emits closed sessions once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = sessionCounts(input.toDF().toDF("ts", "user"), "ts", "user",
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_sess"))
+      .start()
+    try {
+      // two u1 events 10 min apart -> ONE session [10:00, 10:40)
+      input.addData((ts("2024-01-01 10:00:00"), "u1"), (ts("2024-01-01 10:10:00"), "u1"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0L, "open session must not emit")
+      // a later event pushes the watermark past the session end -> emitted
+      input.addData((ts("2024-01-01 13:00:00"), "u2"))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user", $"n", $"session_start", $"session_end")
+        .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+      assert(got == Seq(("u1", 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"))),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
