@@ -44,7 +44,7 @@ object SparkEntry {
     * excluded from throughput measurement.
     */
   def benchQueries: Seq[String] = Seq(
-    "q_tpch_q1", "q_tpch_q3",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tfidf",
     "q_count_full_refresh", "q_fk_join", "q_multi_join", "q_semi_join",
     "q_upsert_antijoin", "q_dedup", "q_topk_latest", "q_window_tumbling",
     "q_session_lag", "q_select_multiple_split",

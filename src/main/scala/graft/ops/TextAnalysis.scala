@@ -141,6 +141,39 @@ object TextAnalysis {
   def truncateTokens(text: Column, maxTokens: Int): Column =
     concat_ws(" ", slice(tokens(text), 1, maxTokens))
 
+  /** Per-document top-`k` terms by TF-IDF — the standard term-importance
+    * / keyword-extraction op over a corpus (tf = term multiplicity in the
+    * doc; idf = ln(N / doc-frequency), N = corpus row count). Scores are
+    * rounded to 5dp BEFORE ranking so the rank order is reproducible
+    * across engines (an ulp of ln() jitter must not flip ranks); ties
+    * break lexicographically.
+    *
+    * Scale posture: tf is one (doc, term)-keyed shuffle of the token
+    * stream with full map-side combine; df aggregates the distinct pairs
+    * by term (vocabulary-sized result); the tf⋈df join keys on term —
+    * all shuffles are keyed and skew-free for natural language (hot stop
+    * words are large but bounded per-term groups). N is one map-side
+    * count. The top-k window sorts per document only.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.select("id", "term").distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("id"), col("term"),
+        round(col("tf").cast(DoubleType) *
+          log(lit(n.toDouble) / col("df").cast(DoubleType)), 5).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
     * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
     * a bag-of-words hash it distinguishes permutations — and overflow-free

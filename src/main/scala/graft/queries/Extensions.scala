@@ -122,6 +122,26 @@ object Extensions {
              |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS word) w
              |GROUP BY w.word ORDER BY n DESC, word LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Per-document top-3 TF-IDF terms — corpus-wide term importance
+    // (keyword extraction). Rounded before ranking on both sides so rank
+    // order is engine-reproducible.
+    Q("q_tfidf",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "term"),
+      Some("""WITH tok AS (SELECT doc_id, t.term FROM documents,
+             |LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t WHERE t.term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 5) AS tfidf
+             |FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (SELECT doc_id, term, tfidf,
+             |row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+             |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
+
     // PII scrubbing (emails/URLs injected deterministically so the redact
     // path is actually exercised by the synthetic corpus).
     Q("q_pii_scrub",

@@ -533,6 +533,56 @@ object Parity {
              |WHERE c_mktsegment = 'BUILDING'
              |AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " ")))
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q5 shape — local-supplier volume: a 6-table snowflake join
+    // where region/nation/supplier broadcast down the chain, the fact
+    // shuffle keys on custkey/orderkey, and the co-nation predicate
+    // (c_nationkey = s_nationkey) rides the supplier join. 5-row output.
+    Q("q_tpch_q5",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        Tables.customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q6 shape — forecasting revenue change: the pure
+    // filter-and-aggregate scan. Every predicate pushes into the parquet
+    // reader; the aggregate is a single map-side-combined global sum
+    // (one row crosses the exchange per partition).
+    Q("q_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " ")))
   )
 }

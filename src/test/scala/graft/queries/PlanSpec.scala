@@ -127,6 +127,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(400))
   }
 
+  test("TPC-H Q5 shape: snowflake dims broadcast down the chain") {
+    val p = plan("q_tpch_q5")
+    // region->nation->supplier chain + AQE's small-side conversions: the
+    // lineitem fact side must never be the build side of a shuffle join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "snowflake dimensions should broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(400))
+  }
+
+  test("TPC-H Q6 shape: all predicates pushed, single partial-agg scan") {
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), "Q6 must be a pure scan+aggregate")
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      "aggregate lost its map-side combine")
+    // every predicate reaches the reader (shipdate range, discount
+    // bounds, quantity) — shown untruncated in the scan's data filters
+    assert(p.contains("l_discount") && p.contains("l_quantity"), p.take(600))
+  }
+
+  test("tf-idf: term-keyed aggregations combine map-side; top-k sorts per doc only") {
+    val p = plan("q_tfidf")
+    assert(p.contains("partial_count"), "tf/df aggregation lost map-side combine")
+    assert(!p.contains("Sort [tfidf"), "no global sort expected")
+  }
+
   test("bucket-partitioned ANN index prunes non-probed partitions at the source") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
