@@ -448,6 +448,33 @@ object Extensions {
              |list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s2
              |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
+    // Symmetric int8 quantization round-trip: per-vector scale, first
+    // quantized component, and max absolute reconstruction error — the
+    // storage-shrink path for ANN index extracts, oracle-checked
+    // end-to-end (quantize AND dequantize math).
+    Q("q_quantize",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.quantize8(col("embedding"))
+        emb.select(col("vec_id"), qv.as("__qv"),
+            col("embedding").cast("array<double>").as("__v"))
+          .select(col("vec_id"),
+            round(col("__qv.scale"), 6).as("scale"),
+            element_at(col("__qv.q"), 1).cast("int").as("q1"),
+            round(aggregate(
+              zip_with(col("__v"), Similarity.dequantize8(col("__qv")),
+                (x, y) => abs(x - y)),
+              lit(0.0d), (acc, e) => greatest(acc, e)), 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, round(maxabs / 127.0, 6) AS scale,
+             |CAST(round(l[1] / maxabs * 127.0) AS INTEGER) AS q1,
+             |round(list_max(list_transform(l,
+             |x -> abs(x - round(x / maxabs * 127.0) * maxabs / 127.0))), 6) AS max_err
+             |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l,
+             |list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+             |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // Sign-LSH ANN probe: not ANSI-expressible (driver does a rows-only
     // check); recall vs q_ann_bruteforce is asserted in ExtensionsSpec.
     Q("q_ann_lsh",

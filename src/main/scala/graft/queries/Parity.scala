@@ -471,6 +471,30 @@ object Parity {
         .orderBy("l_returnflag"),
       None),
 
+    // Native session_window (batch flavor): gap-merged per-user sessions
+    // with start/end/count — oracles Spark's session-window semantics
+    // directly (new session iff gap >= 30 min; end = last event + gap);
+    // the streaming flavor (Streams.sessionCounts) shares the operator.
+    Q("q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (SELECT user_id, ts, event_id,
+             |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |THEN 1 ELSE 0 END AS is_start FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT user_id, ts, sum(is_start) OVER
+             |(PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |count(*) AS n FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
+
     // Sessionization — lag/cumsum batch analog of session windows
     // (30-minute inactivity gap; n_sessions per user).
     Q("q_session_lag",
