@@ -62,24 +62,31 @@ object Dedup {
 
   /** Keep only rows whose `keys` bucket holds <= `maxBucket` rows, and
     * record what was dropped in [[CapMetrics]] — the shared super-bucket
-    * guard of every banded near-dup pipeline. The drop statistics cost one
-    * extra aggregation pass over `input` (map-side-combined count per
-    * bucket key, then a key-space-sized reduction); pipelines call this on
-    * a persisted frame so the pass reads cache, not the corpus.
+    * guard of every banded near-dup pipeline.
+    *
+    * The per-bucket count aggregation is computed ONCE: the counts frame
+    * (bucket-key-sized, far smaller than the keyed stream) is persisted,
+    * the drop-stats action materializes it, and the `ok` semi-join side
+    * reads it from cache — without the persist, the stats job and the
+    * main job would each shuffle the full band stream into the same
+    * groupBy. The second tuple element is that persisted counts frame;
+    * the caller MUST release it after its terminal action (pass it to
+    * [[eagerly]]'s intermediates).
     */
   private[ops] def capByKey(input: DataFrame, keys: Seq[String],
-                            maxBucket: Int, pipeline: String): DataFrame =
+                            maxBucket: Int, pipeline: String): (DataFrame, Option[DataFrame]) =
     if (maxBucket == Int.MaxValue) {
       CapMetrics.record(CapReport(pipeline, maxBucket, 0L, 0L))
-      input
+      (input, None)
     } else {
       val counts = input.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+        .persist(Disk)
       val d = counts.filter(col("__bn") > maxBucket)
         .agg(count(lit(1)).as("nb"), coalesce(sum(col("__bn")), lit(0L)).as("nr"))
         .head()
       CapMetrics.record(CapReport(pipeline, maxBucket, d.getLong(0), d.getLong(1)))
       val ok = counts.filter(col("__bn") <= maxBucket).select(keys.map(col): _*)
-      input.join(ok, keys, "left_semi")
+      (input.join(ok, keys, "left_semi"), Some(counts))
     }
 
   /** Exact dedup: keep the lowest-`orderCol` row per content fingerprint.
@@ -203,13 +210,26 @@ object Dedup {
     * empty result.
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bounded = capByKey(bandsDf, Seq("band_id", "band_key"), maxBucket, "minhash_lsh")
+    val (pairs, counts) = lshCandidatesReleasable(bandsDf, maxBucket)
+    // standalone surface: no terminal action to hook the release on, so
+    // give the cached counts back immediately (the composable caller's
+    // lazy plan recomputes the bucket counts — fine at API-use scale;
+    // nearDupPairs uses the releasable form and keeps the single shuffle)
+    counts.foreach(_.unpersist(blocking = false))
+    pairs
+  }
+
+  private def lshCandidatesReleasable(bandsDf: DataFrame,
+                                      maxBucket: Int): (DataFrame, Option[DataFrame]) = {
+    val (bounded, counts) =
+      capByKey(bandsDf, Seq("band_id", "band_key"), maxBucket, "minhash_lsh")
     val a = bounded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
     val b = bounded.select(col("band_id"), col("band_key"), col("id").as("id_b"))
-    a.join(b, Seq("band_id", "band_key"))
+    val pairs = a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    (pairs, counts)
   }
 
   /** Exact Jaccard over distinct shingles, restricted to `pairs` — the
@@ -259,7 +279,8 @@ object Dedup {
     // ShingleJaccard expression verifies each pair locally; the 200x
     // shingle blowup of the relational formulation never materializes.
     val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
-    val pairs = lshCandidates(lshBands(sig, k, bandRows), maxBucket).persist(Disk)
+    val (cand, counts) = lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
+    val pairs = cand.persist(Disk)
     val txt = candidateTexts(docs, idCol, textCol, pairs)
     val result = pairs
       .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
@@ -267,7 +288,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerly(result, sig, pairs, txt)
+    eagerly(result, Seq(sig, pairs, txt) ++ counts: _*)
   }
 
   /** Texts of just the candidate-pair documents: ONE corpus scan (a
@@ -499,8 +520,9 @@ object Dedup {
     // same super-bucket guard as lshCandidates (drops recorded in
     // CapMetrics under "simhash_banded"): a boilerplate-dominated band
     // value must not force a quadratic single-bucket self-join
-    val banded = capByKey(bandedAll, Seq("band_id", "band_key"), maxBucket,
-      "simhash_banded").persist(Disk)
+    val (bounded, counts) = capByKey(bandedAll, Seq("band_id", "band_key"),
+      maxBucket, "simhash_banded")
+    val banded = bounded.persist(Disk)
     val a = banded.select(col("band_id"), col("band_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_id"), col("band_key"),
@@ -511,6 +533,6 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    eagerly(result, bandedAll, banded)
+    eagerly(result, Seq(bandedAll, banded) ++ counts: _*)
   }
 }

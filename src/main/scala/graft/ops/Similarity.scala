@@ -375,7 +375,7 @@ object Similarity {
     // super-bucket guard, ON by default (see Dedup.lshCandidates): an
     // embedding-space hot spot must not force a quadratic single-bucket
     // self-join
-    val withBucket = graft.ops.Dedup.capByKey(
+    val (withBucket, counts) = graft.ops.Dedup.capByKey(
       withBucketAll, Seq("__bucket"), maxBucket, "embed_neardup")
     val a = withBucket.select(col("__bucket"), col("__nid").as("id_a"), col("__nv").as("v_a"))
     val b = withBucket.select(col("__bucket"), col("__nid").as("id_b"), col("__nv").as("v_b"))
@@ -383,7 +383,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
-    graft.ops.Dedup.eagerly(result, withBucketAll)
+    graft.ops.Dedup.eagerly(result, Seq(withBucketAll) ++ counts: _*)
   }
 
   /** Exact all-pairs cosine at `threshold` (oracle-scale only). */
