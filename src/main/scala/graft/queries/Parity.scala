@@ -165,6 +165,52 @@ object Parity {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders)
              |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
 
+    // J — LEFT OUTER with aggregation: per-customer order count where
+    // customers without orders survive with 0 (count of the right key
+    // skips the null-extended rows). One key-hashed shuffle each side;
+    // AQE broadcasts the smaller build side.
+    Q("q_outer_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN (SELECT * FROM orders
+             |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01') o
+             |ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // J — FULL OUTER over a derived date spine: order-intake days vs
+    // shipment days; days present on only one side null-extend and
+    // coalesce to 0 (ship dates trail order dates, so both sides have
+    // unmatched rows). Joins on the pre-aggregated day keys — the
+    // shuffled inputs are day-count tables, not the facts.
+    Q("q_full_outer",
+      (s, d) => {
+        val od = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val sd = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n_ships"))
+        od.join(sd, Seq("day"), "full")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+             |CAST(coalesce(n_ships, 0) AS BIGINT) AS n_ships FROM
+             |(SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             |FROM orders GROUP BY 1) o
+             |FULL JOIN
+             |(SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships
+             |FROM lineitem GROUP BY 1) l USING (day)
+             |ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // J4 — upsert / MERGE via anti-join + union.
     Q("q_upsert_antijoin",
       (s, d) => {
