@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of graft's native Catalyst expressions (SURVEY §2.9
+  * tier c wiring): `simhash64`, `minhash_signature`, `cosine_sim`, and
+  * `shingle_jaccard` become callable from plain `spark.sql(...)` — the
+  * DataFrame `Column` entry points and the SQL surface share the SAME
+  * expression classes, so plans, codegen, and results are identical on
+  * both paths.
+  *
+  * Production wiring: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) at session build. For an
+  * already-running session, `GraftFunctions.register(spark)` injects the
+  * same builders through the extension mechanism
+  * ([[org.apache.spark.sql.graftshim.Shim.applyExtensions]]).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def info(cls: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(cls.getName, null, name)
+
+  /** The injectable (identifier, info, builder) triples. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info(classOf[SimHash], "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash64 takes 1 argument, got ${args.length}")
+        SimHash(args.head)
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      info(classOf[MinHashSignature], "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"minhash_signature takes 3 arguments, got ${args.length}")
+        MinHashSignature(args.head,
+          intArg(args(1), "minhash_signature", 1), intArg(args(2), "minhash_signature", 2))
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      info(classOf[CosineSimilarity], "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("shingle_jaccard"),
+      info(classOf[ShingleJaccard], "shingle_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"shingle_jaccard takes 3 arguments, got ${args.length}")
+        ShingleJaccard(args.head, args(1), intArg(args(2), "shingle_jaccard", 2))
+      }))
+
+  /** Register all functions into a LIVE session through the same
+    * extension mechanism production uses at session build.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.Shim.applyExtensions(spark, new GraftExtensions)
+}
+
+/** The `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -25,4 +25,17 @@ object Shim {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
         .collectTopK(expression(c), k, reverse))
+
+  /** Apply a `SparkSessionExtensions` configurator to a LIVE session's
+    * function registry — the injection Spark performs at session build
+    * (`spark.sql.extensions`), made available post-hoc. Only function
+    * injections take effect here; rules/strategies need session-build
+    * wiring. (`registerFunctions` is `private[sql]`, hence this shim.)
+    */
+  def applyExtensions(spark: org.apache.spark.sql.SparkSession,
+                      f: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }
