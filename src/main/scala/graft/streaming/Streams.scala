@@ -116,6 +116,65 @@ object Streams {
       .start()
   }
 
+  /** Incremental streaming refresh: each drained micro-batch MERGEs into
+    * the extract by key ([[graft.etl.Refresh.incremental]] — upsert +
+    * schema drift absorbed) instead of full-rebuilding from the latest
+    * snapshot. The shape the reference's 15-min rebuild tick should grow
+    * into once exports become deltas: per-tick cost ∝ extract + delta,
+    * exactly-once via the checkpoint + atomic staging swap, late deltas
+    * still land because every batch re-merges.
+    */
+  def incrementalRefreshQuery(spark: SparkSession, srcDir: String,
+                              schemaDdl: String, extractPath: String,
+                              checkpoint: String, keys: Seq[String],
+                              trigger: Trigger = Trigger.AvailableNow()) = {
+    val src = spark.readStream
+      .schema(schemaDdl)
+      .option("header", "true")
+      .csv(srcDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Refresh.incremental(spark, batch, extractPath, keys); () }
+      }
+      .start()
+  }
+
+  /** Stream enriched against a static dimension (stream-static join):
+    * the streaming side keeps its micro-batch cadence, the static side
+    * is re-planned per batch (broadcast when small). No watermark needed
+    * — the static side never ages.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, keys: Seq[String],
+                   broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
+
+  /** Watermarked stream-stream inner join: pair each left event with
+    * right events of the same key within `joinWindow` AFTER it. Both
+    * sides carry watermarks and the join condition bounds the time
+    * range, so each side's buffered state is evicted once the watermark
+    * passes the window — bounded state at any rate (an unbounded
+    * stream-stream join would otherwise buffer both streams forever).
+    */
+  def joinStreams(left: DataFrame, leftTs: String, right: DataFrame,
+                  rightTs: String, keys: Seq[String],
+                  joinWindow: String = "1 hour",
+                  watermark: String = "10 minutes",
+                  rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    // rename BEFORE watermarking: renaming a tagged column can drop the
+    // event-time tag the stateful join's checker looks for
+    val renamed = right.columns.foldLeft(right)(
+      (df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    val r = renamed.withWatermark(rightPrefix + rightTs, watermark)
+    val cond = keys.map(k => col(k) === col(rightPrefix + k)).reduce(_ && _) &&
+      col(rightPrefix + rightTs) >= col(leftTs) &&
+      col(rightPrefix + rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow")
+    l.join(r, cond)
+  }
+
   // ---- A2/T3: consecutive-failure tracker ------------------------------
 
   val FailureThreshold = 3

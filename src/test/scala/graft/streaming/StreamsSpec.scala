@@ -152,6 +152,72 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "new"), (3L, "c")), s"expected the newest snapshot, got $got")
   }
 
+  test("incrementalRefreshQuery MERGEs each drained batch into the extract") {
+    val src = tmp("landing_incr")
+    val extract = tmp("extract_incr") + "/data"
+    val ckpt = tmp("ckpt_incr")
+    Files.writeString(java.nio.file.Path.of(src, "delta1.csv"),
+      "id,name\n1,a\n2,b\n")
+    incrementalRefreshQuery(spark, src, "id LONG, name STRING", extract,
+      ckpt, Seq("id")).awaitTermination()
+    // a later delta updates key 2 and adds 3 — MERGE, not replace
+    Files.writeString(java.nio.file.Path.of(src, "delta2.csv"),
+      "id,name\n2,b2\n3,c\n")
+    incrementalRefreshQuery(spark, src, "id LONG, name STRING", extract,
+      ckpt, Seq("id")).awaitTermination()
+    val got = spark.read.parquet(extract).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")), s"got $got")
+  }
+
+  test("enrichStream joins a stream against a static dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val q = enrichStream(input.toDF().toDF("user_id", "v"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_enrich"))
+      .start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched").select($"user_id", $"tier")
+        .as[(Long, Option[String])].collect().toSet
+      // matched rows enrich; unmatched keys survive with null (left join)
+      assert(got == Set((1L, Some("gold")), (3L, None)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("joinStreams pairs events across two streams within the window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val impressions = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = joinStreams(
+      impressions.toDF().toDF("ts", "ad_id", "imp"),
+      "ts",
+      clicks.toDF().toDF("ts", "ad_id", "click"),
+      "ts", Seq("ad_id"), joinWindow = "1 hour")
+    val q = joined.select($"ad_id", $"imp", $"r_click")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_ssjoin"))
+      .start()
+    try {
+      impressions.addData((ts("2024-01-01 10:00:00"), 7L, "i1"))
+      q.processAllAvailable()
+      // click 20 min later, same ad -> inside the window; a click 3 h
+      // later and a different ad never pair
+      clicks.addData((ts("2024-01-01 10:20:00"), 7L, "c1"),
+        (ts("2024-01-01 13:00:00"), 7L, "late"),
+        (ts("2024-01-01 10:05:00"), 9L, "other"))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((7L, "i1", "c1")), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionCounts merges events within the gap and emits closed sessions once") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
