@@ -55,6 +55,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 3, s"shingle_jaccard takes 3 arguments, got ${args.length}")
         ShingleJaccard(args.head, args(1), intArg(args(2), "shingle_jaccard", 2))
+      }),
+    (FunctionIdentifier("image_dims"),
+      info(classOf[ImageDims], "image_dims"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"image_dims takes 1 argument, got ${args.length}")
+        ImageDims(args.head)
       }))
 
   /** Register all functions into a LIVE session through the same

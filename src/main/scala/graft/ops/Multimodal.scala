@@ -41,6 +41,16 @@ object Multimodal {
         sha2(col(textCol).cast(BinaryType), 256).as("sha256"),
         lit("text").as("modality")))
 
+  /** REAL image metadata from header bytes (no codec): attach
+    * struct(format, width, height) sniffed from PNG/JPEG/GIF/BMP headers
+    * ([[graft.functions.ImageDims]], a codegen'd expression) — null for
+    * unrecognized payloads. At 100 TB this reads a few hundred bytes per
+    * row and never decodes pixels; aspect/size filtering and dims+digest
+    * dedup run on it directly.
+    */
+  def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("image_meta", graft.functions.ImageDims(col(payloadCol)))
+
   val FeatureDim = 16
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
