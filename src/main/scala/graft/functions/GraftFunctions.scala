@@ -61,6 +61,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"image_dims takes 1 argument, got ${args.length}")
         ImageDims(args.head)
+      }),
+    (FunctionIdentifier("audio_meta"),
+      info(classOf[AudioMeta], "audio_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"audio_meta takes 1 argument, got ${args.length}")
+        AudioMeta(args.head)
       }))
 
   /** Register all functions into a LIVE session through the same

@@ -51,6 +51,14 @@ object Multimodal {
   def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("image_meta", graft.functions.ImageDims(col(payloadCol)))
 
+  /** REAL audio metadata from container headers (WAV fmt/data chunks,
+    * FLAC STREAMINFO — [[graft.functions.AudioMeta]]): channels, sample
+    * rate, bit depth, derived duration. Length filtering and hour-count
+    * accounting over an audio corpus without decoding a sample.
+    */
+  def withAudioMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("audio_meta", graft.functions.AudioMeta(col(payloadCol)))
+
   val FeatureDim = 16
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
