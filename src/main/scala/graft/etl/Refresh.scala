@@ -220,4 +220,49 @@ object Refresh {
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path).count()
   }
+
+  /** Z-value of numeric columns: each column is quantile-bucketed into
+    * 2^bitsPerCol ranks (boundaries from `approxQuantile` — one cheap
+    * pre-pass, no global sort) and the rank bits are interleaved, so
+    * nearby Z-values are nearby in EVERY dimension. A pure codegen'd
+    * expression over literal boundaries.
+    */
+  private[etl] def zValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && bitsPerCol >= 1 &&
+      bitsPerCol * cols.length <= 62, s"need bitsPerCol*cols <= 62")
+    val n = 1 << bitsPerCol
+    val ranks = cols.map { c =>
+      val bounds = df.stat.approxQuantile(c, (1 until n).map(_ / n.toDouble).toArray, 0.001)
+      bounds.map(b => when(col(c).cast("double") > b, 1L).otherwise(0L))
+        .reduce(_ + _) // rank = # boundaries below the value, in [0, 2^bits)
+    }
+    (0 until bitsPerCol).flatMap { bit =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        // bit `bit` of column j lands at interleaved position bit*k + j
+        shiftleft(shiftright(r, bit).bitwiseAND(1L), bit * cols.length + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Overwrite `path` Z-ORDER clustered on `cols`: rows are range-
+    * partitioned and sorted by the interleaved quantile-rank Z-value, so
+    * every file covers a narrow range of EVERY clustering column and
+    * parquet min/max stats skip files for selective predicates on ANY of
+    * them — the multi-column generalization of [[overwriteSorted]]
+    * (which keeps only its first sort column narrow). Cost: one
+    * approxQuantile pre-pass + one range shuffle; no global sort.
+    */
+  def overwriteZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                        numFiles: Int = 0, bitsPerCol: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val z = zValue(df, cols, bitsPerCol)
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
 }

@@ -68,6 +68,35 @@ class EtlSpec extends SparkSpec {
     assert(got.map(_._1).sorted == (1L to 300L) && got.forall(r => r._1 % 3 == r._2))
   }
 
+  test("z-order keeps every clustering column file-skippable; 1-D sort only the first") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "value")
+    val base = java.nio.file.Files.createTempDirectory("zord").toString
+    val zPath = base + "/z"
+    val sPath = base + "/s"
+    assert(Refresh.overwriteZOrdered(ev, zPath, Seq("user_id", "value"),
+      numFiles = 16) == ev.count())
+    Refresh.overwriteSorted(ev, sPath, Seq("user_id"), numFiles = 16)
+    // how many files a point predicate on `c` would have to read, judged
+    // exactly as parquet min/max skipping does
+    def filesContaining(path: String, c: String, v: Double): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
+        .filter(col("mn") <= v && col("mx") >= v).count()
+    val vMid = ev.stat.approxQuantile("value", Array(0.5), 0.01).head
+    val uMid = ev.stat.approxQuantile("user_id", Array(0.5), 0.01).head
+    // second dimension: the 1-D sort leaves `value` full-width in every
+    // file; z-order confines it to a fraction of the files
+    val zV = filesContaining(zPath, "value", vMid)
+    val sV = filesContaining(sPath, "value", vMid)
+    assert(zV * 2 <= sV, s"z-order files=$zV vs sorted files=$sV for value predicate")
+    // first dimension stays skippable under z-order too
+    val zU = filesContaining(zPath, "user_id", uMid)
+    assert(zU < 16, s"user_id predicate reads all $zU files")
+  }
+
   test("compact coalesces a many-file extract without losing rows") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("cpt").toString + "/extract"
