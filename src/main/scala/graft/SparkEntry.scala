@@ -49,7 +49,7 @@ object SparkEntry {
     "q_upsert_antijoin", "q_dedup", "q_topk_latest", "q_window_tumbling",
     "q_session_lag", "q_select_multiple_split",
     "q_dedup_exact", "q_minhash_lsh_pairs", "q_simhash_pairs",
-    "q_ann_bruteforce", "q_ann_lsh", "q_token_count", "q_quality_score",
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_join", "q_token_count", "q_quality_score",
     "q_lang_id", "q_fingerprint", "q_asof_join", "q_range_join"
   ).filter(queries.contains)
 }

@@ -345,6 +345,66 @@ object Similarity {
   def dequantize8(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast(DoubleType) * qv.getField("scale"))
 
+  /** Exact batch ANN join: for EVERY query row, the top-k corpus rows by
+    * cosine — the production retrieval/attribution shape (single-query
+    * [[bruteForceTopK]] generalized to a query TABLE). All-pairs +
+    * per-query rank window; oracle-scale ground truth for [[annJoin]],
+    * and the right plan when the query side is small enough to broadcast.
+    */
+  def annJoinExact(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.crossJoin(c)
+      .select(col("query_id"), col("match_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Batch ANN join at scale: sign-LSH multi-probe as a JOIN — each
+    * query row explodes to its own bucket plus every bucket within
+    * `probeRadius` bit flips (an EXPRESSION over the query's bucket, so
+    * probe enumeration is distributed, not a driver loop), the corpus
+    * carries one bucket per row, and candidates come from the bucket
+    * equi-join. Exact cosine ranks candidates per query (top-k window).
+    *
+    * Scan cost per query ∝ probed buckets' population (collision-driven,
+    * like every banded pipeline here), not corpus size; the join
+    * shuffles on the bucket key. Recall follows the [[lshTopK]]
+    * radius/plane tradeoff; candidates short of k return fewer rows.
+    */
+  def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
+    val dim = dimOf(corpus, vecCol)
+    val planes = hyperplanes(nPlanes, dim)
+    val qb = lshBucket(col(vecCol), planes)
+    // probe set = bucket ^ (each combination of <= probeRadius bit flips),
+    // enumerated as a literal-array expression — no driver-side per-query work
+    val flips: Seq[Column] = lit(0L) +:
+      (if (probeRadius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++:
+      (if (probeRadius >= 2)
+        (0 until nPlanes).combinations(2).map(c =>
+          lit((1L << c(0)) | (1L << c(1)))).toSeq
+      else Nil)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), qb.as("__qb"))
+      .withColumn("__bucket", explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*)))
+      .drop("__qb")
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.join(c, Seq("__bucket"))
+      .select(col("query_id"), col("match_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .distinct() // a pair can collide in several probed buckets
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Embedding near-dup pairs: id_a < id_b with cosine >= threshold.
     * Blocked by LSH bucket (pairs must share a bucket) — collision-driven
     * cost like MinHash banding, not n². For exact all-pairs semantics at

@@ -475,6 +475,28 @@ object Extensions {
              |list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
              |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
+    // Batch ANN join, exact: top-3 corpus neighbors for EVERY query
+    // vector (vec_id < 5 are queries) — the retrieval/attribution shape;
+    // the LSH multi-probe variant (Similarity.annJoin) is the scale path,
+    // recall-spec'd in ExtensionsSpec.
+    Q("q_ann_join",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.annJoinExact(emb.filter(col("vec_id") < 5),
+            emb.filter(col("vec_id") >= 5), "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("match_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "match_id")
+      },
+      Some("""SELECT query_id, match_id, round(sim, 6) AS sim FROM (
+             |SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |CAST(c.embedding AS DOUBLE[])) AS sim,
+             |row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+             |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
+             |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
+
     // Sign-LSH ANN probe: not ANSI-expressible (driver does a rows-only
     // check); recall vs q_ann_bruteforce is asserted in ExtensionsSpec.
     Q("q_ann_lsh",

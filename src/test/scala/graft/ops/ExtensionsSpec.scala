@@ -218,6 +218,27 @@ class ExtensionsSpec extends SparkSpec {
       s"k-means refinement did not improve recall: $kmRecall <= $baseRecall")
   }
 
+  test("batch ANN join: LSH multi-probe recall vs the exact join") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val exact = Similarity.annJoinExact(queries, corpus, "vec_id", "embedding", k = 10)
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.annJoin(queries, corpus, "vec_id", "embedding", k = 10,
+        nPlanes = 4, probeRadius = 2)
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // isotropic embeddings are sign-LSH's worst case (see the single-query
+    // recall test): radius-2 on 4 planes probes 11/16 buckets — expect at
+    // least half the true top-10 per query on average
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect lsh.getOrElse(q, Set.empty)).size).sum
+    assert(recall >= 25, s"avg recall too low: $recall/50")
+    // every query returns at most k rows, none beyond the probed buckets
+    assert(lsh.values.forall(_.size <= 10))
+  }
+
   test("LSH bucket pruning actually reduces scanned rows") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)
