@@ -232,11 +232,13 @@ object Dedup {
     (pairs, counts)
   }
 
-  /** Exact Jaccard over distinct shingles, restricted to `pairs` — the
-    * verification stage after LSH candidate generation. Never all-pairs:
-    * the shingle join keys on (doc, shingle) of the candidate set only.
+  /** Shared overlap stage of the pair-verification measures: for each
+    * candidate pair, the distinct-shingle intersection size and both set
+    * sizes. Returns the overlap frame plus the persisted candidate
+    * shingle set for the caller to release via [[eagerly]].
     */
-  def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  private def overlapForPairs(pairs: DataFrame,
+                              sh: DataFrame): (DataFrame, DataFrame) = {
     // only candidate documents' shingles matter — semi-join down from the
     // full corpus BEFORE the distinct and the (id, shingle)-keyed
     // shuffles (candidate count ~ duplicates, so this is the difference
@@ -255,12 +257,37 @@ object Dedup {
       .join(shc.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val result = inter
+    val overlap = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+    (overlap, shc)
+  }
+
+  /** Exact Jaccard over distinct shingles, restricted to `pairs` — the
+    * verification stage after LSH candidate generation. Never all-pairs:
+    * the shingle join keys on (doc, shingle) of the candidate set only.
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val (overlap, shc) = overlapForPairs(pairs, sh)
+    val result = overlap.select(col("id_a"), col("id_b"),
+      (col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+    eagerly(result, shc)
+  }
+
+  /** Shingle containment for candidate pairs: cont_a = |A∩B| / |A| (how
+    * much of document a's shingle set appears in b), and symmetrically
+    * cont_b. The asymmetric near-dup measure Jaccard misses: a short
+    * document quoted whole inside a long one has high containment but
+    * low Jaccard — the quote/boilerplate-inclusion detector of a
+    * training-data pipeline. Same single-corpus-scan plan as
+    * [[jaccardForPairs]].
+    */
+  def containmentForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val (overlap, shc) = overlapForPairs(pairs, sh)
+    val result = overlap.select(col("id_a"), col("id_b"),
+      (col("inter").cast("double") / col("n_a").cast("double")).as("cont_a"),
+      (col("inter").cast("double") / col("n_b").cast("double")).as("cont_b"))
     eagerly(result, shc)
   }
 

@@ -76,4 +76,31 @@ object Sampling {
     }
     df.filter(stratumBucket(col(strataCol), col(keyCol)) < pct)
   }
+
+  /** Per-key cap: keep the first `cap` rows of each `keys` group in
+    * `order` (e.g. at most N documents per domain — the anti-boilerplate
+    * mixture guard). Two-phase for hot keys: a LOCAL cap within each
+    * input partition first (window keyed on (keys, partition id) — the
+    * shuffle key carries the partition salt, so a 10^8-row domain spreads
+    * over all reducers and at most cap·P of its rows survive to phase 2),
+    * then the global cap on the survivors. Result is identical to the
+    * single-phase form for any partitioning (phase 1 keeps a superset of
+    * every group's global first `cap`: a group's partition-local rank is
+    * a lower bound of its global rank).
+    */
+  def capPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                cap: Int): DataFrame = {
+    require(cap >= 1, s"need cap >= 1; got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val localW = Window
+      .partitionBy((keys :+ "__part").map(col): _*).orderBy(order: _*)
+    val globalW = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__part", spark_partition_id()) // projected first: non-
+      // deterministic exprs can't sit inside a window partition spec
+      .withColumn("__lrn", row_number().over(localW))
+      .filter(col("__lrn") <= cap)
+      .withColumn("__rn", row_number().over(globalW))
+      .filter(col("__rn") <= cap)
+      .drop("__part", "__lrn", "__rn")
+  }
 }

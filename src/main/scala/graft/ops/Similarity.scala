@@ -456,4 +456,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): partition the
+    * embedding space into the IVF cells of `centroids` ([[ivfAssign]] —
+    * a narrow argmax scan), then inside each cell drop every vector that
+    * has a LOWER-id cell-mate with cosine >= `threshold` (keep-lowest-id
+    * — deterministic, engine-reproducible). Returns the KEPT vectors as
+    * (id, cell).
+    *
+    * Scale posture: the quadratic step is confined to within-cell pairs
+    * — `m` (centroid count) scales with the corpus so expected cell size
+    * stays bounded, and the super-bucket cap (drops recorded in
+    * [[graft.ops.CapMetrics]] under `"semantic_dedup"`) guards the hot
+    * cells a skewed embedding distribution produces. One shuffle on the
+    * cell id; the pair filter never leaves the cell.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])], threshold: Double,
+                    maxCell: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {
+    val assignedAll = ivfAssign(vectors, idCol, vecCol, centroids)
+      .select(col(idCol).as("__sid"), col(vecCol).as("__sv"), col("__cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, counts) = graft.ops.Dedup.capByKey(
+      assignedAll, Seq("__cell"), maxCell, "semantic_dedup")
+    val a = assigned.select(col("__cell"), col("__sid").as("id_a"), col("__sv").as("v_a"))
+    val b = assigned.select(col("__cell"), col("__sid").as("id_b"), col("__sv").as("v_b"))
+    val losers = a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("__sid")).distinct()
+    val result = assignedAll.join(losers, Seq("__sid"), "left_anti")
+      .select(col("__sid").as("id"), col("__cell").as("cell"))
+    graft.ops.Dedup.eagerly(result, Seq(assignedAll) ++ counts: _*)
+  }
 }

@@ -186,4 +186,42 @@ object TextAnalysis {
       transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)),
       lit(0L),
       (acc, h) => (acc * 131L + h) % FingerprintPrime)
+
+  /** Canonical text form for fuzzy-exact dedup: lowercase, strip
+    * everything but [a-z0-9 ], collapse whitespace runs, trim. Catches
+    * the near-duplicates that differ only in case/punctuation/spacing —
+    * the cheap first dedup tier before MinHash. Narrow, codegen'd; both
+    * regexes behave identically under Java regex and RE2 (no
+    * backreferences, no lookaround), so oracles agree.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Per-document unigram language-model log-likelihood — the classic
+    * corpus-fit quality score (high = stereotypical text, very low =
+    * noise/garbage; a perplexity proxy without an external model: the
+    * corpus itself is the model, as in data-selection importance
+    * sampling). For each document: n_tokens and the mean log2
+    * probability of its tokens under the corpus unigram distribution.
+    *
+    * Scale posture: one token-keyed shuffle builds the vocabulary
+    * (map-side combined; vocabulary-sized result), the corpus total is a
+    * 1-row cross join (broadcast), and the score join keys tokens back
+    * to the vocabulary — hot stop-word keys are bounded per-term groups,
+    * and AQE splits any residual skew. No driver-side vocabulary, so a
+    * 10^9-type vocabulary never needs to fit anywhere whole.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tok.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        avg(log2(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)))
+          .as("mean_log2p"))
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.etl.Scd
+import graft.ops.{Dedup, Multimodal, Pack, Sampling, Scale, Similarity, TextAnalysis}
 
 /** North-star extension queries: dedup, similarity search, text analysis,
   * multimodal — the training-data-pipeline operators beyond the
@@ -656,6 +657,168 @@ object Extensions {
              |GROUP BY date_trunc('hour', ts) ORDER BY count(*) DESC, 1 LIMIT 20)
              |SELECT e.event_id, w.win_start FROM events e JOIN wins w
              |ON e.ts >= w.win_start AND e.ts < w.win_end
-             |ORDER BY e.event_id, w.win_start""".stripMargin.replace("\n", " ")))
+             |ORDER BY e.event_id, w.win_start""".stripMargin.replace("\n", " "))),
+
+    // ---- Round 4: pipeline-depth additions ------------------------------
+
+    // Semantic dedup (SemDeDup): embedding space partitioned into IVF
+    // cells (deterministic id-rank centroids so the oracle can reproduce
+    // the assignment: argmax cosine, ties to the higher cell id — exactly
+    // greatest() over (sim, cell) structs), keep-lowest-id within τ=0.3
+    // inside each cell. Quadratic work never leaves a cell.
+    Q("q_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", m = 8)
+        Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+            threshold = 0.3)
+          .orderBy("id")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+             |FROM embeddings ORDER BY vec_id LIMIT 8),
+             |sims AS (SELECT e.vec_id, cents.cell,
+             |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings e CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM sims) t WHERE rn = 1),
+             |losers AS (SELECT DISTINCT b.vec_id FROM assigned a
+             |JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |JOIN embeddings ea ON ea.vec_id = a.vec_id
+             |JOIN embeddings eb ON eb.vec_id = b.vec_id
+             |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+             |CAST(eb.embedding AS DOUBLE[])) >= 0.3)
+             |SELECT vec_id AS id, cell FROM assigned
+             |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+             |ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // Sequence packing: documents laid end-to-end in id order into
+    // fixed 512-token training sequences — seq_id = floor(exclusive
+    // prefix sum / budget). Spark side is the DISTRIBUTED prefix sum
+    // (range partition → per-partition offsets → parallel windows); the
+    // oracle is the single-window definition it must equal.
+    Q("q_pack_sequences",
+      (s, d) => Pack.packSequences(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 512)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("seq_id"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(floor((sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)
+             |- len(string_split(text, ' '))) / 512.0) AS BIGINT) AS seq_id
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Per-domain cap: at most 10 documents per source (first by doc_id)
+    // — the anti-boilerplate mixture guard. Two-phase row_number under
+    // the hood (partition-local cap first) so a 10^8-row domain never
+    // lands on one reducer.
+    Q("q_domain_cap",
+      (s, d) => Sampling.capPerKey(Tables.documents(s, d), Seq("source"),
+          Seq(col("doc_id")), cap = 10)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (SELECT doc_id, source,
+             |row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |FROM documents) t WHERE rn <= 10 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Type-2 history: collapse the event log to one row per run of equal
+    // event_type per user with validity intervals — the versioned
+    // evolution of the reference's overwrite-per-sync extracts
+    // (app/core/importer.py:242-249 loses history; this keeps it).
+    Q("q_scd2",
+      (s, d) => Scd.type2History(Tables.events(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), Seq("event_type"), col("ts"),
+          carry = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id"),
+      Some("""WITH marked AS (SELECT user_id, event_type, ts, event_id,
+             |(lag(event_type) OVER w IS DISTINCT FROM event_type)
+             |OR row_number() OVER w = 1 AS op
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs AS (SELECT user_id, event_type, event_id, ts AS valid_from
+             |FROM marked WHERE op)
+             |SELECT user_id, event_type, event_id, valid_from,
+             |lead(valid_from) OVER w2 AS valid_to,
+             |lead(valid_from) OVER w2 IS NULL AS is_current
+             |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+             |ORDER BY user_id, valid_from, event_id""".stripMargin.replace("\n", " "))),
+
+    // Corpus-fit quality score: per-document mean log2 probability under
+    // the corpus's own unigram distribution (perplexity proxy — the
+    // data-selection signal that needs no external model). Vocabulary
+    // stays distributed; only the 1-row total is broadcast.
+    Q("q_unigram_lm",
+      (s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id"), col("n_tokens"),
+          round(col("mean_log2p"), 3).as("mean_log2p"))
+        .orderBy("id"),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+             |FROM documents),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS total FROM vocab)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |round(avg(log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 3) AS mean_log2p
+             |FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+             |GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // Skew-salted big-big join (Scale.saltedJoin): lineitem ⋈ orders with
+    // an 8-way salt on the order key — a hot order's lines spread over 8
+    // tasks; the oracle is the plain join it must be row-identical to.
+    Q("q_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+        Scale.saltedJoin(li, ord, Seq("l_orderkey"),
+            entropy = col("l_linenumber"), n = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+
+    // Shingle containment for the LSH candidate pairs: |A∩B|/|A| and
+    // |A∩B|/|B| — the asymmetric inclusion measure Jaccard misses (short
+    // doc quoted whole inside a long one). Same candidates, same single
+    // corpus scan as q_minhash_lsh_pairs.
+    Q("q_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cand = Dedup.lshCandidates(Dedup.lshBands(
+          Dedup.minhashSignatureNarrow(docs, "doc_id", "text")))
+        Dedup.containmentForPairs(cand, Dedup.shingles(docs, "doc_id", "text"))
+          .select(col("id_a"), col("id_b"),
+            round(col("cont_a"), 4).as("cont_a"),
+            round(col("cont_b"), 4).as("cont_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $LshPairsCtes
+             |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sa.n, 4) AS cont_a,
+             |round(CAST(i AS DOUBLE) / sb.n, 4) AS cont_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Canonical text normalization (case/punct/whitespace-invariant
+    // form + md5 fingerprint): the cheap fuzzy-exact dedup tier below
+    // MinHash. Pure narrow codegen; regexes chosen to behave identically
+    // under Java regex and RE2.
+    Q("q_normalize",
+      (s, d) => {
+        val norm = TextAnalysis.normalizeText(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(norm).cast("long").as("norm_len"),
+            md5(norm).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+             |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
+             |md5(trim(regexp_replace(regexp_replace(lower(text),
+             |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }
