@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed extracts — the shuffle-elimination lever for repeated
+  * co-keyed work at 100 TB. A fact table that is joined/aggregated on
+  * the same key every sync (duva re-export joins each sync,
+  * app/core/importer.py:242-249 rebuilds relationships per tick) should
+  * be WRITTEN pre-hashed into N buckets on that key: every later
+  * equi-join between two tables bucketed on the join key (same N), and
+  * every aggregation on the bucket key, then runs with ZERO Exchange —
+  * the most expensive operator in any big plan is paid once at write
+  * time instead of per query.
+  *
+  * Spark bucketing lives in the session catalog (`bucketBy` requires
+  * `saveAsTable`), so this sits in the DDL layer next to [[Ddl]]: the
+  * extract is a managed table under the warehouse dir; address it by
+  * name.
+  */
+object Bucketing {
+
+  /** Write `df` as managed parquet table `table`, hash-bucketed on
+    * `bucketCols` into `numBuckets` files per partition, each sorted on
+    * `sortCols` (defaults to the bucket cols — sorted buckets also give
+    * SortMergeJoin its order for free).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** The bucketed table as a DataFrame (bucketing metadata attached, so
+    * joins/aggs on the bucket key plan without an Exchange).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -291,6 +291,38 @@ object Dedup {
     eagerly(result, shc)
   }
 
+  /** Containment for the LSH candidate pairs of a corpus, end to end —
+    * the scale path: same candidate generation and single-corpus-scan
+    * text fetch as [[nearDupPairs]], with the native
+    * [[graft.functions.ShingleOverlap]] kernel computing both
+    * containments per pair locally (no shingle explode, no
+    * shingle-keyed shuffle — the relational [[containmentForPairs]] is
+    * the composable cross-check, property-tested equal).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 6, bandRows: Int = 2,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
+    val (cand, counts) = lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
+    val pairs = cand.persist(Disk)
+    val txt = candidateTexts(docs, idCol, textCol, pairs)
+    val ov = graft.functions.ShingleOverlap(col("__ta"), col("__tb"), 3)
+    val result = pairs
+      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ov.as("__ov"))
+      // a candidate pair can share a band yet no shingle (chunk-min hash
+      // collision); the relational form and the oracle emit only
+      // overlapping pairs, so filter to |∩| >= 1 for identical output
+      .filter(element_at(col("__ov"), 1) >= 1)
+      .select(col("id_a"), col("id_b"),
+        (element_at(col("__ov"), 1).cast("double") /
+          element_at(col("__ov"), 2).cast("double")).as("cont_a"),
+        (element_at(col("__ov"), 1).cast("double") /
+          element_at(col("__ov"), 3).cast("double")).as("cont_b"))
+    eagerly(result, Seq(sig, pairs, txt) ++ counts: _*)
+  }
+
   /** MinHash+LSH near-dup pipeline: shingle → signature → bands →
     * candidates → Jaccard-verified pairs at `threshold`.
     */
@@ -331,6 +363,73 @@ object Dedup {
     docs.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
       .join(broadcast(candIds), Seq("__cid"), "left_semi")
       .persist(Disk)
+  }
+
+  /** Persist the LSH band index of a corpus: rows (band_id, band_key,
+    * id). This is the incremental-dedup enabler — each new batch (a
+    * daily crawl, say) is deduplicated against the WHOLE historical
+    * corpus by joining its bands against this index, without ever
+    * recomputing the historical signatures: at 100 TB the history is
+    * signed exactly once, and each increment costs one narrow signature
+    * pass over the batch plus a band-keyed join against index rows.
+    * Storage through the Hadoop FS API (`s3a://`-capable) like every
+    * extract ([[graft.etl.Refresh]]).
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, k: Int = 6, bandRows: Int = 2): Unit =
+    lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's bands to an existing index (after the batch is
+    * accepted into the corpus, so the NEXT increment dedups against it).
+    */
+  def appendToBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, k: Int = 6, bandRows: Int = 2): Unit =
+    lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows)
+      .write.mode("append").parquet(path)
+
+  /** Near-dup pairs between a NEW batch and the historical corpus behind
+    * a persisted band index ([[writeBandIndex]]): (id_new, id_old,
+    * jaccard >= threshold). Intra-batch duplicates are [[nearDupPairs]]
+    * on the batch — compose both for full dedup of an increment.
+    *
+    * Plan: one narrow signature pass over the batch, a band-keyed join
+    * of batch bands against index rows (the index side is super-bucket-
+    * capped under `"incremental_lsh"` — a boilerplate bucket in a 10^9-
+    * doc history must not explode any batch), then ONE scan of each side
+    * (batch + `corpus` doc store, both broadcast-semi-joined down to the
+    * candidate ids) for native ShingleJaccard verification.
+    */
+  def nearDupsAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, corpus: DataFrame,
+                           threshold: Double = 0.8, k: Int = 6,
+                           bandRows: Int = 2,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBands = lshBands(
+      minhashSignatureNarrow(newDocs, idCol, textCol, k = k), k, bandRows)
+    val (oldBounded, counts) = capByKey(spark.read.parquet(indexPath),
+      Seq("band_id", "band_key"), maxBucket, "incremental_lsh")
+    val pairs = newBands
+      .select(col("band_id"), col("band_key"), col("id").as("id_new"))
+      .join(oldBounded.select(col("band_id"), col("band_key"),
+        col("id").as("id_old")), Seq("band_id", "band_key"))
+      .filter(col("id_new") =!= col("id_old")) // re-submitted same doc id
+      .select("id_new", "id_old").distinct()
+      .persist(Disk)
+    def sideTexts(df: DataFrame, ids: DataFrame) =
+      df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+        .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
+        .persist(Disk)
+    val newTxt = sideTexts(newDocs, pairs.select(col("id_new").as("__cid")))
+    val oldTxt = sideTexts(corpus, pairs.select(col("id_old").as("__cid")))
+    val result = pairs
+      .join(newTxt.select(col("__cid").as("id_new"), col("__ct").as("__tn")), Seq("id_new"))
+      .join(oldTxt.select(col("__cid").as("id_old"), col("__ct").as("__to")), Seq("id_old"))
+      .select(col("id_new"), col("id_old"),
+        graft.functions.ShingleJaccard(col("__tn"), col("__to"), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    eagerly(result, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering

@@ -785,21 +785,42 @@ object Extensions {
     // doc quoted whole inside a long one). Same candidates, same single
     // corpus scan as q_minhash_lsh_pairs.
     Q("q_containment",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val cand = Dedup.lshCandidates(Dedup.lshBands(
-          Dedup.minhashSignatureNarrow(docs, "doc_id", "text")))
-        Dedup.containmentForPairs(cand, Dedup.shingles(docs, "doc_id", "text"))
-          .select(col("id_a"), col("id_b"),
-            round(col("cont_a"), 4).as("cont_a"),
-            round(col("cont_b"), 4).as("cont_b"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a"), 4).as("cont_a"),
+          round(col("cont_b"), 4).as("cont_b"))
+        .orderBy("id_a", "id_b"),
       Some(s"""WITH $LshPairsCtes
              |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sa.n, 4) AS cont_a,
              |round(CAST(i AS DOUBLE) / sb.n, 4) AS cont_b
              |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Incremental dedup: the "new batch" (doc_id >= 400) deduplicated
+    // against the historical corpus (doc_id < 400) through a PERSISTED
+    // band index — history is signed once at index-build time, never
+    // re-signed per batch. The oracle is the full-corpus pipeline
+    // restricted to crossing pairs (band collision is symmetric, so the
+    // index join finds exactly those).
+    Q("q_incremental_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(col("doc_id") < 400)
+        val idx = "/tmp/graft_band_index_q"
+        Dedup.writeBandIndex(old, "doc_id", "text", idx)
+        Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") >= 400),
+            "doc_id", "text", idx, old, threshold = 0.8)
+          .select(col("id_new"), col("id_old"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_new", "id_old")
+      },
+      Some(s"""WITH $LshPairsCtes
+             |SELECT id_b AS id_new, id_a AS id_old,
+             |round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE id_a < 400 AND id_b >= 400
+             |AND CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
 
     // Canonical text normalization (case/punct/whitespace-invariant
     // form + md5 fingerprint): the cheap fuzzy-exact dedup tier below

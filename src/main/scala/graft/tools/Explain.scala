@@ -2,40 +2,40 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.SparkEntry
-
-/** Plan inspection utility: prints `explain("formatted")` (and optionally
-  * wall time) for the named queries — or all of them — at a given SF dir.
+/** Dev tool: run one SparkEntry query at a given SF dir, print its wall
+  * time and formatted physical plan — the iterate-on-the-plan loop
+  * (SURVEY: ".explain('formatted') the plan and iterate until it's the
+  * plan you'd want").
   *
-  * Usage: runMain graft.tools.Explain <sfDir> [time] [q_name ...]
+  * Usage: runMain graft.tools.Explain <queryName> [sfDir] [reps]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val doTime = args.contains("time")
-    val names = args.drop(1).filter(_.startsWith("q_")) match {
-      case Array() => SparkEntry.queries.keys.toSeq.sorted
-      case qs => qs.toSeq
-    }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val name = args.headOption.getOrElse(sys.error("usage: Explain <query> [sfDir] [reps]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n===== $n =====")
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      df.explain("formatted")
-      if (doTime) {
-        val t0 = System.nanoTime()
-        df.count()
-        println(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[explain] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      spark.catalog.clearCache()
     }
+    println("[explain] === formatted plan ===")
+    val df = fn(spark, sfDir)
+    df.count() // populate AQE final plan
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     spark.stop()
   }
 }

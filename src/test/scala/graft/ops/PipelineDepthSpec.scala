@@ -166,6 +166,58 @@ class PipelineDepthSpec extends SparkSpec {
     c.find(_._2 == 3L).foreach(r => fail(s"disjoint pair should have no overlap row: $r"))
   }
 
+  test("containmentPairs (native kernel) equals containmentForPairs (relational)") {
+    val docs = Tables.documents(spark, sf)
+    val native = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 6).as("ca"), round(col("cont_b"), 6).as("cb"))
+    val cand = Dedup.lshCandidates(Dedup.lshBands(
+      Dedup.minhashSignatureNarrow(docs, "doc_id", "text")))
+    val relational = Dedup
+      .containmentForPairs(cand, Dedup.shingles(docs, "doc_id", "text"))
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 6).as("ca"), round(col("cont_b"), 6).as("cb"))
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+    native.unpersist(); relational.unpersist()
+  }
+
+  // ---- Dedup band index: incremental dedup against history -----------------
+
+  test("nearDupsAgainstIndex equals the batch pipeline restricted to crossing pairs") {
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_band_index_spec"
+    Dedup.writeBandIndex(old, "doc_id", "text", idx)
+    val inc = Dedup.nearDupsAgainstIndex(fresh, "doc_id", "text", idx, old)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 4).as("j"))
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .filter(col("id_a") < 400 && col("id_b") >= 400)
+      .select(col("id_b").as("id_new"), col("id_a").as("id_old"),
+        round(col("jaccard"), 4).as("j"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(inc.count() > 0, "fixture split should cross at least one near-dup pair")
+    inc.unpersist(); full.unpersist()
+  }
+
+  test("appendToBandIndex: the next batch dedups against appended history") {
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_band_index_append"
+    val old = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "one two three four five six")).toDF("doc_id", "text")
+    Dedup.writeBandIndex(old, "doc_id", "text", idx)
+    // batch 1 has no dup in history; accept it into the index
+    assert(Dedup.nearDupsAgainstIndex(b1, "doc_id", "text", idx, old).count() === 0)
+    Dedup.appendToBandIndex(b1, "doc_id", "text", idx)
+    // batch 2 duplicates batch 1 — visible only via the appended segment
+    val hits = Dedup.nearDupsAgainstIndex(b2, "doc_id", "text", idx,
+        old.unionByName(b1))
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(hits === Set((3L, 2L)))
+  }
+
   // ---- TextAnalysis.normalizeText / unigramLogProb -------------------------
 
   test("normalizeText canonicalizes case, punctuation, and whitespace") {
