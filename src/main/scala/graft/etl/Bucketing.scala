@@ -28,6 +28,15 @@ object Bucketing {
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+    val spark = df.sparkSession
+    Ddl.dropTable(spark, table)
+    // an in-memory session catalog forgets tables across JVMs while their
+    // warehouse files survive; clear a stale location or the CREATE path
+    // of saveAsTable refuses it (LOCATION_ALREADY_EXISTS)
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write
       .mode("overwrite")
       .format("parquet")

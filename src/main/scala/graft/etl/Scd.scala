@@ -54,4 +54,13 @@ object Scd {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__ord")
   }
+
+  /** Point-in-time read of a [[type2History]] table: each key's state AS
+    * OF instant `at` (the run whose validity interval covers it). A pure
+    * filter — pushes into the history extract's scan, so a snapshot
+    * query reads only matching row groups.
+    */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

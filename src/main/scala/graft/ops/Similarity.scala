@@ -207,6 +207,8 @@ object Similarity {
     }
     vectors.withColumn("__best", greatest(cells: _*))
       .withColumn("__cell", col("__best.cell"))
+      .withColumn("__sim", col("__best.sim")) // winning similarity — free
+      // here, and cell-quality diagnostics need it (q_ivf_stats)
       .drop("__best")
   }
 
@@ -217,6 +219,20 @@ object Similarity {
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** IVF index diagnostics: per-cell population and similarity-to-
+    * centroid stats — the index-quality signal (a cell with low mean sim
+    * is a poorly-centered region; a giant cell is a probe hot spot and a
+    * skew risk for [[semanticDedup]]). One narrow assign scan + one
+    * map-side-combined aggregate; output is m rows.
+    */
+  def ivfCellStats(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Long, Array[Double])]): DataFrame =
+    ivfAssign(vectors, idCol, vecCol, centroids)
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("__sim")).as("mean_sim"),
+        min(col("__sim")).as("min_sim"))
 
   /** Lloyd's (k-means) refinement of the coarse centroids, entirely in
     * DataFrame ops: per round, assign every vector to its nearest
@@ -294,7 +310,7 @@ object Similarity {
       else ivfCentroids(vectors, idCol, vecCol, m)
     graft.etl.Refresh.overwrite(
       ivfAssign(vectors, idCol, vecCol, centroids)
-        .withColumnRenamed("__cell", "cell"),
+        .withColumnRenamed("__cell", "cell").drop("__sim"),
       path, partitionByCols = Seq("cell"))
     centroids
   }

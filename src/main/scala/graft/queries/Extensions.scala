@@ -796,6 +796,57 @@ object Extensions {
              |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Point-in-time read over the type-2 history: every user's state AS
+    // OF Jan 15 — the query the history table exists for. A pure filter
+    // over the history build.
+    Q("q_scd2_asof",
+      (s, d) => {
+        val hist = Scd.type2History(Tables.events(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), Seq("event_type"), col("ts"),
+          carry = Seq("event_id"))
+        Scd.asOf(hist, lit("2024-01-15 00:00:00").cast("timestamp"))
+          .select(col("user_id"), col("event_type"), col("valid_from"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH marked AS (SELECT user_id, event_type, ts, event_id,
+             |(lag(event_type) OVER w IS DISTINCT FROM event_type)
+             |OR row_number() OVER w = 1 AS op
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs AS (SELECT user_id, event_type, event_id, ts AS valid_from
+             |FROM marked WHERE op),
+             |hist AS (SELECT user_id, event_type, valid_from,
+             |lead(valid_from) OVER w2 AS valid_to
+             |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id))
+             |SELECT user_id, event_type, valid_from FROM hist
+             |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+             |AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+             |ORDER BY user_id, valid_from""".stripMargin.replace("\n", " "))),
+
+    // IVF index diagnostics: per-cell population + similarity-to-centroid
+    // stats (the index-quality / probe-skew signal). Narrow assign scan +
+    // one aggregate; m rows out.
+    Q("q_ivf_stats",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", m = 8)
+        Similarity.ivfCellStats(emb, "vec_id", "embedding", cents)
+          .select(col("cell"), col("n"),
+            round(col("mean_sim"), 4).as("mean_sim"),
+            round(col("min_sim"), 4).as("min_sim"))
+          .orderBy("cell")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+             |FROM embeddings ORDER BY vec_id LIMIT 8),
+             |sims AS (SELECT e.vec_id, cents.cell,
+             |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings e CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, cell, sim FROM (SELECT vec_id, cell, sim,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM sims) t WHERE rn = 1)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+             |round(avg(sim), 4) AS mean_sim, round(min(sim), 4) AS min_sim
+             |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " "))),
+
     // Incremental dedup: the "new batch" (doc_id >= 400) deduplicated
     // against the historical corpus (doc_id < 400) through a PERSISTED
     // band index — history is signed once at index-build time, never

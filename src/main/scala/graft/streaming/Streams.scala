@@ -260,6 +260,56 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus builder with HISTORY-WIDE dedup — the incremental
+    * evolution of batch [[graft.ops.Dedup.nearDupPairs]]: each
+    * micro-batch is deduplicated (a) within itself (keep-lowest-id over
+    * verified near-dup pairs) and (b) against EVERYTHING accepted so
+    * far, through the persisted band index
+    * ([[graft.ops.Dedup.nearDupsAgainstIndex]] — history is signed once,
+    * never re-signed), then survivors append to the clean corpus extract
+    * and their bands to the index, so the NEXT batch dedups against
+    * them. Unlike the watermark-bounded
+    * [[nearDupSuppressStream]]/[[nearDupPairsStream]] (whose state ages
+    * out), the index IS the state — durable, unbounded-horizon, and
+    * shared with batch consumers.
+    */
+  def incrementalDedupQuery(spark: SparkSession, docs: DataFrame,
+                            idCol: String, textCol: String,
+                            corpusPath: String, indexPath: String,
+                            checkpoint: String, threshold: Double = 0.8,
+                            trigger: Trigger = Trigger.AvailableNow()) =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val intra = graft.ops.Dedup.nearDupPairs(batch, idCol, textCol, threshold)
+          val batchClean = batch.join(
+            intra.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+          intra.unpersist(blocking = false)
+          val (fs, idxPath) = Refresh.hfs(spark, indexPath)
+          val survivors = (if (fs.exists(idxPath)) {
+            val cross = graft.ops.Dedup.nearDupsAgainstIndex(
+              batchClean, idCol, textCol, indexPath,
+              spark.read.parquet(corpusPath), threshold)
+            val out = batchClean.join(
+              cross.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+            cross.unpersist(blocking = false)
+            out
+          } else batchClean).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // corpus first, then bands: a crash between the two leaves a
+            // doc unindexed (its dups slip through once) rather than a
+            // band pointing at a doc the corpus doesn't have
+            survivors.write.mode("append").parquet(corpusPath)
+            graft.ops.Dedup.appendToBandIndex(survivors, idCol, textCol, indexPath)
+          } finally survivors.unpersist(blocking = false)
+          ()
+        }
+      }
+      .start()
+
   /** A detected streaming duplicate: `docId` arrived with the same
     * MinHash signature as the earlier `firstDocId`.
     */

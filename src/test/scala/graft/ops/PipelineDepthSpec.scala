@@ -45,7 +45,32 @@ class PipelineDepthSpec extends SparkSpec {
     assert(packed.map(_._2).toSeq === Seq(10L, 600L, 10L, 500L))
   }
 
+  test("packSequences never plans a global (empty-partition) window") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Pack.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 512)
+    // analyzed, not optimized: the returned frame is persisted, so the
+    // optimized plan is just the cache lookup (InMemoryRelation)
+    val winSpecs = packed.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.nonEmpty),
+      s"global window in plan: $winSpecs")
+    packed.unpersist()
+  }
+
   // ---- Sampling.capPerKey ------------------------------------------------
+
+  test("capPerKey's local phase windows on (keys, partition id), global on keys") {
+    val capped = Sampling.capPerKey(Tables.documents(spark, sf),
+      Seq("source"), Seq(col("doc_id")), 7)
+    val winSpecs = capped.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.length
+    }
+    // two windows: the local pre-cap partitions on 2 exprs, the global on 1
+    assert(winSpecs.sorted === Seq(1, 2), s"window specs: $winSpecs")
+  }
 
   test("capPerKey equals single-phase row_number for any partitioning") {
     val docs = Tables.documents(spark, sf)

@@ -377,4 +377,39 @@ class StreamsSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)))
     } finally q.stop()
   }
+
+  test("incrementalDedupQuery builds a deduped corpus with history-wide memory") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmp("inc_corpus") + "/corpus"
+    val index = tmp("inc_index") + "/index"
+    val input = MemoryStream[(Long, String)]
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "totally different content with no overlap at all here"
+    val ckpt = tmp("ckpt_incdedup")
+    val q = incrementalDedupQuery(spark, input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, index, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      // batch 1: intra-batch dup (1, 2 same text) + unique (3)
+      input.addData((1L, textA), (2L, textA), (3L, textB))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after1 === Set(1L, 3L), s"batch 1 kept $after1")
+    } finally q.stop()
+    // batch 2 — the next drain resumes from the SAME checkpoint (only
+    // new offsets): a dup of HISTORY (4 = textA again) must be caught
+    // via the index, new content (5) accepted
+    val q2 = incrementalDedupQuery(spark, input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, index, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      input.addData((4L, textA), (5L, textC))
+      q2.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(after2 === Set(1L, 3L, 5L), s"batch 2 kept $after2")
+    } finally q2.stop()
+  }
 }
