@@ -873,6 +873,70 @@ object Extensions {
              |AND CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
 
+    // The full dedup funnel, composed end to end with per-stage survivor
+    // counts — the corpus-cleaning user story: raw (seeded with case
+    // variants so every stage demonstrably works) → normalized-form
+    // dedup (keep lowest id) → MinHash near-dup canonicalization
+    // (cluster-closure keep-lowest). Oracle replays all three stages in
+    // one recursive-CTE chain.
+    Q("q_dedup_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              upper(col("text")).as("text")))
+        val d1 = graft.catalog.Catalog.dedupFirst(
+          corpus.withColumn("__nk", md5(TextAnalysis.normalizeText(col("text")))),
+          Seq("__nk"), "doc_id").drop("__nk")
+        val pairs = Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.8)
+          .select("id_a", "id_b")
+        val d2 = Dedup.canonicalDocs(d1, "doc_id", pairs)
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("docs"))
+            .select(lit(name).as("stage"), col("docs"))
+        stage("0_raw", corpus)
+          .unionByName(stage("1_normalized", d1))
+          .unionByName(stage("2_canonical", d2))
+          .orderBy("stage")
+      },
+      Some("""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+             |UNION ALL SELECT doc_id + 10000, upper(text) FROM documents WHERE doc_id < 50),
+             |norm AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+             |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk FROM corpus),
+             |keep1 AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY nk),
+             |d1 AS (SELECT c.* FROM corpus c JOIN keep1 USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d1) words,
+             |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+             |sig AS (SELECT id, min(substr(md5(shingle), 1, 5)) AS s0,
+             |min(substr(md5(shingle), 6, 5)) AS s1, min(substr(md5(shingle), 11, 5)) AS s2,
+             |min(substr(md5(shingle), 16, 5)) AS s3, min(substr(md5(shingle), 21, 5)) AS s4,
+             |min(substr(md5(shingle), 26, 5)) AS s5 FROM sh GROUP BY id),
+             |bands AS (SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
+             |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
+             |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+             |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
+             |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+             |GROUP BY c.id_a, c.id_b),
+             |vpairs AS (SELECT id_a, id_b FROM inter
+             |JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |losers AS (SELECT src AS doc_id FROM reach
+             |GROUP BY src HAVING least(src, min(dst)) <> src),
+             |d2 AS (SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+             |SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs FROM corpus
+             |UNION ALL SELECT '1_normalized', CAST(count(*) AS BIGINT) FROM d1
+             |UNION ALL SELECT '2_canonical', CAST(count(*) AS BIGINT) FROM d2
+             |ORDER BY stage""".stripMargin.replace("\n", " "))),
+
     // Canonical text normalization (case/punct/whitespace-invariant
     // form + md5 fingerprint): the cheap fuzzy-exact dedup tier below
     // MinHash. Pure narrow codegen; regexes chosen to behave identically

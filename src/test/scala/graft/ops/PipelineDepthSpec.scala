@@ -127,6 +127,24 @@ class PipelineDepthSpec extends SparkSpec {
     assert(hist.filter(col("user_id") === 3L).count() === 1)
   }
 
+  test("asOf over a written history extract pushes the interval filter to the scan") {
+    val ev = Seq((1L, 1L, "a"), (1L, 5L, "b"), (1L, 9L, "c"))
+      .toDF("user_id", "seq", "state")
+    val hist = Scd.type2History(ev, Seq("user_id"), Seq(col("seq")),
+      Seq("state"), col("seq"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_scd2_extract"
+    hist.write.mode("overwrite").parquet(path)
+    val snap = Scd.asOf(spark.read.parquet(path), lit(6L))
+    val scans = snap.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // valid_from <= 6 reaches the parquet reader (row-group skipping)
+    assert(scans.head.metadata("PushedFilters").contains("LessThanOrEqual(valid_from"),
+      scans.head.metadata("PushedFilters"))
+    assert(snap.select("state").as[String].collect().toSeq === Seq("b"))
+  }
+
   // ---- Similarity.semanticDedup -------------------------------------------
 
   test("semanticDedup: kept set has no within-cell pair over threshold; " +
