@@ -32,6 +32,17 @@ object Ingest {
     df.select(cols.toSeq: _*)
   }
 
+  /** Read newline-delimited JSON — the de-facto LLM-corpus interchange
+    * format (one document object per line; nested metadata as typed
+    * structs, dot-path projectable and prunable). The schema is REQUIRED:
+    * at 100 TB, inference would scan the corpus twice and silently widen
+    * on dirty lines; corpora ship with a declared schema. Missing keys
+    * read as null (JSON's own null policy — the CSV sentinel pass does
+    * not apply).
+    */
+  def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
   /** Read a CSV export the way the reference does: header row, inferred
     * schema, nulls normalized, types collapsed to {long, double, string}.
     */

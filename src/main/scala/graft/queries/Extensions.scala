@@ -873,6 +873,30 @@ object Extensions {
              |AND CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
 
+    // JSONL round-trip (the LLM-corpus interchange format): documents
+    // written as newline-delimited JSON with nested typed metadata, read
+    // back with an explicit schema (no inference scan), nested path
+    // projected. Spark omits null fields on write; both readers surface
+    // the missing key as null.
+    Q("q_jsonl_ingest",
+      (s, d) => {
+        val fixture = "/tmp/graft_jsonl_fixture"
+        Tables.documents(s, d).select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+              .otherwise(col("text")).as("text"),
+            struct(col("lang"), col("source")).as("meta"))
+          .coalesce(1).write.mode("overwrite").json(fixture)
+        graft.etl.Ingest.readJsonl(s, fixture,
+            "doc_id BIGINT, text STRING, meta STRUCT<lang: STRING, source: STRING>")
+          .select(col("doc_id"), col("text"), col("meta.lang").as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, meta.lang AS lang
+             |FROM read_json('/tmp/graft_jsonl_fixture/*.json',
+             |format='newline_delimited',
+             |columns={'doc_id':'BIGINT','text':'VARCHAR','meta':'STRUCT(lang VARCHAR, source VARCHAR)'})
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // The full dedup funnel, composed end to end with per-stage survivor
     // counts — the corpus-cleaning user story: raw (seeded with case
     // variants so every stage demonstrably works) → normalized-form
