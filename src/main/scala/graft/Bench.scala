@@ -95,12 +95,19 @@ object Bench {
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
-        if (!txt.contains("\"sf\":" + jsonStr(sfDir))) Map.empty
+        // whitespace-tolerant: the prev record may have been re-dumped by
+        // a pretty-printer ("sf": "..." with spaces) — r4's deltas came
+        // out empty because the matcher here assumed compact JSON
+        val sfOk = ("\"sf\"\\s*:\\s*" + java.util.regex.Pattern.quote(jsonStr(sfDir)))
+          .r.findFirstIn(txt).isDefined
+        if (!sfOk) Map.empty
         else {
-          val qStart = txt.indexOf("\"queries\":{") + "\"queries\":{".length
-          val qTxt = txt.substring(qStart, txt.indexOf("}", qStart))
-          "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val qm = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
+          qm.map { m =>
+            val qTxt = txt.substring(m.end, txt.indexOf("}", m.end))
+            "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
         }
       } catch { case _: Throwable => Map.empty }
     val deltas = results.flatMap { case (k, ts, _) =>

@@ -73,8 +73,8 @@ object ShingleJaccard {
 
   /** Null (the 0/0 case) only when both sides have no shingles. */
   def jaccard(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
-    val sa = shingleSet(a, n)
-    val sb = shingleSet(b, n)
+    val sa = Shingles.shingleSet(a, n)
+    val sb = Shingles.shingleSet(b, n)
     if (sa.isEmpty && sb.isEmpty) return null
     val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0
@@ -84,29 +84,4 @@ object ShingleJaccard {
       inter.toDouble / (sa.size + sb.size - inter).toDouble)
   }
 
-  private def shingleSet(text: UTF8String, n: Int): java.util.HashSet[String] = {
-    val bytes = text.getBytes
-    var words = 1
-    var p = 0
-    while (p < bytes.length) { if (bytes(p) == ' '.toByte) words += 1; p += 1 }
-    val m = words - n + 1
-    val set = new java.util.HashSet[String](math.max(4, m * 2))
-    if (m <= 0) return set
-    val starts = new Array[Int](words + 1)
-    var wi = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' '.toByte) { starts(wi) = p + 1; wi += 1 }
-      p += 1
-    }
-    starts(words) = bytes.length + 1
-    var i = 0
-    while (i < m) {
-      // shingle i = original byte range covering words [i, i+n) incl. separators
-      set.add(new String(bytes, starts(i), starts(i + n) - 1 - starts(i),
-        java.nio.charset.StandardCharsets.UTF_8))
-      i += 1
-    }
-    set
-  }
 }

@@ -54,8 +54,8 @@ object ShingleOverlap {
     Shim.column(ShingleOverlap(Shim.expression(a), Shim.expression(b), n))
 
   def overlap(a: UTF8String, b: UTF8String, n: Int): GenericArrayData = {
-    val sa = shingleSet(a, n)
-    val sb = shingleSet(b, n)
+    val sa = Shingles.shingleSet(a, n)
+    val sb = Shingles.shingleSet(b, n)
     val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0
     val it = small.iterator()
@@ -63,30 +63,4 @@ object ShingleOverlap {
     new GenericArrayData(Array[Any](inter.toLong, sa.size.toLong, sb.size.toLong))
   }
 
-  // identical set construction to ShingleJaccard.shingleSet — byte-range
-  // shingles, split-keeps-empties semantics
-  private def shingleSet(text: UTF8String, n: Int): java.util.HashSet[String] = {
-    val bytes = text.getBytes
-    var words = 1
-    var p = 0
-    while (p < bytes.length) { if (bytes(p) == ' '.toByte) words += 1; p += 1 }
-    val m = words - n + 1
-    val set = new java.util.HashSet[String](math.max(4, m * 2))
-    if (m <= 0) return set
-    val starts = new Array[Int](words + 1)
-    var wi = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' '.toByte) { starts(wi) = p + 1; wi += 1 }
-      p += 1
-    }
-    starts(words) = bytes.length + 1
-    var i = 0
-    while (i < m) {
-      set.add(new String(bytes, starts(i), starts(i + n) - 1 - starts(i),
-        java.nio.charset.StandardCharsets.UTF_8))
-      i += 1
-    }
-    set
-  }
 }

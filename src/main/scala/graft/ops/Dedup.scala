@@ -46,7 +46,7 @@ object Dedup {
     * once by the caller's own action); callers running many pipelines
     * should `unpersist()` the result when done with it.
     */
-  private[ops] def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
+  private[graft] def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
     try {
       result.persist(Disk)
       try result.count()

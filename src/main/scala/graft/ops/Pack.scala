@@ -44,7 +44,9 @@ object Pack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val totals = ranged.groupBy(col("__part"))
-        .agg(sum(col("n_tokens")).as("__t"))
+        // coalesce: a partition whose tokens are all null must contribute
+        // 0, not NPE the driver-side getLong
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
         .collect()
         .map(r => r.getInt(0) -> r.getLong(1))
         .sortBy(_._1)
@@ -52,14 +54,17 @@ object Pack {
       // numPartitions entries)
       val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
         (p, acc + t)
-      }.tail.zip(totals).map { case ((p, end), (_, t)) => (p, end - t) }.toMap
-      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-        when(col("__part") === p, lit(off)).otherwise(acc)
-      }
+      }.tail.zip(totals).map { case ((p, end), (_, t)) => (p, end - t) }
+      // the offsets rejoin as a broadcast of numPartitions rows — O(1)
+      // hash probe per row, where an equivalent nested when() chain is
+      // O(numPartitions) branches per row and at thousands of range
+      // partitions blows past the codegen method-size limit
+      import ranged.sparkSession.implicits._
+      val offDf = broadcast(offsets.toSeq.toDF("__part", "__off"))
       val w = Window.partitionBy(col("__part")).orderBy(col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val start = sum(col("n_tokens")).over(w) + offCol - col("n_tokens")
-      val result = ranged
+      val start = sum(col("n_tokens")).over(w) + col("__off") - col("n_tokens")
+      val result = ranged.join(offDf, Seq("__part"))
         .select(col("id"), col("n_tokens"),
           floor(start / budget).cast("long").as("seq_id"))
       // materialize while `ranged` is cached: the window must read the

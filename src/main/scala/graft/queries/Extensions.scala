@@ -857,7 +857,7 @@ object Extensions {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val old = docs.filter(col("doc_id") < 400)
-        val idx = "/tmp/graft_band_index_q"
+        val idx = Fixtures.dir("band_index_q", d)
         Dedup.writeBandIndex(old, "doc_id", "text", idx)
         Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") >= 400),
             "doc_id", "text", idx, old, threshold = 0.8)
@@ -880,7 +880,7 @@ object Extensions {
     // the missing key as null.
     Q("q_jsonl_ingest",
       (s, d) => {
-        val fixture = "/tmp/graft_jsonl_fixture"
+        val fixture = Fixtures.dir("jsonl_fixture", d)
         Tables.documents(s, d).select(col("doc_id"),
             when(col("doc_id") % 13 === 0, lit(null).cast("string"))
               .otherwise(col("text")).as("text"),
@@ -891,8 +891,8 @@ object Extensions {
           .select(col("doc_id"), col("text"), col("meta.lang").as("lang"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, text, meta.lang AS lang
-             |FROM read_json('/tmp/graft_jsonl_fixture/*.json',
+      Some(s"""SELECT doc_id, text, meta.lang AS lang
+             |FROM read_json('${Fixtures.sqlDir("jsonl_fixture")}/*.json',
              |format='newline_delimited',
              |columns={'doc_id':'BIGINT','text':'VARCHAR','meta':'STRUCT(lang VARCHAR, source VARCHAR)'})
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),

@@ -1,0 +1,34 @@
+package graft.queries
+
+/** Scratch paths for queries that WRITE their own input as a side effect
+  * (the CSV/JSONL ingest round-trips, the incremental band index).
+  *
+  * Paths are rooted at `java.io.tmpdir` and scoped by the sf dir's
+  * basename, so a bench run at sf0.1 and a correctness run at sf0.01
+  * never race on the same files. Oracle SQL that reads a fixture embeds
+  * [[SfToken]] in place of the sf basename; [[render]] — called by
+  * [[graft.Verify]] when dumping `oracle_sql.json`, i.e. after every
+  * Spark query ran and produced its fixture — substitutes the actual
+  * value. Ordering note: a fixture-reading oracle is only meaningful
+  * AFTER the Spark side ran; the driver's contract (Verify materializes
+  * all query results, then DuckDB replays the dumped SQL) guarantees
+  * exactly that.
+  */
+object Fixtures {
+
+  /** Placeholder for the sf basename inside oracle SQL. */
+  val SfToken = "__GRAFT_SF__"
+
+  private def tmp = sys.props("java.io.tmpdir").stripSuffix("/")
+
+  /** Fixture dir for the Spark side of a query, unique per sf dir. */
+  def dir(name: String, sfDir: String): String =
+    s"$tmp/graft_${name}_${new java.io.File(sfDir).getName}"
+
+  /** The same path with the sf basename as a token — for oracle SQL. */
+  def sqlDir(name: String): String = s"$tmp/graft_${name}_$SfToken"
+
+  /** Resolve [[SfToken]] in oracle SQL against the run's actual sf dir. */
+  def render(sql: String, sfDir: String): String =
+    sql.replace(SfToken, new java.io.File(sfDir).getName)
+}

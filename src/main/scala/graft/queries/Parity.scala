@@ -41,11 +41,11 @@ object Parity {
     // export with BOTH null sentinels ("n/a", "") and mixed inferable
     // types, read through Ingest.readCsv's inferSchema → null-normalize →
     // type-collapse policy (app/core/importer.py:54-74). The fixture is
-    // derived deterministically from the customer table and staged at a
-    // fixed path both engines read.
+    // derived deterministically from the customer table and staged at an
+    // sf-scoped tmp path both engines read (Fixtures.dir / SfToken).
     Q("q_csv_ingest",
       (s, d) => {
-        val fixture = "/tmp/graft_csv_fixture"
+        val fixture = Fixtures.dir("csv_fixture", d)
         Tables.customer(s, d).select(
             col("c_custkey"),
             col("c_name"),
@@ -59,8 +59,8 @@ object Parity {
           .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
           .orderBy("c_custkey")
       },
-      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-             |FROM read_csv('/tmp/graft_csv_fixture/*.csv', header=true,
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             |FROM read_csv('${Fixtures.sqlDir("csv_fixture")}/*.csv', header=true,
              |nullstr=['n/a',''],
              |columns={'c_custkey':'BIGINT','c_name':'VARCHAR','c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'})
              |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),

@@ -287,17 +287,20 @@ object Streams {
           val intra = graft.ops.Dedup.nearDupPairs(batch, idCol, textCol, threshold)
           val batchClean = batch.join(
             intra.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
-          intra.unpersist(blocking = false)
           val (fs, idxPath) = Refresh.hfs(spark, indexPath)
+          // materialize survivors WHILE intra/cross are still cached
+          // (eagerly = persist→count→unpersist intermediates): unpersisting
+          // them before the first action on survivors would re-run the
+          // whole candidate pipeline — including a corpus scan concurrent
+          // with the append below — once per micro-batch
           val survivors = (if (fs.exists(idxPath)) {
             val cross = graft.ops.Dedup.nearDupsAgainstIndex(
               batchClean, idCol, textCol, indexPath,
               spark.read.parquet(corpusPath), threshold)
             val out = batchClean.join(
               cross.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
-            cross.unpersist(blocking = false)
-            out
-          } else batchClean).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            graft.ops.Dedup.eagerly(out, intra, cross)
+          } else graft.ops.Dedup.eagerly(batchClean, intra))
           try {
             // corpus first, then bands: a crash between the two leaves a
             // doc unindexed (its dups slip through once) rather than a

@@ -46,11 +46,16 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    // self-contained: both tables created HERE, so the test passes when
+    // run alone or reordered (no dependency on the first test's tables)
     Bucketing.writeBucketed(Tables.orders(spark, sf), "b_orders_4",
       Seq("o_orderkey"), numBuckets = 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem_8", Seq("o_orderkey"), numBuckets = 8)
     withNoBroadcast {
       val joined = Bucketing.readBucketed(spark, "b_orders_4")
-        .join(Bucketing.readBucketed(spark, "b_lineitem"), Seq("o_orderkey"))
+        .join(Bucketing.readBucketed(spark, "b_lineitem_8"), Seq("o_orderkey"))
       // one side re-shuffles (or re-buckets); result still correct
       assert(joined.count() === Tables.lineitem(spark, sf).count())
     }
