@@ -53,6 +53,7 @@ object SparkEntry {
     "q_lang_id", "q_fingerprint", "q_asof_join", "q_range_join",
     "q_semantic_dedup", "q_pack_sequences", "q_domain_cap", "q_scd2",
     "q_scd2_asof", "q_unigram_lm", "q_salted_join", "q_containment",
-    "q_normalize", "q_incremental_neardup", "q_ivf_stats"
+    "q_normalize", "q_incremental_neardup", "q_ivf_stats",
+    "q_bloom_decontaminate", "q_paragraph_dedup"
   ).filter(queries.contains)
 }

@@ -564,6 +564,66 @@ object Dedup {
           col("n_shingles").cast("double")).as("overlap_ratio"))
   }
 
+  /** [[contamination]]'s scale path for when the benchmark shingle SET
+    * outgrows an exact broadcast (≳10^8 distinct shingles is multi-GB of
+    * strings): the membership test ships as a Bloom SKETCH over the
+    * shingles' 64-bit hashes instead — ~10 bits/item at 1% fpp, so a
+    * 10^8-shingle benchmark is a ~120 MB task-side constant. The sketch
+    * prefilters the corpus's exploded shingles map-side (catalyst's
+    * native `might_contain`, codegen'd — the expression Spark's own
+    * runtime row-filtering injects), so only PROBABLE hits — true hits
+    * plus an fpp-fraction of the corpus shingle volume — ever reach the
+    * exact semi-join that removes false positives. That residual join is
+    * a plain shuffle join sized by contamination, NOT corpus size, and
+    * never needs the bench set broadcast. Output is EXACTLY
+    * [[contamination]]'s: the sketch cuts join volume, never the answer
+    * (property-pinned in DedupSpec).
+    *
+    * `expectedItems < 0` derives the sketch size from a distinct count
+    * over the bench side (bench-sized job; pass the estimate when the
+    * bench is itself huge).
+    */
+  def bloomContamination(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         fpp: Double = 0.01,
+                         expectedItems: Long = -1L): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+      .persist(Disk)
+    try {
+      val hashed = benchShingles.select(xxhash64(col("shingle")).as("h"))
+      val items = if (expectedItems >= 0) expectedItems else hashed.count()
+      val bf = hashed.stat.bloomFilter("h", math.max(items, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probablyInBench = org.apache.spark.sql.graftshim.Shim
+        .bloomMightContain(bos.toByteArray, xxhash64(col("shingle")))
+
+      val own = docs.select(col(idCol).as("id"),
+          size(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
+            .cast(LongType).as("n_shingles"))
+        .filter(col("n_shingles") > 0)
+      val hits = docs
+        .select(col(idCol).as("id"),
+          explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
+        .filter(probablyInBench) // map-side: non-hits never shuffle
+        // exact residual join (no broadcast REQUIRED — the bench side may
+        // exceed any broadcast threshold; AQE may still pick one when it
+        // happens to fit, which is fine)
+        .join(benchShingles, Seq("shingle"), "left_semi")
+        .groupBy(col("id")).agg(countDistinct(col("shingle")).as("n_overlap"))
+      val result = own.join(hits, Seq("id"), "left")
+        .select(col("id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("overlap_ratio"))
+      eagerly(result, benchShingles)
+    } catch {
+      case t: Throwable => benchShingles.unpersist(blocking = false); throw t
+    }
+  }
+
   /** 64 signature bits: with `maxHamming = 1` banding that is 2 bands of
     * 2^32 keys each — a band key space that still spreads a billion-doc
     * corpus (E[bucket] ~ n/2^32), unlike 32-bit SimHash whose 2^16 keys

@@ -38,12 +38,29 @@ object Scale {
     * replicated once per salt value, and the join key becomes
     * (keys, salt) — so a hot key's rows spread over `n` tasks instead of
     * one straggler. Result is row-identical to the unsalted join.
+    *
+    * Salting only pays under a SHUFFLE join — a broadcast join never
+    * shuffles the probe side, so there is no reducer skew to fix, and
+    * replicating the build side `n`× before broadcasting it just inflates
+    * the broadcast and its hash table `n`×. So when the small side's
+    * optimizer estimate fits the session's broadcast threshold, this
+    * plans the plain broadcast join (identical rows); the salted path
+    * engages exactly when the join would shuffle. Pass `forceSalt = true`
+    * to exercise the salted plan regardless (tests, known-bad estimates).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
-                 entropy: Column, n: Int, joinType: String = "inner"): DataFrame = {
-    val saltedLarge = large.withColumn("__salt", salt(entropy, n))
-    val replicated = small.withColumn("__salt", explode(
-      array((0 until n).map(i => lit(i.toLong)): _*)))
-    saltedLarge.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+                 entropy: Column, n: Int, joinType: String = "inner",
+                 forceSalt: Boolean = false): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.graftshim.Shim.autoBroadcastThreshold(large.sparkSession)
+    val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!forceSalt && threshold > 0 && smallBytes <= threshold)
+      large.join(broadcast(small), keys, joinType)
+    else {
+      val saltedLarge = large.withColumn("__salt", salt(entropy, n))
+      val replicated = small.withColumn("__salt", explode(
+        array((0 until n).map(i => lit(i.toLong)): _*)))
+      saltedLarge.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    }
   }
 }

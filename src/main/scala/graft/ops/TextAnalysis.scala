@@ -133,6 +133,23 @@ object TextAnalysis {
       i => concat_ws(" ", slice(w, (i * step + 1).cast("int"), lit(size))))
   }
 
+  /** Remove repeated segments WITHIN a document (boilerplate paragraphs,
+    * duplicated sentences — the intra-doc cousin of corpus-level dedup):
+    * split on `sep`, keep each segment's FIRST occurrence in order, and
+    * re-join. A document with no repeats round-trips byte-exact. Pure
+    * narrow array projection — one corpus scan, no explode, no shuffle;
+    * the first-occurrence test is array_position == own index (O(s²) in
+    * the document's segment count, which is bounded and tiny next to the
+    * scan). DuckDB mirror: `list_filter(l, (x,i) -> list_position(l,x)
+    * = i)` (both engines' position are 1-based; Spark's lambda index is
+    * 0-based, hence the +1).
+    */
+  def dedupSegments(text: Column, sep: String = ". "): Column = {
+    val segs = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(segs, (x, i) => array_position(segs, x) === i + lit(1L)), sep)
+  }
+
   /** Truncate to the first `maxTokens` whitespace tokens (training-prep
     * length cap). Split→slice→re-join reproduces the original byte-exact
     * when under the cap (single-space join is the split's inverse,

@@ -760,9 +760,13 @@ object Extensions {
              |FROM tok JOIN vocab USING (tok) CROSS JOIN tot
              |GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
 
-    // Skew-salted big-big join (Scale.saltedJoin): lineitem ⋈ orders with
-    // an 8-way salt on the order key — a hot order's lines spread over 8
-    // tasks; the oracle is the plain join it must be row-identical to.
+    // Skew-safe join (Scale.saltedJoin): lineitem ⋈ orders with an 8-way
+    // salt on the order key — a hot order's lines spread over 8 tasks
+    // when the join shuffles. The operator is adaptive: at this sf orders
+    // fits the broadcast threshold, so it plans the plain broadcast join
+    // (no shuffle → no skew to fix → no salt overhead); at 100 TB the
+    // same call degrades to the salted shuffle join. The oracle is the
+    // plain join it must be row-identical to on either path.
     Q("q_salted_join",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -979,6 +983,88 @@ object Extensions {
              |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
              |md5(trim(regexp_replace(regexp_replace(lower(text),
              |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Intra-document repeated-segment removal (boilerplate paragraphs /
+    // duplicated sentences): the corpus is seeded with "text. first-8-
+    // tokens. text" so every doc demonstrably carries a full repeat and
+    // a partial non-repeat; dedupSegments keeps first occurrences in
+    // order. Narrow projection — one scan, no shuffle.
+    Q("q_paragraph_dedup",
+      (s, d) => {
+        val seeded = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(". "),
+            TextAnalysis.truncateTokens(col("text"), 8), lit(". "),
+            col("text")).as("t"))
+        seeded.select(col("doc_id"),
+            TextAnalysis.dedupSegments(col("t")).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (SELECT doc_id, text || '. ' ||
+             |array_to_string((string_split(text, ' '))[1:8], ' ') || '. ' || text AS t
+             |FROM documents),
+             |segs AS (SELECT doc_id, string_split(t, '. ') AS l FROM seeded)
+             |SELECT doc_id, array_to_string(
+             |list_filter(l, (x,i) -> list_position(l,x) = i), '. ') AS text_clean
+             |FROM segs ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Bloom-prefiltered decontamination — contamination()'s scale path
+    // for a benchmark whose exact shingle set outgrows a broadcast: the
+    // membership test ships as a ~10-bits/item Bloom sketch probed
+    // map-side (catalyst might_contain), and only probable hits reach
+    // the exact residual join that removes false positives. The oracle
+    // is the EXACT computation — the sketch must not change the answer.
+    Q("q_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        Dedup.bloomContamination(train, bench, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+            round(col("overlap_ratio"), 5).as("overlap_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesCte,
+             |own AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles
+             |FROM sh WHERE id % 50 <> 0 GROUP BY id),
+             |b AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+             |hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_overlap FROM sh
+             |WHERE id % 50 <> 0 AND shingle IN (SELECT shingle FROM b) GROUP BY id)
+             |SELECT own.id AS doc_id, n_shingles,
+             |CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+             |round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_shingles, 5) AS overlap_ratio
+             |FROM own LEFT JOIN hits ON own.id = hits.id
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ORC interchange round-trip (Spark-native columnar format besides
+    // parquet): write the documents profile to ORC, read it back, and
+    // aggregate — the oracle computes the same aggregate straight from
+    // the parquet table, so the round-trip must be value-exact.
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val fixture = Fixtures.dir("orc_fixture", d)
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").orc(fixture)
+        s.read.orc(fixture)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "))),
+
+    // Deterministic corpus shuffle — the reproducible epoch-ordering
+    // step before training: sort key = md5(seed || id), a seeded
+    // permutation both engines derive identically. Spark executes the
+    // ORDER BY as a range-partitioned distributed sort (no single-task
+    // sort at any scale).
+    Q("q_corpus_shuffle",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("sort_key"))
+        .orderBy("sort_key", "doc_id"),
+      Some("""SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+             |FROM documents ORDER BY sort_key, doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -26,6 +26,28 @@ object Shim {
       org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
         .collectTopK(expression(c), k, reverse))
 
+  /** Native Bloom-membership probe: catalyst's `BloomFilterMightContain`
+    * over a serialized `org.apache.spark.util.sketch.BloomFilter` literal
+    * — the same expression Spark's own runtime row-level filtering
+    * injects, codegen'd, deserializing the sketch ONCE per task. `value`
+    * must be the LongType hash the sketch was built from (both sides
+    * `putLong`/`mightContainLong`, e.g. `xxhash64(col)`).
+    */
+  def bloomMightContain(serialized: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          serialized, org.apache.spark.sql.types.BinaryType),
+        expression(value)))
+
+  /** The session's broadcast-join size threshold in bytes (-1 = disabled).
+    * (`sessionState` is `private[sql]`; operators that adapt their plan to
+    * broadcastability — e.g. skipping a salt that only pays off under a
+    * shuffle join — read it through this shim.)
+    */
+  def autoBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
   /** Apply a `SparkSessionExtensions` configurator to a LIVE session's
     * function registry — the injection Spark performs at session build
     * (`spark.sql.extensions`), made available post-hoc. Only function

@@ -176,6 +176,42 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 4L, 0L, 0.0)))
   }
 
+  test("bloomContamination equals exact contamination; sketch probe is in the plan") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id"), $"text")
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id".as("id"), $"text")
+    val exact = Dedup.contamination(train, bench, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    val bloom = Dedup.bloomContamination(train, bench, "id", "text")
+    // the Bloom sketch is a prefilter only: answers must be identical
+    assert(bloom.orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq == exact)
+    assert(exact.exists(_._3 > 0), "seed corpus must actually contaminate")
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    bloom.unpersist(blocking = false)
+  }
+
+  test("dedupSegments keeps first occurrences in order; no-repeat text round-trips") {
+    val df = Seq(
+      (1L, "alpha beta. gamma. alpha beta. delta. gamma"),
+      (2L, "no repeats here. at all"),
+      (3L, "solo")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.dedupSegments($"t").as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha beta. gamma. delta"),
+      (2L, "no repeats here. at all"),
+      (3L, "solo")))
+    // idempotent: a deduped document is a fixed point
+    val twice = df.select($"id",
+        TextAnalysis.dedupSegments(TextAnalysis.dedupSegments($"t")).as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(twice == out)
+  }
+
   test("stratified sample is deterministic and a per-stratum subset") {
     val df = (1L to 400L).map(i => (s"src${i % 4}", i)).toDF("source", "id")
     val s1 = Sampling.stratifiedSampleByHash(df, "source", "id", 25)

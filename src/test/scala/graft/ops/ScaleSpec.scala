@@ -26,16 +26,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("saltedJoin is row-identical to the plain join") {
+  test("saltedJoin is row-identical to the plain join on both paths") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val custDim = Tables.customer(spark, sf)
       .select($"c_custkey".as("o_custkey"), $"c_name")
     val plain = orders.join(custDim, Seq("o_custkey"))
       .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
+
+    // broadcastable small side → the salt is skipped entirely (no
+    // Generate/explode anywhere in the plan): under a broadcast join
+    // there is no shuffle skew for a salt to fix
+    val auto = Scale.saltedJoin(orders, custDim, Seq("o_custkey"),
+      entropy = $"o_orderkey", n = 8)
+    assert(!auto.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(auto.select("o_orderkey", "c_name")
+      .as[(Long, String)].collect().sorted.toSeq == plain)
+
+    // forceSalt exercises the salted (key, salt) join — still identical
     val salted = Scale.saltedJoin(orders, custDim, Seq("o_custkey"),
-        entropy = $"o_orderkey", n = 8)
-      .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
-    assert(salted == plain)
+        entropy = $"o_orderkey", n = 8, forceSalt = true)
+    assert(salted.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(salted.select("o_orderkey", "c_name")
+      .as[(Long, String)].collect().sorted.toSeq == plain)
     assert(plain.nonEmpty)
   }
 
