@@ -88,9 +88,19 @@ object TextAnalysis {
   /** Word n-gram shingles of one document as an ARRAY column (with
     * multiplicity) — the narrow, per-row form of Dedup's shingle stream:
     * no explode, no shuffle, usable inside any projection. Documents with
-    * fewer than `n` words yield an empty array.
+    * fewer than `n` words yield an empty array. Native codegen kernel
+    * ([[graft.functions.ShingleArray]] — one byte-range slice per
+    * shingle); [[shingleArrayComposable]] is the built-in-ops form it is
+    * property-tested equal to.
     */
-  def shingleArray(text: Column, n: Int = 3): Column = {
+  def shingleArray(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleArray(text, n)
+
+  /** The composable (HOF) formulation of [[shingleArray]] — interpreted
+    * per-element, ~10x slower on corpus scans; kept as the cross-check
+    * the native kernel is property-tested against.
+    */
+  def shingleArrayComposable(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),

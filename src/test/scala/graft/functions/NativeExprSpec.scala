@@ -33,6 +33,22 @@ class NativeExprSpec extends SparkSpec {
     assert(narrow.filter($"id" === 2L).isEmpty)
   }
 
+  test("native shingle_array == composable HOF form on documents and edges") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(Seq(
+        (100001L, "a  b c d"),        // empty word from double space
+        (100002L, "one two"),         // < 3 words -> empty array
+        (100003L, "x y z"),           // exactly one shingle
+        (100004L, " lead and trail ") // leading/trailing empties are words
+      ).toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      graft.ops.TextAnalysis.shingleArray($"text", 3).as("nat"),
+      graft.ops.TextAnalysis.shingleArrayComposable($"text", 3).as("comp"))
+    assert(both.filter(not($"nat" <=> $"comp")).isEmpty)
+    assert(both.filter($"doc_id" === 100002L).select(size($"nat"))
+      .as[Int].head() === 0)
+  }
+
   test("shingle jaccard matches the relational shingle-join formulation") {
     val docs = Tables.documents(spark, sf).limit(50).cache()
     val pairs = docs.select($"doc_id".as("id_a"))
