@@ -56,6 +56,18 @@ object GraftFunctions {
         require(args.length == 3, s"shingle_jaccard takes 3 arguments, got ${args.length}")
         ShingleJaccard(args.head, args(1), intArg(args(2), "shingle_jaccard", 2))
       }),
+    (FunctionIdentifier("shingle_array"),
+      info(classOf[ShingleArray], "shingle_array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"shingle_array takes 2 arguments, got ${args.length}")
+        ShingleArray(args.head, intArg(args(1), "shingle_array", 1))
+      }),
+    (FunctionIdentifier("shingle_overlap"),
+      info(classOf[ShingleOverlap], "shingle_overlap"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"shingle_overlap takes 3 arguments, got ${args.length}")
+        ShingleOverlap(args.head, args(1), intArg(args(2), "shingle_overlap", 2))
+      }),
     (FunctionIdentifier("image_dims"),
       info(classOf[ImageDims], "image_dims"),
       (args: Seq[Expression]) => {

@@ -43,6 +43,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
+  test("shingle_array and shingle_overlap run from SQL") {
+    val arr = spark.sql("SELECT shingle_array('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(arr == Seq("a b c", "b c d"))
+    val ov = spark.sql("SELECT shingle_overlap('a b c d', 'a b c e', 3) AS o")
+      .as[Seq[Long]].head()
+    assert(ov == Seq(1L, 2L, 2L)) // |A∩B|, |A|, |B|
+  }
+
   test("the SQL path uses the native expression (no UDF) in the plan") {
     spark.range(1).selectExpr("'x y z' AS t").createOrReplaceTempView("docs_v")
     val p = spark.sql("SELECT simhash64(t) FROM docs_v")
