@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.etl.Scd
-import graft.ops.{Dedup, Multimodal, Pack, Sampling, Scale, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pack, Resample, Sampling, Scale, Similarity, TextAnalysis}
 
 /** North-star extension queries: dedup, similarity search, text analysis,
   * multimodal — the training-data-pipeline operators beyond the
@@ -1065,6 +1065,29 @@ object Extensions {
           md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("sort_key"))
         .orderBy("sort_key", "doc_id"),
       Some("""SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key
-             |FROM documents ORDER BY sort_key, doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY sort_key, doc_id""".stripMargin.replace("\n", " "))),
+
+    // Calendar gap-fill + forward fill (LOCF): each user's mean daily
+    // value resampled onto their dense [first, last] day range, missing
+    // days carrying the last observation — the time-series
+    // regularization step before any per-period feature. Spine rows ∝
+    // users × span (never events); LOCF is one key-partitioned window.
+    Q("q_gapfill",
+      (s, d) => Resample.gapFillDaily(
+          Tables.events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts", round(avg(col("value")), 4))
+        .orderBy("user_id", "day"),
+      Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |round(avg(value), 4) AS v FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |spine AS (SELECT user_id,
+             |unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+             |FROM daily GROUP BY user_id),
+             |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+             |LEFT JOIN daily d USING (user_id, day))
+             |SELECT user_id, day, last_value(v IGNORE NULLS) OVER
+             |(PARTITION BY user_id ORDER BY day
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+             |CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+             |FROM j ORDER BY user_id, day""".stripMargin.replace("\n", " ")))
   )
 }

@@ -212,6 +212,26 @@ class OpsSpec extends SparkSpec {
     assert(twice == out)
   }
 
+  test("gapFillDaily: dense spine, LOCF carry, per-key independence") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 12:00:00", 20.0), // same day -> one daily row
+      (1L, "2024-01-04 09:00:00", 40.0), // 2-day gap
+      (2L, "2024-02-10 00:00:00", 7.0)   // single-day key
+    ).toDF("user_id", "ts", "value")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"value")
+    val out = Resample.gapFillDaily(ev, "user_id", "ts", avg($"value"))
+      .orderBy("user_id", "day")
+      .select($"user_id", $"day".cast("string"), $"v_ff", $"filled")
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 15.0, 0),
+      (1L, "2024-01-02", 15.0, 1), // filled with last observation
+      (1L, "2024-01-03", 15.0, 1),
+      (1L, "2024-01-04", 40.0, 0),
+      (2L, "2024-02-10", 7.0, 0))) // key 2's spine unaffected by key 1
+  }
+
   test("stratified sample is deterministic and a per-stratum subset") {
     val df = (1L to 400L).map(i => (s"src${i % 4}", i)).toDF("source", "id")
     val s1 = Sampling.stratifiedSampleByHash(df, "source", "id", 25)
