@@ -54,6 +54,8 @@ object SparkEntry {
     "q_semantic_dedup", "q_pack_sequences", "q_domain_cap", "q_scd2",
     "q_scd2_asof", "q_unigram_lm", "q_salted_join", "q_containment",
     "q_normalize", "q_incremental_neardup", "q_ivf_stats",
-    "q_bloom_decontaminate", "q_paragraph_dedup"
+    "q_bloom_decontaminate", "q_paragraph_dedup",
+    "q_tpch_q18", "q_bigram_lm", "q_lexical_diversity", "q_funnel",
+    "q_cohort_retention"
   ).filter(queries.contains)
 }

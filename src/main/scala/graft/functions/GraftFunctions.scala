@@ -79,6 +79,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"audio_meta takes 1 argument, got ${args.length}")
         AudioMeta(args.head)
+      }),
+    (FunctionIdentifier("video_meta"),
+      info(classOf[VideoMeta], "video_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"video_meta takes 1 argument, got ${args.length}")
+        VideoMeta(args.head)
       }))
 
   /** Register all functions into a LIVE session through the same

@@ -59,6 +59,14 @@ object Multimodal {
   def withAudioMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("audio_meta", graft.functions.AudioMeta(col(payloadCol)))
 
+  /** REAL video metadata from container headers (ISO BMFF moov/mvhd +
+    * trak/tkhd, AVI avih — [[graft.functions.VideoMeta]]): duration and
+    * display size. Duration filtering and hour-count accounting over a
+    * video corpus without decoding a frame.
+    */
+  def withVideoMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("video_meta", graft.functions.VideoMeta(col(payloadCol)))
+
   val FeatureDim = 16
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.

@@ -251,4 +251,90 @@ object TextAnalysis {
         avg(log2(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)))
           .as("mean_log2p"))
   }
+
+  /** Adjacent-token bigrams of a document, each as "w1 w2" — a narrow
+    * zip of the token array with its own tail (no explode here; callers
+    * explode when they need the stream). A document under 2 tokens
+    * yields an empty array.
+    */
+  def bigramArray(text: Column): Column = {
+    val w = tokens(text)
+    val n = org.apache.spark.sql.functions.size(w)
+    zip_with(
+      slice(w, lit(1), greatest(n - 1, lit(0))),
+      slice(w, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Per-document mean log2 conditional bigram probability under the
+    * corpus's own bigram model — the order-2 refinement of
+    * [[unigramLogProb]] (the standard KenLM-style fluency proxy for data
+    * selection, no external model needed): P(w2 | w1) = count(w1 w2) /
+    * count(w1 as a bigram prefix). Documents under 2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Scale posture: the bigram vocabulary is one keyed shuffle of the
+    * bigram stream with full map-side combine; prefix counts derive from
+    * the VOCABULARY (bigram-types-sized, not corpus-sized) by a second
+    * tiny agg; the score join keys bigram occurrences back by bigram.
+    * Hot function-word prefixes are bounded per-key groups; AQE splits
+    * residual skew. Nothing corpus-sized reaches the driver.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("id"),
+      explode(bigramArray(col(textCol))).as("bg"))
+    val bgCnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val prefCnt = bgCnt
+      .groupBy(substring_index(col("bg"), " ", 1).as("pref"))
+      .agg(sum(col("cb")).as("cp"))
+    bg.join(bgCnt, Seq("bg"))
+      .join(prefCnt, substring_index(col("bg"), " ", 1) === col("pref"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        avg(log2(col("cb").cast(DoubleType) / col("cp").cast(DoubleType)))
+          .as("mean_log2p"))
+  }
+
+  /** Per-document lexical-diversity stats: token count, distinct-token
+    * count, type-token ratio, and Shannon entropy (bits) of the
+    * document's own token distribution — the vocabulary-richness /
+    * degeneracy signals (spam and template pages score near 0 entropy).
+    *
+    * Entropy in one aggregation pass via H = log2(n) − Σ c·log2(c) / n,
+    * so no per-document second scan is needed. One (id, token)-keyed
+    * shuffle with map-side combine, then an id-keyed rollup — both
+    * partition cleanly at any corpus size.
+    */
+  def lexicalStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCnt = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    tokCnt.groupBy(col("id"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum(col("c").cast(DoubleType) * log2(col("c").cast(DoubleType))).as("__clc"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("ttr"),
+        (log2(col("n_tokens").cast(DoubleType)) -
+          col("__clc") / col("n_tokens").cast(DoubleType)).as("entropy"))
+  }
+
+  /** Reassemble exploded chunks back into documents in chunk order — the
+    * inverse of [[chunks]] at overlap=0, and the general shuffle-safe
+    * ordered concat (shard merging, ordered string_agg). `collect_list`
+    * alone is partition-order-nondeterministic, so each chunk is carried
+    * with its position and the array is sorted AFTER collection:
+    * determinism costs one per-group array sort of the group's own
+    * chunks, never a global sort.
+    */
+  def reassembleChunks(chunked: DataFrame, idCol: String, posCol: String,
+                       chunkCol: String, sep: String = " "): DataFrame =
+    chunked.groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(posCol).cast(LongType).as("p"),
+              col(chunkCol).as("c")))),
+            x => x.getField("c")),
+          sep).as("text"))
 }

@@ -1,11 +1,12 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.etl.Scd
-import graft.ops.{Dedup, Multimodal, Pack, Resample, Sampling, Scale, Similarity, TextAnalysis}
+import graft.ops.{Behavior, Dedup, Multimodal, Pack, Resample, Sampling, Scale, Similarity, TextAnalysis}
 
 /** North-star extension queries: dedup, similarity search, text analysis,
   * multimodal — the training-data-pipeline operators beyond the
@@ -1088,6 +1089,127 @@ object Extensions {
              |(PARTITION BY user_id ORDER BY day
              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
              |CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
-             |FROM j ORDER BY user_id, day""".stripMargin.replace("\n", " ")))
+             |FROM j ORDER BY user_id, day""".stripMargin.replace("\n", " "))),
+
+    // Corpus-fit order-2: per-document mean log2 conditional bigram
+    // probability under the corpus's own bigram model (the KenLM-style
+    // fluency proxy one order above q_unigram_lm). Bigram vocabulary and
+    // prefix counts stay distributed; prefix counts derive from the
+    // vocabulary, not the corpus.
+    Q("q_bigram_lm",
+      (s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id"), col("n_bigrams"),
+          round(col("mean_log2p"), 3).as("mean_log2p"))
+        .orderBy("id"),
+      Some("""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT id, w[i] || ' ' || w[i+1] AS bg FROM w,
+             |LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+             |bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+             |pc AS (SELECT string_split(bg, ' ')[1] AS pref, sum(cb) AS cp FROM bgc GROUP BY 1)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |round(avg(log2(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))), 3) AS mean_log2p
+             |FROM bg JOIN bgc USING (bg) JOIN pc ON string_split(bg, ' ')[1] = pref
+             |GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // Lexical diversity: type-token ratio + per-document token-entropy —
+    // the vocabulary-richness/degeneracy quality signals (template and
+    // spam pages collapse toward 0 bits). Entropy folds in ONE pass via
+    // H = log2(n) − Σ c·log2 c / n.
+    Q("q_lexical_diversity",
+      (s, d) => TextAnalysis.lexicalStats(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id"), col("n_tokens"), col("n_types"),
+          round(col("ttr"), 5).as("ttr"),
+          round(col("entropy"), 4).as("entropy"))
+        .orderBy("id"),
+      Some("""WITH tc AS (SELECT doc_id AS id, tok, count(*) AS c FROM
+             |(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+             |GROUP BY 1, 2)
+             |SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |CAST(count(*) AS BIGINT) AS n_types,
+             |round(CAST(count(*) AS DOUBLE) / sum(c), 5) AS ttr,
+             |round(log2(CAST(sum(c) AS DOUBLE)) -
+             |sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
+             |FROM tc GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // Ordered-step funnel over the event stream: users completing
+    // signup → view → click → purchase IN ORDER, first qualifying
+    // occurrence per step. Each stage = one pushed-down type filter +
+    // one user-keyed join against the previous stage's earliest times.
+    Q("q_funnel",
+      (s, d) => Behavior.funnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("signup", "view", "click", "purchase"))
+        .orderBy("step"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |JOIN s1 ON e.user_id = s1.user_id
+             |WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |JOIN s2 ON e.user_id = s2.user_id
+             |WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |JOIN s3 ON e.user_id = s3.user_id
+             |WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+             |SELECT * FROM (
+             |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, count(*) AS users FROM s1
+             |UNION ALL SELECT 2, 'view', count(*) FROM s2
+             |UNION ALL SELECT 3, 'click', count(*) FROM s3
+             |UNION ALL SELECT 4, 'purchase', count(*) FROM s4) f
+             |ORDER BY step""".stripMargin.replace("\n", " "))),
+
+    // Weekly cohort retention: users cohorted by the Monday-truncated
+    // week of their first event; per (cohort_week, week_offset) distinct
+    // active users. Events collapse to distinct (user, week) BEFORE the
+    // join — the retention join never sees the raw stream.
+    Q("q_cohort_retention",
+      (s, d) => Behavior.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+             |AS cohort_week FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+             |AS activity_week FROM events)
+             |SELECT cohort_week,
+             |CAST(date_diff('day', cohort_week, activity_week) / 7 AS INTEGER) AS week_offset,
+             |count(*) AS n_users
+             |FROM a JOIN f USING (user_id) GROUP BY 1, 2
+             |ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", " "))),
+
+    // Per-stratum ntile sharding + percentile attribution: equal-depth
+    // quartile shards of each language's documents by length, with the
+    // exact cume_dist percentile — the balanced-shard assignment that
+    // needs NO global sort (windows partition by the stratum; each key
+    // sorts independently).
+    Q("q_ntile_shard",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            ntile(4).over(w).cast(LongType).as("shard"),
+            round(cume_dist().over(w), 5).as("pctl"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, ntile(4) OVER w AS shard,
+             |round(cume_dist() OVER w, 5) AS pctl
+             |FROM documents WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Chunk → reassemble round-trip: overlap-0 chunking partitions the
+    // token stream, and the shuffle-safe ordered concat
+    // (TextAnalysis.reassembleChunks: position-carrying collect +
+    // per-group array sort) must rebuild every document byte-exact —
+    // verified by md5 against the ORIGINAL text on the oracle side.
+    Q("q_reassemble",
+      (s, d) => {
+        val chunked = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.chunks(col("text"), size = 32, overlap = 0)))
+        TextAnalysis.reassembleChunks(chunked, "doc_id", "pos", "col")
+          .select(col("id"), col("n_chunks"), md5(col("text")).as("re_md5"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |CAST(greatest(1, ceil(len(string_split(text, ' ')) / 32.0)) AS BIGINT) AS n_chunks,
+             |md5(text) AS re_md5
+             |FROM documents ORDER BY id""".stripMargin.replace("\n", " ")))
   )
 }

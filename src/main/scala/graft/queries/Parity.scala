@@ -653,6 +653,50 @@ object Parity {
       Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " ")))
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q18 shape — large-volume customers: a HAVING-filtered
+    // aggregate over the fact table becomes the (small) probe side of the
+    // join chain, so orders/customer only ever join against qualified
+    // orders; top-100 short-circuits as TakeOrderedAndProject. The fact
+    // aggregate is map-side combined on its own key (no skew: one group
+    // per order).
+    Q("q_tpch_q18",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("__sq"))
+          .filter(col("__sq") > 200)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            round(col("__sq"), 2).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |round(sq, 2) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+             |GROUP BY l_orderkey HAVING sum(l_quantity) > 200) b
+             |ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // Set op — INTERSECT (customers with BOTH open and finished orders;
+    // distinct semantics on both engines). Plans as a distinct-aggregated
+    // semi-join: one key shuffle per side, no row blowup.
+    Q("q_set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin.replace("\n", " ")))
   )
 }
