@@ -103,6 +103,42 @@ object Refresh {
     spark.read.parquet(extractPath).count()
   }
 
+  /** Extract-hygiene diagnostic: per leaf partition, the data-file count
+    * and size spread — the "small files doctor" that tells an operator
+    * WHICH partitions need [[compact]] before file-open overhead eats a
+    * 100 TB scan (thousands of tiny files per partition = thousands of
+    * task setups and footer reads for one partition's data).
+    *
+    * Listing is metadata-only (no data read) and the output is
+    * partitions-sized; on an object store the per-leaf list calls are the
+    * same ones any commit protocol already issues.
+    */
+  def fileStats(spark: SparkSession, extractPath: String): DataFrame = {
+    val (fs, root) = hfs(spark, extractPath)
+    val depth = partitionColumnsOf(fs, root).length
+    def leaves(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter { q => q.getName.contains("=") &&
+          !q.getName.startsWith("_") && !q.getName.startsWith(".") }
+        .toSeq.flatMap(leaves(_, d - 1))
+    val rows = leaves(root, depth).map { leaf =>
+      val sizes = fs.listStatus(leaf).filter(_.isFile).collect {
+        case f if !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") => f.getLen
+      }
+      val rel =
+        if (depth == 0) ""
+        else fs.makeQualified(leaf).toString
+          .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+      (rel, sizes.length.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min,
+        if (sizes.isEmpty) 0L else sizes.max)
+    }
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "bytes", "min_file_bytes", "max_file_bytes")
+  }
+
   /** Hive partition column names of an extract, inferred from the
     * directory layout (each level of `col=value` directories is one
     * partition column). Empty for a flat extract.

@@ -319,6 +319,37 @@ object TextAnalysis {
           col("__clc") / col("n_tokens").cast(DoubleType)).as("entropy"))
   }
 
+  /** Per-stratum distribution drift: KL(P_stratum ‖ P_corpus) in bits
+    * between each stratum's unigram token distribution and the whole
+    * corpus's — the mixture-monitoring signal that flags a source whose
+    * language shifted (scraper broke, new spam campaign, domain drift)
+    * without any external model.
+    *
+    * Scale posture: one (stratum, token)-keyed shuffle with map-side
+    * combine builds the per-stratum vocabulary; the corpus distribution
+    * and per-stratum totals derive from THAT (vocabulary-sized, not
+    * corpus-sized); the score join keys on token. KL is exact (every
+    * stratum term occurs in the corpus by construction, so no smoothing
+    * is needed).
+    */
+  def domainKl(docs: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(strataCol).as("stratum"),
+      explode(tokens(col(textCol))).as("tok"))
+    val byStratum = tok.groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val stratumTotals = byStratum.groupBy(col("stratum")).agg(sum(col("cs")).as("ns"))
+    val corpus = byStratum.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
+    val total = corpus.agg(sum(col("cc")).as("nc"))
+    val ps = col("cs").cast(DoubleType) / col("ns").cast(DoubleType)
+    val pc = col("cc").cast(DoubleType) / col("nc").cast(DoubleType)
+    byStratum.join(corpus, Seq("tok"))
+      .join(stratumTotals, Seq("stratum"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("stratum"))
+      .agg(first(col("ns")).cast(LongType).as("n_tokens"),
+        sum(ps * log2(ps / pc)).as("kl_bits"))
+  }
+
   /** Reassemble exploded chunks back into documents in chunk order — the
     * inverse of [[chunks]] at overlap=0, and the general shuffle-safe
     * ordered concat (shard merging, ordered string_agg). `collect_list`

@@ -1210,6 +1210,64 @@ object Extensions {
       Some("""SELECT doc_id AS id,
              |CAST(greatest(1, ceil(len(string_split(text, ' ')) / 32.0)) AS BIGINT) AS n_chunks,
              |md5(text) AS re_md5
-             |FROM documents ORDER BY id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // The engine's SQL "query language" surface end to end: the full
+    // MinHash-LSH near-dup pipeline written as ONE Spark SQL statement
+    // over the SparkSessionExtensions-registered native kernels
+    // (minhash_signature, shingle_jaccard) — result-identical to the
+    // DataFrame pipeline (q_minhash_lsh_pairs) and to the DuckDB oracle.
+    // Same plan economics: narrow signature pass, collision-driven band
+    // self-join, per-pair native verify.
+    Q("q_sql_neardup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+        s.sql("""
+          WITH sig0 AS (
+            SELECT doc_id AS id, minhash_signature(text, 3, 6) AS s
+            FROM graft_sql_docs),
+          sig AS (SELECT id, s FROM sig0 WHERE s IS NOT NULL),
+          bands AS (
+            SELECT id, b AS band_id, concat_ws('|', s[b*2], s[b*2+1]) AS band_key
+            FROM sig LATERAL VIEW explode(array(0, 1, 2)) t AS b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+          scored AS (
+            SELECT c.id_a, c.id_b, shingle_jaccard(ta.text, tb.text, 3) AS j
+            FROM cand c
+            JOIN graft_sql_docs ta ON ta.doc_id = c.id_a
+            JOIN graft_sql_docs tb ON tb.doc_id = c.id_b)
+          SELECT id_a, id_b, round(j, 4) AS jaccard
+          FROM scored WHERE j >= 0.8 ORDER BY id_a, id_b""")
+      },
+      Some(s"""WITH $LshPairsCtes
+             |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Mixture drift monitoring: KL(source ‖ corpus) over unigram
+    // distributions, in bits — flags the source whose language shifted.
+    // The corpus distribution derives from the per-source vocabulary
+    // (vocab-sized), never from a second corpus scan.
+    Q("q_domain_kl",
+      (s, d) => TextAnalysis.domainKl(Tables.documents(s, d), "source", "text")
+        .select(col("stratum"), col("n_tokens"),
+          round(col("kl_bits"), 4).as("kl_bits"))
+        .orderBy("stratum"),
+      Some("""WITH tok AS (SELECT source AS stratum, unnest(string_split(text, ' ')) AS tok
+             |FROM documents),
+             |bs AS (SELECT stratum, tok, count(*) AS cs FROM tok GROUP BY 1, 2),
+             |st AS (SELECT stratum, sum(cs) AS ns FROM bs GROUP BY 1),
+             |cp AS (SELECT tok, sum(cs) AS cc FROM bs GROUP BY 1),
+             |tt AS (SELECT sum(cc) AS nc FROM cp)
+             |SELECT stratum, CAST(ns AS BIGINT) AS n_tokens,
+             |round(sum((CAST(cs AS DOUBLE) / ns) *
+             |log2((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / nc))), 4) AS kl_bits
+             |FROM bs JOIN cp USING (tok) JOIN st USING (stratum) CROSS JOIN tt
+             |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " ")))
   )
 }

@@ -477,6 +477,46 @@ object Parity {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "))),
 
+    // A — explicit GROUPING SETS (the general form under ROLLUP/CUBE)
+    // with grouping_id() disambiguating subtotal rows from genuine NULL
+    // keys. Same partial-agg plan as a plain GROUP BY expanded per set.
+    Q("q_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev"),
+          grouping_id().cast(LongType).as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS rev,
+             |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |(o_orderstatus), ())
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "))),
+
+    // A — statistical aggregates: Pearson correlation, sample covariance
+    // and stddev per group (all single-pass co-moment aggregates with
+    // map-side partial combine on both engines).
+    Q("q_stats_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_cov"),
+          round(stddev_samp(col("l_discount")), 5).as("disc_sd"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+             |round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+             |round(stddev_samp(l_discount), 5) AS disc_sd
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
     // W — explicit frame spec: trailing moving average over a 4-row frame
     // (per-key sort reused by both window functions; no global sort).
     Q("q_moving_avg",
@@ -684,6 +724,64 @@ object Parity {
              |ON o_orderkey = l_orderkey
              |JOIN customer ON c_custkey = o_custkey
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q10 shape — returned-item reporting: quarter-filtered orders
+    // join the returned lines, customer+nation broadcast in, top-20 by
+    // revenue. The date filter prunes the orders side BEFORE the fact
+    // join; the aggregate keys on the customer (bounded groups).
+    Q("q_tpch_q10",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        // the per-line product is the same double on both engines; summing
+        // it as DECIMAL makes the aggregate order-independent, so the
+        // cent-level result can't drift with partitioning (Q3/Q5 sums are
+        // checked too, but this per-customer sum sits ON a .005 boundary)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+             |AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+             |AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // W — boundary window functions: first/last/nth over the full per-key
+    // frame (the "compare each event to the journey's endpoints" shape).
+    Q("q_first_last",
+      (s, d) => {
+        val full = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            first(col("event_type")).over(full).as("first_type"),
+            last(col("event_type")).over(full).as("last_type"),
+            nth_value(col("event_type"), 2).over(full).as("second_type"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |first_value(event_type) OVER w AS first_type,
+             |last_value(event_type) OVER w AS last_type,
+             |nth_value(event_type, 2) OVER w AS second_type
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
     // Set op — INTERSECT (customers with BOTH open and finished orders;
     // distinct semantics on both engines). Plans as a distinct-aggregated

@@ -429,4 +429,42 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
+  // ---- Streaming funnel --------------------------------------------------
+
+  case class JourneyEvent(userId: Long, seq: Long, eventType: String)
+
+  /** One row per funnel-stage advance: `stage` is 1-based (stage k means
+    * the user has now completed steps 0..k-1 in order).
+    */
+  case class FunnelProgress(userId: Long, stage: Int, step: String)
+
+  /** Streaming flavor of [[graft.ops.Behavior.funnel]]: per-user funnel
+    * progress emitted INCREMENTALLY as events arrive — the greedy
+    * earliest-occurrence matcher, which reaches stage k exactly when the
+    * batch funnel's ordered-prefix definition does. State is ONE INT per
+    * user (the stage reached), so 10^9 users is gigabytes of checkpoint
+    * state regardless of event volume, and a user's progress survives
+    * across micro-batches exactly-once via the checkpoint.
+    */
+  def funnelStream(events: Dataset[JourneyEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[Int, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[JourneyEvent], gs: GroupState[Int]) =>
+          var stage = gs.getOption.getOrElse(0)
+          val out = Seq.newBuilder[FunnelProgress]
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (stage < steps.length && e.eventType == steps(stage)) {
+              stage += 1
+              out += FunnelProgress(uid, stage, e.eventType)
+            }
+          }
+          gs.update(stage)
+          out.result().iterator
+      }
+  }
 }

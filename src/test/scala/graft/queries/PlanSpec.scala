@@ -233,4 +233,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate explode(transform"),
       "verification re-exploded shingle rows")
   }
+
+  test("TPC-H Q18 shape: HAVING aggregate drives the joins; top-100 short-circuits") {
+    val p = plan("q_tpch_q18")
+    // the per-order sum must partial-combine map-side and its HAVING
+    // filter must apply BEFORE the orders/customer joins (qualified
+    // orders are the small probe side, never the raw fact table)
+    assert(p.contains("partial_sum"), "fact aggregate lost map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 lost its short-circuit")
+    assert(p.contains("__sq"), "qualified-order aggregate not feeding the join")
+  }
+
+  test("TPC-H Q10 shape: dims broadcast, top-20 short-circuits, date filter pushed") {
+    val p = plan("q_tpch_q10")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer/nation should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its short-circuit")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date filter not pushed to the scan")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed to the lineitem scan")
+  }
+
+  test("funnel stages push the step filter into the scan; joins stay keyed") {
+    val p = plan("q_funnel")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      "step-type filter not pushed to the events scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "funnel planned a non-keyed join")
+  }
+
+  test("ntile sharding windows partition by the stratum (no single global sort before ntile)") {
+    val df = SparkEntry.queries("q_ntile_shard")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the window sort must be (lang, n_chars, doc_id) per partition —
+    // global ordering appears only in the final presentation ORDER BY
+    assert(p.contains("Window"), p.take(300))
+    assert(p.contains("hashpartitioning(lang"),
+      s"window not partitioned by the stratum:\n${p.take(600)}")
+  }
+
+  test("sql-surface near-dup pipeline plans the same native kernels as the DataFrame one") {
+    val p = plan("q_sql_neardup")
+    assert(p.contains("minhash_signature"), "SQL pipeline lost the native signature kernel")
+    assert(p.contains("shingle_jaccard"), "SQL pipeline lost the native verify kernel")
+    assert(!p.contains("CartesianProduct"), "band join degenerated")
+  }
 }

@@ -378,6 +378,66 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream advances per-user stages across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JourneyEvent]
+    val q = funnelStream(input.toDS(), Seq("a", "b", "c"))
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_funnel"))
+      .start()
+    try {
+      // batch 1: u1 does a then b (out of arrival order — seq decides);
+      // u2 does b first (no advance: stage 0 expects 'a')
+      input.addData(JourneyEvent(1, 2, "b"), JourneyEvent(1, 1, "a"),
+        JourneyEvent(2, 1, "b"))
+      q.processAllAvailable()
+      // batch 2: u1 completes with c; u2 starts with a — state crossed
+      // the batch boundary, so u1 must NOT need to re-see a/b
+      input.addData(JourneyEvent(1, 3, "c"), JourneyEvent(2, 2, "a"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_adv").as[FunnelProgress].collect()
+        .groupBy(_.userId).view.mapValues(_.map(p => (p.stage, p.step)).sorted.toSeq).toMap
+      assert(got(1L) === Seq((1, "a"), (2, "b"), (3, "c")))
+      assert(got(2L) === Seq((1, "a")))
+    } finally q.stop()
+  }
+
+  test("funnelStream stage counts agree with the batch funnel on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch funnel chains on min(ts) strictly-after; feed the fold
+    // seq = per-user ts-rank so the greedy matcher sees the same order
+    val ranked = graft.Tables.events(spark, sf)
+      .select($"user_id".as("userId"),
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+            .orderBy($"ts", $"event_id")).cast("long").as("seq"),
+        $"event_type".as("eventType"))
+      .as[JourneyEvent]
+    val input = MemoryStream[JourneyEvent]
+    val q = funnelStream(input.toDS(), Seq("signup", "view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_real")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt_funnel_real"))
+      .start()
+    try {
+      input.addData(ranked.collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_real").as[FunnelProgress]
+        .groupByKey(_.stage).count().collect()
+        .map { case (stage, n) => stage.toLong -> n }.toMap
+      val batch = graft.ops.Behavior.funnel(graft.Tables.events(spark, sf),
+          "user_id", "ts", "event_type", Seq("signup", "view", "click", "purchase"))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+      // batch reports users AT OR PAST each stage; streaming emits one
+      // advance per stage reached — the same cumulative counts
+      (1L to 4L).foreach { st =>
+        assert(streamed.getOrElse(st, 0L) === batch(st),
+          s"stage $st: streamed=${streamed.get(st)} batch=${batch.get(st)}")
+      }
+    } finally q.stop()
+  }
+
   test("incrementalDedupQuery builds a deduped corpus with history-wide memory") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = tmp("inc_corpus") + "/corpus"
