@@ -85,6 +85,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"video_meta takes 1 argument, got ${args.length}")
         VideoMeta(args.head)
+      }),
+    (FunctionIdentifier("jwt_sign"),
+      info(classOf[JwtSign], "jwt_sign"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"jwt_sign takes 2 arguments, got ${args.length}")
+        JwtSign(args.head, args(1))
+      }),
+    (FunctionIdentifier("jwt_verify"),
+      info(classOf[JwtVerify], "jwt_verify"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"jwt_verify takes 2 arguments, got ${args.length}")
+        JwtVerify(args.head, args(1))
       }))
 
   /** Register all functions into a LIVE session through the same

@@ -499,6 +499,41 @@ object Parity {
              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "))),
 
+    // F8 — JWT mint + verify in-engine (HS256 via the JDK's HMAC, no
+    // UDF): verify(sign(claims)) must return the exact claims JSON, which
+    // the oracle reconstructs textually — so the whole crypto round-trip
+    // is hash-checked even though DuckDB has no HMAC.
+    Q("q_jwt_roundtrip",
+      (s, d) => {
+        val claims = to_json(struct(col("c_custkey").as("sub"),
+          col("c_mktsegment").as("seg")))
+        Tables.customer(s, d).select(col("c_custkey"),
+            graft.functions.JwtVerify(
+              graft.functions.JwtSign(claims, lit("graft-secret")),
+              lit("graft-secret")).as("claims"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |'{"sub":' || c_custkey || ',"seg":"' || c_mktsegment || '"}' AS claims
+             |FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // F4' — native PIVOT with an explicit value list (the declared-values
+    // form plans one pass of conditional aggregation — no extra job to
+    // discover pivot values, which is what the implicit form costs).
+    Q("q_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(coalesce(sum(col("value")), lit(0.0)), 4))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click,
+             |round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view,
+             |round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+             |round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup,
+             |round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // A — statistical aggregates: Pearson correlation, sample covariance
     // and stddev per group (all single-pass co-moment aggregates with
     // map-side partial combine on both engines).
