@@ -499,6 +499,59 @@ object Parity {
              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "))),
 
+    // Set op — UNION (distinct) completing the EXCEPT/INTERSECT/UNION
+    // triple: one distinct-aggregate over the concatenated sides.
+    Q("q_set_union",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_totalprice") > 400000).select("o_custkey")
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+
+    // F — string-similarity scalar: Levenshtein distance between each
+    // customer name and its per-segment predecessor (fuzzy matching /
+    // typo detection tier; unit-cost edits on both engines).
+    Q("q_edit_distance",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            levenshtein(col("c_name"), lag(col("c_name"), 1).over(w))
+              .cast(LongType).as("edit_dist"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |CAST(levenshtein(c_name, lag(c_name) OVER w) AS BIGINT) AS edit_dist
+             |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // W — RANGE frame over event time: each event's trailing 1-hour value
+    // sum per user (the time-windowed running aggregate RANGE gives and
+    // ROWS cannot — frame membership by timestamp distance, not row
+    // count). Ordered on epoch micros so both engines share exact frame
+    // arithmetic.
+    Q("q_range_frame",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            round(sum(col("value")).over(w), 4).as("trailing_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, round(sum(value) OVER (
+             |PARTITION BY user_id ORDER BY epoch_us(ts)
+             |RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+             |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // F8 — JWT mint + verify in-engine (HS256 via the JDK's HMAC, no
     // UDF): verify(sign(claims)) must return the exact claims JSON, which
     // the oracle reconstructs textually — so the whole crypto round-trip
