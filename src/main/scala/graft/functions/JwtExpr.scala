@@ -45,8 +45,12 @@ object Jwt {
     mac.doFinal(data.getBytes("UTF-8"))
   }
 
-  /** header.payload.signature for a payload JSON string and secret. */
+  /** header.payload.signature for a payload JSON string and secret;
+    * null for an empty secret (Mac.init rejects empty keys — surface the
+    * misconfiguration as the null-safe shape, not a task failure).
+    */
   def sign(payload: UTF8String, secret: UTF8String): UTF8String = {
+    if (secret.numBytes == 0) return null
     val p = b64url(payload.toString.getBytes("UTF-8"))
     val signingInput = s"$HeaderB64.$p"
     UTF8String.fromString(s"$signingInput.${b64url(hmac(signingInput, secret.getBytes))}")

@@ -46,6 +46,11 @@ class JwtSpec extends SparkSpec {
     // malformed tokens → null, no throw
     val bad = Seq("", "a.b", "a.b.c.d", "not a token", "a.!!!.c").toDF("t")
     assert(bad.filter(JwtVerify($"t", lit(secret)).isNotNull).isEmpty)
+    // empty secret → null on both sides, no task failure
+    val empt = Seq(Tuple1(payload)).toDF("p")
+      .select(JwtSign($"p", lit("")).as("t"))
+    assert(empt.filter($"t".isNotNull).isEmpty)
+    assert(df.filter(JwtVerify($"t", lit("")).isNotNull).isEmpty)
   }
 
   test("SQL surface: jwt_sign/jwt_verify registered via extensions") {
