@@ -1249,6 +1249,39 @@ object Extensions {
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Sketch-accuracy diagnostic: for every verified near-dup pair, the
+    // MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    // components) next to the exact value — the per-pair view of the
+    // estimator the LSH banding is built on, oracle-checked because the
+    // signature scheme is a deterministic function of the text. At scale
+    // this is how you audit whether k is large enough for the corpus.
+    Q("q_minhash_estimate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+        val sig = Dedup.minhashSignatureNarrow(docs, "doc_id", "text")
+        val sa = sig.toDF("id_a" +: (0 until 6).map(i => s"a$i"): _*)
+        val sb = sig.toDF("id_b" +: (0 until 6).map(i => s"b$i"): _*)
+        val agree = (0 until 6)
+          .map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
+          .reduce(_ + _)
+        pairs.join(sa, "id_a").join(sb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"),
+            round(agree.cast(DoubleType) / 6.0, 4).as("estimate"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $LshPairsCtes,
+             |verified AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+             |SELECT v.id_a, v.id_b, round(v.j, 4) AS jaccard,
+             |round((CAST(a.s0 = b.s0 AS INT) + CAST(a.s1 = b.s1 AS INT) +
+             |CAST(a.s2 = b.s2 AS INT) + CAST(a.s3 = b.s3 AS INT) +
+             |CAST(a.s4 = b.s4 AS INT) + CAST(a.s5 = b.s5 AS INT)) / 6.0, 4) AS estimate
+             |FROM verified v JOIN sig a ON v.id_a = a.id JOIN sig b ON v.id_b = b.id
+             |ORDER BY v.id_a, v.id_b""".stripMargin.replace("\n", " "))),
+
     // Mixture drift monitoring: KL(source ‖ corpus) over unigram
     // distributions, in bits — flags the source whose language shifted.
     // The corpus distribution derives from the per-source vocabulary
