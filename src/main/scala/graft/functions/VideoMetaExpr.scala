@@ -165,6 +165,10 @@ object VideoMeta {
           val frames = le32(b, a + 16)
           val w = le32(b, a + 32).toInt
           val h = le32(b, a + 36).toInt
+          // both fields are unsigned 32-bit: the product can exceed
+          // Long.MaxValue for adversarial headers — malformed → NULL,
+          // never a negative duration
+          if (usPerFrame != 0 && frames > Long.MaxValue / usPerFrame) return null
           return row("avi", usPerFrame * frames / 1000L, w, h)
         }
         i += 8 + size + (size & 1)

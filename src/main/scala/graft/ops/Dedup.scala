@@ -484,8 +484,18 @@ object Dedup {
     * min of its own label and its neighbors'; converges in O(component
     * diameter) rounds. Scale posture: the edge set is O(detected dups),
     * orders of magnitude smaller than the corpus, so each round is a
-    * join+groupBy over the dup set only; intermediate labels are
-    * persisted and rolled per round (no lineage blowup).
+    * join+groupBy over the dup set only.
+    *
+    * Lineage control: `persist` caches DATA but not LINEAGE — rolling a
+    * persisted frame through the loop doubles the logical plan every
+    * round (the round-N plan embeds two copies of round N-1), so by
+    * diameter ~20 the optimizer spends minutes just rendering the tree.
+    * Each round therefore ends with `localCheckpoint(eager = true)`,
+    * which materializes the round AND truncates the plan to a leaf:
+    * plan size stays O(1) per round regardless of component diameter.
+    * (localCheckpoint stores blocks on executors; on a cluster with
+    * dynamic allocation / unreliable executors, swap for
+    * `checkpoint(eager = true)` against a reliable checkpoint dir.)
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // ids keep their natural type (long, string, ...) — min/least give
@@ -494,20 +504,21 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(Disk)
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")).persist(Disk)
-    labels.count()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(eager = true)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("__nl")).as("__nmin"))
+      // eager = true: materialize BEFORE unpersisting the previous round
       val next = labels
         .join(neighborMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(Disk)
+        .localCheckpoint(eager = true)
       changed = next.join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).count()
       labels.unpersist(blocking = false)
@@ -516,9 +527,9 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist(blocking = false)
-    // the returned frame is the last round's persisted labels (its
-    // lineage chains through every round, so the cache IS the result);
-    // callers running many clusterings should unpersist() it when done
+    // the returned frame is the last round's checkpointed labels — a
+    // leaf plan over the materialized blocks; callers running many
+    // clusterings should unpersist() it when done
     labels.withColumnRenamed("id", "doc_id")
   }
 

@@ -499,8 +499,12 @@ object Extensions {
              |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
              |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
 
-    // Sign-LSH ANN probe: not ANSI-expressible (driver does a rows-only
-    // check); recall vs q_ann_bruteforce is asserted in ExtensionsSpec.
+    // Sign-LSH ANN probe. Fully oracle-checked: the hyperplanes are
+    // deterministic md5 math (Similarity.planeComponent), so the SQL
+    // inlines them as literal DOUBLE arrays (Double.toString round-trips
+    // exactly through DuckDB's decimal parser) and recomputes bucket
+    // membership, the radius-2 multi-probe set (bit_count(xor) <= 2),
+    // and the exact cosine rank over the probed subset.
     Q("q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -512,7 +516,23 @@ object Extensions {
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
       },
-      None),
+      Some {
+        val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+        def arr(p: Array[Double]) = p.map(_.toString).mkString("[", ",", "]")
+        def bucketOf(v: String) = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+           |qb AS (SELECT ${bucketOf("v")} AS bucket FROM q),
+           |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |${bucketOf("CAST(embedding AS DOUBLE[])")} AS bucket
+           |FROM embeddings WHERE vec_id <> 0)
+           |SELECT vec_id, round(sim, 6) AS sim FROM (
+           |SELECT b.vec_id, list_cosine_similarity(b.v, q.v) AS sim
+           |FROM b, q, qb WHERE bit_count(xor(b.bucket, qb.bucket)) <= 2
+           |ORDER BY sim DESC, b.vec_id LIMIT 10)
+           |ORDER BY sim DESC, vec_id""".stripMargin.replace("\n", " ")
+      }),
 
     // ---- Multimodal ------------------------------------------------------
 

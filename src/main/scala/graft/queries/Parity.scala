@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.catalog.Catalog
@@ -573,11 +573,16 @@ object Parity {
     // F4' — native PIVOT with an explicit value list (the declared-values
     // form plans one pass of conditional aggregation — no extra job to
     // discover pivot values, which is what the implicit form costs).
+    // NB: Spark's pivot rewrite fills absent (user, type) combos with NULL
+    // AFTER the per-group aggregate runs, so a coalesce inside agg() never
+    // sees them — zero-fill must happen after the pivot (na.fill) to match
+    // the oracle's COALESCE-per-CASE semantics on sparse data.
     Q("q_pivot",
       (s, d) => Tables.events(s, d)
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(round(coalesce(sum(col("value")), lit(0.0)), 4))
+        .na.fill(0.0, Seq("click", "view", "purchase", "signup", "error"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
              |round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click,
@@ -636,14 +641,27 @@ object Parity {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
 
-    // A — HLL++ approximate distinct (engine-specific sketch → rows-only
-    // driver check; accuracy vs exact distinct asserted in ParitySpec).
+    // A — HLL++ approximate distinct. The sketch estimate itself is
+    // engine-specific, so the oracle-checked contract is the rsd BOUND:
+    // the query emits the exact distinct count (reproducible in ANSI SQL)
+    // plus `within_bound` = |approx − exact|/exact <= 0.05 computed
+    // in-query; the oracle reproduces the exact side and asserts TRUE —
+    // a hash match proves the estimate honored its accuracy contract.
     Q("q_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__approx") - col("exact_orders")).cast(DoubleType) /
+            col("exact_orders").cast(DoubleType) <= 0.05).as("within_bound"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |TRUE AS within_bound
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
 
     // Native session_window (batch flavor): gap-merged per-user sessions
     // with start/end/count — oracles Spark's session-window semantics

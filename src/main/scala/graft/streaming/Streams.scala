@@ -441,29 +441,38 @@ object Streams {
 
   /** Streaming flavor of [[graft.ops.Behavior.funnel]]: per-user funnel
     * progress emitted INCREMENTALLY as events arrive — the greedy
-    * earliest-occurrence matcher, which reaches stage k exactly when the
-    * batch funnel's ordered-prefix definition does. State is ONE INT per
-    * user (the stage reached), so 10^9 users is gigabytes of checkpoint
-    * state regardless of event volume, and a user's progress survives
-    * across micro-batches exactly-once via the checkpoint.
+    * earliest-occurrence matcher. The batch funnel requires each stage
+    * STRICTLY after the previous stage's qualifying event (`__ts > __t`),
+    * so the state carries the seq at which the last stage was reached and
+    * an event only advances when `e.seq` is strictly greater — ties on
+    * the ordering key never advance, matching batch. Equivalence with the
+    * batch definition holds for streams delivered in seq order per user
+    * (a late out-of-seq event earlier than an already-taken advance can
+    * shift which occurrence qualified, though never the stage count).
+    * State is (stage, lastSeq) per user — two words, so 10^9 users is
+    * gigabytes of checkpoint state regardless of event volume, and a
+    * user's progress survives across micro-batches exactly-once via the
+    * checkpoint.
     */
   def funnelStream(events: Dataset[JourneyEvent],
                    steps: Seq[String]): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
-      .flatMapGroupsWithState[Int, FunnelProgress](
+      .flatMapGroupsWithState[(Int, Long), FunnelProgress](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[JourneyEvent], gs: GroupState[Int]) =>
-          var stage = gs.getOption.getOrElse(0)
+        (uid: Long, it: Iterator[JourneyEvent], gs: GroupState[(Int, Long)]) =>
+          var (stage, lastSeq) = gs.getOption.getOrElse((0, Long.MinValue))
           val out = Seq.newBuilder[FunnelProgress]
           it.toSeq.sortBy(_.seq).foreach { e =>
-            if (stage < steps.length && e.eventType == steps(stage)) {
+            if (stage < steps.length && e.eventType == steps(stage) &&
+                (stage == 0 || e.seq > lastSeq)) {
               stage += 1
+              lastSeq = e.seq
               out += FunnelProgress(uid, stage, e.eventType)
             }
           }
-          gs.update(stage)
+          gs.update((stage, lastSeq))
           out.result().iterator
       }
   }

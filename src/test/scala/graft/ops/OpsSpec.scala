@@ -159,6 +159,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("clusters: deep chain graph converges fast with a bounded plan (lineage truncation)") {
+    // a 30-node chain has diameter 30 → ~29 propagation rounds. Without
+    // per-round lineage truncation the logical plan doubles each round
+    // (O(2^29) nodes — unplannable); with localCheckpoint it stays O(1).
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val labels = Dedup.clusters(chain)
+    val planNodes = labels.queryExecution.optimizedPlan.collect { case n => n }.length
+    assert(planNodes <= 10, s"optimized plan has $planNodes nodes — lineage is accumulating")
+    val got = labels.as[(Long, Long)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == (0L to 29L).map(_ -> 0L).toMap)
+    assert(secs < 60.0, f"chain clustering took $secs%.1f s — plan growth regression")
+  }
+
   test("clusters works over string ids (no silent numeric cast)") {
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
     val labels = Dedup.clusters(pairs).as[(String, String)].collect().toMap
