@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *    bench_prev.json — only when that record was measured at the SAME
   *    sf dir), so a regression is machine-visible in the round record;
   *  - "cap_drops" snapshots the super-bucket CapMetrics after the timed
-  *    runs: at oracle/bench scale every pipeline must report 0 dropped.
+  *    runs: at oracle/bench scale every pipeline must report 0 dropped;
+  *  - "canary" re-times one fixed trivial query between every few
+  *    headliners; "drift" (max/min sample) > 3x marks the record
+  *    "contaminated": true — machine contention self-identifies instead
+  *    of masquerading as a per-query regression.
   */
 object Bench {
 
@@ -61,10 +65,30 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // contention canary: a fixed trivial query re-timed between every
+    // few headliners. If the box degrades mid-run (a concurrent build, a
+    // GC storm — the r5 driver record had exactly this), the drift is
+    // recorded in the JSON and the record self-identifies as contaminated
+    // instead of reading as a 20x query regression.
+    val canaryQuery = "q_token_count"
+    val canaryEvery = 5
+    val canarySf = "/root/testdata/sf0.001"
+    val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    def runCanary(): Unit =
+      if (SparkEntry.queries.contains(canaryQuery)) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(canaryQuery)(spark, canarySf).count()
+          canaryTimes += (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+
     // best-of-2 at the target SF: the first run can still absorb SF-
     // specific JIT/codegen; the min is the steady-state figure and is
     // stable round over round. Cache cleared between runs (see above).
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i % canaryEvery == 0) runCanary()
       var err: Option[Throwable] = None
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -76,6 +100,7 @@ object Bench {
       }
       (name, times, err)
     }
+    runCanary()
     val qs = results.map { case (k, ts, _) =>
       jsonStr(k) + ":" + (if (ts.nonEmpty) ts.min.toString else "null")
     }.mkString("{", ",", "}")
@@ -122,10 +147,20 @@ object Bench {
         jsonStr(p) + s""":{"dropped_buckets":${r.droppedBuckets},"dropped_rows":${r.droppedRows}}"""
       }.mkString("{", ",", "}")
 
+    // canary drift = slowest/fastest canary sample across the session; a
+    // clean box sits near 1.0. >3x means some window of the run competed
+    // for the machine and per-query figures from that window are suspect.
+    val canaryDrift =
+      if (canaryTimes.size >= 2) canaryTimes.max / canaryTimes.min else 1.0
+    val canaryJson =
+      s"""{"query":${jsonStr(canaryQuery)},"n":${canaryTimes.size},""" +
+        s""""times":${canaryTimes.map(t => f"$t%.4f").mkString("[", ",", "]")},""" +
+        s""""drift":$canaryDrift,"contaminated":${canaryDrift > 3.0}}"""
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
-        s""""delta_vs_prev":$deltas,"cap_drops":$capDrops}"""
+        s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson}"""
 
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -134,6 +169,10 @@ object Bench {
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"
       System.err.println(s"[bench] $kind $k: ${e.map(_.toString).getOrElse("?")}")
     }
+    if (canaryDrift > 3.0)
+      System.err.println(
+        f"[bench] WARN canary drift $canaryDrift%.1fx (${canaryTimes.mkString(", ")}) — " +
+          "machine contention during this run; treat per-query figures as suspect")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -480,56 +480,92 @@ object Dedup {
     * over-keep: a~b and b~c must collapse to ONE survivor even when a~c
     * was never emitted — that's this closure.
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors'; converges in O(component
-    * diameter) rounds. Scale posture: the edge set is O(detected dups),
-    * orders of magnitude smaller than the corpus, so each round is a
-    * join+groupBy over the dup set only.
+    * Iterative min-label propagation with POINTER DOUBLING: each round a
+    * node takes the min of its own label, its neighbors' labels, AND its
+    * label's label (label(label(x)) — following the representative's own
+    * pointer halves the remaining path to the component min). Rounds
+    * needed: O(log diameter), not O(diameter) — a 1000-long boilerplate
+    * chain (common in crawl corpora) converges in ~10 rounds. Scale
+    * posture: the edge set is O(detected dups), orders of magnitude
+    * smaller than the corpus, so each round is joins+groupBy over the
+    * dup set only, and the convergence check is a filter-count on the
+    * round's already-materialized blocks (no extra join job).
     *
     * Lineage control: `persist` caches DATA but not LINEAGE — rolling a
     * persisted frame through the loop doubles the logical plan every
     * round (the round-N plan embeds two copies of round N-1), so by
     * diameter ~20 the optimizer spends minutes just rendering the tree.
-    * Each round therefore ends with `localCheckpoint(eager = true)`,
-    * which materializes the round AND truncates the plan to a leaf:
-    * plan size stays O(1) per round regardless of component diameter.
-    * (localCheckpoint stores blocks on executors; on a cluster with
+    * Each round therefore materializes to a persisted RDD and rebuilds
+    * the frame over it ([[materializeLeaf]]): plan size stays O(1) per
+    * round regardless of component diameter. (Why not
+    * `localCheckpoint(eager = true)`: it pays a constraint-propagation
+    * rewrite plus a full plan rendering per call — seconds per round on
+    * this join-heavy loop body, jstack-verified — where the RDD rebuild
+    * skips both. Blocks live on executors either way; on a cluster with
     * dynamic allocation / unreliable executors, swap for
     * `checkpoint(eager = true)` against a reliable checkpoint dir.)
     */
+  /** Materialize `df` eagerly and truncate its plan to a leaf: compute
+    * once into a persisted `RDD[Row]`, rebuild a frame over it. Returns
+    * the leaf frame plus the backing RDD (so the caller can unpersist
+    * once the next round no longer needs it).
+    */
+  private[graft] def materializeLeaf(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+    val rdd = df.rdd.persist(Disk)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // ids keep their natural type (long, string, ...) — min/least give
     // the component's smallest id under that type's ordering
+    // edges is also a LEAF, not just persisted: the caller's `pairs`
+    // frame can carry an arbitrarily large upstream plan (the whole
+    // near-dup pipeline), and every round's plan would embed it — the
+    // cache dodges recompute but not per-round re-analysis/rendering of
+    // that tree. Leafing it here makes every round's plan O(1) total.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist(Disk)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(eager = true)
+    val (edges, edgesRdd) = materializeLeaf(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var (labels, labelsRdd) = materializeLeaf(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("__nl")).as("__nmin"))
-      // eager = true: materialize BEFORE unpersisting the previous round
-      val next = labels
+      val stepped = labels
         .join(neighborMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(eager = true)
-      changed = next.join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
-        .filter(col("cluster_id") =!= col("__old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      // pointer doubling: label(x) <- min(label(x), label(label(x))).
+      // cluster_id is always a node id from the same component (labels
+      // start as own ids and only ever take values from other labels),
+      // so the self-join key always resolves.
+      val (next, nextRdd) = materializeLeaf(stepped.alias("s")
+        .join(stepped.select(col("id").as("__pid"), col("cluster_id").as("__pl"))
+          .alias("p"), col("s.cluster_id") === col("__pid"), "left")
+        .select(col("s.id").as("id"), col("s.__old").as("__old"),
+          least(col("s.cluster_id"), coalesce(col("__pl"), col("s.cluster_id")))
+            .as("cluster_id")))
+      // convergence check on the materialized blocks — a local scan, not
+      // a join job like comparing against the previous round would be
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
+        println(s"[clusters] round $iters changed=$changed")
+      labelsRdd.unpersist(blocking = false) // next is materialized; prev round free
+      labels = next.select(col("id"), col("cluster_id"))
+      labelsRdd = nextRdd
       iters += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    edges.unpersist(blocking = false)
-    // the returned frame is the last round's checkpointed labels — a
-    // leaf plan over the materialized blocks; callers running many
-    // clusterings should unpersist() it when done
+    edgesRdd.unpersist(blocking = false)
+    // the returned frame is a narrow projection over the last round's
+    // materialized leaf; callers running many clusterings can release
+    // the blocks by letting the frame go unreferenced (ContextCleaner)
     labels.withColumnRenamed("id", "doc_id")
   }
 

@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract is real and tested — schema, partition-local
   * batched execution (`mapPartitions`, the Scala analog of `mapInPandas`),
-  * deterministic output shape — while the media codecs themselves are
-  * STUBBED (no image/audio libraries in this environment): `decodeStub`
-  * derives a fake fixed-size feature vector and fake dimensions from the
-  * payload bytes deterministically. Swapping in a real decoder changes
-  * only the function body, not the plumbing.
+  * deterministic output shape. IMAGE decode is REAL ([[decodeImage]]:
+  * the JDK's bundled javax.imageio codecs — PNG/JPEG/GIF/BMP — pixel
+  * dimensions + grid-luma features); audio/video decode stays STUBBED
+  * (`decodeStub` — those codecs are not in the JDK): a deterministic
+  * fake feature vector from the payload bytes. Swapping in a real
+  * audio/video decoder changes only the function body, not the plumbing.
   *
   * Scale posture: payloads stay on executors end to end (no collect); the
   * decode pass is partition-local with zero shuffle; feature vectors are
@@ -69,11 +70,57 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder: stands in for image/audio decode + feature extraction.
-    * Deterministic fake: feature i = byte at stride i scaled to [0, 1);
-    * "width"/"height" derived from the byte length. Replace the body with
-    * a real codec (e.g. javax.imageio / ffmpeg bindings) to productionize;
-    * the signature and batch shape are the real contract.
+  /** REAL image decode via the JDK's bundled codecs (javax.imageio ships
+    * PNG/JPEG/GIF/BMP readers — no external libraries): actual pixel
+    * dimensions plus a [[FeatureDim]]-long feature vector = mean luma
+    * (Rec.601) over a 4x4 spatial grid, each cell in [0, 1] — the
+    * standard cheap perceptual signature for dedup blocking and
+    * brightness/blank-image filtering.
+    *
+    * Pixel cost is capped: the luma pass stride-samples at most 64x64
+    * pixel positions regardless of image size, so a 100-megapixel photo
+    * costs the same scan as a thumbnail (decode itself is codec-bound).
+    * Returns None when ImageIO has no reader for the bytes (non-image
+    * modality or corrupt payload) — callers fall back to the stub.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = 4 // FeatureDim = grid * grid
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        val stepY = math.max(1, h / 64)
+        val stepX = math.max(1, w / 64)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val cell = gy * grid + math.min(grid - 1, x * grid / w)
+            sums(cell) += luma
+            counts(cell) += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        val feats = Array.tabulate(FeatureDim) { i =>
+          if (counts(i) == 0) 0.0f else (sums(i) / counts(i) / 255.0).toFloat
+        }
+        Some((w, h, feats))
+      }
+    } catch { case _: Throwable => None }
+
+  /** STUB decoder: stands in for audio/video decode + feature extraction
+    * (those codecs are not in the JDK). Deterministic fake: feature i =
+    * byte at stride i scaled to [0, 1); "width"/"height" derived from the
+    * byte length. The signature and batch shape are the real contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
@@ -87,9 +134,11 @@ object Multimodal {
   }
 
   /** Partition-local batched decode pass: payload → (width, height,
-    * features). Runs once per row inside `mapPartitions` so per-partition
-    * decoder state (a real codec context) is initialized once per task,
-    * exactly like `mapInPandas` batches.
+    * features). Image payloads take the REAL [[decodeImage]] path (JDK
+    * ImageIO: PNG/JPEG/GIF/BMP); everything else falls back to
+    * [[decodeStub]]. Runs once per row inside `mapPartitions` so
+    * per-partition decoder state (ImageIO reader cache) is initialized
+    * once per task, exactly like `mapInPandas` batches.
     */
   def decodeFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val outSchema = df.schema
@@ -98,9 +147,12 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // real decoder: initialize codec context here, once per partition
+      // ImageIO scans for plugin readers on first use; disk-cache off
+      // keeps the per-task decode purely in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.getAs[Array[Byte]](idx))
+        val payload = r.getAs[Array[Byte]](idx)
+        val (w, h, f) = decodeImage(payload).getOrElse(decodeStub(payload))
         Row.fromSeq(r.toSeq ++ Seq(w, h, f))
       }
     }(enc)

@@ -935,9 +935,14 @@ object Extensions {
           docs.filter(col("doc_id") < 50)
             .select((col("doc_id") + 10000).as("doc_id"),
               upper(col("text")).as("text")))
-        val d1 = graft.catalog.Catalog.dedupFirst(
+        // d1 feeds the signature stage, the verify-stage text fetches AND
+        // two stage counts — materialize it to a LEAF so the regex
+        // normalization + min window run once AND downstream plans carry
+        // a leaf instead of re-analyzing the normalize subtree per stage
+        // (the clusters loop inside canonicalDocs executes eagerly)
+        val d1 = Dedup.materializeLeaf(graft.catalog.Catalog.dedupFirst(
           corpus.withColumn("__nk", md5(TextAnalysis.normalizeText(col("text")))),
-          Seq("__nk"), "doc_id").drop("__nk")
+          Seq("__nk"), "doc_id").drop("__nk"))._1
         val pairs = Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.8)
           .select("id_a", "id_b")
         val d2 = Dedup.canonicalDocs(d1, "doc_id", pairs)

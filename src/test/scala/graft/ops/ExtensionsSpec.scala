@@ -273,6 +273,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(again.toSeq == feats(0).toSeq)
   }
 
+  test("decodeFeatures really decodes a PNG via JDK ImageIO (dims + grid luma)") {
+    // fixture: 64x48 PNG, left half black / right half white — real
+    // decode must recover the true pixel dims and a 4x4 luma grid with
+    // 0.0 cells on the left and 1.0 cells on the right
+    val img = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val row = Multimodal.decodeFeatures(
+        Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")).head()
+    assert(row.getAs[Int]("width") == 64 && row.getAs[Int]("height") == 48)
+    val feats = row.getAs[scala.collection.Seq[Float]]("features")
+    (0 until Multimodal.FeatureDim).foreach { cell =>
+      val expected = if (cell % 4 < 2) 0.0f else 1.0f
+      assert(math.abs(feats(cell) - expected) < 1e-6, s"cell $cell: ${feats(cell)}")
+    }
+    // non-image payloads fall back to the deterministic stub
+    val stub = Multimodal.decodeFeatures(
+      Multimodal.withPayload(Seq((1L, "not an image")).toDF("doc_id", "text"))).head()
+    assert(stub.getAs[Int]("width") == "not an image".length % 640)
+  }
+
   test("resizePayloads shrinks payloads in place, schema preserved") {
     val src = Multimodal.withPayload(
       Seq((1L, "a" * 100), (2L, "b")).toDF("doc_id", "text"))
