@@ -47,10 +47,20 @@ object Dedup {
     * should `unpersist()` the result when done with it.
     */
   private[graft] def eagerly(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    eagerlyWith(result, () => (), intermediates: _*)
+
+  /** [[eagerly]] plus an `afterAction` hook that runs after the result
+    * materialized and BEFORE the intermediates are released — the slot
+    * where deferred cap-metrics recorders read their cached counts.
+    */
+  private[graft] def eagerlyWith(result: DataFrame, afterAction: () => Unit,
+                                 intermediates: DataFrame*): DataFrame =
     try {
       result.persist(Disk)
-      try result.count()
-      catch {
+      try {
+        result.count()
+        afterAction()
+      } catch {
         case t: Throwable =>
           // a failed materialization must not leave the result frame
           // registered in the cache manager
@@ -65,28 +75,31 @@ object Dedup {
     * guard of every banded near-dup pipeline.
     *
     * The per-bucket count aggregation is computed ONCE: the counts frame
-    * (bucket-key-sized, far smaller than the keyed stream) is persisted,
-    * the drop-stats action materializes it, and the `ok` semi-join side
-    * reads it from cache — without the persist, the stats job and the
-    * main job would each shuffle the full band stream into the same
-    * groupBy. The second tuple element is that persisted counts frame;
-    * the caller MUST release it after its terminal action (pass it to
-    * [[eagerly]]'s intermediates).
+    * (bucket-key-sized, far smaller than the keyed stream) is persisted
+    * and the `ok` semi-join side reads it from cache. Returns (bounded
+    * frame, the persisted per-key counts to release after the terminal
+    * action, a DEFERRED metrics recorder). The
+    * recorder must run AFTER the caller's terminal action and BEFORE the
+    * counts release ([[eagerlyWith]] sequences exactly that): by then the
+    * counts are cached, so the dropped-bucket aggregate is a cache scan —
+    * recording eagerly here instead would cost one full extra pass over
+    * `input` per pipeline call before the real work even starts.
     */
-  private[ops] def capByKey(input: DataFrame, keys: Seq[String],
-                            maxBucket: Int, pipeline: String): (DataFrame, Option[DataFrame]) =
+  private[ops] def capByKey(input: DataFrame, keys: Seq[String], maxBucket: Int,
+                            pipeline: String): (DataFrame, Option[DataFrame], () => Unit) =
     if (maxBucket == Int.MaxValue) {
-      CapMetrics.record(CapReport(pipeline, maxBucket, 0L, 0L))
-      (input, None)
+      (input, None, () => CapMetrics.record(CapReport(pipeline, maxBucket, 0L, 0L)))
     } else {
       val counts = input.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
         .persist(Disk)
-      val d = counts.filter(col("__bn") > maxBucket)
-        .agg(count(lit(1)).as("nb"), coalesce(sum(col("__bn")), lit(0L)).as("nr"))
-        .head()
-      CapMetrics.record(CapReport(pipeline, maxBucket, d.getLong(0), d.getLong(1)))
       val ok = counts.filter(col("__bn") <= maxBucket).select(keys.map(col): _*)
-      (input.join(ok, keys, "left_semi"), Some(counts))
+      val record = () => {
+        val d = counts.filter(col("__bn") > maxBucket)
+          .agg(count(lit(1)).as("nb"), coalesce(sum(col("__bn")), lit(0L)).as("nr"))
+          .head()
+        CapMetrics.record(CapReport(pipeline, maxBucket, d.getLong(0), d.getLong(1)))
+      }
+      (input.join(ok, keys, "left_semi"), Some(counts), record)
     }
 
   /** Exact dedup: keep the lowest-`orderCol` row per content fingerprint.
@@ -210,18 +223,20 @@ object Dedup {
     * empty result.
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val (pairs, counts) = lshCandidatesReleasable(bandsDf, maxBucket)
+    val (pairs, counts, recordCap) = lshCandidatesReleasable(bandsDf, maxBucket)
     // standalone surface: no terminal action to hook the release on, so
-    // give the cached counts back immediately (the composable caller's
-    // lazy plan recomputes the bucket counts — fine at API-use scale;
-    // nearDupPairs uses the releasable form and keeps the single shuffle)
+    // record the cap metrics eagerly (one counts job) and give the
+    // cached counts back immediately (the composable caller's lazy plan
+    // recomputes the bucket counts — fine at API-use scale; nearDupPairs
+    // uses the releasable form and keeps the single shuffle)
+    recordCap()
     counts.foreach(_.unpersist(blocking = false))
     pairs
   }
 
-  private def lshCandidatesReleasable(bandsDf: DataFrame,
-                                      maxBucket: Int): (DataFrame, Option[DataFrame]) = {
-    val (bounded, counts) =
+  private def lshCandidatesReleasable(bandsDf: DataFrame, maxBucket: Int)
+      : (DataFrame, Option[DataFrame], () => Unit) = {
+    val (bounded, counts, recordCap) =
       capByKey(bandsDf, Seq("band_id", "band_key"), maxBucket, "minhash_lsh")
     val a = bounded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
     val b = bounded.select(col("band_id"), col("band_key"), col("id").as("id_b"))
@@ -229,7 +244,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    (pairs, counts)
+    (pairs, counts, recordCap)
   }
 
   /** Shared overlap stage of the pair-verification measures: for each
@@ -303,7 +318,8 @@ object Dedup {
                        k: Int = 6, bandRows: Int = 2,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
-    val (cand, counts) = lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
+    val (cand, counts, recordCap) =
+      lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
     val pairs = cand.persist(Disk)
     val txt = candidateTexts(docs, idCol, textCol, pairs)
     val ov = graft.functions.ShingleOverlap(col("__ta"), col("__tb"), 3)
@@ -338,7 +354,8 @@ object Dedup {
     // ShingleJaccard expression verifies each pair locally; the 200x
     // shingle blowup of the relational formulation never materializes.
     val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
-    val (cand, counts) = lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
+    val (cand, counts, recordCap) =
+      lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
     val pairs = cand.persist(Disk)
     val txt = candidateTexts(docs, idCol, textCol, pairs)
     val result = pairs
@@ -347,7 +364,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerly(result, Seq(sig, pairs, txt) ++ counts: _*)
+    eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
   }
 
   /** Texts of just the candidate-pair documents: ONE corpus scan (a
@@ -408,7 +425,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val newBands = lshBands(
       minhashSignatureNarrow(newDocs, idCol, textCol, k = k), k, bandRows)
-    val (oldBounded, counts) = capByKey(spark.read.parquet(indexPath),
+    val (oldBounded, counts, recordCap) = capByKey(spark.read.parquet(indexPath),
       Seq("band_id", "band_key"), maxBucket, "incremental_lsh")
     val pairs = newBands
       .select(col("band_id"), col("band_key"), col("id").as("id_new"))
@@ -429,7 +446,7 @@ object Dedup {
       .select(col("id_new"), col("id_old"),
         graft.functions.ShingleJaccard(col("__tn"), col("__to"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerly(result, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
+    eagerlyWith(result, recordCap, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering
@@ -753,7 +770,7 @@ object Dedup {
     // same super-bucket guard as lshCandidates (drops recorded in
     // CapMetrics under "simhash_banded"): a boilerplate-dominated band
     // value must not force a quadratic single-bucket self-join
-    val (bounded, counts) = capByKey(bandedAll, Seq("band_id", "band_key"),
+    val (bounded, counts, recordCap) = capByKey(bandedAll, Seq("band_id", "band_key"),
       maxBucket, "simhash_banded")
     val banded = bounded.persist(Disk)
     val a = banded.select(col("band_id"), col("band_key"),
@@ -766,6 +783,6 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    eagerly(result, Seq(bandedAll, banded) ++ counts: _*)
+    eagerlyWith(result, recordCap, Seq(bandedAll, banded) ++ counts: _*)
   }
 }

@@ -451,7 +451,7 @@ object Similarity {
     // super-bucket guard, ON by default (see Dedup.lshCandidates): an
     // embedding-space hot spot must not force a quadratic single-bucket
     // self-join
-    val (withBucket, counts) = graft.ops.Dedup.capByKey(
+    val (withBucket, counts, recordCap) = graft.ops.Dedup.capByKey(
       withBucketAll, Seq("__bucket"), maxBucket, "embed_neardup")
     val a = withBucket.select(col("__bucket"), col("__nid").as("id_a"), col("__nv").as("v_a"))
     val b = withBucket.select(col("__bucket"), col("__nid").as("id_b"), col("__nv").as("v_b"))
@@ -459,7 +459,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
-    graft.ops.Dedup.eagerly(result, Seq(withBucketAll) ++ counts: _*)
+    graft.ops.Dedup.eagerlyWith(result, recordCap, Seq(withBucketAll) ++ counts: _*)
   }
 
   /** Exact all-pairs cosine at `threshold` (oracle-scale only). */
@@ -493,7 +493,7 @@ object Similarity {
     val assignedAll = ivfAssign(vectors, idCol, vecCol, centroids)
       .select(col(idCol).as("__sid"), col(vecCol).as("__sv"), col("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (assigned, counts) = graft.ops.Dedup.capByKey(
+    val (assigned, counts, recordCap) = graft.ops.Dedup.capByKey(
       assignedAll, Seq("__cell"), maxCell, "semantic_dedup")
     val a = assigned.select(col("__cell"), col("__sid").as("id_a"), col("__sv").as("v_a"))
     val b = assigned.select(col("__cell"), col("__sid").as("id_b"), col("__sv").as("v_b"))
@@ -503,6 +503,6 @@ object Similarity {
       .select(col("id_b").as("__sid")).distinct()
     val result = assignedAll.join(losers, Seq("__sid"), "left_anti")
       .select(col("__sid").as("id"), col("__cell").as("cell"))
-    graft.ops.Dedup.eagerly(result, Seq(assignedAll) ++ counts: _*)
+    graft.ops.Dedup.eagerlyWith(result, recordCap, Seq(assignedAll) ++ counts: _*)
   }
 }

@@ -280,4 +280,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shingle_jaccard"), "SQL pipeline lost the native verify kernel")
     assert(!p.contains("CartesianProduct"), "band join degenerated")
   }
+
+  // ---- plan-size guards for iterative/composed operators ----------------
+  // Exponential-lineage regressions (r5's clusters() doubled its plan per
+  // propagation round) must fail here in seconds, not hang a driver run.
+
+  private def optimizedNodeCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case n => n }.length
+
+  test("composed dedup funnel keeps a bounded optimized plan (iteration leaves roll up)") {
+    val df = SparkEntry.queries("q_dedup_funnel")(spark, sf)
+    val n = optimizedNodeCount(df)
+    assert(n <= 60,
+      s"q_dedup_funnel optimized plan has $n nodes — iterative lineage is leaking into the result")
+  }
+
+  test("clusters output plan size is independent of propagation round count") {
+    import spark.implicits._
+    // diameter-3 graph (2 rounds) vs diameter-16 chain (more rounds with
+    // pointer doubling) — identical output plan size, or lineage is
+    // accumulating per round again
+    val small = graft.ops.Dedup.clusters(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val chain = graft.ops.Dedup.clusters(
+      (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    assert(optimizedNodeCount(small) == optimizedNodeCount(chain),
+      s"plan grows with rounds: ${optimizedNodeCount(small)} vs ${optimizedNodeCount(chain)}")
+  }
+
+  test("k-means-refined IVF probe plan does not grow with refinement iterations") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def probe(iters: Int) = graft.ops.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", q, k = 5, m = 4, nProbe = 2, kmeansIters = iters)
+    // centroids are a driver-side array: more Lloyd iterations refine the
+    // literals, never the plan
+    assert(optimizedNodeCount(probe(0)) == optimizedNodeCount(probe(3)))
+  }
 }
