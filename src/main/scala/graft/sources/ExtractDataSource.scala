@@ -2,12 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -18,7 +18,9 @@ import graft.catalog.{FileStatus, MetaStore}
   * touching graft APIs —
   *
   * {{{
-  *   SELECT * FROM graft_extract.`/data/catalog?file=submissions.hyper`
+  *   CREATE TABLE subs USING graft_extract
+  *     OPTIONS (catalog '/data/catalog', file 'submissions.hyper');
+  *   SELECT * FROM subs;  -- re-resolves catalog + guard at every scan
   *   spark.read.format("graft_extract")
   *     .option("catalog", "/data/catalog").option("file", "42").load()
   *   spark.read.format("graft_extract").option("path", extractDir).load()
@@ -42,7 +44,7 @@ import graft.catalog.{FileStatus, MetaStore}
   * `execution` package — internal API, same caveat as the graftshim
   * accessors, pinned by ExtractSourceSpec.)
   */
-class ExtractDataSource extends TableProvider with DataSourceRegister {
+class ExtractDataSource extends TableProvider with DataSourceRegister with RelationProvider {
 
   override def shortName(): String = "graft_extract"
 
@@ -50,7 +52,7 @@ class ExtractDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema()
+    resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -61,6 +63,21 @@ class ExtractDataSource extends TableProvider with DataSourceRegister {
     val dir = ExtractDataSource.resolveExtractDir(spark, options)
     ParquetTable(s"graft_extract($dir)", spark, options, Seq(dir),
       userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
+  /** V1 face: `CREATE TABLE ... USING graft_extract OPTIONS (...)` and
+    * session-catalog table scans resolve through RelationProvider — same
+    * catalog resolution + guard, delegated to a parquet HadoopFsRelation
+    * (pushdown/pruning identical to the V2 read path).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    import scala.jdk.CollectionConverters._
+    val spark = sqlContext.sparkSession
+    val dir = ExtractDataSource.resolveExtractDir(
+      spark, new CaseInsensitiveStringMap(parameters.asJava))
+    org.apache.spark.sql.execution.datasources.DataSource(
+      spark, className = "parquet", paths = Seq(dir)).resolveRelation()
   }
 }
 
@@ -80,31 +97,22 @@ object ExtractDataSource {
   def extractDir(catalogRoot: String, fileId: Long): String =
     s"$catalogRoot/extracts/$fileId"
 
-  /** SQL path form `root?file=<id-or-name>` → (root, file). */
-  private def splitPathQuery(p: String): Option[(String, String)] = {
-    val i = p.lastIndexOf("?file=")
-    if (i < 0) None else Some((p.substring(0, i), p.substring(i + "?file=".length)))
-  }
-
   private[sources] def resolveExtractDir(spark: SparkSession,
                                          options: CaseInsensitiveStringMap): String = {
-    val path = Option(options.get(PathOpt))
-    val catalog = Option(options.get(CatalogOpt))
-    (path, catalog) match {
-      case (Some(p), None) =>
-        // `SELECT ... FROM graft_extract.`root?file=x`` arrives as path
-        splitPathQuery(p) match {
-          case Some((root, file)) => lookup(spark, root, file)
-          case None => p
-        }
-      case (None, Some(root)) =>
+    // catalog resolution wins over `path`: the session catalog injects a
+    // managed-table location as `path` when reloading a CREATE TABLE'd
+    // extract, and that empty directory must not shadow the real extract
+    (Option(options.get(CatalogOpt)), Option(options.get(PathOpt))) match {
+      case (Some(root), _) =>
         val file = Option(options.get(FileOpt)).getOrElse(
           throw new IllegalArgumentException(
             s"graft_extract: option '$FileOpt' (file id or filename) is required with '$CatalogOpt'"))
         lookup(spark, root, file)
+      case (None, Some(p)) => p
       case _ =>
         throw new IllegalArgumentException(
-          s"graft_extract: specify either '$PathOpt' or '$CatalogOpt' + '$FileOpt'")
+          s"graft_extract: specify either '$PathOpt' or '$CatalogOpt' + '$FileOpt' " +
+            s"(got keys: ${options.keySet()})")
     }
   }
 
