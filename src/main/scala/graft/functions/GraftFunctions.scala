@@ -86,6 +86,12 @@ object GraftFunctions {
         require(args.length == 1, s"video_meta takes 1 argument, got ${args.length}")
         VideoMeta(args.head)
       }),
+    (FunctionIdentifier("repetition_stats"),
+      info(classOf[RepetitionStats], "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"repetition_stats takes 2 arguments, got ${args.length}")
+        RepetitionStats(args.head, intArg(args(1), "repetition_stats", 1))
+      }),
     (FunctionIdentifier("jwt_sign"),
       info(classOf[JwtSign], "jwt_sign"),
       (args: Seq[Expression]) => {

@@ -205,6 +205,83 @@ object Extensions {
              |SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Gopher/MassiveText repetition quality gate: duplicate-segment
+    // fractions (count + char mass over ". "-segments) and top/duplicated
+    // word-bigram character fractions, all from ONE native fused pass
+    // (graft.functions.RepetitionStats — no explode, no shuffle; the
+    // oracle reproduces the same integer-ratio definitions relationally).
+    Q("q_repetition_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats(col("text"), n = 2).as("rs"))
+        .select(col("doc_id"),
+          round(element_at(col("rs"), 1), 5).as("dup_segment_frac"),
+          round(element_at(col("rs"), 2), 5).as("dup_segment_char_frac"),
+          round(element_at(col("rs"), 3), 5).as("top_ngram_char_frac"),
+          round(element_at(col("rs"), 4), 5).as("dup_ngram_char_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH segc AS (
+             |SELECT doc_id, seg, count(*) AS c, length(seg) AS l FROM (
+             |SELECT doc_id, unnest(string_split(text, '. ')) AS seg FROM documents) s
+             |GROUP BY doc_id, seg),
+             |sega AS (SELECT doc_id, sum(c) AS occ,
+             |sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_occ,
+             |sum(l * c) AS tot_chars,
+             |sum(CASE WHEN c > 1 THEN l * c ELSE 0 END) AS dup_chars
+             |FROM segc GROUP BY doc_id),
+             |gramc AS (
+             |SELECT doc_id, g, count(*) AS c, length(g) AS l FROM (
+             |SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
+             |LATERAL (SELECT unnest(range(1, len(w))) AS i) t) g0
+             |GROUP BY doc_id, g),
+             |gramtop AS (SELECT doc_id, l * c AS topchars FROM (
+             |SELECT doc_id, c, l, row_number() OVER (
+             |PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk FROM gramc) r
+             |WHERE rk = 1),
+             |gramdup AS (SELECT doc_id,
+             |sum(CASE WHEN c > 1 THEN l * c ELSE 0 END) AS dupchars
+             |FROM gramc GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |round(CAST(sa.dup_occ AS DOUBLE) / sa.occ, 5) AS dup_segment_frac,
+             |round(CASE WHEN sa.tot_chars = 0 THEN 0
+             |ELSE CAST(sa.dup_chars AS DOUBLE) / sa.tot_chars END, 5) AS dup_segment_char_frac,
+             |round(coalesce(CAST(gt.topchars AS DOUBLE) / NULLIF(length(d.text), 0), 0), 5)
+             |AS top_ngram_char_frac,
+             |round(coalesce(CAST(gd.dupchars AS DOUBLE) / NULLIF(length(d.text), 0), 0), 5)
+             |AS dup_ngram_char_frac
+             |FROM documents d
+             |JOIN sega sa USING (doc_id)
+             |LEFT JOIN gramtop gt USING (doc_id)
+             |LEFT JOIN gramdup gd USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // Per-language token-length percentiles — the length-filter
+    // calibration query every corpus data card carries. The SCALE path is
+    // approx_percentile (fixed-size sketch, map-side combinable); the
+    // exact interpolated percentile is computed alongside as the oracle
+    // anchor (DuckDB quantile_cont uses the same p*(n-1) linear
+    // interpolation) plus a bound check that the sketch honored its rank
+    // accuracy — the q_approx_distinct pattern applied to percentiles.
+    Q("q_length_percentiles",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("n_tok"), lit(0.5)), 4).as("p50_tokens"),
+          round(percentile(col("n_tok"), lit(0.9)), 4).as("p90_tokens"),
+          percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("__ap50"))
+        .select(col("lang"), col("n_docs"), col("p50_tokens"), col("p90_tokens"),
+          (abs(col("__ap50") - col("p50_tokens")) <= 2.0).as("approx_within_bound"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50_tokens,
+             |round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90_tokens,
+             |TRUE AS approx_within_bound
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin.replace("\n", " "))),
+
     // Overlapping token-window chunking (64-token windows, 16 overlap) —
     // the pretraining/RAG chunker; chunk text re-joins byte-exact.
     Q("q_chunk",
