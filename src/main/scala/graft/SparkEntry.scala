@@ -56,6 +56,7 @@ object SparkEntry {
     "q_normalize", "q_incremental_neardup", "q_ivf_stats",
     "q_bloom_decontaminate", "q_paragraph_dedup",
     "q_tpch_q18", "q_bigram_lm", "q_lexical_diversity", "q_funnel",
-    "q_cohort_retention", "q_tpch_q10", "q_sql_neardup", "q_dedup_funnel"
+    "q_cohort_retention", "q_tpch_q10", "q_sql_neardup", "q_dedup_funnel",
+    "q_repetition_stats", "q_doc_perplexity"
   ).filter(queries.contains)
 }

@@ -282,6 +282,187 @@ object Extensions {
              |FROM documents GROUP BY lang
              |ORDER BY lang""".stripMargin.replace("\n", " "))),
 
+    // Greedy corpus selection under a per-language token budget: rank by
+    // quality (stopword ratio) descending, keep documents while the
+    // running token total stays within budget. One window cumsum per
+    // language partition — at 100 TB this is a range-partitioned sort per
+    // lang, no global sort, no driver loop; the budget check is a filter
+    // on the windowed column.
+    Q("q_token_budget",
+      (s, d) => {
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val f = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(toksArr).cast(LongType).as("n_tok"),
+          (size(filter(toksArr, t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
+            size(toksArr).cast(DoubleType)).as("swr"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("swr").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+          .filter(col("cum_tokens") <= 2000L)
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            round(col("swr"), 5).as("quality"), col("cum_tokens"))
+          .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, lang,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr FROM documents),
+             |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY swr DESC, doc_id ASC
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM f)
+             |SELECT doc_id, lang, n_tok, round(swr, 5) AS quality, cum_tokens FROM c
+             |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens, doc_id""".stripMargin.replace("\n", " "))),
+
+    // CCNet-style OUT-OF-DOMAIN quality filter: train an add-one-smoothed
+    // unigram LM on ONE trusted source's documents, score every OTHER
+    // source's documents by cross-entropy under it (the "web text scored
+    // under a Wikipedia LM" shape — q_unigram_lm is the in-domain,
+    // unsmoothed sibling). Unseen tokens exercise the smoothing path:
+    // logp = log2(1/(n+v)) via LEFT join + coalesce. Reference-LM counts
+    // are one vocab-sized shuffle; scoring is a broadcast LEFT join
+    // (vocab << corpus) + partial-aggregated per-doc reduce. Both
+    // engines quantize log2 to 8 decimals and CAST TO DECIMAL BEFORE
+    // summing, so summation order and 1-ulp libm differences cannot
+    // perturb the hash (decimal addition is exact, order-independent).
+    Q("q_doc_perplexity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val refToks = docs.filter(col("source") === "src0")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = refToks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val totals = vocab.agg(sum("c").as("n"), count(lit(1)).as("v"))
+        val lm = vocab.crossJoin(broadcast(totals))
+          .select(col("tok"),
+            round(log2((col("c") + 1).cast(DoubleType) / (col("n") + col("v")).cast(DoubleType)), 8)
+              .cast("decimal(18,8)").as("logp"))
+        val unseen = totals.select(
+          round(log2(lit(1.0) / (col("n") + col("v")).cast(DoubleType)), 8)
+            .cast("decimal(18,8)").as("logp_unseen"))
+        val eval = docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        eval.join(broadcast(lm), Seq("tok"), "left")
+          .crossJoin(broadcast(unseen))
+          .withColumn("lp", coalesce(col("logp"), col("logp_unseen")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_tok"),
+            round(-sum(col("lp")), 6).cast(DoubleType).as("xent_bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH rtoks AS (SELECT unnest(string_split(text, ' ')) AS tok
+             |FROM documents WHERE source = 'src0'),
+             |vocab AS (SELECT tok, count(*) AS c FROM rtoks GROUP BY tok),
+             |totals AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab),
+             |lm AS (SELECT tok,
+             |CAST(round(log2(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS logp
+             |FROM vocab, totals),
+             |unseen AS (SELECT CAST(round(log2(1.0 / CAST(n + v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS lp0
+             |FROM totals),
+             |etoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |FROM documents WHERE source <> 'src0')
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |CAST(round(-sum(coalesce(lm.logp, unseen.lp0)), 6) AS DOUBLE) AS xent_bits
+             |FROM etoks LEFT JOIN lm USING (tok) CROSS JOIN unseen
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Temperature-scaled mixture weights per source (w_i = p_i^T / Z,
+    // T=0.7) — the sampling-weight calculation behind every multi-domain
+    // pretraining mix. Two tiny aggregates (sources << corpus) over one
+    // token-count scan; pow() outputs are quantized to 10 decimals and
+    // decimal-summed so Z is bit-identical across engines.
+    Q("q_mixture_temperature",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        val tot = bySrc.agg(sum("n_tokens").as("total"))
+        val scaled = bySrc.crossJoin(broadcast(tot))
+          .withColumn("w_raw",
+            round(pow(col("n_tokens").cast(DoubleType) / col("total").cast(DoubleType), 0.7), 10)
+              .cast("decimal(20,10)"))
+        val z = scaled.agg(sum("w_raw").as("z"))
+        scaled.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("w_raw").cast(DoubleType) / col("z").cast(DoubleType), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+             |sc AS (SELECT source, n_docs, n_tokens,
+             |CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.7), 10) AS DECIMAL(20,10)) AS w_raw
+             |FROM s, tot),
+             |z AS (SELECT sum(w_raw) AS z FROM sc)
+             |SELECT source, n_docs, n_tokens,
+             |round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+             |FROM sc, z ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    // Schema evolution across ingest eras: the pre-1998 extract lacks
+    // o_orderpriority entirely; unionByName(allowMissingColumns) aligns
+    // by NAME and null-fills the missing column — positional UNION would
+    // silently misalign. This is how a 100 TB corpus with years of
+    // schema drift reads as one table.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val cut = to_timestamp(lit("1998-01-01"))
+        val era1 = o.filter(col("o_orderdate") < cut)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val era2 = o.filter(col("o_orderdate") >= cut)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        era1.unionByName(era2, allowMissingColumns = true)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             |CAST(NULL AS VARCHAR) AS o_orderpriority
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+             |UNION ALL
+             |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             |ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
+    // Collocation mining: top-20 adjacent word pairs by PMI
+    // (log2(c_ab*N / (c_a*c_b)), support >= 5) — the corpus-statistics
+    // query behind tokenizer-merge and boilerplate analysis. All counts
+    // are integers (bit-identical across engines); one vocab-sized
+    // shuffle for pair counts, margins derive from the PAIR table (not a
+    // second corpus scan), final log2 on integer ratios.
+    Q("q_pmi_pairs",
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 2)
+        val bg = w.select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val bgc = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val ac = bgc.groupBy("a").agg(sum("c_ab").as("c_a"))
+        val bc = bgc.groupBy("b").agg(sum("c_ab").as("c_b"))
+        val tot = bgc.agg(sum("c_ab").as("n"))
+        bgc.join(broadcast(ac), "a").join(broadcast(bc), "b").crossJoin(broadcast(tot))
+          .filter(col("c_ab") >= 5)
+          .select(col("a"), col("b"), col("c_ab"),
+            round(log2(col("c_ab").cast(DoubleType) * col("n").cast(DoubleType) /
+              (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))), 5).as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |bg AS (SELECT w[i] AS a, w[i+1] AS b FROM w,
+             |LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+             |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+             |ac AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bgc GROUP BY a),
+             |bc AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM bgc GROUP BY b),
+             |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM bgc)
+             |SELECT a, b, c_ab,
+             |round(log2(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE) /
+             |(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 5) AS pmi
+             |FROM bgc JOIN ac USING (a) JOIN bc USING (b) CROSS JOIN tot
+             |WHERE c_ab >= 5
+             |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " "))),
+
     // Overlapping token-window chunking (64-token windows, 16 overlap) —
     // the pretraining/RAG chunker; chunk text re-joins byte-exact.
     Q("q_chunk",
