@@ -63,6 +63,24 @@ object Refresh {
   def fullRefresh(spark: SparkSession, source: DataFrame, extractPath: String): Long =
     overwrite(source, extractPath)
 
+  /** DYNAMIC partition overwrite: replace ONLY the hive partitions
+    * present in `df`, leaving every other partition's files untouched.
+    * At 100 TB a refresh almost never touches the whole lake — a
+    * one-source or one-day re-crawl rewrites one partition; static
+    * overwrite mode would silently DELETE the other 99.9 % of the
+    * extract. Set per-write (not session-wide) so concurrent full
+    * refreshes keep their replace-the-world semantics.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionByCols: Seq[String]): Long = {
+    require(partitionByCols.nonEmpty, "dynamic overwrite needs partition columns")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionByCols: _*)
+      .parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
+
   /** Incremental refresh: MERGE the delta into the extract by key —
     * incoming rows win on key collision, absent keys append, and keys in
     * `deletes` (a tombstone frame carrying the key columns) are removed.

@@ -192,6 +192,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image resize via the JDK alone: ImageIO decode (PNG/JPEG/GIF/
+    * BMP), bilinear Graphics2D scale of the longest side down to
+    * `maxDim` (aspect preserved, never upscales), PNG re-encode.
+    * None when the payload has no ImageIO reader — callers fall back to
+    * the byte-stride stub (audio/video modalities).
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else if (math.max(img.getWidth, img.getHeight) <= maxDim) Some(payload)
+      else {
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Partition-local REAL image-resize pass: decodable image payloads are
+    * scaled to fit `maxDim` and re-encoded ([[resizeImage]]); payloads
+    * ImageIO can't read fall back to the byte-stride stub with a
+    * `maxDim*maxDim` byte budget. Headless AWT runs fine in executors —
+    * no display, no native codecs needed.
+    */
+  def resizeImages(df: DataFrame, maxDim: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](idx)
+        val resized = resizeImage(p, maxDim).getOrElse(resizeStub(p, maxDim * maxDim))
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video-like payloads: pick `n` deterministic
     * byte offsets (frame anchors) per payload; one output row per frame —
     * a generator (explode) over a computed offsets array, no UDF.

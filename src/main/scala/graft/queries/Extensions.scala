@@ -463,6 +463,67 @@ object Extensions {
              |WHERE c_ab >= 5
              |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Cumulative distinct users by day WITHOUT count-distinct-over-
+    // expanding-window (quadratic) or HLL merge: each user collapses to
+    // their first-seen day (one keyed agg), then a days-sized running
+    // sum. The global window is over ~days rows, not events — the only
+    // corpus-sized op is the first groupBy.
+    Q("q_cumulative_users",
+      (s, d) => {
+        val firstDay = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+        val byDay = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDay.withColumn("cum_users", sum("new_users").over(w)).orderBy("day")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+             |b AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+             |SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM b ORDER BY day""".stripMargin.replace("\n", " "))),
+
+    // Peak concurrent sessions per day by sweep-line: sessions (30-min
+    // session_window) become (t, +1)/(t, -1) boundary events; a running
+    // sum ordered by (t, delta) — ends before starts at ties, half-open
+    // intervals — is the live concurrency, and the per-day max of it is
+    // the peak. No interval self-join (quadratic), no minute-grid
+    // explode: the sweep frame is 2x sessions, orders of magnitude
+    // smaller than events, and peaks are order-stable under ties because
+    // tied +1 rows form a contiguous ramp whose max doesn't depend on
+    // their relative order.
+    Q("q_concurrency",
+      (s, d) => {
+        val sess = Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("sw.start").as("st"), col("sw.end").as("en"))
+        val deltas = sess.select(col("st").as("t"), lit(1).as("delta"))
+          .unionAll(sess.select(col("en").as("t"), lit(-1).as("delta")))
+        val w = Window.orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("cur", sum(col("delta")).over(w))
+          .groupBy(to_date(col("t")).as("day"))
+          .agg(max(col("cur")).as("peak_concurrent"))
+          .orderBy("day")
+      },
+      Some("""WITH flagged AS (SELECT user_id, ts, event_id,
+             |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |THEN 1 ELSE 0 END AS is_start FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT user_id, ts, sum(is_start) OVER
+             |(PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged),
+             |agg AS (SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+             |FROM sess GROUP BY user_id, sid),
+             |deltas AS (SELECT st AS t, 1 AS delta FROM agg
+             |UNION ALL SELECT en AS t, -1 AS delta FROM agg),
+             |sweep AS (SELECT t, delta, CAST(sum(delta) OVER (ORDER BY t, delta
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur FROM deltas)
+             |SELECT CAST(t AS DATE) AS day, max(cur) AS peak_concurrent
+             |FROM sweep GROUP BY day ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // Overlapping token-window chunking (64-token windows, 16 overlap) —
     // the pretraining/RAG chunker; chunk text re-joins byte-exact.
     Q("q_chunk",

@@ -234,4 +234,25 @@ class EtlSpec extends SparkSpec {
     // second refresh fully replaces, not appends
     assert(Refresh.overwrite(Seq(4, 5).toDF("x"), p) == 2L)
   }
+
+  test("dynamic partition overwrite replaces only the partitions in the delta") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("dynpart").toString + "/extract"
+    val full = Seq(("en", 1L, "a"), ("en", 2L, "b"), ("es", 3L, "c"), ("zh", 4L, "d"))
+      .toDF("lang", "id", "v")
+    assert(Refresh.overwritePartitions(full, path, Seq("lang")) == 4L)
+    val esFilesBefore = new java.io.File(s"$path/lang=es").listFiles().map(_.getName).toSet
+
+    // re-crawl of ONE language: only lang=en partition is replaced
+    val delta = Seq(("en", 9L, "A2")).toDF("lang", "id", "v")
+    Refresh.overwritePartitions(delta, path, Seq("lang"))
+    val after = spark.read.parquet(path)
+    assert(after.count() == 3L) // en collapsed to 1 row; es + zh untouched
+    assert(after.filter($"lang" === "en").select($"id").as[Long].collect().toSeq == Seq(9L))
+    assert(after.filter($"lang" === "es").count() == 1L &&
+      after.filter($"lang" === "zh").count() == 1L)
+    // untouched partitions keep their ORIGINAL files (no rewrite happened)
+    val esFilesAfter = new java.io.File(s"$path/lang=es").listFiles().map(_.getName).toSet
+    assert(esFilesAfter == esFilesBefore)
+  }
 }

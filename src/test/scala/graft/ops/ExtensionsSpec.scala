@@ -313,6 +313,31 @@ class ExtensionsSpec extends SparkSpec {
       out.orderBy("doc_id").select($"payload").as[Array[Byte]].collect().head.toSeq)
   }
 
+  test("resizeImages really rescales a PNG via JDK AWT (aspect kept, stub fallback)") {
+    // fixture: 100x80 solid-gray PNG; maxDim=32 must yield a real 32x26
+    // PNG (0.32 scale, aspect preserved) whose pixels survive the
+    // bilinear pass (solid input => solid output)
+    val img = new java.awt.image.BufferedImage(
+      100, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 100) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImages(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"), maxDim = 32)
+    val resized = out.head().getAs[Array[Byte]]("payload")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 32 && back.getHeight == 26)
+    assert((back.getRGB(16, 13) & 0xFFFFFF) == 0x808080)
+    // already-small images pass through byte-identical
+    val small = Multimodal.resizeImages(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"), maxDim = 128)
+    assert(small.head().getAs[Array[Byte]]("payload").toSeq == bos.toByteArray.toSeq)
+    // non-image payloads fall back to the byte-stride stub (budget maxDim^2)
+    val stub = Multimodal.resizeImages(
+      Multimodal.withPayload(Seq((1L, "x" * 2000)).toDF("doc_id", "text")), maxDim = 4)
+    assert(stub.head().getAs[Array[Byte]]("payload").length <= 16)
+  }
+
   test("sampleFrames emits n deterministic offsets per payload") {
     val df = Multimodal.sampleFrames(
       Multimodal.withPayload(Seq((1L, "0123456789")).toDF("doc_id", "text")), n = 4)
