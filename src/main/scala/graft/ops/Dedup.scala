@@ -533,6 +533,22 @@ object Dedup {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** [[materializeLeaf]] that additionally counts rows matching `pred`
+    * DURING the materialization pass (a long accumulator folded into the
+    * same count job) — one job instead of materialize + a second
+    * filter-count job. Accumulator caveat: task retries can only ever
+    * INFLATE the count, so a caller using it as a convergence test
+    * (`changed == 0`) gets at worst one extra round, never a premature
+    * stop (zero stays exactly zero — no row matched anywhere).
+    */
+  private[graft] def materializeLeafCounting(df: DataFrame, pred: Row => Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row], Long) = {
+    val acc = df.sparkSession.sparkContext.longAccumulator
+    val rdd = df.rdd.map { r => if (pred(r)) acc.add(1); r }.persist(Disk)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, acc.value)
+  }
+
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // ids keep their natural type (long, string, ...) — min/least give
     // the component's smallest id under that type's ordering
@@ -544,35 +560,49 @@ object Dedup {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val (edges, edgesRdd) = materializeLeaf(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // labels(0) = least(id, min neighbor id) — round 0 of propagation
+    // against identity labels needs no join (neighbor labels ARE the dst
+    // ids), so it collapses into the init aggregate and the loop starts
+    // one full round ahead; edges are symmetric, so grouping by src
+    // covers every node
     var (labels, labelsRdd) = materializeLeaf(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id")))
+      edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id")))
     var iters = 0
     var changed = 1L
+    val oldIdx = 1 // __old's position in the materialized (id, __old, cluster_id) rows
+    val newIdx = 2
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("__nl")).as("__nmin"))
-      val stepped = labels
+      // stepped is a LEAF before the pointer-doubling self-join: the
+      // doubling plan embeds stepped TWICE, and leafing first guarantees
+      // the 3-shuffle neighbor-min pipeline runs once per round instead
+      // of relying on exchange reuse to dedupe the twin subtrees
+      val (stepped, steppedRdd) = materializeLeaf(labels
         .join(neighborMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id")))
       // pointer doubling: label(x) <- min(label(x), label(label(x))).
       // cluster_id is always a node id from the same component (labels
       // start as own ids and only ever take values from other labels),
-      // so the self-join key always resolves.
-      val (next, nextRdd) = materializeLeaf(stepped.alias("s")
+      // so the self-join key always resolves. The convergence count is
+      // folded into the materialization job (accumulator) — no separate
+      // changed-count job per round.
+      val (next, nextRdd, nChanged) = materializeLeafCounting(stepped.alias("s")
         .join(stepped.select(col("id").as("__pid"), col("cluster_id").as("__pl"))
           .alias("p"), col("s.cluster_id") === col("__pid"), "left")
         .select(col("s.id").as("id"), col("s.__old").as("__old"),
           least(col("s.cluster_id"), coalesce(col("__pl"), col("s.cluster_id")))
-            .as("cluster_id")))
-      // convergence check on the materialized blocks — a local scan, not
-      // a join job like comparing against the previous round would be
-      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+            .as("cluster_id")),
+        r => r.get(newIdx) != r.get(oldIdx))
+      changed = nChanged
       if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
         println(s"[clusters] round $iters changed=$changed")
+      steppedRdd.unpersist(blocking = false)
       labelsRdd.unpersist(blocking = false) // next is materialized; prev round free
       labels = next.select(col("id"), col("cluster_id"))
       labelsRdd = nextRdd
