@@ -398,6 +398,87 @@ object Extensions {
              |round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
              |FROM sc, z ORDER BY source""".stripMargin.replace("\n", " "))),
 
+    // DSIR-style importance weights (Xie et al. 2023): score each
+    // out-of-domain document by the log-ratio of two hashed-ngram
+    // unigram LMs — p_target (trusted source) over p_raw (whole corpus) —
+    // and keep the top-50. Features are md5-hashed token buckets (B=512),
+    // so both LMs are FIXED-SIZE tables regardless of corpus vocabulary:
+    // train = two bucket-sized aggregates, score = one broadcast join +
+    // per-doc partial-agg reduce. Every eval bucket exists in the raw LM
+    // (eval ⊂ corpus), so the scoring join is inner; the target side
+    // add-one smooths. Log-ratios are quantized to 8 dp and DECIMAL-
+    // summed → order-independent, hash-stable across engines.
+    Q("q_dsir_weights",
+      (s, d) => {
+        val B = 512
+        val docs = Tables.documents(s, d)
+        def toks(f: org.apache.spark.sql.DataFrame) =
+          f.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val bucket = graft.ops.Sampling.hashBucket(col("tok"), B).as("b")
+        val tgtCounts = toks(docs.filter(col("source") === "src0"))
+          .select(bucket).groupBy("b").agg(count(lit(1)).as("ct"))
+        val rawCounts = toks(docs)
+          .select(bucket).groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgtTot = tgtCounts.agg(sum("ct").as("nt"))
+        val rawTot = rawCounts.agg(sum("cr").as("nr"))
+        val lm = rawCounts.join(tgtCounts, Seq("b"), "left")
+          .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+          .select(col("b"),
+            round(log2((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+                       (col("nt") + B).cast(DoubleType)) -
+                  log2((col("cr") + 1).cast(DoubleType) /
+                       (col("nr") + B).cast(DoubleType)), 8)
+              .cast("decimal(18,8)").as("lr"))
+        toks(docs.filter(col("source") =!= "src0"))
+          .select(col("doc_id"), bucket)
+          .join(broadcast(lm), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_tok"),
+            round(sum(col("lr")), 6).cast(DoubleType).as("log_w"))
+          .orderBy(desc("log_w"), col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH tt AS (SELECT CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) % 512 AS b
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0')),
+             |tc AS (SELECT b, count(*) AS ct FROM tt GROUP BY b),
+             |rt AS (SELECT CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) % 512 AS b
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+             |rc AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+             |ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tc),
+             |rtot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+             |lm AS (SELECT rc.b, CAST(round(
+             |log2(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt + 512 AS DOUBLE)) -
+             |log2(CAST(rc.cr + 1 AS DOUBLE) / CAST(nr + 512 AS DOUBLE)), 8) AS DECIMAL(18,8)) AS lr
+             |FROM rc LEFT JOIN tc USING (b) CROSS JOIN ttot CROSS JOIN rtot),
+             |etoks AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) % 512 AS b
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents WHERE source <> 'src0'))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |CAST(round(sum(lr), 6) AS DOUBLE) AS log_w
+             |FROM etoks JOIN lm USING (b)
+             |GROUP BY doc_id ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    // Leakage-safe train/val/test split: the split key is the md5 of the
+    // NORMALIZED text, not the doc id — exact/near-exact duplicate
+    // documents hash to the same key and therefore land in the SAME
+    // split, so the test set can never contain a normalization-level
+    // duplicate of a training document (the classic eval-contamination
+    // bug of id-keyed splits). One narrow projection, no shuffle.
+    Q("q_leakage_safe_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Sampling.deterministicSplit(
+            docs.withColumn("__ck", md5(TextAnalysis.normalizeText(col("text")))),
+            "__ck")
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+             |WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (
+             |SELECT doc_id, CAST(concat('0x', substring(md5(md5(trim(
+             |regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')
+             |))), 1, 4)) AS BIGINT) % 100 AS b
+             |FROM documents) x ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Schema evolution across ingest eras: the pre-1998 extract lacks
     // o_orderpriority entirely; unionByName(allowMissingColumns) aligns
     // by NAME and null-fills the missing column — positional UNION would
