@@ -1556,6 +1556,69 @@ object Extensions {
              |sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
              |FROM tc GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // Weighted PageRank over the behavioral transition graph: per-user
+    // consecutive event-type pairs (one lag window over the events
+    // corpus) become weighted edges, then 5 damped power iterations
+    // (d=0.85) give the steady-state visit distribution. SCALE SPLIT:
+    // the rank/edge tables are VOCABULARY-sized (|types| nodes, ≤|types|²
+    // edges) — only the edge DERIVATION touches the corpus, once. Each
+    // iteration quantizes per-edge contributions to 12 dp and sums them
+    // as decimals, so ranks are bit-identical across engines by
+    // induction and the unrolled DuckDB oracle hash-matches.
+    Q("q_pagerank",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairsE = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val base = pairsE.groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val outw = base.groupBy("src").agg(sum("c").as("w"))
+        val edges = base.join(outw, Seq("src"))
+          .select(col("src"), col("dst"),
+            round(col("c").cast(DoubleType) / col("w").cast(DoubleType), 12).as("p"))
+        val nodes = edges.select(col("src").as("t"))
+          .union(edges.select(col("dst").as("t"))).distinct()
+        val nn = nodes.agg(count(lit(1)).as("cnt"))
+        val r0 = nodes.crossJoin(broadcast(nn))
+          .select(col("t"), round(lit(1.0) / col("cnt"), 12).as("r"))
+        val ranks = (1 to 5).foldLeft(r0) { (r, _) =>
+          val s2 = edges.join(r.select(col("t").as("src"), col("r")), Seq("src"))
+            .select(col("dst").as("t"),
+              round(col("p") * col("r"), 12).cast("decimal(20,12)").as("contrib"))
+            .groupBy("t").agg(sum("contrib").as("s"))
+          nodes.crossJoin(broadcast(nn))
+            .join(s2, Seq("t"), "left")
+            .select(col("t"),
+              round(lit(0.15) / col("cnt") +
+                lit(0.85) * coalesce(col("s").cast(DoubleType), lit(0.0)), 12).as("r"))
+        }
+        ranks.select(col("t").as("event_type"), round(col("r"), 8).as("rank"))
+          .orderBy(desc("rank"), col("event_type"))
+      },
+      Some { // 5 unrolled iterations of the same quantized-decimal math
+        val iter = (i: Int) =>
+          s"""r$i AS (SELECT n.t, round(CAST(0.15 AS DOUBLE) / nn.cnt + 0.85 * CAST(coalesce(s.s, 0) AS DOUBLE), 12) AS r
+             |FROM n CROSS JOIN nn LEFT JOIN (
+             |SELECT e.dst AS t, sum(CAST(round(e.p * r.r, 12) AS DECIMAL(20,12))) AS s
+             |FROM e JOIN r${i - 1} r ON e.src = r.t GROUP BY e.dst) s ON n.t = s.t)"""
+        ("""WITH pe AS (SELECT user_id, ts, event_id, event_type,
+           |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |FROM events),
+           |base AS (SELECT prev AS src, event_type AS dst, count(*) AS c
+           |FROM pe WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |outw AS (SELECT src, sum(c) AS w FROM base GROUP BY src),
+           |e AS (SELECT src, dst, round(CAST(c AS DOUBLE) / CAST(w AS DOUBLE), 12) AS p
+           |FROM base JOIN outw USING (src)),
+           |n AS (SELECT DISTINCT src AS t FROM e UNION SELECT DISTINCT dst FROM e),
+           |nn AS (SELECT count(*) AS cnt FROM n),
+           |r0 AS (SELECT t, round(CAST(1.0 AS DOUBLE) / cnt, 12) AS r FROM n, nn),
+           |""" + (1 to 5).map(iter).mkString(",\n") + """
+           |SELECT t AS event_type, round(r, 8) AS rank FROM r5
+           |ORDER BY rank DESC, event_type""").stripMargin.replace("\n", " ")
+      }),
+
     // Ordered-step funnel over the event stream: users completing
     // signup → view → click → purchase IN ORDER, first qualifying
     // occurrence per step. Each stage = one pushed-down type filter +
