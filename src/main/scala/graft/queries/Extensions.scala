@@ -997,6 +997,27 @@ object Extensions {
              |FROM documents) t WHERE b < 20
              |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic md5-uniform u and is ranked by
+    // ln(u)/weight (weight = n_chars) — the top-k under that key IS an
+    // exact weight-proportional sample without replacement. One narrow
+    // projection + a distributed top-k (TakeOrdered partial heaps, no
+    // global sort); the md5-derived u makes the "randomness" replayable
+    // and engine-portable, so DuckDB reproduces the exact sample.
+    Q("q_weighted_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(
+            log((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+                  .cast(DoubleType) + 1.0) / 4294967296.0) /
+              col("n_chars").cast(DoubleType), 12).as("es_key"))
+        .orderBy(desc("es_key"), col("doc_id"))
+        .limit(100),
+      Some("""SELECT doc_id, source, n_chars,
+             |round(ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+             |/ 4294967296.0) / CAST(n_chars AS DOUBLE), 12) AS es_key
+             |FROM documents ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin.replace("\n", " "))),
+
     // Weighted training mixture: per-source sampling rates (src0 full,
     // src1 half, src2 fifth, everything else 10%) — deterministic and
     // nested under weight raises.
