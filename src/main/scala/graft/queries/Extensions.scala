@@ -877,6 +877,41 @@ object Extensions {
              |list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
              |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
+    // Per-dimension embedding health: n/mean/stddev/min/max for every
+    // vector component — the dead-dimension / scale-drift audit run
+    // before trusting an embedding column for ANN or semantic dedup.
+    // One posexplode + one dim-keyed agg (dims << corpus, map-side
+    // combined); per-value terms are quantized (6/10 dp) and
+    // DECIMAL-summed so mean/stddev are order-independent and
+    // engine-identical; variance is clamped at 0 before sqrt.
+    Q("q_embed_stats",
+      (s, d) => {
+        val ev = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+          .select(col("dim").cast(LongType).as("dim"), col("v"),
+            round(col("v"), 6).cast("decimal(18,6)").as("rv"),
+            round(col("v") * col("v"), 10).cast("decimal(20,10)").as("rsq"))
+        ev.groupBy("dim")
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            round(sum(col("rv")).cast(DoubleType) / count(lit(1)), 6).as("mean"),
+            round(sqrt(greatest(lit(0.0),
+              (sum(col("rsq")).cast(DoubleType) -
+                pow(sum(col("rv")).cast(DoubleType), 2) / count(lit(1))) / count(lit(1)))), 5)
+              .as("stddev"),
+            round(min(col("v")), 6).as("vmin"),
+            round(max(col("v")), 6).as("vmax"))
+          .orderBy("dim")
+      },
+      Some("""WITH ev AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             |CAST(embedding[i] AS DOUBLE) AS v FROM embeddings,
+             |LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean,
+             |round(sqrt(greatest(0, (CAST(sum(CAST(round(v * v, 10) AS DECIMAL(20,10))) AS DOUBLE)
+             |- pow(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 2) / count(*)) / count(*))), 5) AS stddev,
+             |round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+             |FROM ev GROUP BY dim ORDER BY dim""".stripMargin.replace("\n", " "))),
+
     // Batch ANN join, exact: top-3 corpus neighbors for EVERY query
     // vector (vec_id < 5 are queries) — the retrieval/attribution shape;
     // the LSH multi-probe variant (Similarity.annJoin) is the scale path,

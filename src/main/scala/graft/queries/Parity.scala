@@ -866,6 +866,49 @@ object Parity {
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q7 shape — volume shipping between two trading nations by
+    // year. Both nation dims broadcast; the disjunctive nation-pair
+    // predicate runs after those broadcasts (so the fact table is joined
+    // once, never unioned); the two-year ship-date range pushes into the
+    // lineitem scan. Revenue summed as DECIMAL for order-independence.
+    Q("q_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+        Tables.supplier(s, d)
+          .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1997-01-01")),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")), 2).cast("double")
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+             |AS DOUBLE) AS revenue
+             |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+
     // W — boundary window functions: first/last/nth over the full per-key
     // frame (the "compare each event to the journey's endpoints" shape).
     Q("q_first_last",
