@@ -688,6 +688,38 @@ object Extensions {
              |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Cross-source contamination matrix: verified near-dup pair counts
+    // by (source, source) — the corpus-governance view of WHERE
+    // duplication flows between ingest domains (mirror-site detection,
+    // license-laundering audits). The pair set is O(dups); both source
+    // lookups AQE-broadcast the pair side, so the corpus is scanned for
+    // labels, never shuffled; the matrix is |sources|² at most.
+    Q("q_crossdup_matrix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+          .select("id_a", "id_b")
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH $LshPairsCtes,
+             |vp AS (SELECT id_a, id_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |lab AS (SELECT least(da.source, db.source) AS source_a,
+             |greatest(da.source, db.source) AS source_b
+             |FROM vp JOIN documents da ON vp.id_a = da.doc_id
+             |JOIN documents db ON vp.id_b = db.doc_id)
+             |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // Exact all-pairs n-gram Jaccard — the ground truth the LSH pipeline
     // approximates (oracle-scale only; quadratic in shingle frequency).
     Q("q_ngram_jaccard",
