@@ -688,6 +688,64 @@ object Extensions {
              |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Data-card summary: the release-note stat block for a corpus drop —
+    // doc/token/char totals, source+language breadth, English share, and
+    // the exact normalization-level dup rate — as (metric, value) rows
+    // from ONE corpus scan feeding one multi-distinct aggregate (Spark
+    // plans the 3 DISTINCTs as one Expand pass; at 100 TB you'd swap the
+    // exact distincts for approx_count_distinct, same shape). The
+    // 1-row aggregate explodes into the row-per-metric card; no second
+    // scan anywhere.
+    Q("q_data_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.select(
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          col("n_chars"), col("lang"), col("source"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("nk"))
+        base.agg(
+            count(lit(1)).as("n_docs"),
+            sum("nt").as("n_tokens"),
+            sum("n_chars").as("n_chars_total"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("nk")).as("n_unique"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          .select(explode(array(
+            struct(lit("dup_rate").as("metric"),
+              round(lit(1.0) - col("n_unique").cast(DoubleType) / col("n_docs"), 4).as("value")),
+            struct(lit("mean_doc_tokens").as("metric"),
+              round(col("n_tokens").cast(DoubleType) / col("n_docs"), 4).as("value")),
+            struct(lit("n_chars_total").as("metric"), col("n_chars_total").cast(DoubleType).as("value")),
+            struct(lit("n_docs").as("metric"), col("n_docs").cast(DoubleType).as("value")),
+            struct(lit("n_langs").as("metric"), col("n_langs").cast(DoubleType).as("value")),
+            struct(lit("n_sources").as("metric"), col("n_sources").cast(DoubleType).as("value")),
+            struct(lit("n_tokens").as("metric"), col("n_tokens").cast(DoubleType).as("value")),
+            struct(lit("pct_en").as("metric"),
+              round(col("n_en").cast(DoubleType) / col("n_docs"), 4).as("value")))).as("kv"))
+          .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+          .orderBy("metric")
+      },
+      Some("""WITH b AS (SELECT len(string_split(text, ' ')) AS nt, n_chars, lang, source,
+             |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk
+             |FROM documents),
+             |a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(nt) AS DOUBLE) AS n_tokens,
+             |CAST(sum(n_chars) AS DOUBLE) AS n_chars_total,
+             |CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             |CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+             |CAST(count(DISTINCT nk) AS DOUBLE) AS n_unique,
+             |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_en FROM b)
+             |SELECT metric, value FROM (
+             |SELECT 'dup_rate' AS metric, round(1.0 - n_unique / n_docs, 4) AS value FROM a
+             |UNION ALL SELECT 'mean_doc_tokens', round(n_tokens / n_docs, 4) FROM a
+             |UNION ALL SELECT 'n_chars_total', n_chars_total FROM a
+             |UNION ALL SELECT 'n_docs', n_docs FROM a
+             |UNION ALL SELECT 'n_langs', n_langs FROM a
+             |UNION ALL SELECT 'n_sources', n_sources FROM a
+             |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+             |UNION ALL SELECT 'pct_en', round(n_en / n_docs, 4) FROM a) t
+             |ORDER BY metric""".stripMargin.replace("\n", " "))),
+
     // Cross-source contamination matrix: verified near-dup pair counts
     // by (source, source) — the corpus-governance view of WHERE
     // duplication flows between ingest domains (mirror-site detection,
