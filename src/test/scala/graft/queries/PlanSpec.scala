@@ -319,4 +319,36 @@ class PlanSpec extends SparkSpec {
     // literals, never the plan
     assert(optimizedNodeCount(probe(0)) == optimizedNodeCount(probe(3)))
   }
+
+  // ---- round-6 additions -------------------------------------------------
+
+  test("DSIR scoring joins the corpus against a BROADCAST LM (never sort-merge)") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), "bucket LM should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side sort-merge join — the fixed-size LM must broadcast instead")
+  }
+
+  test("cross-source dup matrix broadcasts the pair side into both label joins") {
+    val p = plan("q_crossdup_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "pair side (O(dups)) must broadcast against the corpus label lookups")
+  }
+
+  test("weighted sampling short-circuits as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("sweep-line concurrency never nested-loops or cartesians") {
+    val p = plan("q_concurrency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval logic must stay a union + window sweep, not an interval self-join")
+  }
+
+  test("data card reads the corpus exactly once (one scan, one Expand for 3 distincts)") {
+    val p = plan("q_data_card")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "data card must compute every metric from a single corpus scan")
+    assert("Expand".r.findAllIn(p).size >= 1, "multi-distinct should plan as Expand")
+  }
 }
