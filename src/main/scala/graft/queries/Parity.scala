@@ -909,6 +909,32 @@ object Parity {
              |AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q14 shape — promotion-revenue share for one ship month: a
+    // conditional-aggregate ratio over the fact⋈part join. The month
+    // filter pushes into the lineitem scan BEFORE the join; part
+    // broadcasts; both sums ride one pass (no second scan for the
+    // denominator). DECIMAL-summed numerator/denominator, ratio in
+    // double at the end.
+    Q("q_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast(DoubleType) /
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast(DoubleType), 4)
+          .as("promo_revenue")),
+      Some("""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             |THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+             |ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+             |AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin.replace("\n", " "))),
+
     // W — boundary window functions: first/last/nth over the full per-key
     // frame (the "compare each event to the journey's endpoints" shape).
     Q("q_first_last",
