@@ -58,6 +58,7 @@ object SparkEntry {
     "q_tpch_q18", "q_bigram_lm", "q_lexical_diversity", "q_funnel",
     "q_cohort_retention", "q_tpch_q10", "q_sql_neardup", "q_dedup_funnel",
     "q_repetition_stats", "q_doc_perplexity",
-    "q_dsir_weights", "q_concurrency", "q_pagerank"
+    "q_dsir_weights", "q_concurrency", "q_pagerank",
+    "q_tpch_q7", "q_tpch_q14", "q_data_card"
   ).filter(queries.contains)
 }

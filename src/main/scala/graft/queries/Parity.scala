@@ -886,8 +886,8 @@ object Parity {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("s_nationkey") === col("__sk"))
           .join(broadcast(n2), col("c_nationkey") === col("__ck"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20") ||
+            (col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast(LongType).as("l_year"))
           .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -904,8 +904,8 @@ object Parity {
              |JOIN customer ON c_custkey = o_custkey
              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             |OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+             |OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11'))
              |AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
 

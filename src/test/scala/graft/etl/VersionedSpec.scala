@@ -1,0 +1,53 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** Snapshot-isolated extract publishing: version directories are
+  * immutable, the pointer flip is the only mutation, rollback moves no
+  * data, vacuum never deletes the pointed-at version.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("versioned").toString + "/extract"
+
+  test("publish → readLatest round-trips and versions are immutable") {
+    val root = freshRoot()
+    assert(Versioned.currentVersion(spark, root).isEmpty)
+    assert(Versioned.publish(Seq(1, 2, 3).toDF("x"), root) == 1L)
+    val v1Files = new java.io.File(s"$root/v=1").listFiles().map(_.getName).toSet
+    assert(Versioned.publish(Seq(4, 5).toDF("x"), root) == 2L)
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.readLatest(spark, root).count() == 2L)
+    // a reader that resolved v=1 before the flip scans untouched files
+    assert(new java.io.File(s"$root/v=1").listFiles().map(_.getName).toSet == v1Files)
+    assert(Versioned.readVersion(spark, root, 1L)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Versioned.listVersions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("rollback is a pointer flip; republish continues the version sequence") {
+    val root = freshRoot()
+    Versioned.publish(Seq("a").toDF("s"), root)
+    Versioned.publish(Seq("b").toDF("s"), root)
+    Versioned.rollback(spark, root, 1L)
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    assert(Versioned.readLatest(spark, root).as[String].head() == "a")
+    // next publish supersedes both (max present + 1, not pointer + 1)
+    assert(Versioned.publish(Seq("c").toDF("s"), root) == 3L)
+    assert(Versioned.readLatest(spark, root).as[String].head() == "c")
+    intercept[IllegalArgumentException] { Versioned.rollback(spark, root, 9L) }
+  }
+
+  test("vacuum keeps the trailing window and never the pointed-at version") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), root))
+    Versioned.rollback(spark, root, 1L) // pointer at the OLDEST version
+    val deleted = Versioned.vacuum(spark, root, keep = 2)
+    // v=1 survives despite falling outside the window: it is pointed at
+    assert(deleted == Seq(2L))
+    assert(Versioned.listVersions(spark, root) == Seq(1L, 3L, 4L))
+    assert(Versioned.readLatest(spark, root).as[Int].head() == 1)
+  }
+}
