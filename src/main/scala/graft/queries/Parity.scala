@@ -935,6 +935,273 @@ object Parity {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q4 shape (adapted: the schema has no commit/receipt dates, so
+    // "late" means shipped >60 days after order date) — priority checking
+    // via EXISTS: the correlated existence test plans as ONE left-semi
+    // join on orderkey with the lateness predicate riding the join
+    // condition — the fact table is never aggregated, just probed.
+    Q("q_tpch_q4",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+             |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+             |AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q8 shape — national market share: the ASIA-customer filter is
+    // a broadcast SEMI join (nation keys only — no payload), the ECONOMY
+    // part filter broadcasts BEFORE the fact join, and numerator +
+    // denominator of the share ride one conditional aggregate pass.
+    // DECIMAL-summed volumes, double ratio at the end.
+    Q("q_tpch_q8",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val custNations = Tables.nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("__cnk"))
+        val suppNations = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("nation"))
+        val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") <= lit("1996-12-31")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNations), col("c_nationkey") === col("__cnk"), "left_semi")
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNations), col("s_nationkey") === col("__snk"))
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(round(
+            sum(when(col("nation") === "NATION_19", vol)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast(DoubleType) /
+            sum(vol).cast(DoubleType), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_19' THEN volume
+             |ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |CAST(sum(volume) AS DOUBLE), 4) AS mkt_share FROM
+             |(SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             |n2.n_name AS nation
+             |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+             |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+             |AND o_orderdate >= '1995-01-01' AND o_orderdate <= '1996-12-31'
+             |AND p_type = 'ECONOMY') v
+             |GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q13 shape (adapted: no o_comment column, so the excluded
+    // class is a priority instead of a comment pattern) — customer order-
+    // count distribution: LEFT join so zero-order customers survive with
+    // count 0, then a second tiny aggregate over the counts. The filter
+    // rides the join condition (filter-then-left-join), never dropping
+    // left rows.
+    Q("q_tpch_q13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM
+             |(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer
+             |LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |GROUP BY c_custkey) cc
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q15 shape — top supplier: ONE fact scan builds the per-
+    // supplier revenue aggregate; the scalar-max subquery becomes a
+    // rank() over that supplier-sized frame (ties kept, like the SQL
+    // max-equality), so the fact table is never scanned twice — the
+    // naive max-and-rejoin plan re-scans it. DECIMAL revenue so the
+    // winner can't be split by summation-order ulps.
+    Q("q_tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("__rev"))
+        val byRev = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rev").desc)
+        rev.withColumn("__rk", rank().over(byRev))
+          .filter(col("__rk") === 1)
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("__rev"), 2).cast(DoubleType).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+             |FROM supplier JOIN
+             |(SELECT l_suppkey AS supplier_no,
+             |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+             |FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+             |GROUP BY l_suppkey) revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM
+             |(SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+             |FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+             |GROUP BY l_suppkey) r2)
+             |ORDER BY s_suppkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q17 shape (adapted: brand+size stand in for brand+container)
+    // — small-quantity-order revenue with a correlated per-part average.
+    // The part filter broadcasts into the fact scan FIRST, so the
+    // correlated avg runs only over qualified parts' lines (the inner
+    // join already restricted the group — every line of each surviving
+    // part is present), as ONE per-part window over one fact scan: the
+    // naive aggregate-and-rejoin plan scans the fact twice.
+    Q("q_tpch_q17",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_size") < 30)
+          .select("p_partkey")
+        val byPart = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("__thr", avg(col("l_quantity")).over(byPart) * 0.2)
+          .filter(col("l_quantity") < col("__thr"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast(DoubleType) / lit(7.0), 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+             |AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#13' AND p_size < 30
+             |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+             |WHERE l2.l_partkey = p_partkey)""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q19 shape (adapted: brand/size/quantity bands stand in for
+    // brand/container/shipmode) — disjunctive-predicate join. The
+    // single-side envelopes are derived and pushed BEFORE the join
+    // (l_quantity ∈ [1,30], brand ∈ the 3-set) — the classic Q19 rewrite
+    // — so the broadcast probe sees only candidate rows; the full
+    // disjunction then runs post-join.
+    Q("q_tpch_q19",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size") >= 1)
+          .select("p_partkey", "p_brand", "p_size")
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast(DoubleType).as("revenue"))
+      },
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+             |AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q21 shape (adapted lateness as in Q4) — suppliers who kept
+    // orders waiting: the double self-correlation (EXISTS another
+    // supplier on the order / NOT EXISTS another LATE supplier) plans as
+    // one left-SEMI plus one left-ANTI join against the same narrow
+    // lineitem projection, both keyed on orderkey — no aggregation or
+    // window over the fact, and the nation filter semi-joins the supplier
+    // dim before anything touches lineitem.
+    Q("q_tpch_q21",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val n = Tables.nation(s, d).filter(col("n_name") === "NATION_12")
+        val late = Tables.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(l, col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        val l2 = l.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+        val l3 = l.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"),
+          col("l_shipdate").as("__sd3"))
+        late
+          .join(l2, col("l_orderkey") === col("__ok2") &&
+            col("__sk2") =!= col("l_suppkey"), "left_semi")
+          .join(l3, col("l_orderkey") === col("__ok3") &&
+            col("__sk3") =!= col("l_suppkey") &&
+            col("__sd3") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_anti")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F' AND n_name = 'NATION_12'
+             |AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+             |AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+             |AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q22 shape (adapted: nation stands in for the phone country
+    // code; "no orders" means none in the trailing window since every
+    // customer has lifetime orders in this data) — global sales
+    // opportunity: the scalar avg-balance threshold is an exact DECIMAL
+    // sum divided once in double (engine-identical, order-independent),
+    // broadcast as a 1-row frame; dormant customers fall out of a
+    // left-ANTI join against the date-pruned orders scan.
+    Q("q_tpch_q22",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val thr = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast(DoubleType) /
+            count(lit(1))).as("__thr"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-06-01"))
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("__thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast(DoubleType)
+              .as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT n_name AS cntrycode, count(*) AS numcust,
+             |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             |/ count(*) FROM customer WHERE c_acctbal > 0.0)
+             |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |AND o_orderdate >= '2000-06-01')
+             |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "))),
+
     // W — boundary window functions: first/last/nth over the full per-key
     // frame (the "compare each event to the journey's endpoints" shape).
     Q("q_first_last",
