@@ -1935,6 +1935,41 @@ object Extensions {
              |round(sum((CAST(cs AS DOUBLE) / ns) *
              |log2((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / nc))), 4) AS kl_bits
              |FROM bs JOIN cp USING (tok) JOIN st USING (stratum) CROSS JOIN tt
-             |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " ")))
+             |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " "))),
+
+    // Versioned extract lifecycle (etl.Versioned) end to end: publish v1
+    // (even docs), publish v2 (all docs), roll the `_LATEST` pointer back
+    // to v1, then answer every question a lake operator asks — what does
+    // a latest-reader see after rollback, does time travel still serve
+    // both immutable snapshots, how many versions are on storage. The
+    // oracle reproduces each snapshot's row count from the source table
+    // (snapshots are deterministic selections), proving publish/rollback
+    // never lose or duplicate rows. Counts are metadata-scale actions;
+    // the only data-scale work is the two snapshot writes.
+    Q("q_versioned_publish",
+      (s, d) => {
+        import s.implicits._
+        val root = s"${sys.props("java.io.tmpdir")}/graft_extract_versioned_pub"
+        val (fs, p) = graft.etl.Refresh.hfs(s, root)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = Tables.documents(s, d)
+        val v1 = graft.etl.Versioned.publish(docs.filter(col("doc_id") % 2 === 0), root)
+        val v2 = graft.etl.Versioned.publish(docs, root)
+        graft.etl.Versioned.rollback(s, root, v1)
+        Seq(
+          ("latest_after_rollback_rows", graft.etl.Versioned.readLatest(s, root).count()),
+          ("n_versions", graft.etl.Versioned.listVersions(s, root).size.toLong),
+          ("v1_rows", graft.etl.Versioned.readVersion(s, root, v1).count()),
+          ("v2_rows", graft.etl.Versioned.readVersion(s, root, v2).count()))
+          .toDF("metric", "value").orderBy("metric")
+      },
+      Some("""SELECT 'latest_after_rollback_rows' AS metric,
+             |CAST(count(*) AS BIGINT) AS value FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL SELECT 'n_versions', CAST(2 AS BIGINT)
+             |UNION ALL SELECT 'v1_rows',
+             |(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0)
+             |UNION ALL SELECT 'v2_rows',
+             |(SELECT CAST(count(*) AS BIGINT) FROM documents)
+             |ORDER BY metric""".stripMargin.replace("\n", " ")))
   )
 }

@@ -1006,6 +1006,34 @@ object Parity {
              |AND p_type = 'ECONOMY') v
              |GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q12 shape (adapted: returnflag stands in for shipmode, and
+    // lateness for the receipt/commit comparison) — shipping-mode
+    // priority split: the year + lateness predicates prune the fact scan
+    // / ride the join; both priority classes count in ONE conditional-
+    // aggregate pass keyed on the lineitem attribute.
+    Q("q_tpch_q12",
+      (s, d) => {
+        val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01")),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!highPri, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
     // TPC-H Q13 shape (adapted: no o_comment column, so the excluded
     // class is a priority instead of a comment pattern) — customer order-
     // count distribution: LEFT join so zero-order customers survive with

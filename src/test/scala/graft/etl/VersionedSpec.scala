@@ -40,6 +40,25 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Versioned.rollback(spark, root, 9L) }
   }
 
+  test("a crash between data write and pointer flip never breaks readers") {
+    val root = freshRoot()
+    Versioned.publish(Seq(1, 2).toDF("x"), root)
+    // simulate the crash: v=2's data lands completely but the process
+    // dies before flipPointer — exactly what a mid-publish kill leaves
+    Seq(7, 8, 9).toDF("x").write.parquet(s"$root/v=2")
+    // latest readers are untouched by the dangling directory
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    assert(Versioned.readLatest(spark, root).count() == 2L)
+    // recovery is a plain re-publish: the dangling v=2 is superseded
+    // (next = max present + 1), never silently adopted
+    assert(Versioned.publish(Seq(10).toDF("x"), root) == 3L)
+    assert(Versioned.readLatest(spark, root).as[Int].head() == 10)
+    // and vacuum can reclaim the orphan once enough versions trail it
+    Versioned.publish(Seq(11).toDF("x"), root)
+    assert(Versioned.vacuum(spark, root, keep = 2) == Seq(1L, 2L))
+    assert(Versioned.listVersions(spark, root) == Seq(3L, 4L))
+  }
+
   test("vacuum keeps the trailing window and never the pointed-at version") {
     val root = freshRoot()
     (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), root))

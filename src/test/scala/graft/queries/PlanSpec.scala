@@ -351,4 +351,60 @@ class PlanSpec extends SparkSpec {
       "data card must compute every metric from a single corpus scan")
     assert("Expand".r.findAllIn(p).size >= 1, "multi-distinct should plan as Expand")
   }
+
+  // ---- TPC-H completion (Q4/Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22) --------------
+
+  test("TPC-H Q4: the EXISTS stays a left-semi join with the date range pushed") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), "correlated EXISTS lost its semi-join plan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date range not pushed to the scan")
+  }
+
+  test("TPC-H Q8: region filter is a broadcast semi-join; part dim broadcasts") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("LeftSemi"), "ASIA-customer filter lost its semi-join form")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part/nation dims should broadcast against the fact")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      "part-type filter not pushed to the part scan")
+  }
+
+  test("TPC-H Q13: zero-order customers survive (left outer), both aggs partial-combine") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), "distribution lost its left join")
+    assert(p.contains("partial_count"), "count aggregates lost map-side combine")
+  }
+
+  test("TPC-H Q15/Q17 decorrelate to ONE fact scan each (no max/avg rejoin rescan)") {
+    for (q <- Seq("q_tpch_q15", "q_tpch_q17")) {
+      val p = plan(q)
+      assert("lineitem.parquet".r.findAllIn(p).size == 1,
+        s"$q re-scans the fact table for its correlated aggregate")
+    }
+  }
+
+  test("TPC-H Q19: derived single-side envelopes push into the fact scan pre-join") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "quantity envelope not pushed to the lineitem scan")
+    assert(p.contains("In(p_brand"), "brand set not pushed to the part scan")
+    assert(p.contains("BroadcastHashJoin"), "part side should broadcast")
+  }
+
+  test("TPC-H Q21: double self-correlation plans as semi + anti joins, no window/agg over the fact") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS lost its semi-join plan")
+    assert(p.contains("LeftAnti"), "NOT EXISTS lost its anti-join plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "self-correlation degenerated to a non-keyed join")
+  }
+
+  test("TPC-H Q22: dormant filter is an anti join on the date-pruned orders scan") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), "NOT EXISTS lost its anti-join plan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date filter not pushed to the scan")
+  }
 }
