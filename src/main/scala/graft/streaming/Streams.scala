@@ -77,6 +77,40 @@ object Streams {
       .start()
   }
 
+  /** [[refreshQuery]] with snapshot isolation: every drained sync lands
+    * as a NEW immutable `v=N` version under `root` (atomic `_LATEST`
+    * pointer flip, see [[graft.etl.Versioned]]) instead of overwriting
+    * the extract in place. A dashboard mid-scan during a sync keeps its
+    * version's untouched files — the overwrite variant's staging swap
+    * protects against torn writes but still deletes the files a slow
+    * reader may hold open. `keep` bounds storage: after each publish the
+    * trailing window is vacuumed (the pointed-at version is never
+    * deleted). A crashed tick leaves a dangling data dir and an un-moved
+    * pointer; the next tick publishes past it.
+    */
+  def versionedRefreshQuery(spark: SparkSession, srcDir: String, schemaDdl: String,
+                            root: String, checkpoint: String,
+                            keep: Int = 3,
+                            prepare: DataFrame => DataFrame = identity,
+                            trigger: Trigger = Trigger.AvailableNow()) = {
+    val src = spark.readStream
+      .schema(schemaDdl)
+      .option("header", "true")
+      .csv(srcDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.etl.Versioned.publish(prepare(latestExport(batch)), root)
+          graft.etl.Versioned.vacuum(spark, root, keep)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** One full sync tick WITH catalog accounting — the reference's
     * `import_to_hyper` loop end to end (app/core/importer.py:129-220):
     * drain the landing dir, refresh the extract, and record the outcome

@@ -71,6 +71,40 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b")))
   }
 
+  test("versionedRefreshQuery publishes each sync as an immutable version with rollback") {
+    import graft.etl.Versioned
+    val src = tmp("landing_versioned")
+    val root = tmp("versioned_stream") + "/extract"
+    Files.writeString(java.nio.file.Path.of(src, "export_1.csv"),
+      "id,name\n1,a\n2,b\n")
+    versionedRefreshQuery(spark, src, "id LONG, name STRING", root,
+      tmp("ckpt_versioned")).awaitTermination()
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    val v1Files = new java.io.File(s"$root/v=1").listFiles().map(_.getName).toSet
+
+    // second sync: a new version, pointer flips, v=1's files untouched
+    Files.writeString(java.nio.file.Path.of(src, "export_2.csv"),
+      "id,name\n1,a2\n3,c\n")
+    versionedRefreshQuery(spark, src, "id LONG, name STRING", root,
+      tmp("ckpt_versioned")).awaitTermination()
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.readLatest(spark, root).count() == 2L)
+    assert(new java.io.File(s"$root/v=1").listFiles().map(_.getName).toSet == v1Files)
+
+    // a bad sync is one rollback away — no data movement, no re-sync
+    Versioned.rollback(spark, root, 1L)
+    assert(Versioned.readLatest(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // retention: keep=1 trims history but never the pointed-at version
+    Files.writeString(java.nio.file.Path.of(src, "export_3.csv"),
+      "id,name\n9,z\n")
+    versionedRefreshQuery(spark, src, "id LONG, name STRING", root,
+      tmp("ckpt_versioned"), keep = 1).awaitTermination()
+    assert(Versioned.currentVersion(spark, root).contains(3L))
+    assert(Versioned.listVersions(spark, root) == Seq(3L))
+  }
+
   test("T4: a resident refresh query is cancellable; the extract survives") {
     val src = tmp("landing_cancel")
     val extract = tmp("extract_cancel") + "/data"
@@ -447,13 +481,16 @@ class StreamsSpec extends SparkSpec {
     val textB = "one two three four five six seven eight nine"
     val textC = "totally different content with no overlap at all here"
     val ckpt = tmp("ckpt_incdedup")
+    // AvailableNow snapshots the end offset AT START — data must land in
+    // the MemoryStream before the query starts or the drain may see an
+    // empty source (a real race, observed flaking)
+    // batch 1: intra-batch dup (1, 2 same text) + unique (3)
+    input.addData((1L, textA), (2L, textA), (3L, textB))
     val q = incrementalDedupQuery(spark, input.toDF().toDF("doc_id", "text"),
       "doc_id", "text", corpus, index, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     try {
-      // batch 1: intra-batch dup (1, 2 same text) + unique (3)
-      input.addData((1L, textA), (2L, textA), (3L, textB))
-      q.processAllAvailable()
+      q.awaitTermination()
       val after1 = spark.read.parquet(corpus).select("doc_id")
         .as[Long].collect().toSet
       assert(after1 === Set(1L, 3L), s"batch 1 kept $after1")
@@ -461,12 +498,12 @@ class StreamsSpec extends SparkSpec {
     // batch 2 — the next drain resumes from the SAME checkpoint (only
     // new offsets): a dup of HISTORY (4 = textA again) must be caught
     // via the index, new content (5) accepted
+    input.addData((4L, textA), (5L, textC))
     val q2 = incrementalDedupQuery(spark, input.toDF().toDF("doc_id", "text"),
       "doc_id", "text", corpus, index, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     try {
-      input.addData((4L, textA), (5L, textC))
-      q2.processAllAvailable()
+      q2.awaitTermination()
       val after2 = spark.read.parquet(corpus).select("doc_id")
         .as[Long].collect().toSet
       assert(after2 === Set(1L, 3L, 5L), s"batch 2 kept $after2")
