@@ -61,6 +61,7 @@ object SparkEntry {
     "q_dsir_weights", "q_concurrency", "q_pagerank",
     "q_tpch_q7", "q_tpch_q14", "q_data_card",
     "q_tpch_q4", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q12"
+    "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q12",
+    "q_curation_pipeline"
   ).filter(queries.contains)
 }

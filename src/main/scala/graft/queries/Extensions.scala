@@ -1937,6 +1937,89 @@ object Extensions {
              |FROM bs JOIN cp USING (tok) JOIN st USING (stratum) CROSS JOIN tt
              |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " "))),
 
+    // The end-to-end corpus-curation user story as ONE composed query —
+    // the pipeline a lab actually runs before training: quality gate
+    // (stopword ratio) → near-dup canonical collapse (MinHash/LSH pairs →
+    // cluster closure → min-id representative) → benchmark
+    // decontamination (3-gram overlap vs the held-out eval set) →
+    // deterministic hash split → per-split doc/token stats. Every stage
+    // is individually oracle-checked elsewhere (q_quality_filter,
+    // q_dedup_canonical, q_decontaminate, q_hash_split); this entry
+    // proves they COMPOSE: one lazy plan, stage boundaries are plain
+    // DataFrames. Scale posture: the stages chain scans/joins that are
+    // each bounded the same way their standalone queries are (LSH is
+    // collision-driven + capped, the bench shingle set broadcasts, the
+    // split is a projection); a production run materializes stage outputs
+    // via etl.Versioned.publish instead of recomputing the lineage.
+    Q("q_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val toks = TextAnalysis.tokens(col("text"))
+        val q = docs.filter(col("doc_id") % 50 =!= 0)
+          .filter((size(filter(toks, t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*)))
+            .cast(DoubleType) / size(toks).cast(DoubleType)) >= 0.05)
+        val pairs = Dedup.nearDupPairs(q, "doc_id", "text", threshold = 0.8)
+          .select("id_a", "id_b")
+        val ded = Dedup.canonicalDocs(q, "doc_id", pairs)
+        val contaminated = Dedup.contamination(ded, bench, "doc_id", "text")
+          .filter(col("overlap_ratio") > 0.5)
+          .select(col("id").as("doc_id"))
+        val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
+        Sampling.deterministicSplit(clean, "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE
+             |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+             |q AS (SELECT doc_id, text FROM corp
+             |WHERE CAST(len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05),
+             |sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q) words,
+             |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+             |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
+             |bands AS (
+             |SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
+             |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
+             |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+             |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
+             |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+             |GROUP BY c.id_a, c.id_b),
+             |vpairs AS (SELECT id_a, id_b FROM inter
+             |JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |losers AS (SELECT src AS doc_id FROM reach
+             |GROUP BY src HAVING least(src, min(dst)) <> src),
+             |ded AS (SELECT doc_id, text FROM q
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+             |dsh AS (SELECT DISTINCT doc_id AS id, w[i]||' '||w[i+1]||' '||w[i+2] AS shingle
+             |FROM (SELECT doc_id, string_split(text,' ') AS w FROM ded) words,
+             |LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+             |bsh AS (SELECT DISTINCT w[i]||' '||w[i+1]||' '||w[i+2] AS shingle
+             |FROM (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 50 = 0) words,
+             |LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+             |ratio AS (SELECT id, CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bsh)) AS DOUBLE)
+             |/ count(*) AS r FROM dsh GROUP BY id),
+             |clean AS (SELECT dd.doc_id, dd.text FROM ded dd LEFT JOIN ratio ON dd.doc_id = ratio.id
+             |WHERE coalesce(r, 0) <= 0.5)
+             |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+             |FROM (SELECT doc_id, text,
+             |CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100 AS b
+             |FROM clean) x
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // Versioned extract lifecycle (etl.Versioned) end to end: publish v1
     // (even docs), publish v2 (all docs), roll the `_LATEST` pointer back
     // to v1, then answer every question a lake operator asks — what does
