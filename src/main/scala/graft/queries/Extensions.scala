@@ -1961,7 +1961,12 @@ object Extensions {
             .cast(DoubleType) / size(toks).cast(DoubleType)) >= 0.05)
         val pairs = Dedup.nearDupPairs(q, "doc_id", "text", threshold = 0.8)
           .select("id_a", "id_b")
-        val ded = Dedup.canonicalDocs(q, "doc_id", pairs)
+        // the canonical corpus feeds THREE downstream branches (the
+        // contamination ratio's own/hits sides and the final anti-join) —
+        // materialize it once as a leaf or each branch re-runs the
+        // quality scan + collapse (3 extra corpus passes at 100 TB)
+        val (ded, _) = Dedup.materializeLeaf(
+          Dedup.canonicalDocs(q, "doc_id", pairs))
         val contaminated = Dedup.contamination(ded, bench, "doc_id", "text")
           .filter(col("overlap_ratio") > 0.5)
           .select(col("id").as("doc_id"))

@@ -352,6 +352,16 @@ class PlanSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).size >= 1, "multi-distinct should plan as Expand")
   }
 
+  test("curation pipeline: canonical corpus is a leaf feeding all branches (no re-collapse per branch)") {
+    val p = plan("q_curation_pipeline")
+    // the quality scan + LSH collapse run ONCE (eager leaf); the output
+    // plan may scan raw documents only for the benchmark shingle side
+    assert("documents.parquet".r.findAllIn(p).size <= 2,
+      "a downstream branch re-runs the quality/collapse stages")
+    assert(p.contains("LeftAnti"), "decontamination lost its anti-join")
+    assert(!p.contains("CartesianProduct"), "pipeline degenerated to a cartesian")
+  }
+
   // ---- TPC-H completion (Q4/Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22) --------------
 
   test("TPC-H Q4: the EXISTS stays a left-semi join with the date range pushed") {
