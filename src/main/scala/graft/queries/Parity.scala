@@ -1253,6 +1253,31 @@ object Parity {
              |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // NOT IN with a nullable probe column — the three-valued-logic corner
+    // engines disagree on: a NULL probe value makes `k NOT IN (...)`
+    // UNKNOWN, so those rows must drop (unlike NOT EXISTS / anti-join,
+    // which would keep them). Spark plans the single-column form as a
+    // null-aware anti join (broadcast hash, not a nested loop) — pinned
+    // in PlanSpec; the build-side-NULL corner (any NULL in the subquery
+    // empties the result) is spec-tested since an always-empty query
+    // can't live in the oracle gate.
+    Q("q_null_aware_anti",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_docs_notin")
+        s.sql("""SELECT doc_id FROM (
+                |SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 10 END AS k
+                |FROM graft_docs_notin) p
+                |WHERE k NOT IN (SELECT DISTINCT doc_id % 10 FROM graft_docs_notin
+                |WHERE doc_id % 10 IN (0, 1, 2))
+                |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id FROM (
+             |SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 10 END AS k
+             |FROM documents) p
+             |WHERE k NOT IN (SELECT DISTINCT doc_id % 10 FROM documents
+             |WHERE doc_id % 10 IN (0, 1, 2))
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Set op — INTERSECT (customers with BOTH open and finished orders;
     // distinct semantics on both engines). Plans as a distinct-aggregated
     // semi-join: one key shuffle per side, no row blowup.

@@ -362,6 +362,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pipeline degenerated to a cartesian")
   }
 
+  test("NOT IN plans as a null-aware broadcast anti join, not a nested loop") {
+    val p = plan("q_null_aware_anti")
+    assert(p.contains("LeftAnti"), "NOT IN lost its anti-join plan")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "single-column NOT IN degenerated to a nested loop — O(n*m) at scale")
+  }
+
+  test("NOT IN three-valued logic: any NULL in the subquery empties the result") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("naaj_probe")
+    Seq(Some(1L), None).toDF("y").createOrReplaceTempView("naaj_build")
+    // x NOT IN (1, NULL) is never TRUE for any x (x=1 → FALSE, else UNKNOWN)
+    assert(spark.sql(
+      "SELECT x FROM naaj_probe WHERE x NOT IN (SELECT y FROM naaj_build)").count() == 0L)
+    // the NOT EXISTS rewrite is NOT equivalent — it keeps 2 and 3
+    assert(spark.sql(
+      """SELECT x FROM naaj_probe p WHERE NOT EXISTS (
+        |SELECT 1 FROM naaj_build b WHERE b.y = p.x)""".stripMargin).count() == 2L)
+  }
+
   // ---- TPC-H completion (Q4/Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22) --------------
 
   test("TPC-H Q4: the EXISTS stays a left-semi join with the date range pushed") {
