@@ -1937,6 +1937,28 @@ object Extensions {
              |FROM bs JOIN cp USING (tok) JOIN st USING (stratum) CROSS JOIN tt
              |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " "))),
 
+    // Outer explode — the accounting-correctness corner of every token
+    // pipeline: a plain explode silently DROPS documents whose array is
+    // empty (here: docs with zero stopwords), understating corpus counts;
+    // explode_outer keeps them as a NULL row. The oracle emulates outer
+    // semantics by wrapping empty lists as [NULL] before unnest; NULLS
+    // FIRST pinned explicitly (Spark ASC default) so both engines order
+    // the marker rows identically.
+    Q("q_explode_outer",
+      (s, d) => {
+        val sw = filter(TextAnalysis.tokens(col("text")),
+          t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode_outer(sw).as("tok"))
+          .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+             |list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)})) AS sw
+             |FROM documents),
+             |w AS (SELECT doc_id, CASE WHEN len(sw) = 0 THEN [NULL] ELSE sw END AS sw2 FROM f)
+             |SELECT doc_id, unnest(sw2) AS tok FROM w
+             |ORDER BY doc_id, tok NULLS FIRST""".stripMargin.replace("\n", " "))),
+
     // The end-to-end corpus-curation user story as ONE composed query —
     // the pipeline a lab actually runs before training: quality gate
     // (stopword ratio) → near-dup canonical collapse (MinHash/LSH pairs →
