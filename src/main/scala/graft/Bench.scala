@@ -28,6 +28,17 @@ package graft
   */
 object Bench {
 
+  /** Release EVERYTHING between timed runs: `catalog.clearCache()` only
+    * drops CacheManager-tracked DataFrame caches — raw `rdd.persist`
+    * blocks (materializeLeaf leaves, the LSH signature stage) are not in
+    * that registry and would accumulate disk blocks across the 66×3
+    * query invocations of a bench session.
+    */
+  private def clearAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -54,7 +65,7 @@ object Bench {
       try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache()
+    clearAll(spark)
 
     // contention canary: a fixed trivial query re-timed between every
     // few headliners. If the box degrades mid-run (a concurrent build, a
@@ -72,7 +83,7 @@ object Bench {
           SparkEntry.queries(canaryQuery)(spark, canarySf).count()
           canaryTimes += (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+        clearAll(spark)
       }
 
     // Prime the canary once untimed: its first post-clearCache call pays
@@ -81,7 +92,7 @@ object Bench {
     if (SparkEntry.queries.contains(canaryQuery)) {
       try { SparkEntry.queries(canaryQuery)(spark, canarySf).count(); () }
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      clearAll(spark)
     }
 
     // best-of-2 at the target SF: the first run can still absorb SF-
@@ -95,7 +106,7 @@ object Bench {
         val t =
           try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => err = Some(e); None }
-        spark.catalog.clearCache()
+        clearAll(spark)
         t
       }
       (name, times, err)
