@@ -1937,6 +1937,52 @@ object Extensions {
              |FROM bs JOIN cp USING (tok) JOIN st USING (stratum) CROSS JOIN tt
              |GROUP BY stratum, ns ORDER BY stratum""".stripMargin.replace("\n", " "))),
 
+    // kNN label classification over the labeled embedding table — the
+    // standard embedding-quality eval (do nearest neighbors share a
+    // label?): top-5 cosine neighbors per query vector (self excluded),
+    // majority vote with deterministic tie-breaks (votes desc, label
+    // asc), per-true-label accuracy counts. Composes the oracle-proven
+    // exact ANN join; the LSH/IVF probes are the drop-in scale path for
+    // the neighbor stage. k=6-with-self == k=5-without: self always
+    // ranks first at sim 1.0 on this duplicate-free table.
+    Q("q_knn_classify",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val nn = Similarity.annJoinExact(
+            emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 6)
+          .filter(col("match_id") =!= col("query_id"))
+        val lbl = emb.select(col("vec_id").as("match_id"), col("label").as("nlabel"))
+        val votes = nn.join(broadcast(lbl), Seq("match_id"))
+          .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("nv"))
+        val byVotes = Window.partitionBy(col("query_id"))
+          .orderBy(col("nv").desc, col("nlabel"))
+        val pred = votes.withColumn("__rk", row_number().over(byVotes))
+          .filter(col("__rk") === 1)
+          .select(col("query_id"), col("nlabel").as("pred"))
+        pred.join(emb.filter(col("vec_id") < 100)
+            .select(col("vec_id").as("query_id"), col("label").as("truth")),
+            Seq("query_id"))
+          .groupBy(col("truth"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("truth"), 1L).otherwise(0L)).as("n_correct"))
+          .orderBy("truth")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS truth
+             |FROM embeddings WHERE vec_id < 100),
+             |sims AS (SELECT qid, truth, c.vec_id AS cid, c.label AS nlabel,
+             |list_cosine_similarity(qe, CAST(c.embedding AS DOUBLE[])) AS sim
+             |FROM q, embeddings c WHERE c.vec_id <> qid),
+             |top5 AS (SELECT qid, truth, nlabel FROM (SELECT qid, truth, nlabel,
+             |row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM sims) t
+             |WHERE rk <= 5),
+             |votes AS (SELECT qid, truth, nlabel, count(*) AS nv FROM top5 GROUP BY 1, 2, 3),
+             |pred AS (SELECT qid, truth, nlabel AS pred FROM (SELECT qid, truth, nlabel,
+             |row_number() OVER (PARTITION BY qid ORDER BY nv DESC, nlabel) AS rk FROM votes) t
+             |WHERE rk = 1)
+             |SELECT truth, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |FROM pred GROUP BY truth ORDER BY truth""".stripMargin.replace("\n", " "))),
+
     // Outer explode — the accounting-correctness corner of every token
     // pipeline: a plain explode silently DROPS documents whose array is
     // empty (here: docs with zero stopwords), understating corpus counts;
