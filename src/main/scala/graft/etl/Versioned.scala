@@ -54,8 +54,12 @@ object Versioned {
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"pointer flip to v=$v failed")
+    // rename with OVERWRITE replaces the pointer in ONE atomic op —
+    // a delete-then-rename pair would leave a window with NO pointer,
+    // during which a reader's currentVersion resolves to nothing
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Publish `df` as the next version and flip `_LATEST` to it; returns
