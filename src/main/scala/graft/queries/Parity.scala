@@ -1253,6 +1253,31 @@ object Parity {
              |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // UNPIVOT/melt — the inverse of q_pivot: wide metric columns to
+    // (key, metric, value) rows, the shape every metrics store and
+    // data-card exporter wants. Plans as one Expand over the (tiny)
+    // aggregated frame — n_metrics output rows per input row, no join,
+    // no shuffle beyond the aggregate's own.
+    Q("q_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_discount")), 4).as("sum_disc"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_disc"), col("avg_price")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH wide AS (SELECT l_returnflag,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_discount), 4) AS sum_disc,
+             |round(avg(l_extendedprice), 4) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, metric, value FROM wide
+             |UNPIVOT (value FOR metric IN (sum_qty, sum_disc, avg_price))
+             |ORDER BY l_returnflag, metric""".stripMargin.replace("\n", " "))),
+
     // NOT IN with a nullable probe column — the three-valued-logic corner
     // engines disagree on: a NULL probe value makes `k NOT IN (...)`
     // UNKNOWN, so those rows must drop (unlike NOT EXISTS / anti-join,
