@@ -1074,6 +1074,33 @@ object Extensions {
              |sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Raw-media landing path: a directory of opaque binary files read
+    // through Spark's binaryFile source (path/length/content — how
+    // image/audio corpora actually arrive on object storage before any
+    // decode), digest-verified file by file against DuckDB's read_blob
+    // over the same directory. The fixture is deterministic (first 20
+    // docs' UTF-8 bytes); at scale this reader is the input stage the
+    // Multimodal decode contract consumes.
+    Q("q_binary_files",
+      (s, d) => {
+        val dir = Fixtures.dir("blob_fixture", d)
+        new java.io.File(dir).mkdirs()
+        Tables.documents(s, d).filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc${r.getLong(0)}%03d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(s"$dir/*.bin")
+          .select(element_at(split(col("path"), "/"), -1).as("fname"),
+            col("length"), md5(col("content")).as("digest"))
+          .orderBy("fname")
+      },
+      Some(s"""SELECT parse_filename(filename) AS fname,
+             |CAST(size AS BIGINT) AS length, md5(content::VARCHAR) AS digest
+             |FROM read_blob('${Fixtures.sqlDir("blob_fixture")}/*.bin')
+             |ORDER BY fname""".stripMargin.replace("\n", " "))),
+
     // Data profiling (graft.etl.Profile): one scan, every column's stats,
     // unpivoted via stack — the explicit form of the reference's
     // infer-types-from-the-whole-CSV pass.
