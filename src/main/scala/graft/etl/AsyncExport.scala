@@ -84,8 +84,17 @@ object AsyncExport {
     out
   }
 
-  private def addJobUuid(url: String, uuid: String): String =
-    if (url.contains(s"job_uuid=")) url else s"$url&job_uuid=$uuid"
+  /** Append (or REPLACE) the `job_uuid` param: the server may issue a new
+    * uuid mid-flight (old job purged, or a fresh job after a 401 restart);
+    * keeping the stale one would poll a dead job until the budget runs out.
+    */
+  private[etl] def addJobUuid(url: String, uuid: String): String = {
+    val base = url
+      .replaceAll("([?&])job_uuid=[^&]*&", "$1")
+      .replaceAll("[?&]job_uuid=[^&]*$", "")
+    val sep = if (base.contains("?")) "&" else "?"
+    s"$base${sep}job_uuid=$uuid"
+  }
 
   /** Drive the poll/backoff/resume state machine until the export body is
     * on local (or any Hadoop-FS) storage; returns the fetched path.
@@ -136,7 +145,12 @@ object AsyncExport {
             throw ExportFailed(s"URL: $url access token refresh loop")
           refreshToken()
           refreshes += 1
-          polls = 0 // the reference restarts the recursion fresh (onadata.py:129)
+          polls = 0
+          // the reference restarts the recursion fresh (onadata.py:129):
+          // drop any appended job_uuid too — the refreshed session may
+          // start a brand-new job, and its status response will hand us
+          // the uuid to resume from
+          url = exportUrl
         case NotFound =>
           throw ExportFailed(s"URL: $url 404 not found")
         case HttpError(code) =>

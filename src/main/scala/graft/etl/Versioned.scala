@@ -11,27 +11,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single-file swap, but a multi-file 100 TB parquet extract has readers
   * MID-SCAN while the refresh deletes and rewrites the files under them.
   * Here every publish lands in a fresh immutable `v=N` directory and the
-  * only mutation is an atomic pointer flip (`_LATEST` written to a temp
-  * name, then renamed — rename is atomic on HDFS/local): a reader that
-  * resolved the pointer before the flip finishes its scan on untouched
-  * files; one that resolves after sees the complete new version. Rollback
-  * is the same pointer flip to an older, still-present version — no data
-  * movement, instant. Old versions are pruned explicitly ([[vacuum]]),
-  * never implicitly, so the retention window is an operator decision.
+  * only mutations are two atomic renames: the commit manifest and the
+  * `_LATEST` pointer flip. A reader that resolved the pointer before the
+  * flip finishes its scan on untouched files; one that resolves after
+  * sees the complete new version. Rollback is the same pointer flip to an
+  * older, still-present version — no data movement, instant. Old versions
+  * are pruned explicitly ([[vacuum]]), never implicitly, so the retention
+  * window is an operator decision.
+  *
+  * ==Commit manifests==
+  * A version EXISTS iff `_manifests/v=N.manifest` exists — one small file
+  * per publish listing the version's data files, committed by an atomic
+  * no-overwrite rename AFTER the data write completes. Readers resolve
+  * versions entirely from the manifest tree: [[readVersion]] opens one
+  * manifest (O(1), no directory listing of the data tree — on an object
+  * store, LIST over millions of data objects is the latency and cost
+  * killer) and hands Spark the explicit file list; [[listVersions]] lists
+  * only the tiny `_manifests/` directory. A crash between data write and
+  * manifest rename leaves an uncommitted orphan directory that no reader
+  * can ever observe; [[vacuum]] reclaims it. The manifest also enables
+  * partial-file GC: any file in the data tree not named by its version's
+  * manifest (a dead speculative-task leftover, a crashed writer's debris)
+  * is invisible to readers and safe to delete.
+  *
+  * ==Concurrency==
+  * Single concurrent WRITER per extract root is the supported regime
+  * (mirror of the reference's one-sync-at-a-time scheduler lock,
+  * app/utils/onadata_utils.py). The design still fails safe if two race:
+  * both may stage data, but the no-overwrite manifest rename is the
+  * single commit point — exactly one wins version N, the loser throws
+  * and its staged directory is vacuumable. Readers need no lock ever.
   */
 object Versioned {
 
   private val Latest = "_LATEST"
+  private val ManifestsDir = "_manifests"
+  private val ManifestRe = """^v=(\d+)\.manifest$""".r
+  private val DataDirRe = """^v=(\d+)$""".r
 
   private def versionDir(root: String, v: Long) = s"$root/v=$v"
+  private def manifestPath(root: String, v: Long) =
+    new Path(s"$root/$ManifestsDir", s"v=$v.manifest")
 
-  /** Versions currently present on storage, ascending. */
+  /** Committed versions, ascending — from the manifest tree only (one
+    * listing of a directory holding one small file per version). Stray
+    * non-matching names (`v=tmp`, editor droppings) are ignored, never
+    * parse errors.
+    */
   def listVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, _) = Refresh.hfs(spark, root)
+    val mdir = new Path(root, ManifestsDir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case ManifestRe(v) => v.toLong }.sorted
+  }
+
+  /** Staged `v=N` data directories, committed or not — WRITER-side only
+    * ([[publish]] must never reuse a crashed publish's number; readers
+    * never call this).
+    */
+  private def stagedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, p) = Refresh.hfs(spark, root)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case DataDirRe(v) => v.toLong }.sorted
+  }
+
+  /** The data files version `v` committed, as recorded by its manifest. */
+  def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val (fs, _) = Refresh.hfs(spark, root)
+    val mp = manifestPath(root, v)
+    require(fs.exists(mp), s"version $v not committed under $root")
+    val in = fs.open(mp)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
   }
 
   /** The version the `_LATEST` pointer names, if published. */
@@ -62,46 +117,88 @@ object Versioned {
     fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Atomically commit version `v`'s manifest. The rename does NOT
+    * overwrite: if a racing writer already committed `v`, this throws and
+    * the caller's staged data stays an invisible orphan — the one place
+    * concurrent publishes are arbitrated.
+    */
+  private def commitManifest(spark: SparkSession, root: String, v: Long,
+                             files: Seq[String]): Unit = {
+    val (fs, _) = Refresh.hfs(spark, root)
+    val mdir = new Path(root, ManifestsDir)
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".tmp-v=$v-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, manifestPath(root, v)) // Rename.NONE: fail if committed
+  }
+
   /** Publish `df` as the next version and flip `_LATEST` to it; returns
-    * the new version number. The data write happens entirely BEFORE the
-    * flip — a crash mid-write leaves a dangling unreferenced directory
-    * (re-publishable or vacuumable), never a broken pointer.
+    * the new version number. Ordering: data write → manifest commit →
+    * pointer flip. A crash before the manifest leaves an uncommitted
+    * orphan no reader observes; a crash after it leaves a committed
+    * version the pointer doesn't name yet — re-publishable state either
+    * way, never a broken pointer. The next number skips BOTH committed
+    * and merely-staged versions, so a crashed publish's directory is
+    * superseded, never silently adopted.
     */
   def publish(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val next = listVersions(spark, root).lastOption.getOrElse(0L) + 1L
-    df.write.mode("errorifexists").parquet(versionDir(root, next))
+    val next = (listVersions(spark, root) ++ stagedVersions(spark, root))
+      .maxOption.getOrElse(0L) + 1L
+    val dir = versionDir(root, next)
+    df.write.mode("errorifexists").parquet(dir)
+    val (fs, _) = Refresh.hfs(spark, root)
+    val files = fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    commitManifest(spark, root, next, files)
     flipPointer(spark, root, next)
     next
   }
 
+  /** Read an explicit committed version: one manifest open resolves the
+    * exact file list — Spark scans those files and nothing else, so
+    * debris in the data directory (dead speculative-task output, a
+    * concurrent writer's staging) can never leak into results.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val files = manifestFiles(spark, root, v).map(f => s"${versionDir(root, v)}/$f")
+    spark.read.parquet(files: _*)
+  }
+
   /** Read the version `_LATEST` points at (the only read path normal
-    * consumers use).
+    * consumers use). Cost: one pointer read + one manifest read — O(1)
+    * regardless of version count or data-file count.
     */
   def readLatest(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
-    spark.read.parquet(versionDir(root, v))
+    readVersion(spark, root, v)
   }
 
-  /** Time travel: read an explicit version that is still on storage. */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(listVersions(spark, root).contains(v), s"version $v not present under $root")
-    spark.read.parquet(versionDir(root, v))
-  }
-
-  /** Point `_LATEST` back at an older (still-present) version — instant,
-    * no data movement.
+  /** Point `_LATEST` back at an older (still-committed) version —
+    * instant, no data movement.
     */
   def rollback(spark: SparkSession, root: String, v: Long): Unit = {
     require(listVersions(spark, root).contains(v), s"cannot roll back to absent version $v")
     flipPointer(spark, root, v)
   }
 
-  /** Delete versions older than `keep` trailing ones, never touching the
-    * pointed-at version. Explicit retention: at 100 TB, stale snapshots
-    * are the storage bill, but deleting one a reader still scans is an
-    * outage — the operator picks the window.
+  /** Delete committed versions older than `keep` trailing ones (never the
+    * pointed-at version) plus any uncommitted orphan directory a crashed
+    * or losing publish left behind; returns the reclaimed version
+    * numbers. Manifest is deleted FIRST — the version stops existing for
+    * readers before any data file goes, so a crash mid-vacuum leaves an
+    * orphan, not a committed version with missing files. Explicit
+    * retention: at 100 TB, stale snapshots are the storage bill, but
+    * deleting one a reader still scans is an outage — the operator picks
+    * the window. Orphan GC assumes the single-writer regime: don't run
+    * vacuum while a publish is in flight.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least one version")
@@ -109,7 +206,12 @@ object Versioned {
     val vs = listVersions(spark, root)
     val current = currentVersion(spark, root)
     val deletable = vs.dropRight(keep).filterNot(current.contains)
-    deletable.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
-    deletable
+    deletable.foreach { v =>
+      fs.delete(manifestPath(root, v), false)
+      fs.delete(new Path(versionDir(root, v)), true)
+    }
+    val orphans = stagedVersions(spark, root).filterNot(listVersions(spark, root).contains)
+    orphans.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
+    (deletable ++ orphans).sorted
   }
 }

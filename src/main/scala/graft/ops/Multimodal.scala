@@ -12,10 +12,14 @@ import org.apache.spark.sql.types._
   * batched execution (`mapPartitions`, the Scala analog of `mapInPandas`),
   * deterministic output shape. IMAGE decode is REAL ([[decodeImage]]:
   * the JDK's bundled javax.imageio codecs — PNG/JPEG/GIF/BMP — pixel
-  * dimensions + grid-luma features); audio/video decode stays STUBBED
-  * (`decodeStub` — those codecs are not in the JDK): a deterministic
-  * fake feature vector from the payload bytes. Swapping in a real
-  * audio/video decoder changes only the function body, not the plumbing.
+  * dimensions + grid-luma features). AUDIO decode is REAL
+  * ([[decodeAudioSamples]]: the JDK's bundled javax.sound.sampled codecs
+  * — WAV/AIFF/AU PCM — stride-capped mono samples feeding RMS/peak/
+  * silence stats and an RMS-envelope feature vector). Only compressed
+  * VIDEO decode stays STUBBED (`decodeStub` — no video codec ships with
+  * the JDK): a deterministic fake feature vector from the payload bytes.
+  * Swapping in a real video decoder changes only the function body, not
+  * the plumbing.
   *
   * Scale posture: payloads stay on executors end to end (no collect); the
   * decode pass is partition-local with zero shuffle; feature vectors are
@@ -115,12 +119,210 @@ object Multimodal {
         }
         Some((w, h, feats))
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: a decompression-bomb OOM or StackOverflow must FAIL
+      // the task, not silently fall back to fabricated stub features
+      case scala.util.control.NonFatal(_) => None
+    }
 
-  /** STUB decoder: stands in for audio/video decode + feature extraction
-    * (those codecs are not in the JDK). Deterministic fake: feature i =
-    * byte at stride i scaled to [0, 1); "width"/"height" derived from the
-    * byte length. The signature and batch shape are the real contract.
+  /** Decoded PCM audio: format facts plus a stride-capped mono sample
+    * series (normalized to [-1, 1), at most [[AudioSampleBudget]] kept
+    * samples regardless of clip length).
+    */
+  final case class AudioDecoded(sampleRate: Int, channels: Int,
+                                frames: Long, samples: Array[Float])
+
+  /** Cap on KEPT samples per clip: stats cost is bounded no matter how
+    * long the audio runs (the decode itself is codec-bound, like the
+    * image path's pixel-stride cap vs its decode).
+    */
+  val AudioSampleBudget: Int = 1 << 16
+
+  /** REAL audio decode via the JDK's bundled `javax.sound.sampled`
+    * codecs (WAV/AIFF/AU, PCM + a-law/µ-law — no external libraries):
+    * converts to signed 16-bit PCM, mixes channels to mono (mean), and
+    * keeps every stride-th frame so at most `budget` samples survive.
+    * Each kept sample is `shortValue / 32768.0f` — EXACT in float (a
+    * 16-bit integer times a power of two), which is what lets downstream
+    * stats be reproduced bit-for-bit by an integer-arithmetic oracle.
+    * None when the payload has no audio reader (other modality, corrupt
+    * bytes, or a compressed codec the JDK lacks) — callers fall back to
+    * the stub.
+    */
+  def decodeAudioSamples(payload: Array[Byte],
+                         budget: Int = AudioSampleBudget): Option[AudioDecoded] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm =
+          if (src.matches(target)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        val ch = target.getChannels
+        val bytesPerFrame = ch * 2
+        val known = pcm.getFrameLength // -1 when the container omits it
+        val stride =
+          if (known > 0) math.max(1L, (known + budget - 1) / budget) else 1L
+        val kept = Array.newBuilder[Float]
+        kept.sizeHint(math.min(budget.toLong, math.max(known, 0L)).toInt)
+        val buf = new Array[Byte](bytesPerFrame * 1024)
+        var frameIdx = 0L
+        var keptCount = 0
+        var filled = 0 // bytes of a partial frame carried across reads
+        var eof = false
+        // run to EOF even once the sample budget fills — `frames` must be
+        // the clip's true length (duration accounting), not where we quit
+        while (!eof) {
+          val n = pcm.read(buf, filled, buf.length - filled)
+          if (n < 0) eof = true
+          else {
+            val avail = filled + n
+            val frames = avail / bytesPerFrame
+            var f = 0
+            while (f < frames) {
+              if (keptCount < budget && frameIdx % stride == 0) {
+                var sum = 0L
+                var c = 0
+                while (c < ch) {
+                  val off = f * bytesPerFrame + c * 2
+                  // little-endian signed 16-bit (we forced the format)
+                  sum += ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort
+                  c += 1
+                }
+                kept += (sum.toDouble / ch / 32768.0).toFloat
+                keptCount += 1
+              }
+              frameIdx += 1
+              f += 1
+            }
+            val consumed = frames * bytesPerFrame
+            filled = avail - consumed
+            if (filled > 0) System.arraycopy(buf, consumed, buf, 0, filled)
+          }
+        }
+        Some(AudioDecoded(target.getSampleRate.toInt, ch, frameIdx, kept.result()))
+      } finally raw.close()
+    } catch {
+      // NonFatal only — same policy as decodeImage
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Real-audio flavor of the decode contract: (sampleRate, channels,
+    * [[FeatureDim]] temporal RMS-envelope bins each in [0, 1]) — the
+    * audio analog of the image path's 4x4 luma grid, the cheap signature
+    * for silence/clipping filters and coarse acoustic dedup blocking.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodeAudioSamples(payload).map { a =>
+      val n = a.samples.length
+      val feats = new Array[Float](FeatureDim)
+      if (n > 0) {
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Long](FeatureDim)
+        var i = 0
+        while (i < n) {
+          val bin = math.min(FeatureDim - 1, (i.toLong * FeatureDim / n).toInt)
+          val s = a.samples(i).toDouble
+          sums(bin) += s * s
+          counts(bin) += 1
+          i += 1
+        }
+        var b = 0
+        while (b < FeatureDim) {
+          if (counts(b) > 0) feats(b) = math.sqrt(sums(b) / counts(b)).toFloat
+          b += 1
+        }
+      }
+      (a.sampleRate, a.channels, feats)
+    }
+
+  val AudioStatsType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType),
+    StructField("silence_ratio", DoubleType)))
+
+  /** Sample-level stats for one decodable clip: RMS, peak, and the
+    * fraction of samples under the |s| < 0.01 silence threshold — the
+    * corpus-curation trio (drop silent clips, flag clipped ones, weight
+    * by loudness). All three are exact-rational arithmetic over the
+    * 16-bit integers behind the normalized samples (sums of k²·2⁻³⁰
+    * terms are exact in double up to the sample budget), so a DuckDB
+    * oracle regenerating the same PCM reproduces them bit-for-bit.
+    */
+  def audioStats(payload: Array[Byte]): Option[Row] =
+    decodeAudioSamples(payload).map { a =>
+      val n = a.samples.length
+      var sumSq = 0.0
+      var peak = 0.0
+      var silent = 0L
+      var i = 0
+      while (i < n) {
+        val s = a.samples(i).toDouble
+        sumSq += s * s
+        val abs = math.abs(s)
+        if (abs > peak) peak = abs
+        if (abs < 0.01) silent += 1
+        i += 1
+      }
+      Row(a.sampleRate, a.channels, a.frames,
+        a.frames.toDouble / a.sampleRate,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n),
+        peak,
+        if (n == 0) 0.0 else silent.toDouble / n)
+    }
+
+  /** Partition-local batched audio-stats pass: adds a nullable
+    * `audio_stats` struct ([[AudioStatsType]]) — null for payloads the
+    * JDK can't decode. The sample-decoding twin of [[withAudioMeta]]'s
+    * header-only parse.
+    */
+  def withAudioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add("audio_stats", AudioStatsType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = audioStats(r.getAs[Array[Byte]](idx)).orNull
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
+  /** Minimal RIFF/WAVE container around 16-bit little-endian PCM
+    * (`samples` interleaved when `channels` > 1) — the synth side of the
+    * audio path, used by specs and the oracle query to manufacture
+    * decodable payloads from pure integers.
+    */
+  def synthWav(sampleRate: Int, samples: Array[Short],
+               channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(sampleRate * 2 * channels)
+      .putShort((2 * channels).toShort).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** STUB decoder: stands in for compressed audio/VIDEO decode + feature
+    * extraction (those codecs are not in the JDK — images and PCM audio
+    * take the real paths above). Deterministic fake: feature i = byte at
+    * stride i scaled to [0, 1); "width"/"height" derived from the byte
+    * length. The signature and batch shape are the real contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
@@ -135,8 +337,10 @@ object Multimodal {
 
   /** Partition-local batched decode pass: payload → (width, height,
     * features). Image payloads take the REAL [[decodeImage]] path (JDK
-    * ImageIO: PNG/JPEG/GIF/BMP); everything else falls back to
-    * [[decodeStub]]. Runs once per row inside `mapPartitions` so
+    * ImageIO: PNG/JPEG/GIF/BMP), audio payloads the REAL [[decodeAudio]]
+    * path (javax.sound.sampled: WAV/AIFF/AU, reporting (sampleRate,
+    * channels) in the two int slots); only compressed video falls back
+    * to [[decodeStub]]. Runs once per row inside `mapPartitions` so
     * per-partition decoder state (ImageIO reader cache) is initialized
     * once per task, exactly like `mapInPandas` batches.
     */
@@ -152,7 +356,9 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val (w, h, f) = decodeImage(payload).getOrElse(decodeStub(payload))
+        val (w, h, f) = decodeImage(payload)
+          .orElse(decodeAudio(payload))
+          .getOrElse(decodeStub(payload))
         Row.fromSeq(r.toSeq ++ Seq(w, h, f))
       }
     }(enc)
@@ -218,7 +424,11 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         Some(bos.toByteArray)
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: a decompression-bomb OOM or StackOverflow must FAIL
+      // the task, not silently fall back to fabricated stub features
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Partition-local REAL image-resize pass: decodable image payloads are
     * scaled to fit `maxDim` and re-encoded ([[resizeImage]]); payloads

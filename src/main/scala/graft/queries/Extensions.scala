@@ -1074,6 +1074,54 @@ object Extensions {
              |sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // REAL audio decode end to end: per-doc WAV payloads are synthesized
+    // on executors from pure integer PCM (sample i of doc d is
+    // ((d*31 + i*17) mod 401 − 200)·128, n = 200 + (d mod 5)·50 frames at
+    // 8 kHz), decoded back through javax.sound.sampled
+    // (Multimodal.withAudioStats), and reduced to the curation stats —
+    // RMS / peak / silence ratio. Every stat is exact-rational arithmetic
+    // over 16-bit integers (sums of k²·2⁻³⁰ stay exact in double), so the
+    // oracle regenerates the identical PCM series in SQL and matches
+    // bit-for-bit — no rounding anywhere. Proves the decode loop
+    // (container parse, PCM conversion, frame walk, channel mix) is
+    // byte-correct, not just schema-correct.
+    Q("q_audio_stats",
+      (s, d) => {
+        import s.implicits._
+        val wavs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = 200 + (id % 5).toInt * 50
+              val pcm = Array.tabulate[Short](n) { i =>
+                (((id * 31 + i * 17) % 401 - 200) * 128).toShort
+              }
+              (id, Multimodal.synthWav(8000, pcm))
+            }
+          }.toDF("doc_id", "payload")
+        Multimodal.withAudioStats(wavs)
+          .select(col("doc_id"),
+            col("audio_stats.sample_rate").as("sample_rate"),
+            col("audio_stats.channels").as("channels"),
+            col("audio_stats.n_frames").as("n_frames"),
+            col("audio_stats.duration_s").as("duration_s"),
+            col("audio_stats.rms").as("rms"),
+            col("audio_stats.peak").as("peak"),
+            col("audio_stats.silence_ratio").as("silence_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, 200 + (doc_id % 5) * 50 AS n FROM documents),
+             |s AS (SELECT f.doc_id, f.n,
+             |((f.doc_id * 31 + t.i * 17) % 401 - 200) * 128 AS v
+             |FROM f, LATERAL (SELECT unnest(range(0, f.n)) AS i) t)
+             |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |CAST(1 AS INTEGER) AS channels,
+             |CAST(max(n) AS BIGINT) AS n_frames,
+             |CAST(max(n) AS DOUBLE) / 8000 AS duration_s,
+             |sqrt(CAST(sum(v * v) AS DOUBLE) / (max(n) * 1073741824.0)) AS rms,
+             |CAST(max(abs(v)) AS DOUBLE) / 32768 AS peak,
+             |CAST(count(*) FILTER (WHERE abs(v) < 327.68) AS DOUBLE) / max(n) AS silence_ratio
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Raw-media landing path: a directory of opaque binary files read
     // through Spark's binaryFile source (path/length/content — how
     // image/audio corpora actually arrive on object storage before any
@@ -1083,14 +1131,7 @@ object Extensions {
     // Multimodal decode contract consumes.
     Q("q_binary_files",
       (s, d) => {
-        val dir = Fixtures.dir("blob_fixture", d)
-        new java.io.File(dir).mkdirs()
-        Tables.documents(s, d).filter(col("doc_id") < 20)
-          .select(col("doc_id"), col("text")).collect().foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, f"doc${r.getLong(0)}%03d.bin"),
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
+        val dir = Fixtures.ensureBlobs(s, d)
         s.read.format("binaryFile").load(s"$dir/*.bin")
           .select(element_at(split(col("path"), "/"), -1).as("fname"),
             col("length"), md5(col("content")).as("digest"))
@@ -2132,7 +2173,7 @@ object Extensions {
     Q("q_versioned_publish",
       (s, d) => {
         import s.implicits._
-        val root = s"${sys.props("java.io.tmpdir")}/graft_extract_versioned_pub"
+        val root = Fixtures.dir("extract_versioned_pub", d)
         val (fs, p) = graft.etl.Refresh.hfs(s, root)
         if (fs.exists(p)) fs.delete(p, true)
         val docs = Tables.documents(s, d)

@@ -487,6 +487,13 @@ object Streams {
     * gigabytes of checkpoint state regardless of event volume, and a
     * user's progress survives across micro-batches exactly-once via the
     * checkpoint.
+    *
+    * NOTE on checkpoint compatibility: the state type changed from `Int`
+    * to `(Int, Long)` when strict seq-ordering landed — a stream resuming
+    * from a checkpoint written by the older shape fails on the
+    * incompatible state encoder. Restart such streams with a FRESH
+    * `checkpointLocation` (the funnel rebuilds from the source's retained
+    * history); new deployments are unaffected.
     */
   def funnelStream(events: Dataset[JourneyEvent],
                    steps: Seq[String]): Dataset[FunnelProgress] = {

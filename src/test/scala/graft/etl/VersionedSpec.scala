@@ -59,6 +59,35 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.listVersions(spark, root) == Seq(3L, 4L))
   }
 
+  test("readers resolve through the manifest, never the data tree") {
+    val root = freshRoot()
+    Versioned.publish(Seq(1, 2, 3).toDF("x"), root)
+    // poison the data tree: a debris parquet file inside v=1 that the
+    // manifest does not name (dead speculative task / crashed writer),
+    // plus a stray non-numeric v= directory (a tool's scratch)
+    val debrisSrc = java.nio.file.Files.createTempDirectory("debris").toString
+    Seq(100, 200).toDF("x").write.parquet(s"$debrisSrc/p")
+    val part = new java.io.File(s"$debrisSrc/p").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$root/v=1/part-zzz-debris.parquet"))
+    new java.io.File(s"$root/v=tmp").mkdirs()
+    // a directory-listing reader would see 5 rows (or crash on v=tmp);
+    // the manifest reader sees exactly what v=1 committed
+    assert(Versioned.readVersion(spark, root, 1L)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Versioned.readLatest(spark, root).count() == 3L)
+    assert(Versioned.listVersions(spark, root) == Seq(1L))
+    // an uncommitted staged directory is not a readable version
+    Seq(9).toDF("x").write.parquet(s"$root/v=2")
+    intercept[IllegalArgumentException] { Versioned.readVersion(spark, root, 2L) }
+    assert(Versioned.listVersions(spark, root) == Seq(1L))
+    // and the manifest records exactly the committed files
+    val committed = Versioned.manifestFiles(spark, root, 1L)
+    assert(committed.nonEmpty && committed.forall(_.endsWith(".parquet")))
+    assert(!committed.contains("part-zzz-debris.parquet"))
+  }
+
   test("vacuum keeps the trailing window and never the pointed-at version") {
     val root = freshRoot()
     (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), root))

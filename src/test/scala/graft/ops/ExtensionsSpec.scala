@@ -297,6 +297,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(stub.getAs[Int]("width") == "not an image".length % 640)
   }
 
+  test("decodeAudioSamples really decodes a generated WAV via javax.sound (exact stats)") {
+    // 200-frame mono ramp: PCM value of frame i is (i - 100) * 128
+    val pcm = Array.tabulate[Short](200)(i => ((i - 100) * 128).toShort)
+    val wav = Multimodal.synthWav(8000, pcm)
+    val a = Multimodal.decodeAudioSamples(wav).get
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.frames == 200L)
+    assert(a.samples.length == 200)
+    assert(a.samples(0) == (-100 * 128 / 32768.0).toFloat)
+    assert(a.samples(199) == (99 * 128 / 32768.0).toFloat)
+    val st = Multimodal.audioStats(wav).get
+    assert(st.getInt(0) == 8000 && st.getInt(1) == 1 && st.getLong(2) == 200L)
+    assert(st.getDouble(3) == 200.0 / 8000) // duration_s
+    val sumSq = pcm.map(s => s.toLong * s).sum
+    assert(st.getDouble(4) == math.sqrt(sumSq.toDouble / 200 / (32768.0 * 32768.0)))
+    assert(st.getDouble(5) == 12800 / 32768.0) // peak = |(-100)*128|
+    // silence |s| < 0.01 ⇔ |i-100| ≤ 2 ⇔ 5 of 200 frames
+    assert(st.getDouble(6) == 5.0 / 200)
+  }
+
+  test("stereo mixes to mono; sample budget stride-caps long clips") {
+    // constant L=1000 / R=3000 stereo: every mono sample is exactly 2000
+    val inter = Array.tabulate[Short](400)(i => if (i % 2 == 0) 1000 else 3000)
+    val stereo = Multimodal.decodeAudioSamples(
+      Multimodal.synthWav(8000, inter, channels = 2)).get
+    assert(stereo.channels == 2 && stereo.frames == 200L)
+    assert(stereo.samples.forall(_ == (2000 / 32768.0).toFloat))
+    // 4096-frame clip, budget 100: stride ceil(4096/100)=41
+    val long = Array.tabulate[Short](4096)(i => (i % 256).toShort)
+    val capped = Multimodal.decodeAudioSamples(
+      Multimodal.synthWav(8000, long), budget = 100).get
+    assert(capped.frames == 4096L)
+    assert(capped.samples.length == 100)
+    assert(capped.samples(1) == (41 / 32768.0).toFloat) // frame 41, not 1
+    // non-audio bytes: None, callers fall back to the stub
+    assert(Multimodal.decodeAudioSamples("not audio".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures routes WAV payloads through the real audio path") {
+    // first half silent, second half at 0.5 amplitude: envelope bins
+    // 0-7 must be 0, bins 8-15 exactly 0.5; int slots = (rate, channels)
+    val pcm = Array.fill[Short](100)(0) ++ Array.fill[Short](100)(16384)
+    val row = Multimodal.decodeFeatures(
+      Seq((1L, Multimodal.synthWav(8000, pcm))).toDF("doc_id", "payload")).head()
+    assert(row.getAs[Int]("width") == 8000 && row.getAs[Int]("height") == 1)
+    val feats = row.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.take(8).forall(_ == 0.0f))
+    assert(feats.drop(8).forall(_ == 0.5f))
+    // withAudioStats: undecodable payloads yield a NULL struct
+    val mixed = Multimodal.withAudioStats(Seq(
+      (1L, Multimodal.synthWav(8000, pcm)),
+      (2L, "plain text".getBytes)).toDF("doc_id", "payload"))
+    val rows = mixed.orderBy("doc_id").select("audio_stats").collect()
+    assert(rows(0).getStruct(0) != null && rows(1).isNullAt(0))
+  }
+
   test("resizePayloads shrinks payloads in place, schema preserved") {
     val src = Multimodal.withPayload(
       Seq((1L, "a" * 100), (2L, "b")).toDF("doc_id", "text"))
