@@ -112,6 +112,60 @@ object Bench {
       (name, times, err)
     }
     runCanary()
+
+    // ---- scale-proof: re-time the heaviest headliners at ×F ----------
+    // Every figure above is one point at one SF; the 100 TB question is
+    // the EXPONENT. ScaleUp materializes a deterministic ×F replica of
+    // the bench dir (key-domain salting keeps join selectivity and LSH
+    // collision structure per-row identical — see ScaleUp's scaladoc),
+    // and each of the top-N heaviest queries is re-timed at both sizes:
+    // ratio ≈ F is linear, ratio ≫ F is a superlinear red flag, named in
+    // "superlinear" so a regression is machine-visible in the record.
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val scaleTopN = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOPN", "20").toInt
+    val scaling: Option[String] =
+      if (scaleFactor < 2 || scaleTopN < 1) None
+      else try {
+        val scaledDir = graft.tools.ScaleUp.ensure(spark, sfDir, scaleFactor)
+        clearAll(spark)
+        val heaviest = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.min) }
+          .sortBy(-_._2).take(scaleTopN)
+        val entries = heaviest.map { case (name, t1main) =>
+          val q = SparkEntry.queries(name)
+          def time(dir: String): Option[Double] = {
+            val t0 = System.nanoTime()
+            val r = try { q(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] scaling $name at $dir: $e"); None }
+            clearAll(spark)
+            r
+          }
+          // one fresh 1× sample folded with the main run's best-of-2, so
+          // both sides of the ratio share session state; the ×F side is
+          // best-of-2 unless the first sample already blew the budget (a
+          // genuinely superlinear query must not stall the whole bench)
+          val t1 = (time(sfDir).toSeq :+ t1main).min
+          val tF = time(scaledDir) match {
+            case Some(t) if t < 60.0 => Some(math.min(t, time(scaledDir).getOrElse(t)))
+            case other => other
+          }
+          (name, t1, tF)
+        }
+        val qjson = entries.map { case (n, t1, tF) =>
+          jsonStr(n) + ":" + (tF match {
+            case Some(t) => f"""{"t1":$t1%.4f,"tf":$t%.4f,"ratio":${t / t1}%.3f}"""
+            case None => f"""{"t1":$t1%.4f,"tf":null,"ratio":null}"""
+          })
+        }.mkString("{", ",", "}")
+        val flagged = entries.collect {
+          case (n, t1, Some(tF)) if tF / t1 > 1.3 * scaleFactor => n }
+        Some(s"""{"factor":$scaleFactor,"queries":$qjson,""" +
+          s""""superlinear":${flagged.map(jsonStr).mkString("[", ",", "]")}}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scaling section failed: $e"); None
+      }
+
     val qs = results.map { case (k, ts, _) =>
       jsonStr(k) + ":" + (if (ts.nonEmpty) ts.min.toString else "null")
     }.mkString("{", ",", "}")
@@ -171,7 +225,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
-        s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson}"""
+        s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson,""" +
+        s""""scaling":${scaling.getOrElse("null")}}"""
 
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

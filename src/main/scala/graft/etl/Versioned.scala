@@ -77,8 +77,9 @@ object Versioned {
       .collect { case DataDirRe(v) => v.toLong }.sorted
   }
 
-  /** The data files version `v` committed, as recorded by its manifest. */
-  def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  private val TagLine = "#tag="
+
+  private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val (fs, _) = Refresh.hfs(spark, root)
     val mp = manifestPath(root, v)
     require(fs.exists(mp), s"version $v not committed under $root")
@@ -88,6 +89,23 @@ object Versioned {
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** The data files version `v` committed, as recorded by its manifest. */
+  def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** The idempotency tag version `v` was committed under, if any. */
+  def tagOf(spark: SparkSession, root: String, v: Long): Option[String] =
+    manifestLines(spark, root, v).find(_.startsWith(TagLine)).map(_.stripPrefix(TagLine))
+
+  /** The newest committed version carrying `tag` — the writer-side
+    * idempotency probe: a retried publish (streaming batch replay after
+    * a crash) asks this before publishing again. O(#versions) small
+    * manifest reads, never a data-tree listing.
+    */
+  def versionForTag(spark: SparkSession, root: String, tag: String): Option[Long] =
+    listVersions(spark, root).reverse
+      .find(v => tagOf(spark, root, v).contains(tag))
 
   /** The version the `_LATEST` pointer names, if published. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -123,13 +141,14 @@ object Versioned {
     * concurrent publishes are arbitrated.
     */
   private def commitManifest(spark: SparkSession, root: String, v: Long,
-                             files: Seq[String]): Unit = {
+                             files: Seq[String], tag: Option[String]): Unit = {
     val (fs, _) = Refresh.hfs(spark, root)
     val mdir = new Path(root, ManifestsDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-v=$v-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lines = tag.map(TagLine + _).toSeq ++ files
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
@@ -144,8 +163,17 @@ object Versioned {
     * way, never a broken pointer. The next number skips BOTH committed
     * and merely-staged versions, so a crashed publish's directory is
     * superseded, never silently adopted.
+    *
+    * `tag` is an optional idempotency token recorded atomically INSIDE
+    * the commit manifest: a retrying writer (a streaming batch replayed
+    * after a crash) first asks [[versionForTag]] and skips the publish
+    * when its tag already committed. Because tag and version commit in
+    * ONE atomic rename, a crash at any point leaves either no version
+    * (retry publishes) or a tagged version (retry skips) — never a
+    * duplicate: exactly-once published versions on top of an
+    * at-least-once batch executor.
     */
-  def publish(df: DataFrame, root: String): Long = {
+  def publish(df: DataFrame, root: String, tag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = (listVersions(spark, root) ++ stagedVersions(spark, root))
       .maxOption.getOrElse(0L) + 1L
@@ -156,7 +184,7 @@ object Versioned {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName).sorted
-    commitManifest(spark, root, next, files)
+    commitManifest(spark, root, next, files, tag)
     flipPointer(spark, root, next)
     next
   }

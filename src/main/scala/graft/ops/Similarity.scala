@@ -421,6 +421,37 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** kNN label classification over ANY neighbor stage: majority vote of
+    * the k nearest labels (ties broken by smaller label), reduced to
+    * per-class accuracy counts. `neighbors` supplies (query_id,
+    * match_id, sim) — [[annJoinExact]] is the oracle-scale ground
+    * truth, [[annJoin]] (LSH multi-probe) the 100 TB path; both flow
+    * through the IDENTICAL vote/accuracy plan, so swapping the probe in
+    * changes one argument, not the pipeline (the spec pins the LSH
+    * variant's accuracy within 5 points of exact on the fixture).
+    * Self-matches are excluded here, so queries may be a subset of the
+    * corpus.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String,
+                  neighbors: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val nn = neighbors(queries, corpus).filter(col("match_id") =!= col("query_id"))
+    val lbl = corpus.select(col(idCol).as("match_id"), col(labelCol).as("nlabel"))
+    val votes = nn.join(broadcast(lbl), Seq("match_id"))
+      .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("nv"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("nv").desc, col("nlabel"))
+    val pred = votes.withColumn("__rk", row_number().over(byVotes))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("nlabel").as("pred"))
+    pred.join(queries.select(col(idCol).as("query_id"), col(labelCol).as("truth")),
+        Seq("query_id"))
+      .groupBy(col("truth"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("truth")
+  }
+
   /** Embedding near-dup pairs: id_a < id_b with cosine >= threshold.
     * Blocked by LSH bucket (pairs must share a bucket) — collision-driven
     * cost like MinHash banding, not n². For exact all-pairs semantics at

@@ -85,8 +85,17 @@ object Streams {
     * protects against torn writes but still deletes the files a slow
     * reader may hold open. `keep` bounds storage: after each publish the
     * trailing window is vacuumed (the pointed-at version is never
-    * deleted). A crashed tick leaves a dangling data dir and an un-moved
-    * pointer; the next tick publishes past it.
+    * deleted).
+    *
+    * Crash recovery is EXACTLY-ONCE per drained sync: foreachBatch is
+    * at-least-once (a crash after the side effect but before the
+    * checkpoint commit replays the batch), so each publish carries an
+    * idempotency tag — md5(checkpoint):batchId — committed atomically
+    * inside the version's manifest. The replayed batch finds its tag via
+    * [[graft.etl.Versioned.versionForTag]] and skips; a crash BEFORE the
+    * manifest commit left only an invisible orphan, so the replay
+    * publishes cleanly. Either way `_LATEST` always names a complete
+    * version and the version sequence carries no duplicates.
     */
   def versionedRefreshQuery(spark: SparkSession, srcDir: String, schemaDdl: String,
                             root: String, checkpoint: String,
@@ -97,14 +106,20 @@ object Streams {
       .schema(schemaDdl)
       .option("header", "true")
       .csv(srcDir)
+    val ckptId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
     src.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.etl.Versioned.publish(prepare(latestExport(batch)), root)
-          graft.etl.Versioned.vacuum(spark, root, keep)
+          val tag = s"$ckptId:$batchId"
+          if (graft.etl.Versioned.versionForTag(spark, root, tag).isEmpty) {
+            graft.etl.Versioned.publish(prepare(latestExport(batch)), root, Some(tag))
+            graft.etl.Versioned.vacuum(spark, root, keep)
+          }
           ()
         }
       }

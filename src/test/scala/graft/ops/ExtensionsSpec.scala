@@ -239,6 +239,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.values.forall(_.size <= 10))
   }
 
+  test("LSH-kNN classification accuracy within 5 points of exact kNN") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 100)
+    def accuracy(neigh: (org.apache.spark.sql.DataFrame,
+                         org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      Similarity.knnClassify(q, emb, "vec_id", "embedding", "label", neigh)
+        .agg(sum("n_correct").cast("double") / sum("n")).as[Double].head()
+    val exact = accuracy((a, b) =>
+      Similarity.annJoinExact(a, b, "vec_id", "embedding", k = 6))
+    val lsh = accuracy((a, b) =>
+      Similarity.annJoin(a, b, "vec_id", "embedding", k = 6,
+        nPlanes = 8, probeRadius = 2))
+    // the scale path must not silently trade away model quality: the
+    // multi-probe LSH neighbor stage keeps classification accuracy
+    // within 5 points of the exact stage on the fixture corpus
+    assert(exact > 0.3, s"fixture sanity: exact kNN accuracy $exact")
+    assert(math.abs(exact - lsh) <= 0.05, s"exact=$exact lsh=$lsh")
+  }
+
   test("LSH bucket pruning actually reduces scanned rows") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)

@@ -281,6 +281,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "band join degenerated")
   }
 
+  test("bucketed curation join: doc_id join needs no Exchange, only the rollup shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_curation_bucketed")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // co-bucketed SMJ: the join keys arrive pre-hashed and pre-sorted
+      // from the bucketed layout — no shuffle, no sort, on either side
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).isEmpty,
+        s"doc_id join still shuffles:\n${p.take(1200)}")
+      // the only exchanges left: the per-source rollup and the ORDER BY
+      assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---- plan-size guards for iterative/composed operators ----------------
   // Exponential-lineage regressions (r5's clusters() doubled its plan per
   // propagation round) must fail here in seconds, not hang a driver run.

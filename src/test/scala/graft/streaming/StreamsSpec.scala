@@ -105,6 +105,68 @@ class StreamsSpec extends SparkSpec {
     assert(Versioned.listVersions(spark, root) == Seq(3L))
   }
 
+  test("versionedRefreshQuery crash recovery: restart is exactly-once, _LATEST intact") {
+    import graft.etl.Versioned
+    val src = tmp("landing_crash")
+    val root = tmp("versioned_crash") + "/extract"
+    val ckpt = tmp("ckpt_crash")
+    val ddl = "id LONG, name STRING"
+    // restarts REUSE this checkpoint (that is the point of the test); a
+    // just-terminated run can still be releasing its metadata logs when
+    // the next one starts, so drain the manager between runs
+    def drainStreams(): Unit = {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      spark.streams.resetTerminated()
+    }
+    Files.writeString(java.nio.file.Path.of(src, "export_1.csv"), "id,name\n1,a\n2,b\n")
+    versionedRefreshQuery(spark, src, ddl, root, ckpt).awaitTermination()
+    drainStreams()
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+
+    // crash MID-BATCH on sync 2 (prepare throws before the publish): the
+    // checkpoint never commits the batch; readers keep an intact v1
+    Files.writeString(java.nio.file.Path.of(src, "export_2.csv"), "id,name\n3,c\n")
+    val boom = versionedRefreshQuery(spark, src, ddl, root, ckpt,
+      prepare = _ => throw new RuntimeException("injected crash"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      boom.awaitTermination()
+    }
+    boom.stop()
+    drainStreams()
+    assert(Versioned.currentVersion(spark, root).contains(1L))
+    assert(Versioned.listVersions(spark, root) == Seq(1L))
+
+    // restart from the SAME checkpoint: the failed batch replays and the
+    // drained sync lands EXACTLY once
+    versionedRefreshQuery(spark, src, ddl, root, ckpt).awaitTermination()
+    drainStreams()
+    assert(Versioned.listVersions(spark, root) == Seq(1L, 2L))
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.readLatest(spark, root).as[(Long, String)].collect().toSeq
+      == Seq((3L, "c")))
+
+    // the HARD crash window — version published, checkpoint commit lost
+    // (kill between side effect and commit): simulate it for real by
+    // deleting the last commit marker, forcing Spark to replay the batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    // local ChecksumFileSystem keeps a .N.crc shadow per commit marker;
+    // a real crash loses both, so the simulation must delete both (a
+    // stale shadow makes the replayed commit's rename collide)
+    new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc").delete()
+    assert(commits.last.delete())
+    versionedRefreshQuery(spark, src, ddl, root, ckpt).awaitTermination()
+    drainStreams()
+    // the replayed batch found its idempotency tag in v2's manifest and
+    // skipped: no duplicate version, pointer still on the same complete v2
+    assert(Versioned.listVersions(spark, root) == Seq(1L, 2L))
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.tagOf(spark, root, 2L).exists(_.endsWith(":1")))
+  }
+
   test("T4: a resident refresh query is cancellable; the extract survives") {
     val src = tmp("landing_cancel")
     val extract = tmp("extract_cancel") + "/data"
