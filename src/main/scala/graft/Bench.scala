@@ -141,14 +141,18 @@ object Bench {
             r
           }
           // one fresh 1× sample folded with the main run's best-of-2, so
-          // both sides of the ratio share session state; the ×F side is
-          // best-of-2 unless the first sample already blew the budget (a
-          // genuinely superlinear query must not stall the whole bench)
+          // both sides of the ratio share session state; the ×F side pays
+          // one UNTIMED warm-up first — a query's first run at the scaled
+          // dir can absorb one-time fixture setup (bucketed-table writes,
+          // blob fixtures) that the 1× side already amortized, which would
+          // record a linear query as superlinear — then a single timed
+          // sample (same total invocations as the old best-of-2, but the
+          // timed body now matches the 1× side's steady state)
           val t1 = (time(sfDir).toSeq :+ t1main).min
-          val tF = time(scaledDir) match {
-            case Some(t) if t < 60.0 => Some(math.min(t, time(scaledDir).getOrElse(t)))
-            case other => other
-          }
+          try { q(spark, scaledDir).count(); () }
+          catch { case _: Throwable => () }
+          clearAll(spark)
+          val tF = time(scaledDir)
           (name, t1, tF)
         }
         val qjson = entries.map { case (n, t1, tF) =>
@@ -228,9 +232,18 @@ object Bench {
         s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson,""" +
         s""""scaling":${scaling.getOrElse("null")}}"""
 
+    // grep-stable tagged copy FIRST (r7 driver records had "parsed": null
+    // — a tail-parser can anchor on the BENCH_JSON prefix), then the bare
+    // JSON as the final stdout line for last-line parsers.
+    println("BENCH_JSON " + line)
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    // a clean run (no failures, canary uncontaminated) becomes the next
+    // round's comparison record, so delta_vs_prev always tracks the latest
+    // accepted figures instead of drifting rounds behind
+    if (failed.isEmpty && canaryDrift <= 3.0)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"
       System.err.println(s"[bench] $kind $k: ${e.map(_.toString).getOrElse("?")}")

@@ -34,6 +34,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest (a dead speculative-task leftover, a crashed writer's debris)
   * is invisible to readers and safe to delete.
   *
+  * FORMAT BREAK vs pre-manifest roots: versions published before the
+  * manifest era have no `_manifests` entry, so manifest-era readers don't
+  * see them. Run [[migrate]] once per legacy root before anything else —
+  * especially before [[vacuum]], whose orphan GC otherwise reclaims them
+  * (the pointed-at version is always exempt as a safety net).
+  *
   * ==Concurrency==
   * Single concurrent WRITER per extract root is the supported regime
   * (mirror of the reference's one-sync-at-a-time scheduler lock,
@@ -100,11 +106,17 @@ object Versioned {
 
   /** The newest committed version carrying `tag` — the writer-side
     * idempotency probe: a retried publish (streaming batch replay after
-    * a crash) asks this before publishing again. O(#versions) small
-    * manifest reads, never a data-tree listing.
+    * a crash) asks this before publishing again. Only the newest
+    * `lookback` manifests are read (never a data-tree listing): a replay
+    * can only duplicate a version from the most recent crash window, so
+    * at sync cadence the probe stays O(lookback) even once the root holds
+    * thousands of versions. A tag older than the lookback window is
+    * reported absent — callers that need full history pass
+    * `lookback = Int.MaxValue`.
     */
-  def versionForTag(spark: SparkSession, root: String, tag: String): Option[Long] =
-    listVersions(spark, root).reverse
+  def versionForTag(spark: SparkSession, root: String, tag: String,
+                    lookback: Int = 64): Option[Long] =
+    listVersions(spark, root).reverse.take(math.max(lookback, 1))
       .find(v => tagOf(spark, root, v).contains(tag))
 
   /** The version the `_LATEST` pointer names, if published. */
@@ -180,10 +192,22 @@ object Versioned {
     val dir = versionDir(root, next)
     df.write.mode("errorifexists").parquet(dir)
     val (fs, _) = Refresh.hfs(spark, root)
-    val files = fs.listStatus(new Path(dir)).toSeq
+    def partFiles(): Seq[String] = fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName).sorted
+    var files = partFiles()
+    if (files.isEmpty) {
+      // a 0-partition empty df writes only _SUCCESS; committing a
+      // file-less manifest would create a version readVersion can never
+      // open. Append one schema-bearing empty part file instead, so an
+      // empty publish is a committed, readable, zero-row version.
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+          df.schema)
+        .write.mode("append").parquet(dir)
+      files = partFiles()
+    }
     commitManifest(spark, root, next, files, tag)
     flipPointer(spark, root, next)
     next
@@ -238,8 +262,39 @@ object Versioned {
       fs.delete(manifestPath(root, v), false)
       fs.delete(new Path(versionDir(root, v)), true)
     }
-    val orphans = stagedVersions(spark, root).filterNot(listVersions(spark, root).contains)
+    // the pointed-at version is NEVER orphan-GC'd, even when it has no
+    // manifest: a pre-manifest root (see [[migrate]]) has live data dirs
+    // with no manifest entry, and treating the version _LATEST names as
+    // deletable debris would be silent data loss on upgrade
+    val orphans = stagedVersions(spark, root)
+      .filterNot(listVersions(spark, root).contains)
+      .filterNot(current.contains)
     orphans.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
     (deletable ++ orphans).sorted
+  }
+
+  /** One-shot upgrade of a PRE-MANIFEST extract root (a root whose `v=N`
+    * directories were published before the commit-manifest format): backfill
+    * a manifest for every data directory that lacks one, from its directory
+    * listing. Without this, manifest-era readers don't see legacy versions
+    * at all and [[vacuum]]'s orphan GC would treat them as uncommitted
+    * debris. Run once per legacy root BEFORE any vacuum; returns the
+    * versions backfilled. Idempotent — already-committed versions are
+    * skipped — and safe on a fresh manifest-era root (no-op). A directory
+    * with zero part files (a genuinely crashed publish) is left
+    * unmanifested for vacuum to reclaim.
+    */
+  def migrate(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, _) = Refresh.hfs(spark, root)
+    val committed = listVersions(spark, root).toSet
+    val legacy = stagedVersions(spark, root).filterNot(committed)
+    legacy.flatMap { v =>
+      val files = fs.listStatus(new Path(versionDir(root, v))).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).sorted
+      if (files.isEmpty) None
+      else { commitManifest(spark, root, v, files, None); Some(v) }
+    }
   }
 }

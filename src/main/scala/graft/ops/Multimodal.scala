@@ -166,10 +166,15 @@ object Multimodal {
         val ch = target.getChannels
         val bytesPerFrame = ch * 2
         val known = pcm.getFrameLength // -1 when the container omits it
-        val stride =
+        // Unknown-length streams start at stride 1 and RE-STRIDE
+        // geometrically: when the budget fills, the stride doubles and
+        // every other kept sample is dropped (the survivors are exactly
+        // the frames the doubled stride would have kept), so kept samples
+        // stay spread over the WHOLE clip instead of only its head —
+        // rms/peak/silence must describe the clip, not its first seconds.
+        var stride =
           if (known > 0) math.max(1L, (known + budget - 1) / budget) else 1L
-        val kept = Array.newBuilder[Float]
-        kept.sizeHint(math.min(budget.toLong, math.max(known, 0L)).toInt)
+        val kept = new Array[Float](math.max(budget, 1))
         val buf = new Array[Byte](bytesPerFrame * 1024)
         var frameIdx = 0L
         var keptCount = 0
@@ -185,17 +190,28 @@ object Multimodal {
             val frames = avail / bytesPerFrame
             var f = 0
             while (f < frames) {
-              if (keptCount < budget && frameIdx % stride == 0) {
-                var sum = 0L
-                var c = 0
-                while (c < ch) {
-                  val off = f * bytesPerFrame + c * 2
-                  // little-endian signed 16-bit (we forced the format)
-                  sum += ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort
-                  c += 1
+              if (frameIdx % stride == 0) {
+                if (keptCount >= kept.length) {
+                  if (known > 0) () // fixed stride: budget can't overflow
+                  else {
+                    var i = 0
+                    while (2 * i < keptCount) { kept(i) = kept(2 * i); i += 1 }
+                    keptCount = i
+                    stride *= 2
+                  }
                 }
-                kept += (sum.toDouble / ch / 32768.0).toFloat
-                keptCount += 1
+                if (keptCount < kept.length && frameIdx % stride == 0) {
+                  var sum = 0L
+                  var c = 0
+                  while (c < ch) {
+                    val off = f * bytesPerFrame + c * 2
+                    // little-endian signed 16-bit (we forced the format)
+                    sum += ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort
+                    c += 1
+                  }
+                  kept(keptCount) = (sum.toDouble / ch / 32768.0).toFloat
+                  keptCount += 1
+                }
               }
               frameIdx += 1
               f += 1
@@ -205,7 +221,8 @@ object Multimodal {
             if (filled > 0) System.arraycopy(buf, consumed, buf, 0, filled)
           }
         }
-        Some(AudioDecoded(target.getSampleRate.toInt, ch, frameIdx, kept.result()))
+        Some(AudioDecoded(target.getSampleRate.toInt, ch, frameIdx,
+          java.util.Arrays.copyOf(kept, keptCount)))
       } finally raw.close()
     } catch {
       // NonFatal only — same policy as decodeImage

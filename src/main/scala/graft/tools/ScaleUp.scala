@@ -85,15 +85,21 @@ object ScaleUp {
     if (!java.nio.file.Files.exists(marker)) {
       val tables = new java.io.File(sfDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
-      tables.foreach { t =>
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val nanosPrev = spark.conf.getOption(nanosKey)
+      try tables.foreach { t =>
         // events stays in its RAW shape (ts as int64 nanos, via
         // nanosAsLong) so Tables.events applies the same micros
         // conversion to the scaled dir as to the original
-        if (t == "events")
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if (t == "events") spark.conf.set(nanosKey, "true")
         val src = spark.read.parquet(s"$sfDir/$t.parquet")
         val out = if (FixedDims(t)) src else replicate(src, t, factor)
         out.write.mode("overwrite").parquet(s"$root/$t.parquet")
+      } finally nanosPrev match {
+        // session conf is restored so ensure() does not leak legacy parquet
+        // semantics into every later read of the caller's session
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
       }
       java.nio.file.Files.write(marker, Array.emptyByteArray)
     }

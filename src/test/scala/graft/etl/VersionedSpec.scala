@@ -98,4 +98,48 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.listVersions(spark, root) == Seq(1L, 3L, 4L))
     assert(Versioned.readLatest(spark, root).as[Int].head() == 1)
   }
+
+  test("an empty publish commits a readable zero-row version") {
+    val root = freshRoot()
+    // 0-partition empty df: parquet writes no part files at all — the
+    // publish must still produce a version readVersion can open
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq(1).toDF("x").schema)
+    val v = Versioned.publish(empty, root)
+    val got = Versioned.readVersion(spark, root, v)
+    assert(got.count() == 0L)
+    assert(got.schema.fieldNames.toSeq == Seq("x"))
+  }
+
+  test("migrate backfills manifests for pre-manifest roots; vacuum spares them") {
+    val root = freshRoot()
+    Versioned.publish(Seq(1).toDF("x"), root)
+    Versioned.publish(Seq(2).toDF("x"), root)
+    // simulate a legacy (pre-manifest) root: drop the manifests but keep
+    // data dirs + pointer, exactly what an old release left on disk
+    val (fs, _) = Refresh.hfs(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests"), true)
+    assert(Versioned.listVersions(spark, root).isEmpty)
+    // safety net: even unmigrated, vacuum must not GC the pointed-at dir
+    Versioned.vacuum(spark, root, keep = 1)
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=2")))
+    val migrated = Versioned.migrate(spark, root)
+    assert(migrated == Seq(2L)) // v=1 was orphan-GC'd above (unpointed, unmanifested)
+    assert(Versioned.readLatest(spark, root).as[Int].head() == 2)
+    // idempotent: second run is a no-op
+    assert(Versioned.migrate(spark, root).isEmpty)
+  }
+
+  test("versionForTag honors the lookback window") {
+    val root = freshRoot()
+    Versioned.publish(Seq(1).toDF("x"), root, tag = Some("batch-1"))
+    Versioned.publish(Seq(2).toDF("x"), root, tag = Some("batch-2"))
+    Versioned.publish(Seq(3).toDF("x"), root, tag = Some("batch-3"))
+    assert(Versioned.versionForTag(spark, root, "batch-2").contains(2L))
+    // a tag older than the window is reported absent (documented contract)
+    assert(Versioned.versionForTag(spark, root, "batch-1", lookback = 1).isEmpty)
+    assert(Versioned.versionForTag(spark, root, "batch-3", lookback = 1).contains(3L))
+  }
 }

@@ -240,8 +240,31 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("LSH-kNN classification accuracy within 5 points of exact kNN") {
-    val emb = Tables.embeddings(spark, sf)
-    val q = emb.filter($"vec_id" < 100)
+    // The driver testdata's labels are chance-level w.r.t. the vectors
+    // (exact-kNN accuracy ~= 1/10 at every SF), so an accuracy bound
+    // there validates nothing. Synthesize a label-clustered corpus:
+    // 8 seeded unit centers in 32-d, 64 jittered vectors per center,
+    // label = center index. Exact kNN is near-perfect on this geometry,
+    // so the <=5-pt bound genuinely constrains the LSH probe's quality.
+    val rnd = new scala.util.Random(42)
+    val nCenters = 8
+    val perCenter = 64
+    val dim = 32
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until nCenters
+      i <- 0 until perCenter
+    } yield {
+      val v = centers(c).map(x => x + 0.25 * rnd.nextGaussian())
+      (c.toLong * perCenter + i, unit(v), c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).cache()
+    val q = emb.filter($"vec_id" % 4 === 0) // 128 queries, 16 per class
     def accuracy(neigh: (org.apache.spark.sql.DataFrame,
                          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
       Similarity.knnClassify(q, emb, "vec_id", "embedding", "label", neigh)
@@ -253,9 +276,10 @@ class ExtensionsSpec extends SparkSpec {
         nPlanes = 8, probeRadius = 2))
     // the scale path must not silently trade away model quality: the
     // multi-probe LSH neighbor stage keeps classification accuracy
-    // within 5 points of the exact stage on the fixture corpus
-    assert(exact > 0.3, s"fixture sanity: exact kNN accuracy $exact")
+    // within 5 points of the exact stage on the clustered fixture
+    assert(exact > 0.8, s"fixture sanity: exact kNN accuracy $exact")
     assert(math.abs(exact - lsh) <= 0.05, s"exact=$exact lsh=$lsh")
+    emb.unpersist()
   }
 
   test("LSH bucket pruning actually reduces scanned rows") {
