@@ -20,16 +20,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as epoch-long (legacy
-    * conf) and rebuild a TimestampType at micro precision — lossless here
-    * (the generator emits micro-precision values) and exactly what a
-    * 100 TB ingest of ns-stamped data would do.
+  /** events.ts arrives in whatever precision the upstream generator used —
+    * some drops stamp TIMESTAMP(NANOS) (which Spark's reader rejects,
+    * [PARQUET_TYPE_ILLEGAL], so we read nanos as epoch-long via the legacy
+    * conf and rebuild micros), others plain TIMESTAMP(MICROS) (which reads
+    * as TIMESTAMP_NTZ). Normalize BOTH to a session-TZ TimestampType at
+    * micro precision — the session TZ is pinned to UTC, so the NTZ cast is
+    * wall-value-preserving and matches the DuckDB oracle's naive read.
+    * Exactly the precision-normalization step a 100 TB ingest of
+    * mixed-precision stamps would run.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType             => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                    => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -152,6 +152,14 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
 
   // ---- rendering --------------------------------------------------------
 
+  private def respondJson(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
   private def fileJson(f: HyperFileMeta, withUrls: Boolean): String = {
     val base = Seq(
       "id" -> f.id.toString,

@@ -1,0 +1,128 @@
+package graft.serve
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.{FileStatus, HyperFileMeta, MetaKeys, MetaStore}
+
+/** End-to-end spec for the thin HTTP shell: every route of [[Serve]]
+  * driven over a real socket against a temp catalog — auth, list with
+  * form_id filter + pagination defaults, 400 on a bad form_id, detail,
+  * the hyper-format 307 redirect, 404s, and the sync trigger's 200/202
+  * in-flight guard (reference semantics: file.py:42-114, 164-201).
+  */
+class HttpSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val Token = "secret-token"
+
+  /** (status, body, Location header) for a request against this spec's server. */
+  private def request(port: Int, path: String, method: String = "GET",
+                      token: String = Token): (Int, String, Option[String]) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setInstanceFollowRedirects(false) // we assert on the 307 itself
+    if (token.nonEmpty) conn.setRequestProperty("Authorization", s"Bearer $token")
+    if (method == "POST") { conn.setDoOutput(true); conn.getOutputStream.close() }
+    val status = conn.getResponseCode
+    val stream = Option(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+    val body = stream.map { in =>
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    }.getOrElse("")
+    (status, body, Option(conn.getHeaderField("Location")))
+  }
+
+  private def withServer(test: (Int, MetaStore, collection.mutable.Buffer[Long]) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("serve_catalog").toString
+    val store = new MetaStore(spark, root)
+    store.initHyperFiles(
+      // 120 files for form 100 (pagination past the 100 default), one
+      // queued file for the 202 guard, one inactive file
+      (1L to 120L).map(i =>
+        HyperFileMeta(i, 10L, 100L, s"f$i.parquet", FileStatus.FileAvailable,
+          isActive = true, Map(MetaKeys.SyncFailures -> "0"),
+          ts("2024-01-01 00:00:00"))) ++ Seq(
+        HyperFileMeta(200L, 11L, 200L, "queued.parquet", FileStatus.Queued,
+          isActive = true, Map.empty, ts("2024-01-01 00:00:00")),
+        HyperFileMeta(201L, 12L, 300L, "dead.parquet", FileStatus.FileUnavailable,
+          isActive = false, Map.empty, ts("2024-01-01 00:00:00"))))
+    val synced = collection.mutable.Buffer.empty[Long]
+    val serve = new Serve(spark, store, Token,
+      sync = id => synced += id,
+      downloadPath = f => s"/extracts/${f.formId}/${f.filename}")
+    val port = serve.start()
+    try test(port, store, synced) finally serve.stop()
+  }
+
+  test("auth: missing or wrong bearer token is 403 Not authenticated") {
+    withServer { (port, _, _) =>
+      val (s1, b1, _) = request(port, "/api/v1/files", token = "")
+      assert(s1 == 403 && b1.contains("Not authenticated"))
+      val (s2, _, _) = request(port, "/api/v1/files/1", token = "wrong")
+      assert(s2 == 403)
+    }
+  }
+
+  test("list: default pagination is skip=0 limit=100 over id order") {
+    withServer { (port, _, _) =>
+      val (s, body, _) = request(port, "/api/v1/files")
+      assert(s == 200)
+      val ids = """"id":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      assert(ids.size == 100 && ids == (1L to 100L)) // 122 rows, capped at 100
+      val (_, page2, _) = request(port, "/api/v1/files?skip=100&limit=100")
+      val ids2 = """"id":(\d+)""".r.findAllMatchIn(page2).map(_.group(1).toLong).toSeq
+      assert(ids2 == ((101L to 120L) ++ Seq(200L, 201L)))
+    }
+  }
+
+  test("list: form_id filters; non-numeric form_id is 400") {
+    withServer { (port, _, _) =>
+      val (s, body, _) = request(port, "/api/v1/files?form_id=200")
+      assert(s == 200)
+      assert(body.contains(""""id":200""") && !body.contains(""""id":201"""))
+      val (s2, b2, _) = request(port, "/api/v1/files?form_id=abc")
+      assert(s2 == 400 && b2.contains("Invalid form_id provided: abc"))
+    }
+  }
+
+  test("detail: JSON body with url/download_url; unknown id is 404") {
+    withServer { (port, _, _) =>
+      val (s, body, _) = request(port, "/api/v1/files/200")
+      assert(s == 200)
+      assert(body.contains(""""filename":"queued.parquet""""))
+      assert(body.contains(""""file_status":"queued""""))
+      assert(body.contains(""""download_url":"/api/v1/files/200?file_format=hyper""""))
+      val (s2, b2, _) = request(port, "/api/v1/files/99999")
+      assert(s2 == 404 && b2.contains("File not found."))
+      val (s3, _, _) = request(port, "/api/v1/files/not-a-number")
+      assert(s3 == 404)
+    }
+  }
+
+  test("download: file_format=hyper answers 307 with the extract path") {
+    withServer { (port, _, _) =>
+      val (s, _, loc) = request(port, "/api/v1/files/5?file_format=hyper")
+      assert(s == 307)
+      assert(loc.contains("/extracts/100/f5.parquet"))
+    }
+  }
+
+  test("sync: 200 triggers the body once; queued/syncing file answers 202 untriggered") {
+    withServer { (port, _, synced) =>
+      val (s, body, _) = request(port, "/api/v1/files/1/sync", method = "POST")
+      assert(s == 200 && body.contains("File syncing is currently on-going"))
+      assert(synced.toSeq == Seq(1L))
+      // id=200 is queued: in-flight guard answers 202 and does NOT run sync
+      val (s2, _, _) = request(port, "/api/v1/files/200/sync", method = "POST")
+      assert(s2 == 202)
+      assert(synced.toSeq == Seq(1L))
+      // GET on the sync route is not a route
+      val (s3, _, _) = request(port, "/api/v1/files/1/sync")
+      assert(s3 == 404)
+    }
+  }
+}
