@@ -186,6 +186,11 @@ object Bench {
     // prev record exists and was measured at the same sf dir (a 0.01-vs-
     // 0.1 "delta" would be noise presented as signal)
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json")
+    // Some(true/false) = prev record exists and was/wasn't measured at this
+    // run's sf dir; None = no readable prev record. Gates BOTH the delta
+    // computation and the refresh below — a smoke run at another SF must
+    // not clobber the canonical record.
+    var prevSfMatches: Option[Boolean] = None
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
@@ -194,6 +199,7 @@ object Bench {
         // out empty because the matcher here assumed compact JSON
         val sfOk = ("\"sf\"\\s*:\\s*" + java.util.regex.Pattern.quote(jsonStr(sfDir)))
           .r.findFirstIn(txt).isDefined
+        prevSfMatches = Some(sfOk)
         if (!sfOk) Map.empty
         else {
           val qm = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
@@ -241,8 +247,10 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     // a clean run (no failures, canary uncontaminated) becomes the next
     // round's comparison record, so delta_vs_prev always tracks the latest
-    // accepted figures instead of drifting rounds behind
-    if (failed.isEmpty && canaryDrift <= 3.0)
+    // accepted figures instead of drifting rounds behind. A run at a
+    // DIFFERENT sf than the stored record (a sf0.01 smoke while the record
+    // is the canonical sf0.1 round) leaves the record alone.
+    if (failed.isEmpty && canaryDrift <= 3.0 && prevSfMatches != Some(false))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"

@@ -421,14 +421,59 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Batch ANN join, IVF flavor: the third neighbor stage for
+    * [[knnClassify]] (exact / sign-LSH multi-probe / IVF probe). Corpus
+    * rows are assigned to their nearest of `m` coarse centroids
+    * ([[ivfAssign]] — one narrow scan, no shuffle); each query row
+    * explodes to its `nProbe` closest cells (an argsort over the m
+    * centroid similarities, computed as an EXPRESSION — probe selection
+    * is distributed, not a driver loop); candidates come from the cell
+    * equi-join and exact cosine ranks them per query.
+    *
+    * Scan cost per query ∝ the probed cells' population — with balanced
+    * cells ≈ nProbe/m of the corpus, the same contract as a
+    * [[writeIvfIndex]] extract where pruning happens at the source. The
+    * only driver-side work is the m-row centroid fetch (bounded,
+    * index-build-sized). Each corpus row lives in exactly ONE cell, so
+    * unlike the multi-probe LSH join no candidate dedup is needed.
+    */
+  def ivfJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    // per-query probe set: top-nProbe cells by centroid cosine. Sorting m
+    // struct(sim, cell) literals per row is O(m log m) codegen'd compute,
+    // m is index-build-sized (tens to thousands) — never a shuffle.
+    val cellSims = centroids.map { case (cellId, c) =>
+      struct(cosine(col("__qv"), array(c.map(lit): _*)).as("sim"),
+        lit(cellId).as("cell"))
+    }
+    val probes = slice(reverse(array_sort(array(cellSims: _*))), 1, nProbe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
+    val c = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("match_id"), col(vecCol).as("__cv"), col("__cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.join(c, Seq("__cell"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** kNN label classification over ANY neighbor stage: majority vote of
     * the k nearest labels (ties broken by smaller label), reduced to
     * per-class accuracy counts. `neighbors` supplies (query_id,
     * match_id, sim) — [[annJoinExact]] is the oracle-scale ground
-    * truth, [[annJoin]] (LSH multi-probe) the 100 TB path; both flow
-    * through the IDENTICAL vote/accuracy plan, so swapping the probe in
-    * changes one argument, not the pipeline (the spec pins the LSH
-    * variant's accuracy within 5 points of exact on the fixture).
+    * truth; [[annJoin]] (LSH multi-probe) and [[ivfJoin]] (IVF probe)
+    * are the 100 TB paths; all flow through the IDENTICAL vote/accuracy
+    * plan, so swapping the probe in changes one argument, not the
+    * pipeline (the spec pins both approximate variants' accuracy within
+    * 5 points of exact on the clustered fixture).
     * Self-matches are excluded here, so queries may be a subset of the
     * corpus.
     */

@@ -1024,6 +1024,46 @@ object Extensions {
              |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
              |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
 
+    // Batch ANN join, IVF flavor: every query probes its 2 nearest of 8
+    // coarse cells, candidates come from the cell equi-join, exact cosine
+    // ranks top-3 — the third neighbor stage (exact / LSH / IVF), fully
+    // oracle-checked: centroids are the 8 lowest-id CORPUS vectors, so
+    // the SQL re-derives assignment (argmax via rank over cell sims,
+    // ties to the larger cell = Spark's greatest(struct)), the per-query
+    // probe set, and the final rank from scratch.
+    Q("q_ivf_join",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfJoin(emb.filter(col("vec_id") < 5),
+            emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+            k = 3, m = 8, nProbe = 2)
+          .select(col("query_id"), col("match_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "match_id")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+             |FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8),
+             |qsims AS (SELECT q.vec_id AS query_id, cents.cell, q.embedding,
+             |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings q CROSS JOIN cents WHERE q.vec_id < 5),
+             |probes AS (SELECT query_id, cell, embedding FROM (SELECT query_id, cell, embedding,
+             |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM qsims) t WHERE rn <= 2),
+             |csims AS (SELECT e.vec_id, cents.cell, e.embedding,
+             |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings e CROSS JOIN cents WHERE e.vec_id >= 5),
+             |assigned AS (SELECT vec_id, cell, embedding FROM (SELECT vec_id, cell, embedding,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM csims) t WHERE rn = 1),
+             |ranked AS (SELECT p.query_id, a.vec_id AS match_id,
+             |list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+             |CAST(a.embedding AS DOUBLE[])) AS sim,
+             |row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+             |CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rk
+             |FROM probes p JOIN assigned a ON a.cell = p.cell)
+             |SELECT query_id, match_id, round(sim, 6) AS sim FROM ranked
+             |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
+
     // Sign-LSH ANN probe. Fully oracle-checked: the hyperplanes are
     // deterministic md5 math (Similarity.planeComponent), so the SQL
     // inlines them as literal DOUBLE arrays (Double.toString round-trips
@@ -1121,6 +1161,58 @@ object Extensions {
              |CAST(max(abs(v)) AS DOUBLE) / 32768 AS peak,
              |CAST(count(*) FILTER (WHERE abs(v) < 327.68) AS DOUBLE) / max(n) AS silence_ratio
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Audio near-dup by RMS-envelope cosine: the decode stage's 16-bin
+    // envelope (Multimodal.decodeAudio — the acoustic analog of the image
+    // grid-luma signature) feeds the SAME exact-cosine pair stage the
+    // embedding column uses (Similarity.allPairs), so "find near-dup
+    // audio" composes two already-proven operators. Each doc's WAV gates
+    // the q_audio_stats PCM series to silence in envelope bins
+    // b ≡ doc_id (mod 4): docs sharing a gate mask have near-parallel
+    // envelopes (cos ≈ 1), docs with different masks overlap on only 8 of
+    // 12 active bins (cos ≈ 2/3), so the 0.8 threshold recovers exactly
+    // the mask groups. Every arithmetic step — PCM ints, bin sums of
+    // (v/2¹⁵)² (exact rationals in double), sqrt→float, double cosine —
+    // is bit-reproducible in DuckDB, so the oracle re-derives the
+    // envelopes from scratch and matches the pair set AND similarities.
+    Q("q_audio_neardup",
+      (s, d) => {
+        import s.implicits._
+        val wavs = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = 200 + (id % 5).toInt * 50
+              val g = (id % 4).toInt
+              val pcm = Array.tabulate[Short](n) { i =>
+                if ((i * 16 / n) % 4 == g) 0
+                else (((id * 31 + i * 17) % 401 - 200) * 128).toShort
+              }
+              (id, Multimodal.synthWav(8000, pcm))
+            }
+          }.toDF("doc_id", "payload")
+        val env = Multimodal.decodeFeatures(wavs)
+          .select(col("doc_id"), col("features"))
+        Similarity.allPairs(env, "doc_id", "features", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH f AS (SELECT doc_id, 200 + (doc_id % 5) * 50 AS n, doc_id % 4 AS g
+             |FROM documents WHERE doc_id < 120),
+             |s AS (SELECT f.doc_id, (t.i * 16) // f.n AS bin,
+             |CASE WHEN ((t.i * 16) // f.n) % 4 = f.g THEN 0
+             |ELSE ((f.doc_id * 31 + t.i * 17) % 401 - 200) * 128 END AS v
+             |FROM f, LATERAL (SELECT unnest(range(0, f.n)) AS i) t),
+             |env AS (SELECT doc_id, bin,
+             |CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / 1073741824.0 / count(*)) AS REAL) AS r
+             |FROM s GROUP BY doc_id, bin),
+             |vecs AS (SELECT doc_id, CAST(list(r ORDER BY bin) AS DOUBLE[]) AS v
+             |FROM env GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     // Raw-media landing path: a directory of opaque binary files read
     // through Spark's binaryFile source (path/length/content — how

@@ -239,7 +239,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.values.forall(_.size <= 10))
   }
 
-  test("LSH-kNN classification accuracy within 5 points of exact kNN") {
+  test("LSH- and IVF-kNN classification accuracy within 5 points of exact kNN") {
     // The driver testdata's labels are chance-level w.r.t. the vectors
     // (exact-kNN accuracy ~= 1/10 at every SF), so an accuracy bound
     // there validates nothing. Synthesize a label-clustered corpus:
@@ -279,6 +279,12 @@ class ExtensionsSpec extends SparkSpec {
     // within 5 points of the exact stage on the clustered fixture
     assert(exact > 0.8, s"fixture sanity: exact kNN accuracy $exact")
     assert(math.abs(exact - lsh) <= 0.05, s"exact=$exact lsh=$lsh")
+    // third neighbor stage: the IVF probe through the SAME harness —
+    // 16 coarse cells, 4 probed, k-means-refined centroids
+    val ivf = accuracy((a, b) =>
+      Similarity.ivfJoin(a, b, "vec_id", "embedding", k = 6,
+        m = 16, nProbe = 4, kmeansIters = 3))
+    assert(math.abs(exact - ivf) <= 0.05, s"exact=$exact ivf=$ivf")
     emb.unpersist()
   }
 
