@@ -103,4 +103,23 @@ class MetaStore(spark: SparkSession, root: String) {
   /** P4: the schedulable set (app/crud/crud_hyperfile.py:34-35). */
   def activeFiles(): Dataset[HyperFileMeta] =
     readHyperFiles().filter(_.isActive)
+
+  /** Hard delete of one file row (the catalog half of the reference's
+    * DELETE /files/{id}, file.py:146-160 — job cancel + object delete
+    * are the caller's side effects). No-op on an unknown id.
+    */
+  def delete(fileId: Long): Unit =
+    writeHyperFiles(readHyperFiles().filter(_.id != fileId))
+
+  /** Field-level update of one row (the PATCH surface, file.py:117-143:
+    * re-attach configuration / rename). Pure copy-transform; unknown id
+    * is a no-op. The caller stamps `lastUpdated` (replay-deterministic).
+    */
+  def update(fileId: Long, at: java.sql.Timestamp)
+            (f: HyperFileMeta => HyperFileMeta): Unit = {
+    val updated = readHyperFiles().map { row =>
+      if (row.id == fileId) f(row).copy(id = row.id, lastUpdated = at) else row
+    }
+    writeHyperFiles(updated)
+  }
 }

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 
 import graft.catalog.{FileStatus, HyperFileMeta, MetaStore}
 
@@ -38,15 +39,36 @@ import graft.catalog.{FileStatus, HyperFileMeta, MetaStore}
   * dependencies, driver-side only; Spark never serves HTTP at
   * executors. One instance serves one catalog root.
   *
+  * Round 2 adds the remaining file CRUD (file.py:223-285 create,
+  * :117-143 update, :146-160 delete), catalog-level: create is
+  * [[MetaStore.createOrGet]] under the (user_id, form_id) unique key —
+  * a duplicate answers 200 with the EXISTING row, exactly the
+  * create-or-get the reference's DB constraint + get-then-create gives —
+  * with `sync_immediately` running the injected sync body for a fresh
+  * row (the reference's BackgroundTasks immediate sync); update patches
+  * filename / configuration re-attachment (stored under the
+  * `configuration-id` metaData key); delete runs the injected
+  * `onDelete` side effects (the reference cancels the cron job and
+  * deletes the S3 object there) then removes the catalog row. Request
+  * bodies are the reference's FLAT JSON objects, read with a minimal
+  * flat-field extractor — deliberately not a general JSON parser.
+  *
   * @param sync callback for the sync trigger, given the file id;
   *             typically the [[graft.streaming.Streams.syncTick]] batch
   *             body (drain → refresh → recordSyncResult).
   * @param downloadPath resolves a catalog row to the local extract path
   *                     put in the redirect `Location` header.
+  * @param onDelete side effects to run BEFORE the catalog row is removed
+  *                 (job cancel, extract-dir delete).
+  * @param clock timestamp source for create/update stamps — inject a
+  *              fixed clock for deterministic replays/specs.
   */
 class Serve(spark: SparkSession, store: MetaStore, token: String,
             sync: Long => Unit,
-            downloadPath: HyperFileMeta => String) {
+            downloadPath: HyperFileMeta => String,
+            onDelete: HyperFileMeta => Unit = _ => (),
+            clock: () => java.sql.Timestamp =
+              () => new java.sql.Timestamp(System.currentTimeMillis())) {
 
   import spark.implicits._
 
@@ -74,7 +96,10 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         val parts = if (rel.isEmpty) Array.empty[String] else rel.split("/")
         (ex.getRequestMethod, parts) match {
           case ("GET", Array()) => listFiles(ex)
+          case ("POST", Array()) => createFile(ex)
           case ("GET", Array(id)) => getFile(ex, id)
+          case ("PATCH", Array(id)) => patchFile(ex, id)
+          case ("DELETE", Array(id)) => deleteFile(ex, id)
           case ("POST", Array(id, "sync")) => syncFile(ex, id)
           case _ => respondJson(ex, 404, """{"detail":"Not found."}""")
         }
@@ -140,6 +165,85 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       respondJson(ex, if (inFlight) 202 else 200,
         """{"message":"File syncing is currently on-going"}""")
     }
+
+  /** POST /api/v1/files (file.py:223-285, catalog half): body
+    * `{"user_id":N,"form_id":N,"filename":"…","sync_immediately":bool}`.
+    * 201 + row when created; 200 + the EXISTING row when (user_id,
+    * form_id) is already taken (createOrGet semantics); 400 on a
+    * missing/non-numeric field. `sync_immediately` runs the sync body
+    * only for a genuinely new row.
+    */
+  private def createFile(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    (jsonField(body, "user_id").flatMap(_.toLongOption),
+     jsonField(body, "form_id").flatMap(_.toLongOption)) match {
+      case (Some(userId), Some(formId)) =>
+        val filename = jsonField(body, "filename").getOrElse(s"form_$formId.parquet")
+        val existing = store.readHyperFiles()
+        val newId = existing.toDF().agg(max(col("id"))).head().getAs[Any](0) match {
+          case null => 1L
+          case m: Long => m + 1L
+        }
+        val row = HyperFileMeta(newId, userId, formId, filename,
+          FileStatus.Queued, isActive = true, Map.empty, clock())
+        val owner = store.createOrGet(Seq(row).toDS())
+          .filter(f => f.userId == userId && f.formId == formId).head()
+        val created = owner.id == newId
+        if (created && jsonField(body, "sync_immediately").contains("true"))
+          sync(owner.id)
+        respondJson(ex, if (created) 201 else 200, fileJson(owner, withUrls = true))
+      case _ =>
+        respondJson(ex, 400, """{"detail":"user_id and form_id are required"}""")
+    }
+  }
+
+  /** PATCH /api/v1/files/{id} (file.py:117-143): rename and/or re-attach
+    * a configuration (`configuration_id`, kept under the metaData key).
+    */
+  private def patchFile(ex: HttpExchange, idStr: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // extract plain values BEFORE the distributed transform: the update
+    // closure must not capture `this` (the server instance is not
+    // serializable, and executors have no business holding it)
+    val newName = jsonField(body, "filename")
+    val newConfig = jsonField(body, "configuration_id")
+    lookup(ex, idStr) { f =>
+      store.update(f.id, clock()) { row =>
+        val renamed = newName.map(n => row.copy(filename = n)).getOrElse(row)
+        newConfig
+          .map(c => renamed.copy(metaData = renamed.metaData + ("configuration-id" -> c)))
+          .getOrElse(renamed)
+      }
+      val updated = store.readHyperFiles().filter(_.id == f.id).head()
+      respondJson(ex, 200, fileJson(updated, withUrls = true))
+    }
+  }
+
+  /** DELETE /api/v1/files/{id} (file.py:146-160): side effects first
+    * (job cancel / extract delete via `onDelete`), then the catalog row;
+    * 204 on success.
+    */
+  private def deleteFile(ex: HttpExchange, idStr: String): Unit =
+    lookup(ex, idStr) { f =>
+      onDelete(f)
+      store.delete(f.id)
+      ex.sendResponseHeaders(204, -1)
+    }
+
+  /** Minimal FLAT-JSON field extractor for the reference's small request
+    * bodies: returns the unquoted string / number / boolean literal for
+    * `key`. Not a general parser — nested objects/arrays are out of
+    * contract here.
+    */
+  private def jsonField(body: String, key: String): Option[String] = {
+    val p = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|(true|false|-?\\d+))").r
+    p.findFirstMatchIn(body).map { m =>
+      Option(m.group(1))
+        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(m.group(2))
+    }
+  }
 
   private def lookup(ex: HttpExchange, idStr: String)(body: HyperFileMeta => Unit): Unit =
     idStr.toLongOption.flatMap { id =>

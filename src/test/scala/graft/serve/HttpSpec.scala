@@ -36,6 +36,21 @@ class HttpSpec extends SparkSpec {
     (status, body, Option(conn.getHeaderField("Location")))
   }
 
+  /** Body-carrying request via java.net.http (HttpURLConnection cannot
+    * send PATCH). Returns (status, body).
+    */
+  private def bodyRequest(port: Int, path: String, method: String,
+                          body: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(new URI(s"http://127.0.0.1:$port$path"))
+      .header("Authorization", s"Bearer $Token")
+      .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   private def withServer(test: (Int, MetaStore, collection.mutable.Buffer[Long]) => Unit): Unit = {
     val root = java.nio.file.Files.createTempDirectory("serve_catalog").toString
     val store = new MetaStore(spark, root)
@@ -43,7 +58,7 @@ class HttpSpec extends SparkSpec {
       // 120 files for form 100 (pagination past the 100 default), one
       // queued file for the 202 guard, one inactive file
       (1L to 120L).map(i =>
-        HyperFileMeta(i, 10L, 100L, s"f$i.parquet", FileStatus.FileAvailable,
+        HyperFileMeta(i, i, 100L, s"f$i.parquet", FileStatus.FileAvailable,
           isActive = true, Map(MetaKeys.SyncFailures -> "0"),
           ts("2024-01-01 00:00:00"))) ++ Seq(
         HyperFileMeta(200L, 11L, 200L, "queued.parquet", FileStatus.Queued,
@@ -51,12 +66,17 @@ class HttpSpec extends SparkSpec {
         HyperFileMeta(201L, 12L, 300L, "dead.parquet", FileStatus.FileUnavailable,
           isActive = false, Map.empty, ts("2024-01-01 00:00:00"))))
     val synced = collection.mutable.Buffer.empty[Long]
+    deleted.clear()
     val serve = new Serve(spark, store, Token,
       sync = id => synced += id,
-      downloadPath = f => s"/extracts/${f.formId}/${f.filename}")
+      downloadPath = f => s"/extracts/${f.formId}/${f.filename}",
+      onDelete = f => deleted += f.id,
+      clock = () => ts("2024-06-01 00:00:00"))
     val port = serve.start()
     try test(port, store, synced) finally serve.stop()
   }
+
+  private val deleted = collection.mutable.Buffer.empty[Long]
 
   test("auth: missing or wrong bearer token is 403 Not authenticated") {
     withServer { (port, _, _) =>
@@ -123,6 +143,57 @@ class HttpSpec extends SparkSpec {
       // GET on the sync route is not a route
       val (s3, _, _) = request(port, "/api/v1/files/1/sync")
       assert(s3 == 404)
+    }
+  }
+
+  test("create: 201 + row, duplicate (user_id, form_id) answers 200 with the EXISTING row") {
+    withServer { (port, store, synced) =>
+      val (s, body) = bodyRequest(port, "/api/v1/files", "POST",
+        """{"user_id": 50, "form_id": 500, "filename": "new.parquet", "sync_immediately": true}""")
+      assert(s == 201, s"body: $body")
+      assert(body.contains(""""filename":"new.parquet""""))
+      assert(body.contains(""""file_status":"queued""""))
+      val id = """"id":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      assert(id == 202L) // max existing id 201 + 1
+      assert(synced.toSeq == Seq(id)) // sync_immediately ran for the new row
+      // duplicate key: the existing row wins, no sync, 200
+      val (s2, b2) = bodyRequest(port, "/api/v1/files", "POST",
+        """{"user_id": 50, "form_id": 500, "filename": "clobber.parquet"}""")
+      assert(s2 == 200)
+      assert(b2.contains(""""filename":"new.parquet"""")) // preserved verbatim
+      assert(synced.toSeq == Seq(id))
+      // missing fields: 400
+      val (s3, _) = bodyRequest(port, "/api/v1/files", "POST", """{"form_id": 1}""")
+      assert(s3 == 400)
+    }
+  }
+
+  test("patch: renames and re-attaches configuration; unknown id is 404") {
+    withServer { (port, store, _) =>
+      val (s, body) = bodyRequest(port, "/api/v1/files/5", "PATCH",
+        """{"filename": "renamed.parquet", "configuration_id": 7}""")
+      assert(s == 200)
+      assert(body.contains(""""filename":"renamed.parquet""""))
+      val row = store.readHyperFiles().filter(_.id == 5L).head()
+      assert(row.filename == "renamed.parquet")
+      assert(row.metaData.get("configuration-id").contains("7"))
+      assert(row.lastUpdated == ts("2024-06-01 00:00:00"))
+      val (s2, _) = bodyRequest(port, "/api/v1/files/99999", "PATCH", """{"filename":"x"}""")
+      assert(s2 == 404)
+    }
+  }
+
+  test("delete: side effects run, row gone, 204; unknown id is 404") {
+    withServer { (port, store, _) =>
+      val conn = new URI(s"http://127.0.0.1:$port/api/v1/files/7").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("DELETE")
+      conn.setRequestProperty("Authorization", s"Bearer $Token")
+      assert(conn.getResponseCode == 204)
+      assert(deleted.toSeq == Seq(7L))
+      assert(store.readHyperFiles().filter(_.id == 7L).isEmpty)
+      val (s2, _, _) = request(port, "/api/v1/files/7") // now absent
+      assert(s2 == 404)
     }
   }
 }
