@@ -288,6 +288,39 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("audio RMS envelopes flow through the LSH-blocked near-dup stage") {
+    // the q_audio_neardup query pins the exact allPairs path against the
+    // oracle; this pins the SCALE path — the same envelope vectors through
+    // the sign-LSH-blocked nearDupPairs — against allPairs: every blocked
+    // pair must be a true pair (subset), and recall must be non-trivial
+    // (envelope groups are near-parallel, so bucket collision is likely)
+    import graft.Tables
+    val wavs = Tables.documents(spark, sf).select($"doc_id")
+      .filter($"doc_id" < 120).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 200 + (id % 5).toInt * 50
+          val g = (id % 4).toInt
+          val pcm = Array.tabulate[Short](n) { i =>
+            if ((i * 16 / n) % 4 == g) 0
+            else (((id * 31 + i * 17) % 401 - 200) * 128).toShort
+          }
+          (id, Multimodal.synthWav(8000, pcm))
+        }
+      }.toDF("doc_id", "payload")
+    val env = Multimodal.decodeFeatures(wavs)
+      .select($"doc_id", $"features").cache()
+    val exact = Similarity.allPairs(env, "doc_id", "features", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.nearDupPairs(env, "doc_id", "features",
+        threshold = 0.8, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocked pairs must verify exactly")
+    assert(blocked.size >= exact.size / 2,
+      s"LSH recall too low on clustered envelopes: ${blocked.size}/${exact.size}")
+    env.unpersist()
+  }
+
   test("LSH bucket pruning actually reduces scanned rows") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)
