@@ -453,4 +453,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       "orders date filter not pushed to the scan")
   }
+
+  test("IVF batch join: query side broadcasts on the cell key; corpus scanned once, no sort-merge") {
+    val p = plan("q_ivf_join")
+    assert(p.contains("BroadcastHashJoin"), "cell equi-join must broadcast the query side")
+    assert(!p.contains("SortMergeJoin"),
+      "cell join degenerated to a corpus shuffle")
+    // exactly the two pushed-down scans (queries + corpus) — cell
+    // assignment is computed inline, never via a second corpus pass
+    assert("Scan parquet".r.findAllIn(p).size == 2, "corpus re-scanned")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune before the rank window")
+  }
+
+  test("audio near-dup: decode is partition-local — no exchange before the pair stage") {
+    val p = plan("q_audio_neardup")
+    // everything up to the pair join is mapPartitions over the doc scan;
+    // the only exchanges allowed are the pair stage's own
+    val decodePrefix = p.substring(0, p.indexOf("Join").max(0))
+    assert(!decodePrefix.contains("Exchange hashpartitioning"),
+      "decode stage introduced a shuffle")
+  }
 }
