@@ -36,10 +36,7 @@ class MetaStore(spark: SparkSession, root: String) {
     // read-modify-overwrite on the same path: materialize into staging
     // (no driver round-trip), then atomically rename into place — the
     // same commit pattern as Refresh.incremental
-    val (fs, target) = graft.etl.Refresh.hfs(spark, path("hyperfiles"))
-    val staging = new org.apache.hadoop.fs.Path(path("hyperfiles") + "__staging")
-    ds.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    graft.etl.Refresh.swapInto(fs, staging, target)
+    overwrite(ds.toDF(), "hyperfiles")
   }
 
   def initHyperFiles(rows: Seq[HyperFileMeta]): Unit =
@@ -121,5 +118,69 @@ class MetaStore(spark: SparkSession, root: String) {
       if (row.id == fileId) f(row).copy(id = row.id, lastUpdated = at) else row
     }
     writeHyperFiles(updated)
+  }
+
+  // ---- server registry (app/models/server.py, unique url) ---------------
+
+  def readServers(): Dataset[ServerMeta] =
+    spark.read.parquet(path("servers")).as[ServerMeta]
+
+  def initServers(rows: Seq[ServerMeta]): Unit =
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("servers"))
+
+  /** Create-or-get under the unique `url` key (server.py:14-37: the
+    * registry answers the EXISTING row for a known url).
+    */
+  def createOrGetServer(incoming: ServerMeta): ServerMeta = {
+    val existing = readServers()
+    existing.filter(_.url == incoming.url).collect().headOption.getOrElse {
+      val staged = existing.unionByName(Seq(incoming).toDS())
+      val dupes = staged.groupBy($"url").count().filter($"count" > 1).count()
+      require(dupes == 0, s"unique url violated by $dupes keys")
+      overwrite(staged.toDF(), "servers")
+      incoming
+    }
+  }
+
+  // ---- configuration registry (app/models/configuration.py,
+  //      unique (serverAddress, tokenName, userId)) ----------------------
+
+  def readConfigs(): Dataset[ConfigMeta] =
+    spark.read.parquet(path("configurations")).as[ConfigMeta]
+
+  def initConfigs(rows: Seq[ConfigMeta]): Unit =
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("configurations"))
+
+  /** Create-or-get under the composite unique key
+    * (configuration.py:19-54).
+    */
+  def createOrGetConfig(incoming: ConfigMeta): ConfigMeta = {
+    val existing = readConfigs()
+    existing.filter(c => c.serverAddress == incoming.serverAddress &&
+        c.tokenName == incoming.tokenName && c.userId == incoming.userId)
+      .collect().headOption.getOrElse {
+        overwrite(existing.unionByName(Seq(incoming).toDS()).toDF(), "configurations")
+        incoming
+      }
+  }
+
+  /** PATCH surface for a configuration (configuration.py:57-95). */
+  def updateConfig(configId: Long)(f: ConfigMeta => ConfigMeta): Unit =
+    overwrite(readConfigs()
+      .map(c => if (c.id == configId) f(c).copy(id = c.id) else c).toDF(),
+      "configurations")
+
+  /** DELETE a configuration row (configuration.py:98-123). */
+  def deleteConfig(configId: Long): Unit =
+    overwrite(readConfigs().filter(_.id != configId).toDF(), "configurations")
+
+  /** Read-modify-overwrite with the same staging + atomic-rename commit
+    * as [[writeHyperFiles]].
+    */
+  private def overwrite(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path(table))
+    val staging = new org.apache.hadoop.fs.Path(path(table) + "__staging")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    graft.etl.Refresh.swapInto(fs, staging, target)
   }
 }

@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, max}
 
-import graft.catalog.{FileStatus, HyperFileMeta, MetaStore}
+import graft.catalog.{ConfigMeta, FileStatus, HyperFileMeta, MetaStore, ServerMeta}
 
 /** Thin HTTP product shell over the metadata catalog + extract store —
   * the serving surface a reference user actually curls
@@ -78,6 +78,12 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1/files", (ex: HttpExchange) => handle(ex))
+    server.createContext("/api/v1/servers",
+      (ex: HttpExchange) => handleRegistry(ex, "servers"))
+    server.createContext("/api/v1/configurations",
+      (ex: HttpExchange) => handleRegistry(ex, "configurations"))
+    server.createContext("/health", (ex: HttpExchange) => handleHealth(ex))
+    server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.setExecutor(null) // single-threaded: catalog reads are tiny
     server.start()
     server.getAddress.getPort
@@ -229,6 +235,115 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       store.delete(f.id)
       ex.sendResponseHeaders(204, -1)
     }
+
+  // ---- registries: servers + configurations (server.py:14-61,
+  //      configuration.py:19-123) -----------------------------------------
+
+  private def handleRegistry(ex: HttpExchange, which: String): Unit =
+    try {
+      if (!authed(ex)) respondJson(ex, 403, """{"detail":"Not authenticated"}""")
+      else {
+        val rel = ex.getRequestURI.getPath.stripPrefix(s"/api/v1/$which")
+          .stripPrefix("/").stripSuffix("/")
+        val parts = if (rel.isEmpty) Array.empty[String] else rel.split("/")
+        (ex.getRequestMethod, parts, which) match {
+          case ("GET", Array(), "servers") =>
+            respondJson(ex, 200, store.readServers().collect().sortBy(_.id)
+              .map(serverJson).mkString("[", ",", "]"))
+          case ("POST", Array(), "servers") =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            jsonField(body, "url") match {
+              case None => respondJson(ex, 400, """{"detail":"url is required"}""")
+              case Some(url) =>
+                val nextId = store.readServers().collect()
+                  .map(_.id).maxOption.getOrElse(0L) + 1L
+                val row = store.createOrGetServer(ServerMeta(nextId, url))
+                respondJson(ex, if (row.id == nextId) 201 else 200, serverJson(row))
+            }
+          case ("GET", Array(id), "servers") =>
+            id.toLongOption.flatMap(i =>
+              store.readServers().filter(_.id == i).collect().headOption) match {
+              case Some(s) => respondJson(ex, 200, serverJson(s))
+              case None => respondJson(ex, 404, """{"detail":"Server not found."}""")
+            }
+          case ("GET", Array(), "configurations") =>
+            respondJson(ex, 200, store.readConfigs().collect().sortBy(_.id)
+              .map(configJson).mkString("[", ",", "]"))
+          case ("POST", Array(), "configurations") =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            (jsonField(body, "user_id").flatMap(_.toLongOption),
+             jsonField(body, "server_address"), jsonField(body, "token_name")) match {
+              case (Some(uid), Some(addr), Some(tok)) =>
+                val nextId = store.readConfigs().collect()
+                  .map(_.id).maxOption.getOrElse(0L) + 1L
+                val row = store.createOrGetConfig(
+                  ConfigMeta(nextId, uid, addr, tok, Map.empty))
+                respondJson(ex, if (row.id == nextId) 201 else 200, configJson(row))
+              case _ => respondJson(ex, 400,
+                """{"detail":"user_id, server_address and token_name are required"}""")
+            }
+          case ("GET", Array(id), "configurations") =>
+            withConfig(ex, id)(c => respondJson(ex, 200, configJson(c)))
+          case ("PATCH", Array(id), "configurations") =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val newTok = jsonField(body, "token_name")
+            withConfig(ex, id) { c =>
+              store.updateConfig(c.id)(row =>
+                newTok.map(t => row.copy(tokenName = t)).getOrElse(row))
+              respondJson(ex, 200,
+                configJson(store.readConfigs().filter(_.id == c.id).head()))
+            }
+          case ("DELETE", Array(id), "configurations") =>
+            withConfig(ex, id) { c =>
+              store.deleteConfig(c.id)
+              ex.sendResponseHeaders(204, -1)
+            }
+          case _ => respondJson(ex, 404, """{"detail":"Not found."}""")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  private def withConfig(ex: HttpExchange, idStr: String)(body: ConfigMeta => Unit): Unit =
+    idStr.toLongOption.flatMap(i =>
+      store.readConfigs().filter(_.id == i).collect().headOption) match {
+      case Some(c) => body(c)
+      case None => respondJson(ex, 404, """{"detail":"Configuration not found."}""")
+    }
+
+  /** GET /health (app/main.py:75-87): the db ping maps to "is the catalog
+    * readable" — one driver-sized read.
+    */
+  private def handleHealth(ex: HttpExchange): Unit =
+    try {
+      val db = try { store.readHyperFiles().limit(1).collect(); "ok" }
+               catch { case scala.util.control.NonFatal(_) => "error" }
+      respondJson(ex, if (db == "ok") 200 else 500, s"""{"database":${jsonStr(db)}}""")
+    } finally ex.close()
+
+  /** GET / (app/main.py:64-72): app info. Anything else under the root
+    * context is 404.
+    */
+  private def handleRoot(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestURI.getPath == "/" && ex.getRequestMethod == "GET")
+        respondJson(ex, 200,
+          """{"app_name":"graft","docs":"/api/v1/files","version":"0.8.0"}""")
+      else respondJson(ex, 404, """{"detail":"Not found."}""")
+    } finally ex.close()
+
+  private def serverJson(s: ServerMeta): String =
+    s"""{"id":${s.id},"url":${jsonStr(s.url)}}"""
+
+  private def configJson(c: ConfigMeta): String =
+    s"""{"id":${c.id},"user_id":${c.userId},""" +
+      s""""server_address":${jsonStr(c.serverAddress)},""" +
+      s""""token_name":${jsonStr(c.tokenName)},""" +
+      s""""export_settings":${c.exportSettings.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")}}"""
 
   /** Minimal FLAT-JSON field extractor for the reference's small request
     * bodies: returns the unquoted string / number / boolean literal for

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
 import graft.SparkSpec
-import graft.catalog.{FileStatus, HyperFileMeta, MetaKeys, MetaStore}
+import graft.catalog.{ConfigMeta, FileStatus, HyperFileMeta, MetaKeys, MetaStore, ServerMeta}
 
 /** End-to-end spec for the thin HTTP shell: every route of [[Serve]]
   * driven over a real socket against a temp catalog — auth, list with
@@ -65,6 +65,9 @@ class HttpSpec extends SparkSpec {
           isActive = true, Map.empty, ts("2024-01-01 00:00:00")),
         HyperFileMeta(201L, 12L, 300L, "dead.parquet", FileStatus.FileUnavailable,
           isActive = false, Map.empty, ts("2024-01-01 00:00:00"))))
+    store.initServers(Seq(ServerMeta(1L, "https://ona.example.org")))
+    store.initConfigs(Seq(
+      ConfigMeta(1L, 10L, "https://tableau.example.org", "pat-a", Map("project" -> "alpha"))))
     val synced = collection.mutable.Buffer.empty[Long]
     deleted.clear()
     val serve = new Serve(spark, store, Token,
@@ -180,6 +183,59 @@ class HttpSpec extends SparkSpec {
       assert(row.lastUpdated == ts("2024-06-01 00:00:00"))
       val (s2, _) = bodyRequest(port, "/api/v1/files/99999", "PATCH", """{"filename":"x"}""")
       assert(s2 == 404)
+    }
+  }
+
+  test("server registry: list, detail, create-or-get under unique url") {
+    withServer { (port, _, _) =>
+      val (s, body, _) = request(port, "/api/v1/servers")
+      assert(s == 200 && body.contains("https://ona.example.org"))
+      val (s2, b2) = bodyRequest(port, "/api/v1/servers", "POST",
+        """{"url": "https://other.example.org"}""")
+      assert(s2 == 201 && b2.contains(""""id":2"""))
+      // same url again: the existing row, not a duplicate
+      val (s3, b3) = bodyRequest(port, "/api/v1/servers", "POST",
+        """{"url": "https://other.example.org"}""")
+      assert(s3 == 200 && b3.contains(""""id":2"""))
+      val (s4, b4, _) = request(port, "/api/v1/servers/1")
+      assert(s4 == 200 && b4.contains("ona.example.org"))
+      assert(request(port, "/api/v1/servers/9")._1 == 404)
+      assert(request(port, "/api/v1/servers", token = "")._1 == 403)
+    }
+  }
+
+  test("configuration registry: full CRUD under the composite unique key") {
+    withServer { (port, store, _) =>
+      val (s, body, _) = request(port, "/api/v1/configurations")
+      assert(s == 200 && body.contains(""""token_name":"pat-a""""))
+      assert(body.contains(""""export_settings":{"project":"alpha"}"""))
+      val (s2, b2) = bodyRequest(port, "/api/v1/configurations", "POST",
+        """{"user_id": 11, "server_address": "https://tableau.example.org", "token_name": "pat-b"}""")
+      assert(s2 == 201 && b2.contains(""""id":2"""))
+      // duplicate composite key answers the existing row
+      val (s3, b3) = bodyRequest(port, "/api/v1/configurations", "POST",
+        """{"user_id": 11, "server_address": "https://tableau.example.org", "token_name": "pat-b"}""")
+      assert(s3 == 200 && b3.contains(""""id":2"""))
+      // PATCH token rename
+      val (s4, b4) = bodyRequest(port, "/api/v1/configurations/2", "PATCH",
+        """{"token_name": "pat-b2"}""")
+      assert(s4 == 200 && b4.contains(""""token_name":"pat-b2""""))
+      assert(store.readConfigs().filter(_.id == 2L).head().tokenName == "pat-b2")
+      // DELETE then 404
+      assert(bodyRequest(port, "/api/v1/configurations/2", "DELETE", "")._1 == 204)
+      assert(request(port, "/api/v1/configurations/2")._1 == 404)
+      // missing fields: 400
+      assert(bodyRequest(port, "/api/v1/configurations", "POST", """{"user_id":1}""")._1 == 400)
+    }
+  }
+
+  test("health + app info routes") {
+    withServer { (port, _, _) =>
+      val (s, body, _) = request(port, "/health", token = "")
+      assert(s == 200 && body.contains(""""database":"ok""""))
+      val (s2, b2, _) = request(port, "/", token = "")
+      assert(s2 == 200 && b2.contains(""""app_name":"graft""""))
+      assert(request(port, "/nothing-here", token = "")._1 == 404)
     }
   }
 
