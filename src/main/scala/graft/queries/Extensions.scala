@@ -2049,6 +2049,28 @@ object Extensions {
     // estimator the LSH banding is built on, oracle-checked because the
     // signature scheme is a deterministic function of the text. At scale
     // this is how you audit whether k is large enough for the corpus.
+    // The typed-Aggregator surface of the MinHash signature (§2.9 UDAF
+    // capability, graft.functions.MinHashAggregator): shingles aggregated
+    // through functions.udaf — buffer = the k component minima, merged
+    // associatively (map-side partial combine for free). Must produce the
+    // IDENTICAL signature as the codegen'd k×min(md5-chunk) production
+    // path, so the oracle is the same md5-chunk CTE the relational
+    // pipeline verifies against.
+    Q("q_minhash_udaf",
+      (s, d) => {
+        val mh = udaf(new graft.functions.MinHashAggregator(6),
+          org.apache.spark.sql.Encoders.STRING)
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+        sh.groupBy(col("id").as("doc_id"))
+          .agg(mh(col("shingle")).as("sig"))
+          .select(col("doc_id") +:
+            (0 until 6).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesCte
+             |SELECT id AS doc_id, $SigCols
+             |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     Q("q_minhash_estimate",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -358,6 +358,35 @@ object Parity {
              |ELSE c_acctbal END, 2) AS acct
              |FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
 
+    // X89 oracle: dynamic partition overwrite end to end through REAL
+    // writes — a hive-partitioned extract, then a re-crawl of ONE source
+    // partition (the R returnflag arrives again with adjusted
+    // quantities). `Refresh.overwritePartitions` must replace exactly
+    // that partition and leave the others' files untouched; the oracle
+    // derives the expected post-overwrite state from the source table
+    // (replaced partition = delta content, others = original). Sums stay
+    // integer-valued in double, so aggregation is order-independent.
+    Q("q_partition_overwrite",
+      (s, d) => {
+        val path = tmpExtract("part_overwrite")
+        val base = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+        base.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+        val delta = base.filter(col("l_returnflag") === "R")
+          .withColumn("l_quantity", col("l_quantity") + 100)
+        Refresh.overwritePartitions(delta, path, Seq("l_returnflag"))
+        s.read.parquet(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |sum(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+             |ELSE l_quantity END) AS qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
     // F7 — at-rest token crypto via built-in AES (app/core/security.py:
     // 25-46 Fernet analog): encrypt → base64 → decode → decrypt, all
     // codegen'd scalars. DuckDB has no AES, so the oracle checks the
