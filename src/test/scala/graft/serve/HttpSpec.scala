@@ -239,6 +239,33 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("sync route drives the REAL Streams.syncTick body end to end") {
+    // production composition, not a stub: POST {id}/sync runs the full
+    // import loop — drain the CSV landing dir, refresh the parquet
+    // extract, record success in the catalog (file_available, counter 0)
+    withServer { (port, store, _) =>
+      val landing = java.nio.file.Files.createTempDirectory("serve_landing").toString
+      val extract = java.nio.file.Files.createTempDirectory("serve_extract").toString + "/ex"
+      val ckpt = java.nio.file.Files.createTempDirectory("serve_ckpt").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(landing, "export1.csv"), "id,name\n1,a\n2,b\n3,c\n")
+      val realServe = new Serve(spark, store, Token,
+        sync = id => graft.streaming.Streams.syncTick(
+          spark, landing, "id LONG, name STRING", extract, ckpt,
+          store, id, ts("2024-07-01 00:00:00")).awaitTermination(),
+        downloadPath = _ => extract)
+      val p2 = realServe.start()
+      try {
+        val (s, _, _) = request(p2, "/api/v1/files/1/sync", method = "POST")
+        assert(s == 200)
+        assert(spark.read.parquet(extract).count() == 3)
+        val f = store.readHyperFiles().filter(_.id == 1L).head()
+        assert(f.fileStatus == FileStatus.FileAvailable)
+        assert(f.metaData.get(MetaKeys.SyncFailures).contains("0"))
+      } finally realServe.stop()
+    }
+  }
+
   test("delete: side effects run, row gone, 204; unknown id is 404") {
     withServer { (port, store, _) =>
       val conn = new URI(s"http://127.0.0.1:$port/api/v1/files/7").toURL
