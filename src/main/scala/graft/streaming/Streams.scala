@@ -134,13 +134,19 @@ object Streams {
     * bump, latest_sync_failed, deactivation at the threshold) instead of
     * silently dying. `prepare` is the per-batch transform (the
     * reference's clean/normalize step); its exceptions are failures too.
+    * `postCommit` runs AFTER the extract commit with the extract path —
+    * the publish fan-out slot ([[graft.etl.Publish.publishExtract]], the
+    * reference publishes the written artifact there); a throwing publish
+    * is a sync FAILURE like the reference's (the artifact is committed
+    * but the round is recorded failed, so the retry loop re-publishes).
     */
   def syncTick(spark: SparkSession, srcDir: String, schemaDdl: String,
                extractPath: String, checkpoint: String,
                store: graft.catalog.MetaStore, fileId: Long,
                at: java.sql.Timestamp,
                prepare: DataFrame => DataFrame = identity,
-               trigger: Trigger = Trigger.AvailableNow()) = {
+               trigger: Trigger = Trigger.AvailableNow(),
+               postCommit: String => Unit = _ => ()) = {
     val src = spark.readStream
       .schema(schemaDdl)
       .option("header", "true")
@@ -153,6 +159,7 @@ object Streams {
         if (!batch.isEmpty) {
           try {
             Refresh.overwrite(prepare(latestExport(batch)), extractPath)
+            postCommit(extractPath)
             store.recordSyncResult(fileId, success = true, at)
           } catch {
             case e: Throwable =>

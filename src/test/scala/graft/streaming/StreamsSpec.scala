@@ -425,6 +425,48 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(extract).count() == 1L)
   }
 
+  test("syncTick postCommit publishes AFTER the commit; a failing publish is a sync failure") {
+    import graft.catalog._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val store = new MetaStore(spark, tmp("metastore_pub"))
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.Queued,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), t0)))
+    val src = tmp("landing_pub")
+    Files.writeString(java.nio.file.Path.of(src, "e1.csv"), "id,name\n1,a\n")
+    val extract = tmp("extract_pub") + "/data"
+
+    // publish slot: a scripted graft.etl.Publish transport — the hook
+    // composes the REAL publish combinator, observing the COMMITTED rows
+    var publishedRows = -1L
+    val session = new graft.etl.Publish.Session {
+      def projects: Iterator[(String, String)] = Iterator("p1" -> "Analytics")
+      def publish(projectId: String, path: String, overwrite: Boolean): String = {
+        publishedRows = spark.read.parquet(path).count(); "ds-1"
+      }
+      def signOut(): Unit = ()
+    }
+    val dest = graft.etl.Publish.Destination("https://t", "s", "pat", "v", "Analytics")
+    val q = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_pub_ok"), store, fileId = 1L, at = t0,
+      postCommit = p => graft.etl.Publish.publishExtract(_ => session, dest, p))
+    q.awaitTermination()
+    assert(publishedRows == 1L, "publish must see the committed extract")
+    assert(store.readHyperFiles().collect().head.fileStatus == FileStatus.FileAvailable)
+
+    // a refused upload records a FAILED round (counter bump) even though
+    // the extract itself committed — the retry loop re-publishes
+    Files.writeString(java.nio.file.Path.of(src, "e2.csv"), "id,name\n2,b\n")
+    val q2 = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_pub_fail"), store, fileId = 1L, at = t0,
+      postCommit = _ => sys.error("upload refused"))
+    q2.awaitTermination()
+    val f = store.readHyperFiles().collect().head
+    assert(f.fileStatus == FileStatus.LatestSyncFailed)
+    assert(f.metaData(MetaKeys.SyncFailures) == "1")
+    assert(f.metaData(MetaKeys.FailureReason) == "upload refused")
+  }
+
   test("nearDupPairsStream emits (first, dup) lineage across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
