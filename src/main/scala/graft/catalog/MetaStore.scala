@@ -142,6 +142,29 @@ class MetaStore(spark: SparkSession, root: String) {
     }
   }
 
+  // ---- user registry (app/models/user.py, unique (serverId, username)) --
+
+  def readUsers(): Dataset[UserMeta] =
+    spark.read.parquet(path("users")).as[UserMeta]
+
+  def initUsers(rows: Seq[UserMeta]): Unit =
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("users"))
+
+  /** Create-or-get under the unique (serverId, username) key — the OAuth
+    * callback's user upsert (oauth.py:115-135: a known user is updated
+    * in place, an unknown one created). Returns the owning row.
+    */
+  def createOrGetUser(username: String, serverId: Long): UserMeta = {
+    val existing = readUsers()
+    existing.filter(u => u.username == username && u.serverId == serverId)
+      .collect().headOption.getOrElse {
+        val id = existing.collect().map(_.id).maxOption.getOrElse(0L) + 1L
+        val row = UserMeta(id, username, serverId)
+        overwrite(existing.unionByName(Seq(row).toDS()).toDF(), "users")
+        row
+      }
+  }
+
   // ---- configuration registry (app/models/configuration.py,
   //      unique (serverAddress, tokenName, userId)) ----------------------
 

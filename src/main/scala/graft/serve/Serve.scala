@@ -62,13 +62,26 @@ import graft.catalog.{ConfigMeta, FileStatus, HyperFileMeta, MetaStore, ServerMe
   *                 (job cancel, extract-dir delete).
   * @param clock timestamp source for create/update stamps — inject a
   *              fixed clock for deterministic replays/specs.
+  * @param formMeta injected form-metadata fetch for create
+  *                 (file.py:246-261, the OnaData `get_form` call): a
+  *                 throwing fetch is the reference's 400 "Error
+  *                 retrieving form"; a `public_key` entry triggers the
+  *                 encrypted-forms rejection; `title` names the extract
+  *                 (`{title}.parquet` — the reference's `{title}.hyper`).
   */
 class Serve(spark: SparkSession, store: MetaStore, token: String,
             sync: Long => Unit,
             downloadPath: HyperFileMeta => String,
             onDelete: HyperFileMeta => Unit = _ => (),
             clock: () => java.sql.Timestamp =
-              () => new java.sql.Timestamp(System.currentTimeMillis())) {
+              () => new java.sql.Timestamp(System.currentTimeMillis()),
+            formMeta: Long => Map[String, String] = _ => Map.empty,
+            exchange: OAuth.Exchange =
+              (_, _) => throw OAuth.CredentialsError("no OAuth transport configured"),
+            profile: OAuth.Profile =
+              _ => sys.error("no OAuth transport configured"),
+            newStateKey: () => String =
+              () => java.util.UUID.randomUUID().toString) {
 
   import spark.implicits._
 
@@ -82,6 +95,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       (ex: HttpExchange) => handleRegistry(ex, "servers"))
     server.createContext("/api/v1/configurations",
       (ex: HttpExchange) => handleRegistry(ex, "configurations"))
+    server.createContext("/api/v1/oauth", (ex: HttpExchange) => handleOAuth(ex))
     server.createContext("/health", (ex: HttpExchange) => handleHealth(ex))
     server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.setExecutor(null) // single-threaded: catalog reads are tiny
@@ -184,20 +198,49 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     (jsonField(body, "user_id").flatMap(_.toLongOption),
      jsonField(body, "form_id").flatMap(_.toLongOption)) match {
       case (Some(userId), Some(formId)) =>
-        val filename = jsonField(body, "filename").getOrElse(s"form_$formId.parquet")
-        val existing = store.readHyperFiles()
-        val newId = existing.toDF().agg(max(col("id"))).head().getAs[Any](0) match {
-          case null => 1L
-          case m: Long => m + 1L
+        val meta =
+          try Right(formMeta(formId))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        meta match {
+          case Left(e) =>
+            // the reference surfaces a failed form fetch as 400 (file.py:252-256)
+            respondJson(ex, 400, s"""{"detail":${jsonStr(
+              s"Error retrieving form $formId: ${e.getMessage}")}}""")
+          case Right(m) if m.get("public_key").exists(_.nonEmpty) =>
+            // encrypted-forms guard (file.py:259-260)
+            respondJson(ex, 400, """{"detail":"Encrypted forms are not supported"}""")
+          case Right(m) =>
+            // configuration re-attach must name an EXISTING config owned
+            // by the requesting user (file.py:266-273)
+            val configId = jsonField(body, "configuration_id")
+            val configRow = configId.flatMap(_.toLongOption).flatMap { i =>
+              try store.readConfigs().filter(c => c.id == i && c.userId == userId)
+                .collect().headOption
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            if (configId.nonEmpty && configRow.isEmpty)
+              respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")
+            else {
+              val filename = m.get("title").map(t => s"$t.parquet")
+                .orElse(jsonField(body, "filename"))
+                .getOrElse(s"form_$formId.parquet")
+              val existing = store.readHyperFiles()
+              val newId = existing.toDF().agg(max(col("id"))).head().getAs[Any](0) match {
+                case null => 1L
+                case mx: Long => mx + 1L
+              }
+              val metaData = configRow.map(c =>
+                Map("configuration-id" -> c.id.toString)).getOrElse(Map.empty[String, String])
+              val row = HyperFileMeta(newId, userId, formId, filename,
+                FileStatus.Queued, isActive = true, metaData, clock())
+              val owner = store.createOrGet(Seq(row).toDS())
+                .filter(f => f.userId == userId && f.formId == formId).head()
+              val created = owner.id == newId
+              if (created && jsonField(body, "sync_immediately").contains("true"))
+                sync(owner.id)
+              respondJson(ex, if (created) 201 else 200, fileJson(owner, withUrls = true))
+            }
         }
-        val row = HyperFileMeta(newId, userId, formId, filename,
-          FileStatus.Queued, isActive = true, Map.empty, clock())
-        val owner = store.createOrGet(Seq(row).toDS())
-          .filter(f => f.userId == userId && f.formId == formId).head()
-        val created = owner.id == newId
-        if (created && jsonField(body, "sync_immediately").contains("true"))
-          sync(owner.id)
-        respondJson(ex, if (created) 201 else 200, fileJson(owner, withUrls = true))
       case _ =>
         respondJson(ex, 400, """{"detail":"user_id and form_id are required"}""")
     }
@@ -312,6 +355,84 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       case Some(c) => body(c)
       case None => respondJson(ex, 404, """{"detail":"Configuration not found."}""")
     }
+
+  // ---- OAuth2 code flow (oauth.py:24-146) -------------------------------
+
+  private val oauthStates = new OAuth.StateStore()
+
+  /** GET /api/v1/oauth/login?server_url=[&redirect_url=] and
+    * GET /api/v1/oauth/callback?code=&state= — unauthenticated by
+    * design (this IS the auth path). External exchange/profile calls
+    * are injected; the state machine (5-min TTL, single-use state,
+    * server resolution, user upsert, 302-vs-token split) runs here.
+    */
+  private def handleOAuth(ex: HttpExchange): Unit =
+    try {
+      val rel = ex.getRequestURI.getPath.stripPrefix("/api/v1/oauth")
+        .stripPrefix("/").stripSuffix("/")
+      val q = query(ex)
+      (ex.getRequestMethod, rel) match {
+        case ("GET", "login") =>
+          q.get("server_url").map(_.stripSuffix("/")) match {
+            case None => respondJson(ex, 400, """{"detail":"server_url is required"}""")
+            case Some(url) =>
+              store.readServers().filter(_.url == url).collect().headOption match {
+                case None =>
+                  respondJson(ex, 400, """{"detail":"Server not configured"}""")
+                case Some(srv) =>
+                  val key = newStateKey()
+                  oauthStates.put(key,
+                    OAuth.AuthState(srv.id, q.get("redirect_url")), clock().getTime)
+                  ex.getResponseHeaders.set("Location",
+                    s"${srv.url}/o/authorize?client_id=graft&response_type=code&state=$key")
+                  ex.getResponseHeaders.set("Cache-Control",
+                    "no-cache, no-store, revalidate")
+                  ex.sendResponseHeaders(302, -1)
+              }
+          }
+        case ("GET", "callback") =>
+          (q.get("code"), q.get("state")) match {
+            case (Some(code), Some(stateKey)) =>
+              oauthStates.take(stateKey, clock().getTime) match {
+                case None => respondJson(ex, 401,
+                  """{"detail":"Authorization state can not be confirmed."}""")
+                case Some(st) =>
+                  store.readServers().filter(_.id == st.serverId)
+                    .collect().headOption match {
+                    case None =>
+                      respondJson(ex, 400, """{"detail":"Server not configured"}""")
+                    case Some(srv) =>
+                      try {
+                        val (access, _) = exchange(srv, code)
+                        val username = profile(access)
+                        val user = store.createOrGetUser(username, srv.id)
+                        st.redirectUrl match {
+                          case Some(r) =>
+                            ex.getResponseHeaders.set("Location", r)
+                            ex.sendResponseHeaders(302, -1)
+                          case None =>
+                            respondJson(ex, 200,
+                              s"""{"access_token":${jsonStr(
+                                OAuth.accessToken(token, user.id))},"token_type":"bearer"}""")
+                        }
+                      } catch {
+                        case OAuth.CredentialsError(m) =>
+                          respondJson(ex, 400, s"""{"detail":${jsonStr(m)}}""")
+                        case scala.util.control.NonFatal(e) =>
+                          respondJson(ex, 502,
+                            s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
+                      }
+                  }
+              }
+            case _ =>
+              respondJson(ex, 400, """{"detail":"code and state are required"}""")
+          }
+        case _ => respondJson(ex, 404, """{"detail":"Not found."}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
 
   /** GET /health (app/main.py:75-87): the db ping maps to "is the catalog
     * readable" — one driver-sized read.

@@ -186,6 +186,46 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("create pipeline guards: form fetch failure, encrypted forms, title naming, config ownership") {
+    withServer { (port, store, _) =>
+      // dedicated server with an injected form-metadata fetch
+      val metaServe = new Serve(spark, store, Token,
+        sync = _ => (), downloadPath = _ => "/x",
+        clock = () => ts("2024-06-01 00:00:00"),
+        formMeta = {
+          case 900L => Map("title" -> "Household Survey")
+          case 901L => Map("title" -> "Secret", "public_key" -> "PEM")
+          case id => sys.error(s"HTTP 404 on form $id")
+        })
+      val p2 = metaServe.start()
+      try {
+        // failed fetch → the reference's 400 with the form id in the detail
+        val (s1, b1) = bodyRequest(p2, "/api/v1/files", "POST",
+          """{"user_id": 60, "form_id": 123}""")
+        assert(s1 == 400 && b1.contains("Error retrieving form 123"))
+        // encrypted form → rejected
+        val (s2, b2) = bodyRequest(p2, "/api/v1/files", "POST",
+          """{"user_id": 60, "form_id": 901}""")
+        assert(s2 == 400 && b2.contains("Encrypted forms are not supported"))
+        // clean form: extract named from the form title
+        val (s3, b3) = bodyRequest(p2, "/api/v1/files", "POST",
+          """{"user_id": 60, "form_id": 900}""")
+        assert(s3 == 201 && b3.contains(""""filename":"Household Survey.parquet""""))
+        // configuration must exist AND belong to the requesting user
+        val (s4, b4) = bodyRequest(p2, "/api/v1/files", "POST",
+          """{"user_id": 61, "form_id": 900, "configuration_id": 1}""")
+        assert(s4 == 400 && b4.contains("Configuration not found with given ID"))
+        // config 1 belongs to user 10: accepted and recorded
+        val (s5, _) = bodyRequest(p2, "/api/v1/files", "POST",
+          """{"user_id": 10, "form_id": 900, "configuration_id": 1}""")
+        assert(s5 == 201)
+        val created = store.readHyperFiles()
+          .filter(f => f.userId == 10L && f.formId == 900L).head()
+        assert(created.metaData.get("configuration-id").contains("1"))
+      } finally metaServe.stop()
+    }
+  }
+
   test("server registry: list, detail, create-or-get under unique url") {
     withServer { (port, _, _) =>
       val (s, body, _) = request(port, "/api/v1/servers")
@@ -226,6 +266,73 @@ class HttpSpec extends SparkSpec {
       assert(request(port, "/api/v1/configurations/2")._1 == 404)
       // missing fields: 400
       assert(bodyRequest(port, "/api/v1/configurations", "POST", """{"user_id":1}""")._1 == 400)
+    }
+  }
+
+  test("oauth: login 302 with state; callback exchanges once; TTL + single-use enforced") {
+    withServer { (port, store, _) =>
+      store.initUsers(Seq.empty)
+      var now = ts("2024-06-01 00:00:00")
+      var nKeys = 0
+      val exchanged = collection.mutable.Buffer.empty[String]
+      val oserve = new Serve(spark, store, Token,
+        sync = _ => (), downloadPath = _ => "/x",
+        clock = () => now,
+        newStateKey = () => { nKeys += 1; s"state-$nKeys" },
+        exchange = (srv, code) =>
+          if (code == "bad") throw graft.serve.OAuth.CredentialsError("code rejected")
+          else { exchanged += code; (s"tok-$code", "refresh") },
+        profile = tok =>
+          if (tok == "tok-profile-dies") sys.error("profile api down")
+          else "alice")
+      val p2 = oserve.start()
+      try {
+        // unknown server: 400
+        val (s0, b0, _) = request(p2,
+          "/api/v1/oauth/login?server_url=https%3A%2F%2Funknown.example.org", token = "")
+        assert(s0 == 400 && b0.contains("Server not configured"))
+        // login: 302 to the provider with the issued state
+        val (s1, _, loc) = request(p2,
+          "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org", token = "")
+        assert(s1 == 302)
+        assert(loc.get.startsWith("https://ona.example.org/o/authorize?"))
+        assert(loc.get.contains("state=state-1"))
+        // callback with that state: exchange runs, token minted, user upserted
+        val (s2, b2, _) = request(p2,
+          "/api/v1/oauth/callback?code=c1&state=state-1", token = "")
+        assert(s2 == 200 && b2.contains(""""token_type":"bearer""""))
+        assert(exchanged.toSeq == Seq("c1"))
+        val u = store.readUsers().collect()
+        assert(u.map(x => (x.username, x.serverId)).toSeq == Seq(("alice", 1L)))
+        // the state was single-use: replay is 401
+        val (s3, b3, _) = request(p2,
+          "/api/v1/oauth/callback?code=c1&state=state-1", token = "")
+        assert(s3 == 401 && b3.contains("Authorization state can not be confirmed."))
+        // TTL: a state older than 5 minutes is dead
+        request(p2, "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org",
+          token = "")
+        now = ts("2024-06-01 00:05:01")
+        val (s4, _, _) = request(p2,
+          "/api/v1/oauth/callback?code=c2&state=state-2", token = "")
+        assert(s4 == 401)
+        // a rejected code is the 400 branch; a dead profile API is 502
+        request(p2, "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org",
+          token = "")
+        val (s5, b5, _) = request(p2,
+          "/api/v1/oauth/callback?code=bad&state=state-3", token = "")
+        assert(s5 == 400 && b5.contains("code rejected"))
+        request(p2, "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org",
+          token = "")
+        val (s6, _, _) = request(p2,
+          "/api/v1/oauth/callback?code=profile-dies&state=state-4", token = "")
+        assert(s6 == 502)
+        // redirect_url round trip: callback answers 302 to it
+        request(p2, "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org" +
+          "&redirect_url=https%3A%2F%2Fapp.example.org%2Fdone", token = "")
+        val (s7, _, loc7) = request(p2,
+          "/api/v1/oauth/callback?code=c3&state=state-5", token = "")
+        assert(s7 == 302 && loc7.contains("https://app.example.org/done"))
+      } finally oserve.stop()
     }
   }
 
