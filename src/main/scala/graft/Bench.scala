@@ -39,19 +39,16 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = Json.str(s)
+
+  /** The canonical bench scale: a clean run HERE may always refresh the
+    * comparison record (reclaiming a stale record a smoke run at another
+    * SF may have seeded when no record existed yet).
+    */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt, "graft-bench")
 
@@ -142,17 +139,21 @@ object Bench {
           }
           // one fresh 1× sample folded with the main run's best-of-2, so
           // both sides of the ratio share session state; the ×F side pays
-          // one UNTIMED warm-up first — a query's first run at the scaled
-          // dir can absorb one-time fixture setup (bucketed-table writes,
-          // blob fixtures) that the 1× side already amortized, which would
-          // record a linear query as superlinear — then a single timed
-          // sample (same total invocations as the old best-of-2, but the
-          // timed body now matches the 1× side's steady state)
+          // one warm-up first — a query's first run at the scaled dir can
+          // absorb one-time fixture setup (bucketed-table writes, blob
+          // fixtures) that the 1× side already amortized, which would
+          // record a linear query as superlinear. The warm-up is TIMED as
+          // a budget guard: past 60 s its own figure is recorded (setup
+          // cost included, accepted) instead of paying a second full run —
+          // a genuinely slow query must not stall the whole bench. A
+          // throwing warm-up is REPORTED by time() (stderr), never
+          // silently swallowed, and the timed sample still runs.
           val t1 = (time(sfDir).toSeq :+ t1main).min
-          try { q(spark, scaledDir).count(); () }
-          catch { case _: Throwable => () }
-          clearAll(spark)
-          val tF = time(scaledDir)
+          val warm = time(scaledDir)
+          val tF = warm match {
+            case Some(w) if w > 60.0 => Some(w)
+            case _ => time(scaledDir)
+          }
           (name, t1, tF)
         }
         val qjson = entries.map { case (n, t1, tF) =>
@@ -249,8 +250,12 @@ object Bench {
     // round's comparison record, so delta_vs_prev always tracks the latest
     // accepted figures instead of drifting rounds behind. A run at a
     // DIFFERENT sf than the stored record (a sf0.01 smoke while the record
-    // is the canonical sf0.1 round) leaves the record alone.
-    if (failed.isEmpty && canaryDrift <= 3.0 && prevSfMatches != Some(false))
+    // is the canonical sf0.1 round) leaves the record alone — EXCEPT when
+    // this run IS the canonical sf (then it may reclaim a stale record a
+    // smoke run seeded while no record existed; without this exception the
+    // sf-mismatch gate would lock the stale record in forever).
+    if (failed.isEmpty && canaryDrift <= 3.0 &&
+        (prevSfMatches != Some(false) || sfDir == DefaultSfDir))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"

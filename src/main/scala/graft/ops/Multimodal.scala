@@ -174,7 +174,13 @@ object Multimodal {
         // rms/peak/silence must describe the clip, not its first seconds.
         var stride =
           if (known > 0) math.max(1L, (known + budget - 1) / budget) else 1L
-        val kept = new Array[Float](math.max(budget, 1))
+        // known-length clips size the buffer to what will actually be
+        // kept (a short clip must not pay a budget-sized allocation per
+        // row); only the unknown-length re-stride path needs the full
+        // budget-sized array
+        val kept = new Array[Float](
+          if (known > 0) math.min(budget.toLong, known).toInt.max(1)
+          else math.max(budget, 1))
         val buf = new Array[Byte](bytesPerFrame * 1024)
         var frameIdx = 0L
         var keptCount = 0

@@ -16,14 +16,20 @@ object OAuth {
 
   /** In-memory TTL + single-use state store — the Redis `setex` /
     * `get`-then-`delete` pair. The clock is supplied per call so specs
-    * replay expiry deterministically; entries are evicted lazily on
-    * [[take]] (the store only ever holds in-flight logins).
+    * replay expiry deterministically. Every [[put]] sweeps expired
+    * entries first (O(in-flight logins), driver-side), so abandoned
+    * logins — /oauth/login is unauthenticated by design, so anyone can
+    * mint states — are bounded by the TTL window instead of
+    * accumulating for the server's lifetime.
     */
   class StateStore(ttlMillis: Long = 5 * 60 * 1000L) {
     private val entries =
       collection.mutable.Map.empty[String, (AuthState, Long)]
     def put(key: String, st: AuthState, nowMillis: Long): Unit =
-      synchronized { entries(key) = (st, nowMillis + ttlMillis) }
+      synchronized {
+        entries.filterInPlace { case (_, (_, deadline)) => nowMillis < deadline }
+        entries(key) = (st, nowMillis + ttlMillis)
+      }
     /** Single-use redemption: present AND unexpired, then deleted. */
     def take(key: String, nowMillis: Long): Option[AuthState] = synchronized {
       val hit = entries.remove(key)

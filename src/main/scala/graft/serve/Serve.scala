@@ -129,9 +129,22 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
 
+  /** Bearer auth: the static service token, or a token minted by the
+    * OAuth callback for a registered user ([[OAuth.accessToken]] is a
+    * deterministic HMAC of the user id under the service secret, so
+    * verification is recomputation against the user registry — a
+    * catalog-sized read, and only reached when the static token missed).
+    */
   private def authed(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
-      .contains(s"Bearer $token")
+      .collect { case h if h.startsWith("Bearer ") => h.stripPrefix("Bearer ") }
+      .exists { presented =>
+        presented == token || {
+          try store.readUsers().collect()
+            .exists(u => OAuth.accessToken(token, u.id) == presented)
+          catch { case scala.util.control.NonFatal(_) => false } // no user table
+        }
+      }
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
@@ -145,21 +158,29 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   /** GET /api/v1/files?form_id=&skip=&limit= (file.py:42-89). */
   private def listFiles(ex: HttpExchange): Unit = {
     val q = query(ex)
-    q.get("form_id").filterNot(_.forall(_.isDigit)) match {
-      case Some(bad) =>
+    // toLongOption rejects empty strings and Long overflow too — both
+    // pass an all-digits check but must be the documented 400, not a 500
+    val formId = q.get("form_id").map(v => v -> v.toLongOption)
+    val skip = q.get("skip").map(v => v -> v.toIntOption)
+    val limit = q.get("limit").map(v => v -> v.toIntOption)
+    (formId, skip, limit) match {
+      case (Some((bad, None)), _, _) =>
         respondJson(ex, 400,
           s"""{"detail":${jsonStr(s"Invalid form_id provided: $bad")}}""")
-      case None =>
+      case (_, Some((bad, None)), _) =>
+        respondJson(ex, 400, s"""{"detail":${jsonStr(s"Invalid skip provided: $bad")}}""")
+      case (_, _, Some((bad, None))) =>
+        respondJson(ex, 400, s"""{"detail":${jsonStr(s"Invalid limit provided: $bad")}}""")
+      case _ =>
         val all = store.readHyperFiles()
-        val filtered = q.get("form_id") match {
+        val filtered = formId.flatMap(_._2) match {
           case Some(fid) =>
-            graft.catalog.Catalog.pointLookup(all.toDF(), "formId", fid.toLong)
+            graft.catalog.Catalog.pointLookup(all.toDF(), "formId", fid)
           case None => all.toDF()
         }
         // P2 pagination under a total order, reference defaults 0/100
-        val skip = q.get("skip").map(_.toInt).getOrElse(0)
-        val limit = q.get("limit").map(_.toInt).getOrElse(100)
-        val page = graft.catalog.Catalog.paginate(filtered, Seq("id"), skip, limit)
+        val page = graft.catalog.Catalog.paginate(filtered, Seq("id"),
+          skip.flatMap(_._2).getOrElse(0), limit.flatMap(_._2).getOrElse(100))
         val rows = page.as[HyperFileMeta].collect() // bounded by `limit`
         respondJson(ex, 200,
           rows.map(fileJson(_, withUrls = true)).mkString("[", ",", "]"))
@@ -248,6 +269,9 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
 
   /** PATCH /api/v1/files/{id} (file.py:117-143): rename and/or re-attach
     * a configuration (`configuration_id`, kept under the metaData key).
+    * Re-attachment applies the SAME existence/ownership validation as
+    * create — a dangling or foreign configuration id must be the 400,
+    * never a silently-stored pointer the publish fan-out can't resolve.
     */
   private def patchFile(ex: HttpExchange, idStr: String): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -257,14 +281,24 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     val newName = jsonField(body, "filename")
     val newConfig = jsonField(body, "configuration_id")
     lookup(ex, idStr) { f =>
-      store.update(f.id, clock()) { row =>
-        val renamed = newName.map(n => row.copy(filename = n)).getOrElse(row)
-        newConfig
-          .map(c => renamed.copy(metaData = renamed.metaData + ("configuration-id" -> c)))
-          .getOrElse(renamed)
+      val configRow = newConfig.flatMap(_.toLongOption).flatMap { i =>
+        try store.readConfigs().filter(c => c.id == i && c.userId == f.userId)
+          .collect().headOption
+        catch { case scala.util.control.NonFatal(_) => None }
       }
-      val updated = store.readHyperFiles().filter(_.id == f.id).head()
-      respondJson(ex, 200, fileJson(updated, withUrls = true))
+      if (newConfig.nonEmpty && configRow.isEmpty)
+        respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")
+      else {
+        val configId = configRow.map(_.id.toString)
+        store.update(f.id, clock()) { row =>
+          val renamed = newName.map(n => row.copy(filename = n)).getOrElse(row)
+          configId
+            .map(c => renamed.copy(metaData = renamed.metaData + ("configuration-id" -> c)))
+            .getOrElse(renamed)
+        }
+        val updated = store.readHyperFiles().filter(_.id == f.id).head()
+        respondJson(ex, 200, fileJson(updated, withUrls = true))
+      }
     }
   }
 
@@ -298,9 +332,13 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
             jsonField(body, "url") match {
               case None => respondJson(ex, 400, """{"detail":"url is required"}""")
               case Some(url) =>
+                // normalize like the OAuth login lookup (trailing slash
+                // stripped) so the unique-url key and the by-url match
+                // agree on one spelling
+                val normalized = url.stripSuffix("/")
                 val nextId = store.readServers().collect()
                   .map(_.id).maxOption.getOrElse(0L) + 1L
-                val row = store.createOrGetServer(ServerMeta(nextId, url))
+                val row = store.createOrGetServer(ServerMeta(nextId, normalized))
                 respondJson(ex, if (row.id == nextId) 201 else 200, serverJson(row))
             }
           case ("GET", Array(id), "servers") =>
@@ -515,14 +553,5 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     (base ++ urls).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.Json.str(s)
 }

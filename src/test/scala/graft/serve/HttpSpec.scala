@@ -171,18 +171,62 @@ class HttpSpec extends SparkSpec {
     }
   }
 
-  test("patch: renames and re-attaches configuration; unknown id is 404") {
+  test("patch: renames and re-attaches a VALIDATED configuration; unknown id is 404") {
     withServer { (port, store, _) =>
-      val (s, body) = bodyRequest(port, "/api/v1/files/5", "PATCH",
-        """{"filename": "renamed.parquet", "configuration_id": 7}""")
+      // file 10 belongs to user 10, who owns config 1
+      val (s, body) = bodyRequest(port, "/api/v1/files/10", "PATCH",
+        """{"filename": "renamed.parquet", "configuration_id": 1}""")
       assert(s == 200)
       assert(body.contains(""""filename":"renamed.parquet""""))
-      val row = store.readHyperFiles().filter(_.id == 5L).head()
+      val row = store.readHyperFiles().filter(_.id == 10L).head()
       assert(row.filename == "renamed.parquet")
-      assert(row.metaData.get("configuration-id").contains("7"))
+      assert(row.metaData.get("configuration-id").contains("1"))
       assert(row.lastUpdated == ts("2024-06-01 00:00:00"))
-      val (s2, _) = bodyRequest(port, "/api/v1/files/99999", "PATCH", """{"filename":"x"}""")
-      assert(s2 == 404)
+      // a dangling config id, a foreign user's config, and a non-numeric
+      // value are all the 400, never silently stored
+      val (s2, b2) = bodyRequest(port, "/api/v1/files/5", "PATCH",
+        """{"configuration_id": 7}""")
+      assert(s2 == 400 && b2.contains("Configuration not found with given ID"))
+      val (s3, _) = bodyRequest(port, "/api/v1/files/5", "PATCH",
+        """{"configuration_id": 1}""") // config 1 is user 10's, file 5 is user 5's
+      assert(s3 == 400)
+      val (s4, _) = bodyRequest(port, "/api/v1/files/99999", "PATCH", """{"filename":"x"}""")
+      assert(s4 == 404)
+    }
+  }
+
+  test("list: empty/overflowing form_id and non-numeric skip/limit are 400, not 500") {
+    withServer { (port, _, _) =>
+      assert(request(port, "/api/v1/files?form_id=")._1 == 400)
+      assert(request(port, "/api/v1/files?form_id=99999999999999999999")._1 == 400)
+      val (s, body, _) = request(port, "/api/v1/files?skip=abc")
+      assert(s == 400 && body.contains("Invalid skip provided: abc"))
+      assert(request(port, "/api/v1/files?limit=1e3")._1 == 400)
+    }
+  }
+
+  test("a bearer token minted by the OAuth callback authenticates API requests") {
+    withServer { (port, store, _) =>
+      store.initUsers(Seq(graft.catalog.UserMeta(42L, "alice", 1L)))
+      val minted = OAuth.accessToken(Token, 42L)
+      val (s, _, _) = request(port, "/api/v1/files/1", token = minted)
+      assert(s == 200)
+      // a token for an UNREGISTERED user id does not pass
+      val forged = OAuth.accessToken(Token, 43L)
+      assert(request(port, "/api/v1/files/1", token = forged)._1 == 403)
+    }
+  }
+
+  test("server create normalizes trailing slash so OAuth login finds the row") {
+    withServer { (port, _, _) =>
+      val (s, body) = bodyRequest(port, "/api/v1/servers", "POST",
+        """{"url": "https://slashy.example.org/"}""")
+      assert(s == 201 && body.contains(""""url":"https://slashy.example.org""""))
+      // login with either spelling resolves the same registered server
+      val (s2, _, loc) = request(port,
+        "/api/v1/oauth/login?server_url=https%3A%2F%2Fslashy.example.org%2F", token = "")
+      assert(s2 == 302)
+      assert(loc.get.startsWith("https://slashy.example.org/o/authorize?"))
     }
   }
 
