@@ -82,6 +82,31 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ ]+"
 
+  /** URL canonicalization for crawl dedup — the normalization every
+    * web-corpus pipeline runs before keying anything on a URL: strip the
+    * fragment, lowercase scheme+authority, drop default ports (:80/:443),
+    * drop `utm_*` tracking params (fixing the separators left behind),
+    * and strip one trailing path slash. Pure `regexp_replace`/
+    * `regexp_extract` chain — codegen'd, single scan, and every pattern
+    * stays in the RE2-safe subset (no lookaround, no backrefs) so the
+    * DuckDB oracle replays the identical chain. Param ORDER is preserved
+    * (a sort would need a higher-order split/rebuild; crawl URLs from
+    * one crawler emit params in stable order, so order-preserving
+    * canonical keys still collapse the real duplicate classes).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase ONLY scheme://authority; path/query keep their case
+    val auth = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val authNoPort = regexp_replace(auth, ":(80|443)$", "")
+    val noUtmMid = regexp_replace(rest, "&utm_[^&]*", "")
+    val noUtmFirst = regexp_replace(noUtmMid, "\\?utm_[^&]*&", "?")
+    val noUtm = regexp_replace(noUtmFirst, "\\?utm_[^&]*$", "")
+    val noSlash = regexp_replace(noUtm, "/$", "")
+    concat(authNoPort, noSlash)
+  }
+
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 

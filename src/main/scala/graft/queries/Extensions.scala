@@ -2049,6 +2049,52 @@ object Extensions {
     // estimator the LSH banding is built on, oracle-checked because the
     // signature scheme is a deterministic function of the text. At scale
     // this is how you audit whether k is large enough for the corpus.
+    // URL canonicalization + canonical-key dedup — the crawl-curation
+    // staple: four messy spellings per logical URL (uppercase host,
+    // default port, utm tracking params, trailing slash, fragment) are
+    // synthesized per doc group and must collapse to ONE canonical key.
+    // TextAnalysis.canonicalUrl is a pure regexp chain in the RE2-safe
+    // subset, so the oracle replays the IDENTICAL chain in DuckDB
+    // (regexp_replace 'g' flag where Spark's replace-all semantics
+    // matter) and the group/keeper sets match exactly.
+    Q("q_url_dedup",
+      (s, d) => {
+        val g = expr("doc_id div 4").cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://Example.COM:443/data/doc"), g, lit("/?utm_source=feed#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://example.com/data/doc"), g))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://EXAMPLE.com/data/doc"), g, lit("/")))
+          .otherwise(
+            concat(lit("https://example.com:443/data/doc"), g, lit("?utm_campaign=x")))
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("url", url)
+          .withColumn("canonical", TextAnalysis.canonicalUrl(col("url")))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"))
+          .orderBy("canonical")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |CASE doc_id % 4
+             |WHEN 0 THEN 'HTTPS://Example.COM:443/data/doc' || (doc_id // 4) || '/?utm_source=feed#frag'
+             |WHEN 1 THEN 'https://example.com/data/doc' || (doc_id // 4)
+             |WHEN 2 THEN 'https://EXAMPLE.com/data/doc' || (doc_id // 4) || '/'
+             |ELSE 'https://example.com:443/data/doc' || (doc_id // 4) || '?utm_campaign=x' END AS url
+             |FROM documents),
+             |c AS (SELECT doc_id,
+             |regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''),
+             |'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '') ||
+             |regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |regexp_replace(regexp_replace(url, '#.*', ''),
+             |'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+             |'&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', ''),
+             |'/$', '') AS canonical
+             |FROM u)
+             |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+             |min(doc_id) AS keeper
+             |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin.replace("\n", " "))),
+
     // The typed-Aggregator surface of the MinHash signature (§2.9 UDAF
     // capability, graft.functions.MinHashAggregator): shingles aggregated
     // through functions.udaf — buffer = the k component minima, merged

@@ -34,6 +34,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq((1L, "en"), (2L, "de"), (3L, "es"), (4L, "en")))
   }
 
+  test("canonicalUrl: fragment, host case, default ports, utm params, trailing slash") {
+    val cases = Seq(
+      "HTTPS://Example.COM:443/Data/Doc1/?utm_source=feed#frag" ->
+        "https://example.com/Data/Doc1", // path case preserved, host lowered
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:8443/a" -> "https://example.com:8443/a", // non-default port kept
+      "https://example.com/a?utm_a=1&b=2&utm_c=3" -> "https://example.com/a?b=2",
+      "https://example.com/a?utm_a=1" -> "https://example.com/a",
+      "https://example.com/a?b=2&utm_a=1" -> "https://example.com/a?b=2",
+      "https://example.com/" -> "https://example.com",
+      "https://example.com/a/b/" -> "https://example.com/a/b")
+    val out = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "u")
+      .select($"i", TextAnalysis.canonicalUrl($"u").as("c"))
+      .orderBy("i").as[(Int, String)].collect().map(_._2)
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("fingerprintMd5 is whitespace/case insensitive; rolling is order sensitive") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"),   // same md5 fingerprint
