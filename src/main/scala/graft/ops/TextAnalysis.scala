@@ -185,6 +185,40 @@ object TextAnalysis {
       filter(segs, (x, i) => array_position(segs, x) === i + lit(1L)), sep)
   }
 
+  /** Cross-document boilerplate removal (the MassiveText/CCNet line-dedup
+    * tier ABOVE [[dedupSegments]]'s intra-doc pass): a segment appearing
+    * in at least `minDocs` DISTINCT documents is boilerplate (nav bars,
+    * license footers, cookie banners) and is removed from EVERY document;
+    * surviving segments keep their original order and joiner.
+    *
+    * Plan: one posexplode scan → distinct (doc, segment) → one
+    * segment-keyed count (map-side combined, output ∝ segment vocabulary,
+    * not corpus) → the boilerplate SET joins back to the exploded rows
+    * (vocabulary-sized → broadcast at any corpus scale) → order-restoring
+    * collect_list rebuild per doc. Two shuffles total: the count and the
+    * per-doc rebuild, both keyed, no global sort.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String = ". ", minDocs: Int = 3): DataFrame = {
+    val segs = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "seg")))
+    val boiler = segs
+      .groupBy("seg").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("seg")))).as("ps"))
+      .select(col("id"),
+        array_join(transform(col("ps"), p => p.getField("seg")), sep).as("clean"))
+    // docs whose every segment was boilerplate must survive as EMPTY, not
+    // vanish — left join from the full doc set
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** Truncate to the first `maxTokens` whitespace tokens (training-prep
     * length cap). Split→slice→re-join reproduces the original byte-exact
     * when under the cap (single-space join is the split's inverse,

@@ -2049,6 +2049,38 @@ object Extensions {
     // estimator the LSH banding is built on, oracle-checked because the
     // signature scheme is a deterministic function of the text. At scale
     // this is how you audit whether k is large enough for the corpus.
+    // Cross-document boilerplate removal — the MassiveText/CCNet
+    // line-dedup tier above the intra-doc pass (q_paragraph_dedup): a
+    // segment appearing in >= 3 DISTINCT docs (here: an injected
+    // newsletter footer on every doc, plus any naturally-shared
+    // generator sentences) is stripped from EVERY doc, order preserved.
+    // The boilerplate set is segment-vocabulary-sized, so the filter
+    // join broadcasts at any corpus scale.
+    Q("q_boilerplate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(". Subscribe to our newsletter")).as("text"))
+        TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+          .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+            length(col("clean")).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text || '. Subscribe to our newsletter' AS text
+             |FROM documents),
+             |segs AS (SELECT doc_id, t.i AS pos, s[t.i + 1] AS seg
+             |FROM (SELECT doc_id, string_split(text, '. ') AS s FROM d) x,
+             |LATERAL (SELECT unnest(range(0, len(s))) AS i) t),
+             |boiler AS (SELECT seg FROM segs GROUP BY seg
+             |HAVING count(DISTINCT doc_id) >= 3),
+             |kept AS (SELECT doc_id, pos, seg FROM segs
+             |WHERE seg NOT IN (SELECT seg FROM boiler)),
+             |rebuilt AS (SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS clean
+             |FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, md5(coalesce(r.clean, '')) AS clean_md5,
+             |CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_len
+             |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
     // URL canonicalization + canonical-key dedup — the crawl-curation
     // staple: four messy spellings per logical URL (uppercase host,
     // default port, utm tracking params, trailing slash, fragment) are

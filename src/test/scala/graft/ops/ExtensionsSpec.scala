@@ -34,6 +34,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Seq((1L, "en"), (2L, "de"), (3L, "es"), (4L, "en")))
   }
 
+  test("removeBoilerplate strips cross-doc segments, keeps rare ones in order, empties survive") {
+    val docs = Seq(
+      (1L, "unique one. COMMON FOOTER. rare tail"),
+      (2L, "another thing. COMMON FOOTER"),
+      (3L, "third doc. COMMON FOOTER"),
+      (4L, "COMMON FOOTER")) // all-boilerplate doc must survive as ""
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique one. rare tail"), // order preserved around the removal
+      (2L, "another thing"),
+      (3L, "third doc"),
+      (4L, "")))
+  }
+
   test("canonicalUrl: fragment, host case, default ports, utm params, trailing slash") {
     val cases = Seq(
       "HTTPS://Example.COM:443/Data/Doc1/?utm_source=feed#frag" ->
