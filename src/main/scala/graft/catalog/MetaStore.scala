@@ -152,15 +152,21 @@ class MetaStore(spark: SparkSession, root: String) {
 
   /** Create-or-get under the unique (serverId, username) key — the OAuth
     * callback's user upsert (oauth.py:115-135: a known user is updated
-    * in place, an unknown one created). Returns the owning row.
+    * in place, an unknown one created). Returns the owning row. An
+    * absent users table (fresh catalog root, nothing ever signed in) is
+    * an EMPTY registry, not an error — the first sign-in creates it.
     */
   def createOrGetUser(username: String, serverId: Long): UserMeta = {
-    val existing = readUsers()
-    existing.filter(u => u.username == username && u.serverId == serverId)
-      .collect().headOption.getOrElse {
-        val id = existing.collect().map(_.id).maxOption.getOrElse(0L) + 1L
+    val existing: Seq[UserMeta] =
+      try readUsers().collect().toSeq
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    existing.find(u => u.username == username && u.serverId == serverId)
+      .getOrElse {
+        val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
         val row = UserMeta(id, username, serverId)
-        overwrite(existing.unionByName(Seq(row).toDS()).toDF(), "users")
+        // the rows are driver-side, so the write never reads its own
+        // target; staging + atomic rename keeps concurrent readers safe
+        overwrite((existing :+ row).toDS().toDF(), "users")
         row
       }
   }

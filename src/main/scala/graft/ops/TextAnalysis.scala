@@ -99,12 +99,21 @@ object TextAnalysis {
     // lowercase ONLY scheme://authority; path/query keep their case
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val authNoPort = regexp_replace(auth, ":(80|443)$", "")
+    // port strip is SCHEME-CONDITIONAL: :80 is only default for http,
+    // :443 only for https — http://h:443 is a real distinct resource and
+    // must NOT merge with http://h
+    val authNoPort = when(auth.startsWith("http://"),
+        regexp_replace(auth, ":80$", ""))
+      .when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
     val noUtmMid = regexp_replace(rest, "&utm_[^&]*", "")
     val noUtmFirst = regexp_replace(noUtmMid, "\\?utm_[^&]*&", "?")
     val noUtm = regexp_replace(noUtmFirst, "\\?utm_[^&]*$", "")
-    val noSlash = regexp_replace(noUtm, "/$", "")
-    concat(authNoPort, noSlash)
+    // trailing-slash strip applies to the PATH only — a '/' ending a
+    // query value is data, and 'path/?q' must collapse with 'path?q'
+    val path = regexp_extract(noUtm, "^[^?]*", 0)
+    val qs = regexp_replace(noUtm, "^[^?]*", "")
+    concat(authNoPort, regexp_replace(path, "/$", ""), qs)
   }
 
   def scrubPii(text: Column): Column =

@@ -2114,15 +2114,21 @@ object Extensions {
              |WHEN 2 THEN 'https://EXAMPLE.com/data/doc' || (doc_id // 4) || '/'
              |ELSE 'https://example.com:443/data/doc' || (doc_id // 4) || '?utm_campaign=x' END AS url
              |FROM documents),
-             |c AS (SELECT doc_id,
-             |regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''),
-             |'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '') ||
-             |regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |parts AS (SELECT doc_id,
+             |lower(regexp_extract(regexp_replace(url, '#.*', ''),
+             |'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS auth,
+             |regexp_replace(regexp_replace(regexp_replace(
              |regexp_replace(regexp_replace(url, '#.*', ''),
              |'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-             |'&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', ''),
-             |'/$', '') AS canonical
-             |FROM u)
+             |'&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS rest
+             |FROM u),
+             |c AS (SELECT doc_id,
+             |(CASE WHEN auth LIKE 'http://%' THEN regexp_replace(auth, ':80$', '')
+             |WHEN auth LIKE 'https://%' THEN regexp_replace(auth, ':443$', '')
+             |ELSE auth END) ||
+             |regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/$', '') ||
+             |regexp_replace(rest, '^[^?]*', '') AS canonical
+             |FROM parts)
              |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
              |min(doc_id) AS keeper
              |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin.replace("\n", " "))),

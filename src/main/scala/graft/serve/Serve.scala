@@ -132,25 +132,56 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   /** Bearer auth: the static service token, or a token minted by the
     * OAuth callback for a registered user ([[OAuth.accessToken]] is a
     * deterministic HMAC of the user id under the service secret, so
-    * verification is recomputation against the user registry — a
-    * catalog-sized read, and only reached when the static token missed).
+    * verification is recomputation against the user registry). The
+    * minted-token set is CACHED (refreshed at most every 5 s, and
+    * invalidated by the callback's upsert) so a request never pays a
+    * catalog read on the auth hot path, and a transient read failure
+    * keeps serving the last good set instead of 403-ing valid tokens.
+    * The OAuth session cookie (`graft_session`, set by the callback's
+    * redirect branch) is accepted as the same credential.
     */
-  private def authed(ex: HttpExchange): Boolean =
-    Option(ex.getRequestHeaders.getFirst("Authorization"))
+  private def authed(ex: HttpExchange): Boolean = {
+    val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .collect { case h if h.startsWith("Bearer ") => h.stripPrefix("Bearer ") }
-      .exists { presented =>
-        presented == token || {
-          try store.readUsers().collect()
-            .exists(u => OAuth.accessToken(token, u.id) == presented)
-          catch { case scala.util.control.NonFatal(_) => false } // no user table
-        }
-      }
+    val cookie = Option(ex.getRequestHeaders.getFirst("Cookie"))
+      .flatMap(_.split(";").map(_.trim).collectFirst {
+        case c if c.startsWith("graft_session=") => c.stripPrefix("graft_session=")
+      })
+    (bearer.toSeq ++ cookie.toSeq).exists { presented =>
+      presented == token || mintedTokens(clock().getTime).contains(presented)
+    }
+  }
 
+  private var tokenCache: (Set[String], Long) = (Set.empty, Long.MinValue)
+
+  private def mintedTokens(nowMillis: Long): Set[String] = synchronized {
+    // the Long.MinValue sentinel is checked explicitly — subtracting it
+    // overflows, so the age test alone would never fire
+    if (tokenCache._2 == Long.MinValue || nowMillis - tokenCache._2 > 5000L) {
+      val fresh =
+        try Some(store.readUsers().collect()
+          .map(u => OAuth.accessToken(token, u.id)).toSet)
+        catch { case scala.util.control.NonFatal(_) => None } // keep last good set
+      tokenCache = (fresh.getOrElse(tokenCache._1), nowMillis)
+    }
+    tokenCache._1
+  }
+
+  private def invalidateTokenCache(): Unit =
+    synchronized { tokenCache = (tokenCache._1, Long.MinValue) }
+
+  /** Parse query params from the RAW (still percent-encoded) query, so
+    * values containing encoded `&`/`=`/`%` (the OAuth redirect_url is a
+    * full URL) survive the split and are decoded exactly once —
+    * `URI.getQuery` is already decoded, and decoding it again both
+    * splits on separators inside values and throws on a literal `%`.
+    */
   private def query(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
 
   // ---- handlers ---------------------------------------------------------
@@ -160,9 +191,9 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     val q = query(ex)
     // toLongOption rejects empty strings and Long overflow too — both
     // pass an all-digits check but must be the documented 400, not a 500
-    val formId = q.get("form_id").map(v => v -> v.toLongOption)
-    val skip = q.get("skip").map(v => v -> v.toIntOption)
-    val limit = q.get("limit").map(v => v -> v.toIntOption)
+    val formId = q.get("form_id").map(v => v -> v.toLongOption.filter(_ >= 0))
+    val skip = q.get("skip").map(v => v -> v.toIntOption.filter(_ >= 0))
+    val limit = q.get("limit").map(v => v -> v.toIntOption.filter(_ >= 0))
     (formId, skip, limit) match {
       case (Some((bad, None)), _, _) =>
         respondJson(ex, 400,
@@ -444,14 +475,24 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                         val (access, _) = exchange(srv, code)
                         val username = profile(access)
                         val user = store.createOrGetUser(username, srv.id)
+                        invalidateTokenCache() // the new user's token must work NOW
+                        val minted = OAuth.accessToken(token, user.id)
                         st.redirectUrl match {
                           case Some(r) =>
+                            // browser flow: the credential rides a session
+                            // cookie (the reference's create_session,
+                            // oauth.py:136-142) — a bare redirect would end
+                            // the flow unauthenticated. redirect_url comes
+                            // from the login request; production fronting
+                            // should allowlist it (the reference accepts it
+                            // unvalidated the same way).
+                            ex.getResponseHeaders.set("Set-Cookie",
+                              s"graft_session=$minted; HttpOnly; Path=/")
                             ex.getResponseHeaders.set("Location", r)
                             ex.sendResponseHeaders(302, -1)
                           case None =>
                             respondJson(ex, 200,
-                              s"""{"access_token":${jsonStr(
-                                OAuth.accessToken(token, user.id))},"token_type":"bearer"}""")
+                              s"""{"access_token":${jsonStr(minted)},"token_type":"bearer"}""")
                         }
                       } catch {
                         case OAuth.CredentialsError(m) =>

@@ -137,8 +137,11 @@ object Streams {
     * `postCommit` runs AFTER the extract commit with the extract path —
     * the publish fan-out slot ([[graft.etl.Publish.publishExtract]], the
     * reference publishes the written artifact there); a throwing publish
-    * is a sync FAILURE like the reference's (the artifact is committed
-    * but the round is recorded failed, so the retry loop re-publishes).
+    * is recorded as a sync FAILURE while the committed extract survives.
+    * NOTE the batch's offsets still checkpoint (the failure is recorded,
+    * not rethrown), so a failed publish is NOT replayed by re-running
+    * syncTick on an unchanged landing dir — retry the fan-out alone with
+    * [[retryPublish]], or it rides the next export's tick.
     */
   def syncTick(spark: SparkSession, srcDir: String, schemaDdl: String,
                extractPath: String, checkpoint: String,
@@ -170,6 +173,31 @@ object Streams {
         }
       }
       .start()
+  }
+
+  /** Retry ONLY the publish fan-out of a failed sync round: the extract
+    * was committed before the publish threw, and the drained batch's
+    * offsets are already checkpointed, so re-running [[syncTick]] on an
+    * unchanged landing dir sees an empty batch and would never
+    * re-publish. Guarded on `latest_sync_failed` (retrying a healthy or
+    * deactivated file is a no-op returning false); success/failure feeds
+    * the same catalog accounting as the sync loop.
+    */
+  def retryPublish(store: graft.catalog.MetaStore, fileId: Long,
+                   extractPath: String, postCommit: String => Unit,
+                   at: java.sql.Timestamp): Boolean = {
+    val failed = store.readHyperFiles().collect()
+      .find(_.id == fileId)
+      .exists(_.fileStatus == graft.catalog.FileStatus.LatestSyncFailed)
+    if (!failed) false
+    else
+      try { postCommit(extractPath); store.recordSyncResult(fileId, success = true, at); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          store.recordSyncResult(fileId, success = false, at,
+            reason = String.valueOf(e.getMessage))
+          false
+      }
   }
 
   /** Incremental streaming refresh: each drained micro-batch MERGEs into

@@ -56,11 +56,17 @@ class ExtensionsSpec extends SparkSpec {
         "https://example.com/Data/Doc1", // path case preserved, host lowered
       "http://example.com:80/a" -> "http://example.com/a",
       "https://example.com:8443/a" -> "https://example.com:8443/a", // non-default port kept
+      "http://example.com:443/a" -> "http://example.com:443/a", // 443 NOT default for http
+      "https://example.com:80/a" -> "https://example.com:80/a", // 80 NOT default for https
       "https://example.com/a?utm_a=1&b=2&utm_c=3" -> "https://example.com/a?b=2",
       "https://example.com/a?utm_a=1" -> "https://example.com/a",
       "https://example.com/a?b=2&utm_a=1" -> "https://example.com/a?b=2",
       "https://example.com/" -> "https://example.com",
-      "https://example.com/a/b/" -> "https://example.com/a/b")
+      "https://example.com/a/b/" -> "https://example.com/a/b",
+      // slash strip is PATH-only: a '/' ending a query value is data,
+      // and 'path/?q' collapses with 'path?q'
+      "https://example.com/a?next=/" -> "https://example.com/a?next=/",
+      "https://example.com/data/doc/?b=1" -> "https://example.com/data/doc?b=1")
     val out = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "u")
       .select($"i", TextAnalysis.canonicalUrl($"u").as("c"))
       .orderBy("i").as[(Int, String)].collect().map(_._2)

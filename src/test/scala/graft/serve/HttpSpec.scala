@@ -202,6 +202,8 @@ class HttpSpec extends SparkSpec {
       val (s, body, _) = request(port, "/api/v1/files?skip=abc")
       assert(s == 400 && body.contains("Invalid skip provided: abc"))
       assert(request(port, "/api/v1/files?limit=1e3")._1 == 400)
+      assert(request(port, "/api/v1/files?limit=-5")._1 == 400)
+      assert(request(port, "/api/v1/files?skip=-1")._1 == 400)
     }
   }
 
@@ -370,12 +372,24 @@ class HttpSpec extends SparkSpec {
         val (s6, _, _) = request(p2,
           "/api/v1/oauth/callback?code=profile-dies&state=state-4", token = "")
         assert(s6 == 502)
-        // redirect_url round trip: callback answers 302 to it
+        // redirect_url round trip: callback answers 302 to it WITH the
+        // session cookie carrying the credential — a redirect_url whose
+        // encoded form contains & and = must survive the query parse
         request(p2, "/api/v1/oauth/login?server_url=https%3A%2F%2Fona.example.org" +
-          "&redirect_url=https%3A%2F%2Fapp.example.org%2Fdone", token = "")
-        val (s7, _, loc7) = request(p2,
-          "/api/v1/oauth/callback?code=c3&state=state-5", token = "")
-        assert(s7 == 302 && loc7.contains("https://app.example.org/done"))
+          "&redirect_url=https%3A%2F%2Fapp.example.org%2Fcb%3Fa%3D1%26b%3D2", token = "")
+        val conn7 = new URI(s"http://127.0.0.1:$p2/api/v1/oauth/callback?code=c3&state=state-5")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn7.setInstanceFollowRedirects(false)
+        assert(conn7.getResponseCode == 302)
+        assert(conn7.getHeaderField("Location") == "https://app.example.org/cb?a=1&b=2")
+        val cookie = conn7.getHeaderField("Set-Cookie")
+        assert(cookie != null && cookie.startsWith("graft_session="))
+        // the cookie IS a working credential on the API
+        val minted = cookie.stripPrefix("graft_session=").split(";")(0)
+        val connC = new URI(s"http://127.0.0.1:$p2/api/v1/files/1").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        connC.setRequestProperty("Cookie", s"graft_session=$minted")
+        assert(connC.getResponseCode == 200)
       } finally oserve.stop()
     }
   }

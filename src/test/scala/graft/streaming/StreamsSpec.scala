@@ -465,6 +465,20 @@ class StreamsSpec extends SparkSpec {
     assert(f.fileStatus == FileStatus.LatestSyncFailed)
     assert(f.metaData(MetaKeys.SyncFailures) == "1")
     assert(f.metaData(MetaKeys.FailureReason) == "upload refused")
+
+    // the batch's offsets are checkpointed, so re-running syncTick would
+    // see nothing — retryPublish retries the fan-out ALONE against the
+    // committed extract and restores file_available
+    var retried = -1L
+    val ok = retryPublish(store, 1L, extract,
+      p => { retried = spark.read.parquet(p).count() }, t0)
+    assert(ok)
+    assert(retried == 1L) // the committed extract, republished
+    val f2 = store.readHyperFiles().collect().head
+    assert(f2.fileStatus == FileStatus.FileAvailable)
+    assert(f2.metaData(MetaKeys.SyncFailures) == "0")
+    // healthy file: retry is a no-op
+    assert(!retryPublish(store, 1L, extract, _ => sys.error("boom"), t0))
   }
 
   test("nearDupPairsStream emits (first, dup) lineage across batches") {
