@@ -200,6 +200,90 @@ object Streams {
       }
   }
 
+  /** One incremental upsert of vectors into a cell-partitioned IVF index
+    * ([[graft.ops.Similarity.writeIvfIndex]] layout: `cell=`-hive
+    * partitions, probed via source-level pruning). The batch body of
+    * [[annIndexStream]], also callable directly for batch upserts.
+    *
+    * A 100 TB ANN index cannot be rebuilt per refresh; this touches ONLY
+    * the cells the delta lands in PLUS the cells updated ids are moving
+    * OUT of (a re-embedded vector can change its nearest centroid — the
+    * stale copy in the old cell must go). Per upsert: assign the delta
+    * (narrow scan), find old homes of updated ids (id-keyed semi join
+    * against only the index), rewrite the touched cells via dynamic
+    * partition overwrite, and DELETE any touched cell the merge left
+    * empty (dynamic overwrite cannot drop a partition it has no rows
+    * for). Cost ∝ touched cells' population, never the index.
+    *
+    * Centroids are FIXED (the index's probe map); re-centering is an
+    * index rebuild by design, exactly like a production IVF.
+    */
+  def annIndexUpsert(spark: SparkSession, delta: DataFrame, path: String,
+                     centroids: Array[(Long, Array[Double])],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val assigned = graft.ops.Similarity
+      .ivfAssign(delta, idCol, vecCol, centroids)
+      .withColumnRenamed("__cell", "cell").drop("__sim")
+    val existing: Option[DataFrame] =
+      try {
+        // hive partition-column inference reads `cell=N` back as INT —
+        // normalize to LONG so collects and the union with the freshly
+        // assigned (long) cells agree on one type
+        Some(spark.read.parquet(path).withColumn("cell", col("cell").cast("long")))
+      }
+      catch { case scala.util.control.NonFatal(_) => None } // first upsert
+    val newCells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val oldCells = existing.map(
+        _.join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
+          .select("cell").distinct().collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    val touched = (newCells ++ oldCells).toSeq.sorted
+    val merged = existing match {
+      case None => assigned
+      case Some(idx) =>
+        idx.filter(col("cell").isin(touched: _*))
+          .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(assigned)
+          // truncate lineage so the overwrite never reads the files it is
+          // replacing (self-read-overwrite is undefined)
+          .localCheckpoint(true)
+    }
+    Refresh.overwritePartitions(merged, path, Seq("cell"))
+    // dynamic overwrite only replaces partitions PRESENT in the delta: a
+    // touched cell whose last vector moved away produced no rows, so its
+    // stale directory must be dropped explicitly
+    val remaining = merged.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (fs, _) = Refresh.hfs(spark, path)
+    (touched.toSet -- remaining).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    }
+  }
+
+  /** Streaming ANN index maintenance: each drained micro-batch of
+    * (id, vector) rows upserts into the cell-partitioned IVF index via
+    * [[annIndexUpsert]] — exactly-once through the checkpoint, cost per
+    * batch ∝ touched cells, probes keep pruning at the source between
+    * batches.
+    */
+  def annIndexStream(spark: SparkSession, vectors: DataFrame, path: String,
+                     centroids: Array[(Long, Array[Double])],
+                     checkpoint: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     trigger: Trigger = Trigger.AvailableNow()) =
+    vectors.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          annIndexUpsert(spark, batch, path, centroids, idCol, vecCol)
+      }
+      .start()
+
   /** Incremental streaming refresh: each drained micro-batch MERGEs into
     * the extract by key ([[graft.etl.Refresh.incremental]] — upsert +
     * schema drift absorbed) instead of full-rebuilding from the latest

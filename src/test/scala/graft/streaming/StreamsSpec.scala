@@ -481,6 +481,43 @@ class StreamsSpec extends SparkSpec {
     assert(!retryPublish(store, 1L, extract, _ => sys.error("boom"), t0))
   }
 
+  test("annIndexStream upserts into the IVF index: insert, re-embed cell move, emptied cell dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("ann_index_stream") + "/idx"
+    // two fixed unit centroids on the x / y axes — assignment is obvious
+    val centroids = Array(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val input = MemoryStream[(Long, Array[Float])]
+    // resident trigger: AvailableNow would drain the (empty) stream and
+    // stop before the batches below arrive
+    val q = annIndexStream(spark, input.toDF().toDF("vec_id", "embedding"),
+      path, centroids, tmp("ckpt_ann_idx"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: v1,v2 near x (cell 0); v3 near y (cell 1)
+    input.addData((1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.1f, 0.9f)))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(path)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(after1 == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // batch 2: v3 is RE-EMBEDDED near x (moves cell 1 -> 0, leaving cell
+    // 1 empty — its stale dir must be dropped); v4 inserts into cell 0
+    input.addData((3L, Array(0.95f, 0.05f)), (4L, Array(0.7f, 0.3f)))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(path)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(after2 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // exactly one row per id (the update replaced, not duplicated), and
+    // the emptied cell's partition directory is gone from storage
+    assert(spark.read.parquet(path).count() == 4)
+    assert(!new java.io.File(path.stripPrefix("file:") + "/cell=1").exists())
+    // the index stays probe-able with source-level pruning
+    val probed = graft.ops.Similarity.probeIvfIndex(spark, path, centroids,
+      "vec_id", "embedding", Array(1.0, 0.0), k = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed.subsetOf(Set(1L, 2L, 3L, 4L)) && probed.size == 2)
+  }
+
   test("nearDupPairsStream emits (first, dup) lineage across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
