@@ -251,7 +251,14 @@ object Streams {
           // replacing (self-read-overwrite is undefined)
           .localCheckpoint(true)
     }
-    Refresh.overwritePartitions(merged, path, Seq("cell"))
+    // dynamic partition overwrite WITHOUT Refresh.overwritePartitions:
+    // that helper ends with a read-back count of the WHOLE dataset (the
+    // reference's COPY-count semantics), which here would scan the full
+    // index on every upsert — the entire point is to touch only cells
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(path)
     // dynamic overwrite only replaces partitions PRESENT in the delta: a
     // touched cell whose last vector moved away produced no rows, so its
     // stale directory must be dropped explicitly
