@@ -157,9 +157,14 @@ class MetaStore(spark: SparkSession, root: String) {
     * an EMPTY registry, not an error — the first sign-in creates it.
     */
   def createOrGetUser(username: String, serverId: Long): UserMeta = {
+    // ONLY a genuinely absent table reads as empty — a transient failure
+    // reading an EXISTING table must propagate, because falling back to
+    // empty here would make the overwrite below wipe every registered
+    // user (and recycle their ids) on an FS hiccup
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path("users"))
     val existing: Seq[UserMeta] =
-      try readUsers().collect().toSeq
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      if (!fs.exists(target)) Seq.empty
+      else readUsers().collect().toSeq
     existing.find(u => u.username == username && u.serverId == serverId)
       .getOrElse {
         val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L

@@ -162,7 +162,13 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         try Some(store.readUsers().collect()
           .map(u => OAuth.accessToken(token, u.id)).toSet)
         catch { case scala.util.control.NonFatal(_) => None } // keep last good set
-      tokenCache = (fresh.getOrElse(tokenCache._1), nowMillis)
+      // a FAILED refresh must not consume the invalidation sentinel: a
+      // just-minted token would then 403 for the full 5 s window — keep
+      // MinValue so the next request retries immediately
+      val stamp =
+        if (fresh.isEmpty && tokenCache._2 == Long.MinValue) Long.MinValue
+        else nowMillis
+      tokenCache = (fresh.getOrElse(tokenCache._1), stamp)
     }
     tokenCache._1
   }
@@ -486,8 +492,13 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                             // from the login request; production fronting
                             // should allowlist it (the reference accepts it
                             // unvalidated the same way).
+                            // SameSite=Strict: the cookie is a full
+                            // credential on state-changing routes, so
+                            // cross-site requests must not carry it
+                            // (CSRF); production fronting adds `Secure`
+                            // once TLS terminates in front of this shell
                             ex.getResponseHeaders.set("Set-Cookie",
-                              s"graft_session=$minted; HttpOnly; Path=/")
+                              s"graft_session=$minted; HttpOnly; SameSite=Strict; Path=/")
                             ex.getResponseHeaders.set("Location", r)
                             ex.sendResponseHeaders(302, -1)
                           case None =>

@@ -209,11 +209,13 @@ object Streams {
     * the cells the delta lands in PLUS the cells updated ids are moving
     * OUT of (a re-embedded vector can change its nearest centroid — the
     * stale copy in the old cell must go). Per upsert: assign the delta
-    * (narrow scan), find old homes of updated ids (id-keyed semi join
-    * against only the index), rewrite the touched cells via dynamic
-    * partition overwrite, and DELETE any touched cell the merge left
-    * empty (dynamic overwrite cannot drop a partition it has no rows
-    * for). Cost ∝ touched cells' population, never the index.
+    * (narrow scan), find old homes of updated ids (a NARROW (id, cell)
+    * column scan of the index — vectors never read; extreme scale keeps
+    * an id→cell sidecar to make this a lookup), rewrite the touched
+    * cells via dynamic partition overwrite, and DELETE any touched cell
+    * the merge left empty (dynamic overwrite cannot drop a partition it
+    * has no rows for). The data REWRITE is ∝ touched cells' population,
+    * never the index.
     *
     * Centroids are FIXED (the index's probe map); re-centering is an
     * index rebuild by design, exactly like a production IVF.
@@ -223,21 +225,38 @@ object Streams {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     import org.apache.spark.sql.functions.col
+    // null-vector rows would assign a null cell and poison the batch
+    // forever (the same offsets replay on every restart); quarantine
+    // them here. Duplicate ids within ONE batch keep a single arbitrary
+    // row (dropDuplicates) — an upstream needing last-wins attaches a
+    // version column and pre-reduces before calling.
+    val cleaned = delta.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .dropDuplicates(idCol)
     val assigned = graft.ops.Similarity
-      .ivfAssign(delta, idCol, vecCol, centroids)
+      .ivfAssign(cleaned, idCol, vecCol, centroids)
       .withColumnRenamed("__cell", "cell").drop("__sim")
+    // ONLY a genuinely absent index is a first upsert — a transient read
+    // failure must FAIL the batch (offsets uncommitted → replay), because
+    // treating it as empty would let the dynamic overwrite replace the
+    // landing cells with delta-only rows, silently deleting vectors
+    val (fs, target) = Refresh.hfs(spark, path)
     val existing: Option[DataFrame] =
-      try {
+      if (!fs.exists(target)) None
+      else
         // hive partition-column inference reads `cell=N` back as INT —
         // normalize to LONG so collects and the union with the freshly
         // assigned (long) cells agree on one type
         Some(spark.read.parquet(path).withColumn("cell", col("cell").cast("long")))
-      }
-      catch { case scala.util.control.NonFatal(_) => None } // first upsert
     val newCells = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSet
+    // locating moved ids is a NARROW (id, cell) column scan of the index
+    // (parquet column pruning — vectors are never read); still ∝ index
+    // rows, so an extreme-scale deployment should keep an id→cell
+    // sidecar to make this a lookup. The cell REWRITE below stays
+    // strictly ∝ touched cells either way.
     val oldCells = existing.map(
-        _.join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
+        _.select(col(idCol), col("cell"))
+          .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
           .select("cell").distinct().collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty)
     val touched = (newCells ++ oldCells).toSeq.sorted
@@ -264,7 +283,6 @@ object Streams {
     // stale directory must be dropped explicitly
     val remaining = merged.select("cell").distinct()
       .collect().map(_.getLong(0)).toSet
-    val (fs, _) = Refresh.hfs(spark, path)
     (touched.toSet -- remaining).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
     }
