@@ -62,6 +62,7 @@ object SparkEntry {
     "q_tpch_q7", "q_tpch_q14", "q_data_card",
     "q_tpch_q4", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q19", "q_tpch_q21", "q_tpch_q22", "q_tpch_q12",
+    "q_tpch_q2", "q_tpch_q9",
     "q_curation_pipeline", "q_curation_bucketed", "q_audio_stats",
     "q_audio_neardup", "q_ivf_join", "q_url_dedup", "q_boilerplate"
   ).filter(queries.contains)

@@ -41,6 +41,39 @@ object Tables {
       case _                    => raw
     }
   }
+  /** Deterministic `partsupp` derived from `part` × the supplier count.
+    *
+    * The driver's testdata ships no partsupp table, which blocked the five
+    * partsupp-dependent TPC-H shapes (Q2/Q9/Q11/Q16/Q20). Rather than
+    * synthesize parquet of our own (forbidden), derive the table in-plan
+    * with pure integer arithmetic that the DuckDB oracle reproduces
+    * verbatim from the SAME parquet inputs (see Parity.PartsuppCte):
+    * each part gets 4 supplier rows, `ps_suppkey = (p_partkey*7 + i*13)
+    * mod S + 1` for i in 0..3 (S = supplier count, obtained via a
+    * broadcast 1-row aggregate, never a driver action), and availqty /
+    * supplycost are hash-like mixes of the two keys. All columns are
+    * BIGINT so every downstream product/sum is exact — no float drift
+    * between engines. At scale this is a narrow flatMap over the part
+    * scan: no shuffle, no driver state, 4× part cardinality.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scnt = supplier(s, d).agg(count(lit(1)).as("__scnt"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(scnt))
+      .select(col("p_partkey"), col("__scnt"),
+        explode(sequence(lit(0), lit(3))).as("__i"))
+      .withColumn("ps_suppkey",
+        ((col("p_partkey") * 7 + col("__i") * 13) % col("__scnt")) + 1)
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        (((col("p_partkey") * 17 + col("ps_suppkey") * 3) % 9999) + 1)
+          .as("ps_availqty"),
+        (((col("p_partkey") * 31 + col("ps_suppkey") * 53) % 1000) + 1)
+          .as("ps_supplycost"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -26,6 +26,24 @@ object Parity {
   private def tmpExtract(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_extract_$name"
 
+  /** DuckDB CTE deriving the synthetic `partsupp` — mirrors
+    * [[graft.Tables.partsupp]] arithmetic verbatim over the same parquet
+    * inputs, so the five partsupp-dependent TPC-H shapes (Q2/Q9/Q11/Q16/
+    * Q20) are oracle-checkable even though the driver testdata ships no
+    * partsupp table. All-BIGINT columns keep every downstream sum exact.
+    */
+  private val PartsuppCte: String =
+    """WITH ps0 AS (
+      |SELECT p_partkey AS ps_partkey,
+      |((p_partkey * 7 + t.i * 13) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey
+      |FROM part CROSS JOIN generate_series(0,3) t(i)
+      |), partsupp AS (
+      |SELECT ps_partkey, ps_suppkey,
+      |((ps_partkey * 17 + ps_suppkey * 3) % 9999) + 1 AS ps_availqty,
+      |((ps_partkey * 31 + ps_suppkey * 53) % 1000) + 1 AS ps_supplycost
+      |FROM ps0
+      |) """.stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // S1 — CSV-policy scan: null sentinels ("n/a", "") → null, projection.
@@ -1258,6 +1276,218 @@ object Parity {
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              |AND o_orderdate >= '2000-06-01')
              |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q2 shape — min-cost supplier per part within a region, over the
+    // derived partsupp (Tables.partsupp). The correlated MIN subquery is
+    // decorrelated into a per-part aggregate joined back on cost equality;
+    // the region-filtered supplier dim is broadcast (tiny), the per-part
+    // min table shuffles on partkey like the probe side — co-partitioned,
+    // one exchange each, scale-safe at 100 TB part cardinality.
+    Q("q_tpch_q2",
+      (s, d) => {
+        val euroSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val euroPs = Tables.partsupp(s, d)
+          .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+        // min cost per part over ALL Europe suppliers (no part-attr filter
+        // here — TPC-H's correlated subquery scopes only on region)
+        val minCost = euroPs.groupBy(col("ps_partkey").as("__mpk"))
+          .agg(min(col("ps_supplycost")).as("__mincost"))
+        val p = Tables.part(s, d)
+          .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))
+        euroPs
+          .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+          .join(minCost,
+            col("ps_partkey") === col("__mpk") &&
+              col("ps_supplycost") === col("__mincost"))
+          .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+            col("n_name"), col("p_partkey"), col("p_brand"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(PartsuppCte +
+        """SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+          |FROM part, supplier, partsupp, nation, region
+          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          |AND p_size <= 15 AND p_type = 'LARGE'
+          |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |AND r_name = 'EUROPE'
+          |AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+          |FROM partsupp ps2, supplier s2, nation n2, region r2
+          |WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          |AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          |AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q9 shape — product-line profit by nation and year. lineitem
+    // joins the derived partsupp on its composite key (one shuffle on
+    // partkey after the broadcast part filter), supplier×nation is
+    // broadcast. Money math in DECIMAL(18,4) so the cross-engine sum is
+    // order-independent; ps_supplycost is BIGINT so cost×qty is exact.
+    Q("q_tpch_q9",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val amount =
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") -
+          (col("ps_supplycost") * col("l_quantity")).cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(Tables.partsupp(s, d),
+            col("ps_partkey") === col("l_partkey") &&
+              col("ps_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nation"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(round(sum(amount).cast(DoubleType), 2).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(PartsuppCte +
+        """SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+          |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+          |- CAST(ps_supplycost * l_quantity AS DECIMAL(18,4)) AS amount
+          |FROM part, supplier, lineitem, partsupp, orders, nation
+          |WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+          |AND ps_partkey = l_partkey AND p_partkey = l_partkey
+          |AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          |AND p_name LIKE '%widget%') profit
+          |GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+          .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q11 shape — important stock: per-part inventory value for one
+    // nation's suppliers, kept when above a fraction of the nation total.
+    // The total is the 1-row re-aggregate of the per-part sums (equal to
+    // the flat total), broadcast back — no second scan of partsupp. Values
+    // are BIGINT sums: exact, no float drift.
+    Q("q_tpch_q11",
+      (s, d) => {
+        val n7 = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val byPart = Tables.partsupp(s, d)
+          .join(broadcast(n7), col("ps_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        val thr = byPart.agg((sum(col("value")) * lit(0.005)).as("__thr"))
+        byPart.crossJoin(broadcast(thr))
+          .filter(col("value") > col("__thr"))
+          .select(col("ps_partkey"), col("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some(PartsuppCte +
+        """SELECT ps_partkey, CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS value
+          |FROM partsupp, supplier, nation
+          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |AND n_name = 'NATION_7'
+          |GROUP BY ps_partkey
+          |HAVING CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) >
+          |(SELECT sum(ps_supplycost * ps_availqty) * 0.005
+          |FROM partsupp, supplier, nation
+          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |AND n_name = 'NATION_7')
+          |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q16 shape — supplier diversity per part attribute bucket,
+    // excluding flagged suppliers (negative balance stands in for the
+    // reference's complaint filter — testdata has no s_comment). The
+    // exclusion list is a broadcast anti-join; countDistinct shuffles once
+    // on the 3-attr group key.
+    Q("q_tpch_q16",
+      (s, d) => {
+        val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" &&
+            !col("p_type").isin("PROMO", "ECONOMY") &&
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        Tables.partsupp(s, d)
+          .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some(PartsuppCte +
+        """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM partsupp, part
+          |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#13'
+          |AND p_type NOT IN ('PROMO', 'ECONOMY')
+          |AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          |AND ps_suppkey NOT IN
+          |(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+          .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q20 shape — suppliers holding excess stock of name-prefixed
+    // parts vs what they actually shipped in a year. The correlated
+    // 0.5*sum(l_quantity) subquery decorrelates into a filtered per-
+    // (part,supplier) aggregate inner-joined back (absence of lineitem ⇒
+    // NULL comparison ⇒ excluded — inner join reproduces that); supplier
+    // membership via semi joins so duplicates never multiply rows.
+    Q("q_tpch_q20",
+      (s, d) => {
+        val smallParts = Tables.part(s, d)
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))
+        val shipped = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("__qty"))
+        val excess = Tables.partsupp(s, d)
+          .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"),
+            "left_semi")
+          .join(shipped,
+            col("ps_partkey") === col("l_partkey") &&
+              col("ps_suppkey") === col("l_suppkey"))
+          .filter(col("ps_availqty") > lit(0.5) * col("__qty"))
+          .select(col("ps_suppkey"))
+        Tables.supplier(s, d)
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_name"), col("n_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some(PartsuppCte +
+        """SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+          |FROM supplier, nation, region
+          |WHERE s_suppkey IN
+          |(SELECT ps_suppkey FROM partsupp
+          |WHERE ps_partkey IN
+          |(SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          |AND ps_availqty >
+          |(SELECT 0.5 * sum(l_quantity) FROM lineitem
+          |WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'))
+          |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |AND r_name = 'EUROPE'
+          |ORDER BY s_name""".stripMargin.replace("\n", " "))),
 
     // W — boundary window functions: first/last/nth over the full per-key
     // frame (the "compare each event to the journey's endpoints" shape).

@@ -454,6 +454,53 @@ class PlanSpec extends SparkSpec {
       "orders date filter not pushed to the scan")
   }
 
+  // ---- TPC-H partsupp closure (Q2/Q9/Q11/Q16/Q20 over Tables.partsupp) ----
+
+  test("TPC-H Q2: correlated MIN decorrelates to a partial-agg + one keyed join; top-100 short-circuits") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("partial_min"), "per-part min lost its map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT lost its short-circuit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "region/nation/supplier dims should broadcast")
+    assert(p.contains("EqualTo(r_name,EUROPE)"),
+      "region filter not pushed to the scan")
+  }
+
+  test("TPC-H Q9: name filter pushes to the part scan; profit sums combine map-side; fact scanned once") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,widget)"),
+      "part name LIKE not pushed to the part scan")
+    assert(p.contains("partial_sum"), "profit aggregate lost map-side combine")
+    assert("lineitem.parquet".r.findAllIn(p).size == 1,
+      "Q9 re-scans the fact table")
+  }
+
+  test("TPC-H Q11: nation filter is a broadcast semi-join; value sums combine map-side") {
+    val p = plan("q_tpch_q11")
+    assert(p.contains("LeftSemi"), "supplier-nation filter lost its semi-join form")
+    assert(p.contains("partial_sum"), "inventory-value sum lost map-side combine")
+    assert(p.contains("EqualTo(n_name,NATION_7)"),
+      "nation filter not pushed to the scan")
+  }
+
+  test("TPC-H Q16: flagged suppliers excluded by broadcast anti-join; part attrs pushed") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), "NOT IN exclusion lost its anti-join plan")
+    assert(p.contains("In(p_size"), "size set not pushed to the part scan")
+    assert(!p.contains("SortMergeJoin"),
+      "both dims fit broadcast; nothing here should sort-merge")
+  }
+
+  test("TPC-H Q20: membership via semi-joins; ship-date range pushes into the lineitem scan") {
+    val p = plan("q_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "IN-subquery membership lost its semi-join plans")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date range not pushed to the lineitem scan")
+    assert(!p.contains("CartesianProduct"),
+      "correlated availqty comparison degenerated to a non-keyed join")
+  }
+
   test("IVF batch join: query side broadcasts on the cell key; corpus scanned once, no sort-merge") {
     val p = plan("q_ivf_join")
     assert(p.contains("BroadcastHashJoin"), "cell equi-join must broadcast the query side")
