@@ -379,6 +379,33 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each query, the k most-similar corpus items carrying a
+    * DIFFERENT label — the pairs a triplet/InfoNCE loss learns most
+    * from. The label-mismatch predicate restricts candidates BEFORE the
+    * top-k window, so each query always gets k true negatives (filtering
+    * a plain top-k afterwards would return fewer). Exact cosine over the
+    * cross join is the oracle/baseline path (queries are a small probe
+    * set); at corpus scale swap the candidate stage for [[annJoin]]'s
+    * LSH bucket join or the IVF cell join with an over-fetched k, same
+    * window — the swappable-neighbor-stage pattern [[knnClassify]] uses.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("__cl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.crossJoin(c)
+      .filter(col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Batch ANN join at scale: sign-LSH multi-probe as a JOIN — each
     * query row explodes to its own bucket plus every bucket within
     * `probeRadius` bit flips (an EXPRESSION over the query's bucket, so

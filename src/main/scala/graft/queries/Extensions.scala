@@ -544,6 +544,43 @@ object Extensions {
              |WHERE c_ab >= 5
              |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // BPE tokenizer training, the data-side step: weighted adjacent-
+    // symbol-pair counts over the word-frequency table — the statistic
+    // the first merge round of byte-pair encoding picks its merge from
+    // (and each later round recomputes on re-segmented words). The
+    // corpus is scanned ONCE (word counts, map-side combinable); the
+    // pair explosion then runs over the VOCABULARY, not the corpus
+    // (chars-per-word ≪ doc length), and the final agg is alphabet²-
+    // sized — the op a 100 TB tokenizer-training pipeline would ship
+    // to the trainer instead of raw text. Repeated pairs inside one
+    // word count once per position, weighted by word frequency
+    // (classic BPE counting).
+    Q("q_bpe_merges",
+      (s, d) => {
+        val wc = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        wc.select(col("wc"), explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              |i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"""
+              .stripMargin.replace("\n", " "))).as("p"))
+          .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+          .agg(sum(col("wc")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+          .limit(50)
+      },
+      Some("""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM
+             |(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE len(w) >= 2 GROUP BY w),
+             |pr AS (SELECT substring(w, i, 1) AS sym_a,
+             |substring(w, i + 1, 1) AS sym_b, wc
+             |FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)
+             |SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS pair_count
+             |FROM pr GROUP BY sym_a, sym_b
+             |ORDER BY pair_count DESC, sym_a, sym_b
+             |LIMIT 50""".stripMargin.replace("\n", " "))),
+
     // Cumulative distinct users by day WITHOUT count-distinct-over-
     // expanding-window (quadratic) or HLL merge: each user collapses to
     // their first-seen day (one keyed agg), then a days-sized running
@@ -1023,6 +1060,58 @@ object Extensions {
              |CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
              |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
              |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
+
+    // Hard-negative mining for contrastive training: per query, the 5
+    // most-similar corpus vectors with a DIFFERENT label — the mismatch
+    // predicate restricts candidates BEFORE the top-k window so every
+    // query yields k true negatives (post-filtering a plain top-k
+    // under-delivers). Exact cosine is the oracle path over the small
+    // probe set; at corpus scale the candidate stage swaps for the LSH
+    // bucket join / IVF cell join with an over-fetched k (the
+    // swappable-neighbor-stage pattern knnClassify pins).
+    Q("q_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+            "vec_id", "embedding", "label", k = 5)
+          .select(col("query_id"), col("match_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "match_id")
+      },
+      Some("""SELECT query_id, match_id, round(sim, 6) AS sim FROM (
+             |SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |CAST(c.embedding AS DOUBLE[])) AS sim,
+             |row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+             |FROM embeddings q JOIN embeddings c
+             |ON q.vec_id < 20 AND q.label <> c.label) t
+             |WHERE rk <= 5 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
+
+    // Z-order layout + 2-D box query (ops.Layout): the documents corpus
+    // re-clustered on the Morton curve of (n_chars, token_count), box
+    // slice answered with a STATIC quadtree-cell IN-filter on the
+    // partition column (planning-time pruning, PlanSpec-pinned to ≤ the
+    // intersecting cells) + the exact box predicate. The oracle answers
+    // the same slice from the flat corpus — layout is pure physics, the
+    // relation is unchanged. The "OPTIMIZE ZORDER" lever for every
+    // two-dimensional curation slice at 100 TB: one repartition at
+    // publish, no full scan at read, on ANY engine that prunes
+    // directories.
+    Q("q_zorder_box",
+      (s, d) => {
+        val path = Fixtures.ensureZLayout(s, d)
+        graft.ops.Layout.boxQuery(s, path, "n_chars", "token_count",
+            100, 300, 20, 50, Fixtures.ZBits, Fixtures.ZCells)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE n_chars BETWEEN 100 AND 300
+             |AND len(string_split(text, ' ')) BETWEEN 20 AND 50
+             |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "))),
 
     // Batch ANN join, IVF flavor: every query probes its 2 nearest of 8
     // coarse cells, candidates come from the cell equi-join, exact cosine

@@ -55,4 +55,34 @@ object Fixtures {
     }
     root
   }
+
+  /** Z-order curve parameters for the documents layout: 10 bits per
+    * dimension (doc stats stay well under 1024 at every SF — per-doc
+    * lengths don't grow with corpus size), cells = top 2×3 bits (an
+    * 8×8 quadtree grid, cell width 128 per dimension).
+    */
+  val ZBits = 10
+  val ZCells = 3
+
+  /** Materialize the documents corpus Z-clustered on
+    * (n_chars, token_count) exactly once per sf dir — the curation
+    * slice layout: both length filters prune at the source. Same
+    * marker discipline as [[ensureBlobs]]; the layout write is setup,
+    * never part of a timed query body. The derived token_count column
+    * is `size(split(text, ' '))`, the engine-portable count the DuckDB
+    * oracle re-derives as `len(string_split(text, ' '))`.
+    */
+  def ensureZLayout(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val root = dir("zorder_docs", sfDir)
+    val marker = java.nio.file.Paths.get(root, "_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .withColumn("token_count", graft.ops.TextAnalysis.tokenCount(col("text")))
+      graft.ops.Layout.writeZClustered(
+        docs, "n_chars", "token_count", ZBits, ZCells, root)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
 }

@@ -300,4 +300,33 @@ class OpsSpec extends SparkSpec {
       .orderBy("id").select("session_id").as[Long].collect().toSeq
     assert(out == Seq(1L, 1L, 2L, 1L))
   }
+
+  test("zorder2 column expression agrees with the constant-side interleave, and " +
+    "every in-box point's cell is enumerated by cellsForBox") {
+    val bits = 10
+    val k = 3
+    val s = bits - k
+    // deterministic scatter of points incl. box corners and cell edges
+    val pts = for (i <- 0 until 200) yield ((i * 37) % 700L, (i * 53) % 120L)
+    val df = pts.toDF("x", "y")
+      .withColumn("z", Layout.zorder2($"x", $"y", bits))
+      .withColumn("cell", Layout.zorder2(shiftright($"x", s), shiftright($"y", s), k))
+    val rows = df.collect()
+    // the cell key IS the curve key's top 2k bits — bucketing never
+    // disagrees with the full key (the invariant pruning rests on)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cell") == (r.getAs[Long]("z") >> (2 * s)),
+        s"cell/key mismatch at (${r.getAs[Long]("x")}, ${r.getAs[Long]("y")})")
+    }
+    val (x0, x1, y0, y1) = (100L, 300L, 20L, 50L)
+    val cells = Layout.cellsForBox(x0, x1, y0, y1, bits, k).toSet
+    // completeness: no point inside the box lives in a non-enumerated cell
+    rows.filter(r => r.getAs[Long]("x") >= x0 && r.getAs[Long]("x") <= x1 &&
+        r.getAs[Long]("y") >= y0 && r.getAs[Long]("y") <= y1)
+      .foreach { r =>
+        assert(cells.contains(r.getAs[Long]("cell")),
+          s"in-box point (${r.getAs[Long]("x")}, ${r.getAs[Long]("y")}) " +
+            s"in unenumerated cell ${r.getAs[Long]("cell")}")
+      }
+  }
 }

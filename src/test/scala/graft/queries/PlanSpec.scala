@@ -192,6 +192,39 @@ class PlanSpec extends SparkSpec {
     assert(viaIndex == viaFilter)
   }
 
+  test("Z-order layout: a 2-D box query prunes to its intersecting quadtree cells at the source") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+
+    val path = graft.queries.Fixtures.ensureZLayout(spark, sf)
+    val box = graft.ops.Layout.boxQuery(spark, path, "n_chars", "token_count",
+      100, 300, 20, 50, graft.queries.Fixtures.ZBits, graft.queries.Fixtures.ZCells)
+
+    val inner = box.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = inner.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty, "box query lost its cell partition filter")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    val cells = graft.ops.Layout.cellsForBox(100, 300, 20, 50,
+      graft.queries.Fixtures.ZBits, graft.queries.Fixtures.ZCells)
+    assert(selected <= cells.size,
+      s"box scanned $selected partitions, box intersects only ${cells.size} cells")
+    assert(selected < total, s"no source-level pruning ($selected of $total cells)")
+
+    // and the pruned layout returns exactly what the flat corpus does
+    val viaLayout = box.agg(count(lit(1)), sum("n_chars")).head()
+    val viaFlat = graft.Tables.documents(spark, sf)
+      .withColumn("token_count", graft.ops.TextAnalysis.tokenCount(col("text")))
+      .filter(col("n_chars").between(100, 300) && col("token_count").between(20, 50))
+      .agg(count(lit(1)), sum("n_chars")).head()
+    assert(viaLayout == viaFlat, s"layout answer $viaLayout != flat answer $viaFlat")
+  }
+
   test("IVF cell-partitioned index prunes non-probed cells at the source") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
