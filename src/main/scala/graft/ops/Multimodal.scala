@@ -125,6 +125,94 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Bit-exact image grid-luma: the INTEGER-arithmetic twin of
+    * [[decodeImage]]'s float feature pass, built so an oracle can
+    * re-derive the features from the pixel formula alone (the image
+    * analog of the audio-stats bit-exact proof). Per stride-sampled
+    * pixel, luma is the integer 299·R + 587·G + 114·B (the BT.601
+    * weights ×1000 — no float accumulates anywhere); per 4×4 cell the
+    * Long sum and count reduce to ONE double division,
+    * sum / (count · 255000), so the value is identical however the
+    * pixels were ordered. Same stride cap as the float pass (≤64
+    * positions per axis). None for undecodable payloads.
+    */
+  def imageGridLuma(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = 4
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        val stepY = math.max(1, h / 64)
+        val stepX = math.max(1, w / 64)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma1000 = 299 * ((rgb >> 16) & 0xFF) +
+              587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
+            val cell = gy * grid + math.min(grid - 1, x * grid / w)
+            sums(cell) += luma1000
+            counts(cell) += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        val feats = Array.tabulate(grid * grid) { i =>
+          if (counts(i) == 0) 0.0 else sums(i).toDouble / (counts(i) * 255000.0)
+        }
+        Some((w, h, feats))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Attach the bit-exact grid ([[imageGridLuma]]) as
+    * width / height / grid(16 doubles) columns — partition-local decode,
+    * payloads never leave the executor. Null struct fields for
+    * undecodable rows.
+    */
+  def withImageGrid(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("grid", ArrayType(DoubleType, containsNull = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        imageGridLuma(r.getAs[Array[Byte]](idx)) match {
+          case Some((w, h, g)) => Row.fromSeq(r.toSeq ++ Seq(w, h, g.toSeq))
+          case None            => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Lossless PNG around a computed RGB raster — the synth side of the
+    * image path (specs + oracle queries manufacture decodable payloads
+    * from a pure integer pixel formula; PNG round-trips 24-bit RGB
+    * exactly, so [[imageGridLuma]] sees the formula's values verbatim).
+    */
+  def synthPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Decoded PCM audio: format facts plus a stride-capped mono sample
     * series (normalized to [-1, 1), at most [[AudioSampleBudget]] kept
     * samples regardless of clip length).

@@ -1303,6 +1303,110 @@ object Extensions {
              |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // REAL image decode end to end, bit-exact: per-doc PNGs synthesized
+    // on executors from a pure integer pixel formula (RGB channel c of
+    // pixel (x,y) is a linear form in (doc_id, x, y) mod 256; PNG
+    // round-trips 24-bit RGB losslessly), decoded back through ImageIO
+    // (Multimodal.withImageGrid) to the 4×4 INTEGER-luma grid: per cell
+    // one Long sum of 299R+587G+114B and ONE double division — no float
+    // accumulation anywhere, so the oracle re-derives every mean from
+    // the formula alone and matches bit-for-bit. The image twin of
+    // q_audio_stats' decode proof (container parse, raster walk, channel
+    // unpack are byte-correct, not just schema-correct).
+    Q("q_image_stats",
+      (s, d) => {
+        import s.implicits._
+        val pngs = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 150).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 32 + (id % 5).toInt * 4
+              val h = 32 + (id % 3).toInt * 8
+              (id, Multimodal.synthPng(w, h, (x, y) => {
+                val r = ((id * 7 + x * 11 + y * 13) % 256).toInt
+                val g = ((id * 3 + x * 5 + y * 17) % 256).toInt
+                val b = ((id * 19 + x * 23 + y * 29) % 256).toInt
+                (r << 16) | (g << 8) | b
+              }))
+            }
+          }.toDF("doc_id", "payload")
+        Multimodal.withImageGrid(pngs)
+          .select(col("doc_id"), col("width"), col("height"),
+            posexplode(col("grid")).as(Seq("cell", "mean_luma")))
+          .orderBy("doc_id", "cell")
+      },
+      Some("""WITH f AS (SELECT doc_id, 32 + (doc_id % 5) * 4 AS w,
+             |32 + (doc_id % 3) * 8 AS h FROM documents WHERE doc_id < 150),
+             |px AS (SELECT f.doc_id, f.w, f.h,
+             |((ty.y * 4) // f.h) * 4 + ((tx.x * 4) // f.w) AS cell,
+             |299 * ((f.doc_id * 7 + tx.x * 11 + ty.y * 13) % 256)
+             |+ 587 * ((f.doc_id * 3 + tx.x * 5 + ty.y * 17) % 256)
+             |+ 114 * ((f.doc_id * 19 + tx.x * 23 + ty.y * 29) % 256) AS luma
+             |FROM f, LATERAL (SELECT unnest(range(0, f.w)) AS x) tx,
+             |LATERAL (SELECT unnest(range(0, f.h)) AS y) ty)
+             |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+             |CAST(max(h) AS INTEGER) AS height, CAST(cell AS INTEGER) AS cell,
+             |CAST(sum(luma) AS DOUBLE) / (count(*) * 255000.0) AS mean_luma
+             |FROM px GROUP BY doc_id, cell
+             |ORDER BY doc_id, cell""".stripMargin.replace("\n", " "))),
+
+    // Image near-dup by grid-luma cosine — the visual twin of
+    // q_audio_neardup, composing the bit-exact decode grid with the SAME
+    // exact-cosine pair stage (Similarity.allPairs). Each doc blacks out
+    // grid column g = doc_id mod 4: same-mask docs share a zero pattern
+    // over near-constant active means (cos ≥ 0.93 on this corpus),
+    // cross-mask docs overlap on only 8 of 12 active cells (cos ≤ 0.69),
+    // so the 0.8 threshold recovers exactly the mask groups; the oracle
+    // re-derives grids and pair set from the pixel formula.
+    Q("q_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        val pngs = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 100).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 32 + (id % 5).toInt * 4
+              val h = 32 + (id % 3).toInt * 8
+              val g = (id % 4).toInt
+              (id, Multimodal.synthPng(w, h, (x, y) => {
+                if (x * 4 / w == g) 0
+                else {
+                  val r = ((id * 7 + x * 11 + y * 13) % 256).toInt
+                  val gc = ((id * 3 + x * 5 + y * 17) % 256).toInt
+                  val b = ((id * 19 + x * 23 + y * 29) % 256).toInt
+                  (r << 16) | (gc << 8) | b
+                }
+              }))
+            }
+          }.toDF("doc_id", "payload")
+        val env = Multimodal.withImageGrid(pngs)
+          .select(col("doc_id"), col("grid").cast("array<float>").as("features"))
+        Similarity.allPairs(env, "doc_id", "features", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH f AS (SELECT doc_id, 32 + (doc_id % 5) * 4 AS w,
+             |32 + (doc_id % 3) * 8 AS h, doc_id % 4 AS g
+             |FROM documents WHERE doc_id < 100),
+             |px AS (SELECT f.doc_id,
+             |((ty.y * 4) // f.h) * 4 + ((tx.x * 4) // f.w) AS cell,
+             |CASE WHEN (tx.x * 4) // f.w = f.g THEN 0 ELSE
+             |299 * ((f.doc_id * 7 + tx.x * 11 + ty.y * 13) % 256)
+             |+ 587 * ((f.doc_id * 3 + tx.x * 5 + ty.y * 17) % 256)
+             |+ 114 * ((f.doc_id * 19 + tx.x * 23 + ty.y * 29) % 256) END AS luma
+             |FROM f, LATERAL (SELECT unnest(range(0, f.w)) AS x) tx,
+             |LATERAL (SELECT unnest(range(0, f.h)) AS y) ty),
+             |env AS (SELECT doc_id, cell,
+             |CAST(CAST(sum(luma) AS DOUBLE) / (count(*) * 255000.0) AS REAL) AS m
+             |FROM px GROUP BY doc_id, cell),
+             |vecs AS (SELECT doc_id, CAST(list(m ORDER BY cell) AS DOUBLE[]) AS v
+             |FROM env GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     // Raw-media landing path: a directory of opaque binary files read
     // through Spark's binaryFile source (path/length/content — how
     // image/audio corpora actually arrive on object storage before any

@@ -1378,7 +1378,7 @@ object Parity {
       (s, d) => {
         val n7 = Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name") === "NATION_7")),
+            .filter(col("n_name") === "NATION_3")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
         val byPart = Tables.partsupp(s, d)
@@ -1396,13 +1396,13 @@ object Parity {
         """SELECT ps_partkey, CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS value
           |FROM partsupp, supplier, nation
           |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-          |AND n_name = 'NATION_7'
+          |AND n_name = 'NATION_3'
           |GROUP BY ps_partkey
           |HAVING CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) >
           |(SELECT sum(ps_supplycost * ps_availqty) * 0.005
           |FROM partsupp, supplier, nation
           |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-          |AND n_name = 'NATION_7')
+          |AND n_name = 'NATION_3')
           |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
 
     // TPC-H Q16 shape — supplier diversity per part attribute bucket,

@@ -512,7 +512,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_tpch_q11")
     assert(p.contains("LeftSemi"), "supplier-nation filter lost its semi-join form")
     assert(p.contains("partial_sum"), "inventory-value sum lost map-side combine")
-    assert(p.contains("EqualTo(n_name,NATION_7)"),
+    assert(p.contains("EqualTo(n_name,NATION_3)"),
       "nation filter not pushed to the scan")
   }
 
