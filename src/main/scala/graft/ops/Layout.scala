@@ -81,6 +81,72 @@ object Layout {
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
   }
 
+  /** Incremental upsert into a [[writeZClustered]] layout, keyed on
+    * `keyCol` — the layout twin of the streaming ANN index's cell-scoped
+    * upsert ([[graft.streaming.Streams.annIndexUpsert]]): a 100 TB
+    * layout cannot be rewritten per refresh, so this touches ONLY the
+    * cells the delta lands in PLUS the cells updated keys are moving
+    * out of (a re-scored doc can change its (x, y) — the stale row in
+    * the old cell must go). Old homes come from a NARROW (key, zbucket)
+    * column scan (data columns never read); touched cells are rewritten
+    * via dynamic partition overwrite (re-sorted on the curve key, so
+    * intra-file clustering survives the merge), and a touched cell left
+    * empty is deleted explicitly (dynamic overwrite cannot drop a
+    * partition it has no rows for). The rewrite is ∝ touched cells'
+    * population, never the layout.
+    */
+  def upsertZClustered(spark: SparkSession, delta: DataFrame, keyCol: String,
+                       xCol: String, yCol: String, bits: Int, k: Int,
+                       path: String): Unit = {
+    val s = bits - k
+    // null keys/coords would poison the keyed merge; duplicate keys in
+    // ONE delta keep a single arbitrary row (last-wins callers attach a
+    // version column and pre-reduce) — annIndexUpsert's contract.
+    val cleaned = delta.filter(col(keyCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .dropDuplicates(keyCol)
+    val assigned = cleaned.withColumn("zbucket",
+      zorder2(shiftright(col(xCol).cast("long"), s),
+        shiftright(col(yCol).cast("long"), s), k))
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path)
+    // only a genuinely absent layout is a first publish — a transient
+    // read failure must FAIL (treating it as empty would let the
+    // overwrite replace landing cells with delta-only rows)
+    val existing: Option[DataFrame] =
+      if (!fs.exists(target)) None
+      else Some(spark.read.parquet(path)
+        .withColumn("zbucket", col("zbucket").cast("long")))
+    val newCells = assigned.select("zbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val oldCells = existing.map(
+        _.select(col(keyCol), col("zbucket"))
+          .join(assigned.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select("zbucket").distinct().collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    val touched = (newCells ++ oldCells).toSeq.sorted
+    val merged = existing match {
+      case None => assigned
+      case Some(idx) =>
+        idx.filter(col("zbucket").isin(touched: _*))
+          .join(assigned.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(assigned)
+          // truncate lineage so the overwrite never reads the files it
+          // is replacing (self-read-overwrite is undefined)
+          .localCheckpoint(true)
+    }
+    merged.repartition(col("zbucket"))
+      .sortWithinPartitions(zorder2(col(xCol), col(yCol), bits))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zbucket")
+      .parquet(path)
+    val remaining = merged.select("zbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    (touched.toSet -- remaining).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/zbucket=$c"), true)
+    }
+  }
+
   /** 2-D box query over a [[writeZClustered]] layout: a static `IN`
     * filter on the cell partition column prunes every non-intersecting
     * cell at the source (planning-time, PlanSpec-pinned), and the exact

@@ -406,6 +406,47 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** [[hardNegatives]] at corpus scale: candidates come from the
+    * sign-LSH multi-probe bucket join ([[annJoin]]'s candidate stage)
+    * instead of the cross join, with the label-mismatch predicate
+    * applied to the CANDIDATES before the top-k window — so the probe's
+    * population is ranked for negatives directly, not post-filtered.
+    * Scan cost per query ∝ probed buckets' population; recall vs the
+    * exact miner follows the radius/plane tradeoff and is spec-bounded
+    * on a clustered fixture (ExtensionsSpec) — near neighbors land in
+    * near buckets, and hard negatives are by construction near.
+    */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int,
+                       nPlanes: Int = 8, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
+    val dim = dimOf(corpus, vecCol)
+    val planes = hyperplanes(nPlanes, dim)
+    val flips: Seq[Column] = lit(0L) +:
+      (if (probeRadius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++:
+      (if (probeRadius >= 2)
+        (0 until nPlanes).combinations(2).map(c =>
+          lit((1L << c(0)) | (1L << c(1)))).toSeq
+      else Nil)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"), lshBucket(col(vecCol), planes).as("__qb"))
+      .withColumn("__bucket",
+        explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*)))
+      .drop("__qb")
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("__cl"), lshBucket(col(vecCol), planes).as("__bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.join(c, Seq("__bucket"))
+      .filter(col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .distinct() // a pair can collide in several probed buckets
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Batch ANN join at scale: sign-LSH multi-probe as a JOIN — each
     * query row explodes to its own bucket plus every bucket within
     * `probeRadius` bit flips (an EXPRESSION over the query's bucket, so

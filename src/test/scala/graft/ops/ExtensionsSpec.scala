@@ -327,6 +327,60 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("LSH hard-negative mining recovers most exact hard negatives on the clustered fixture") {
+    // CONE geometry, not the kNN spec's well-separated clusters: centers
+    // are perturbations of one base direction, so cross-label vectors
+    // sit at high cosine — the regime where hard negatives exist at all
+    // (with orthogonal clusters the "hard" negatives are far, no bucket
+    // shares them, and an LSH recall bound would only measure cluster
+    // separation). Sign-LSH collision probability rises with cosine, so
+    // genuinely hard negatives are exactly the ones the probe recovers.
+    val rnd = new scala.util.Random(7)
+    val nCenters = 8
+    val perCenter = 64
+    val dim = 32
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val baseDir = Array.fill(dim)(rnd.nextGaussian())
+    val centers = Array.fill(nCenters)(
+      baseDir.map(b => b + 0.35 * rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until nCenters
+      i <- 0 until perCenter
+    } yield {
+      val v = centers(c).map(x => x + 0.25 * rnd.nextGaussian())
+      (c.toLong * perCenter + i, unit(v), c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).cache()
+    val q = emb.filter($"vec_id" % 8 === 0) // 64 queries, 8 per class
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (qid, m) => qid -> m.map(_._2).toSet }
+    val exact = pairs(Similarity.hardNegatives(
+      q, emb, "vec_id", "embedding", "label", k))
+    val lsh = Similarity.hardNegativesLsh(
+      q, emb, "vec_id", "embedding", "label", k, nPlanes = 8, probeRadius = 2)
+    // every mined pair is a TRUE negative (labels differ) — the filter
+    // ran before ranking, not after
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val lshPairs = pairs(lsh)
+    lshPairs.foreach { case (qid, ms) =>
+      ms.foreach(m => assert(labels(qid) != labels(m),
+        s"query $qid got same-label 'negative' $m"))
+      assert(ms.size <= k)
+    }
+    // and the probe recovers most of the exact miner's picks
+    val hit = exact.map { case (qid, ms) =>
+      (ms intersect lshPairs.getOrElse(qid, Set.empty)).size }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hit * 10 >= total * 6, s"LSH hard-negative recall too low: $hit/$total")
+    emb.unpersist()
+  }
+
   test("audio RMS envelopes flow through the LSH-blocked near-dup stage") {
     // the q_audio_neardup query pins the exact allPairs path against the
     // oracle; this pins the SCALE path — the same envelope vectors through

@@ -301,6 +301,40 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(1L, 1L, 2L, 1L))
   }
 
+  test("Z-layout upsert: keyed merge is exact, untouched cells untouched, moved key leaves its old cell") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("zup").toString + "/layout"
+    val bits = 10
+    val kk = 3
+    val base = (0L until 200L).map(i => (i, (i * 37) % 700, (i * 53) % 120))
+      .toDF("id", "x", "y")
+    Layout.writeZClustered(base, "x", "y", bits, kk, path)
+    def cellOf(x: Long, y: Long) = Layout.cellsForBox(x, x, y, y, bits, kk).head
+    // delta: 5 new keys landing in one cell, plus key 0 RE-SCORED from
+    // (0,0) to (650,110) — it must vanish from its old cell
+    val delta = ((200L until 205L).map(i => (i, 10L, 10L)) :+ ((0L, 650L, 110L)))
+      .toDF("id", "x", "y")
+    val touched = Set(cellOf(10, 10), cellOf(650, 110), cellOf(0, 0))
+    val untouchedCell = (0L until 64L)
+      .find(c => !touched.contains(c) && Files.exists(Paths.get(s"$path/zbucket=$c")))
+      .getOrElse(fail("fixture has no untouched cell"))
+    def listing(c: Long): Set[String] =
+      new java.io.File(s"$path/zbucket=$c").listFiles()
+        .map(f => s"${f.getName}@${f.lastModified}").toSet
+    val before = listing(untouchedCell)
+    Layout.upsertZClustered(spark, delta, "id", "x", "y", bits, kk, path)
+    assert(listing(untouchedCell) == before,
+      s"untouched cell $untouchedCell was rewritten")
+    val got = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = ((1L until 200L).map(i => (i, (i * 37) % 700, (i * 53) % 120)) ++
+      (200L until 205L).map(i => (i, 10L, 10L)) :+ ((0L, 650L, 110L))).toSet
+    assert(got == want, "upserted layout is not the logical keyed merge")
+    val oldCell = cellOf(0, 0)
+    assert(spark.read.parquet(s"$path/zbucket=$oldCell")
+      .filter($"id" === 0).count() == 0, "moved key still in its old cell")
+  }
+
   test("zorder2 column expression agrees with the constant-side interleave, and " +
     "every in-box point's cell is enumerated by cellsForBox") {
     val bits = 10
