@@ -309,6 +309,29 @@ object Streams {
       }
       .start()
 
+  /** Streaming Z-order layout maintenance: each drained micro-batch of
+    * keyed (key, x, y, …) rows upserts into the Z-clustered layout via
+    * [[graft.ops.Layout.upsertZClustered]] — the layout twin of
+    * [[annIndexStream]]: exactly-once through the checkpoint, rewrite
+    * per batch ∝ touched quadtree cells, box queries keep pruning at
+    * the source between batches (the curve parameters are the layout's
+    * probe map — changing bits/k is a layout rebuild by design).
+    */
+  def zLayoutStream(spark: SparkSession, rows: DataFrame, path: String,
+                    keyCol: String, xCol: String, yCol: String,
+                    bits: Int, k: Int, checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()) =
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Layout.upsertZClustered(
+            spark, batch, keyCol, xCol, yCol, bits, k, path)
+      }
+      .start()
+
   /** Incremental streaming refresh: each drained micro-batch MERGEs into
     * the extract by key ([[graft.etl.Refresh.incremental]] — upsert +
     * schema drift absorbed) instead of full-rebuilding from the latest

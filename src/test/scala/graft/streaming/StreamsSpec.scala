@@ -518,6 +518,36 @@ class StreamsSpec extends SparkSpec {
     assert(probed.subsetOf(Set(1L, 2L, 3L, 4L)) && probed.size == 2)
   }
 
+  test("zLayoutStream maintains the Z-clustered layout: insert, re-score cell move, box stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("z_layout_stream") + "/layout"
+    val bits = 10
+    val k = 3 // 8x8 grid, cell width 128
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = zLayoutStream(spark, input.toDF().toDF("id", "x", "y"),
+      path, "id", "x", "y", bits, k, tmp("ckpt_zlayout"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: two keys in cell (0,0)=0, one in cell (5,0)=17
+    input.addData((1L, 10L, 10L), (2L, 100L, 40L), (3L, 650L, 110L))
+    q.processAllAvailable()
+    assert(spark.read.parquet(path).count() == 3)
+    // batch 2: key 3 RE-SCORED into the box cell (its old cell 17 empties
+    // and must vanish from storage); key 4 inserts into a DIFFERENT cell
+    input.addData((3L, 120L, 30L), (4L, 660L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 10L), (2L, 100L, 40L), (3L, 120L, 30L),
+      (4L, 660L, 300L)))
+    assert(!new java.io.File(path.stripPrefix("file:") + "/zbucket=17").exists(),
+      "emptied cell's partition directory survived")
+    // a box query over the maintained layout prunes AND answers exactly
+    val box = graft.ops.Layout.boxQuery(spark, path, "x", "y",
+      0, 127, 0, 127, bits, k)
+    assert(box.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("nearDupPairsStream emits (first, dup) lineage across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
