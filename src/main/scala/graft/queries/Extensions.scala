@@ -1407,6 +1407,42 @@ object Extensions {
              |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // CDC over the snapshot store (etl.Versioned.diff): the row-level
+    // change feed between two committed versions — keyed full-outer
+    // join of (key, row-hash) projections, classified insert / delete /
+    // update. Both versions are pure functions of the documents table
+    // (Fixtures.ensureVersionedDiff publishes them through the REAL
+    // manifest + pointer-flip path), so the oracle recomputes the two
+    // snapshots logically and re-derives the same feed without touching
+    // the store. What an incremental downstream consumer reads at
+    // 100 TB instead of re-scanning the new snapshot: one narrow
+    // (key, hash) shuffle per side, feed size O(changes).
+    Q("q_version_diff",
+      (s, d) => {
+        val root = Fixtures.ensureVersionedDiff(s, d)
+        val vs = graft.etl.Versioned.listVersions(s, root).sorted
+        graft.etl.Versioned.diff(s, root, vs(0), vs(1),
+            keyCols = Seq("doc_id"), compareCols = Seq("text"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_key"), max(col("doc_id")).as("max_key"))
+          .orderBy("change_type")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |v2 AS (SELECT doc_id,
+             |CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+             |FROM documents WHERE doc_id < 300 AND doc_id % 17 <> 0
+             |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30),
+             |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |CASE WHEN v1.doc_id IS NULL THEN 'insert'
+             |WHEN v2.doc_id IS NULL THEN 'delete'
+             |WHEN v1.text <> v2.text THEN 'update' END AS change_type
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+             |SELECT change_type, count(*) AS n,
+             |min(doc_id) AS min_key, max(doc_id) AS max_key
+             |FROM d WHERE change_type IS NOT NULL
+             |GROUP BY change_type ORDER BY change_type""".stripMargin.replace("\n", " "))),
+
     // Raw-media landing path: a directory of opaque binary files read
     // through Spark's binaryFile source (path/length/content — how
     // image/audio corpora actually arrive on object storage before any

@@ -56,6 +56,39 @@ object Fixtures {
     root
   }
 
+  /** Materialize a two-version snapshot store for the CDC diff query
+    * exactly once per sf dir: v_first = docs under 300; v_second drops
+    * every 17th, uppercases every (surviving) 13th, and inserts 30 new
+    * keys at +10000 — all pure functions of the documents table, so the
+    * DuckDB oracle recomputes both snapshots logically and never reads
+    * the store. The marker is written LAST (underscore-prefixed, so
+    * parquet readers ignore it); the publishes go through the REAL
+    * [[graft.etl.Versioned.publish]] path — manifest, atomic pointer
+    * flip — which is the point: the diff query exercises version reads,
+    * not a synthetic pair of DataFrames.
+    */
+  def ensureVersionedDiff(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val root = dir("vdiff", sfDir)
+    val marker = java.nio.file.Paths.get(root, "_FIXTURE_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+      graft.etl.Versioned.publish(docs, root, tag = Some("v1"))
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.etl.Versioned.publish(v2, root, tag = Some("v2"))
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   /** Z-order curve parameters for the documents layout: 10 bits per
     * dimension (doc stats stay well under 1024 at every SF — per-doc
     * lengths don't grow with corpus size), cells = top 2×3 bits (an

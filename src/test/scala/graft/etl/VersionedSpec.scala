@@ -142,4 +142,28 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.versionForTag(spark, root, "batch-1", lookback = 1).isEmpty)
     assert(Versioned.versionForTag(spark, root, "batch-3", lookback = 1).contains(3L))
   }
+
+  test("diff classifies insert/delete/update; null-vs-empty and no-op rows behave") {
+    val root = freshRoot()
+    // key 1 unchanged, key 2 updated, key 3 deleted, key 4 inserted,
+    // key 5 null -> "" (must register as an UPDATE, not a no-op: the
+    // row hash sentinels nulls apart from empty strings), key 6 stays
+    // null (no-op)
+    Versioned.publish(Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (5L, Option.empty[String]), (6L, Option.empty[String]))
+      .toDF("id", "t"), root)
+    Versioned.publish(Seq(
+      (1L, Option("a")), (2L, Option("B")), (4L, Option("d")),
+      (5L, Option("")), (6L, Option.empty[String]))
+      .toDF("id", "t"), root)
+    val d = Versioned.diff(spark, root, 1L, 2L, Seq("id"), Seq("t"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      5L -> "update"), s"got $d")
+    // with no compare columns the feed is membership-only
+    val m = Versioned.diff(spark, root, 1L, 2L, Seq("id"), Nil)
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(3L -> "delete", 4L -> "insert"), s"got $m")
+  }
 }
