@@ -237,9 +237,11 @@ object Versioned {
     * snapshot store): keyed full-outer join of the two snapshots, each
     * row classified `insert` (key only in `vNew`), `delete` (only in
     * `vOld`) or `update` (both, but any compared column differs —
-    * detected via a single md5 over the concatenated, null-sentineled
-    * compare columns, so arbitrarily wide rows cost one narrow hash
-    * each side). This is what an incremental downstream consumer reads
+    * detected via one md5 per compare column concatenated and re-hashed
+    * — every column contributes a fixed-width digest, so no value can
+    * shift a column boundary, and the null sentinel sits outside the
+    * hex alphabet, so no string value collides with it). This is what
+    * an incremental downstream consumer reads
     * instead of re-scanning the new snapshot: cost is one shuffle of
     * each snapshot's (key, hash) projection — O(|vOld| + |vNew|), with
     * column pruning keeping the scan at key + compared columns; the
@@ -252,8 +254,9 @@ object Versioned {
     def hashed(v: Long, side: String) = {
       val h =
         if (compareCols.isEmpty) lit("")
-        else md5(concat_ws("\u0001",
-          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        else md5(concat(
+          compareCols.map(c =>
+            coalesce(md5(col(c).cast("string")), lit("-"))): _*))
       readVersion(spark, root, v)
         .select(keyCols.map(col) :+ h.as(s"__h_$side"): _*)
     }

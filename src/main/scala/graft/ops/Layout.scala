@@ -108,43 +108,8 @@ object Layout {
     val assigned = cleaned.withColumn("zbucket",
       zorder2(shiftright(col(xCol).cast("long"), s),
         shiftright(col(yCol).cast("long"), s), k))
-    val (fs, target) = graft.etl.Refresh.hfs(spark, path)
-    // only a genuinely absent layout is a first publish — a transient
-    // read failure must FAIL (treating it as empty would let the
-    // overwrite replace landing cells with delta-only rows)
-    val existing: Option[DataFrame] =
-      if (!fs.exists(target)) None
-      else Some(spark.read.parquet(path)
-        .withColumn("zbucket", col("zbucket").cast("long")))
-    val newCells = assigned.select("zbucket").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val oldCells = existing.map(
-        _.select(col(keyCol), col("zbucket"))
-          .join(assigned.select(col(keyCol)), Seq(keyCol), "left_semi")
-          .select("zbucket").distinct().collect().map(_.getLong(0)).toSet)
-      .getOrElse(Set.empty)
-    val touched = (newCells ++ oldCells).toSeq.sorted
-    val merged = existing match {
-      case None => assigned
-      case Some(idx) =>
-        idx.filter(col("zbucket").isin(touched: _*))
-          .join(assigned.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(assigned)
-          // truncate lineage so the overwrite never reads the files it
-          // is replacing (self-read-overwrite is undefined)
-          .localCheckpoint(true)
-    }
-    merged.repartition(col("zbucket"))
-      .sortWithinPartitions(zorder2(col(xCol), col(yCol), bits))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("zbucket")
-      .parquet(path)
-    val remaining = merged.select("zbucket").distinct()
-      .collect().map(_.getLong(0)).toSet
-    (touched.toSet -- remaining).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/zbucket=$c"), true)
-    }
+    CellUpsert.upsert(spark, assigned, keyCol, "zbucket", path,
+      sortWithin = Some(zorder2(col(xCol), col(yCol), bits)))
   }
 
   /** 2-D box query over a [[writeZClustered]] layout: a static `IN`

@@ -361,6 +361,73 @@ object Similarity {
   def dequantize8(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast(DoubleType) * qv.getField("scale"))
 
+  /** Per-query top-k over a (query_id, match_id, sim) candidate frame —
+    * the rank stage every batch neighbor join shares.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    cands.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Exact (cross-join) candidate stage shared by [[annJoinExact]] and
+    * [[hardNegatives]]: when `labelCol` is set, the pair predicate
+    * (label mismatch) restricts candidates BEFORE any ranking.
+    */
+  private def exactCandidates(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              labelCol: Option[String]): DataFrame = {
+    val q = queries.select(
+      Seq(col(idCol).as("query_id"), col(vecCol).as("__qv")) ++
+        labelCol.map(l => col(l).as("__ql")): _*)
+    val c = corpus.select(
+      Seq(col(idCol).as("match_id"), col(vecCol).as("__cv")) ++
+        labelCol.map(l => col(l).as("__cl")): _*)
+    val joined = q.crossJoin(c)
+    labelCol.fold(joined)(_ => joined.filter(col("__ql") =!= col("__cl")))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+  }
+
+  /** Sign-LSH multi-probe candidate stage shared by [[annJoin]] and
+    * [[hardNegativesLsh]]: each query explodes to its bucket plus every
+    * bucket within `probeRadius` bit flips (an EXPRESSION, never a
+    * driver loop), candidates come from the bucket equi-join, the
+    * optional label-mismatch predicate runs on the CANDIDATES, and the
+    * multi-bucket collisions dedup before ranking.
+    */
+  private def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            labelCol: Option[String],
+                            nPlanes: Int, probeRadius: Int): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
+    val dim = dimOf(corpus, vecCol)
+    val planes = hyperplanes(nPlanes, dim)
+    val flips: Seq[Column] = lit(0L) +:
+      (if (probeRadius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++:
+      (if (probeRadius >= 2)
+        (0 until nPlanes).combinations(2).map(c =>
+          lit((1L << c(0)) | (1L << c(1)))).toSeq
+      else Nil)
+    val q = queries.select(
+        Seq(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          lshBucket(col(vecCol), planes).as("__qb")) ++
+          labelCol.map(l => col(l).as("__ql")): _*)
+      .withColumn("__bucket",
+        explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*)))
+      .drop("__qb")
+    val c = corpus.select(
+      Seq(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+        lshBucket(col(vecCol), planes).as("__bucket")) ++
+        labelCol.map(l => col(l).as("__cl")): _*)
+    val joined = q.join(c, Seq("__bucket"))
+    labelCol.fold(joined)(_ => joined.filter(col("__ql") =!= col("__cl")))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .distinct() // a pair can collide in several probed buckets
+  }
+
   /** Exact batch ANN join: for EVERY query row, the top-k corpus rows by
     * cosine — the production retrieval/attribution shape (single-query
     * [[bruteForceTopK]] generalized to a query TABLE). All-pairs +
@@ -368,16 +435,8 @@ object Similarity {
     * and the right plan when the query side is small enough to broadcast.
     */
   def annJoinExact(queries: DataFrame, corpus: DataFrame, idCol: String,
-                   vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
-    q.crossJoin(c)
-      .select(col("query_id"), col("match_id"), cosine(col("__qv"), col("__cv")).as("sim"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
-  }
+                   vecCol: String, k: Int): DataFrame =
+    rankTopK(exactCandidates(queries, corpus, idCol, vecCol, None), k)
 
   /** Hard-negative mining for contrastive / embedding-model training:
     * for each query, the k most-similar corpus items carrying a
@@ -391,20 +450,8 @@ object Similarity {
     * window — the swappable-neighbor-stage pattern [[knnClassify]] uses.
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
-      col(labelCol).as("__cl"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
-    q.crossJoin(c)
-      .filter(col("__ql") =!= col("__cl"))
-      .select(col("query_id"), col("match_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
-  }
+                    vecCol: String, labelCol: String, k: Int): DataFrame =
+    rankTopK(exactCandidates(queries, corpus, idCol, vecCol, Some(labelCol)), k)
 
   /** [[hardNegatives]] at corpus scale: candidates come from the
     * sign-LSH multi-probe bucket join ([[annJoin]]'s candidate stage)
@@ -418,34 +465,9 @@ object Similarity {
     */
   def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, labelCol: String, k: Int,
-                       nPlanes: Int = 8, probeRadius: Int = 1): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
-    val dim = dimOf(corpus, vecCol)
-    val planes = hyperplanes(nPlanes, dim)
-    val flips: Seq[Column] = lit(0L) +:
-      (if (probeRadius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++:
-      (if (probeRadius >= 2)
-        (0 until nPlanes).combinations(2).map(c =>
-          lit((1L << c(0)) | (1L << c(1)))).toSeq
-      else Nil)
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        col(labelCol).as("__ql"), lshBucket(col(vecCol), planes).as("__qb"))
-      .withColumn("__bucket",
-        explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*)))
-      .drop("__qb")
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
-      col(labelCol).as("__cl"), lshBucket(col(vecCol), planes).as("__bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
-    q.join(c, Seq("__bucket"))
-      .filter(col("__ql") =!= col("__cl"))
-      .select(col("query_id"), col("match_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
-      .distinct() // a pair can collide in several probed buckets
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
-  }
+                       nPlanes: Int = 8, probeRadius: Int = 1): DataFrame =
+    rankTopK(lshCandidates(queries, corpus, idCol, vecCol, Some(labelCol),
+      nPlanes, probeRadius), k)
 
   /** Batch ANN join at scale: sign-LSH multi-probe as a JOIN — each
     * query row explodes to its own bucket plus every bucket within
@@ -461,33 +483,9 @@ object Similarity {
     */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 8,
-              probeRadius: Int = 1): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
-    val dim = dimOf(corpus, vecCol)
-    val planes = hyperplanes(nPlanes, dim)
-    val qb = lshBucket(col(vecCol), planes)
-    // probe set = bucket ^ (each combination of <= probeRadius bit flips),
-    // enumerated as a literal-array expression — no driver-side per-query work
-    val flips: Seq[Column] = lit(0L) +:
-      (if (probeRadius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++:
-      (if (probeRadius >= 2)
-        (0 until nPlanes).combinations(2).map(c =>
-          lit((1L << c(0)) | (1L << c(1)))).toSeq
-      else Nil)
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), qb.as("__qb"))
-      .withColumn("__bucket", explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*)))
-      .drop("__qb")
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
-    q.join(c, Seq("__bucket"))
-      .select(col("query_id"), col("match_id"), cosine(col("__qv"), col("__cv")).as("sim"))
-      .distinct() // a pair can collide in several probed buckets
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
-  }
+              probeRadius: Int = 1): DataFrame =
+    rankTopK(lshCandidates(queries, corpus, idCol, vecCol, None,
+      nPlanes, probeRadius), k)
 
   /** Batch ANN join, IVF flavor: the third neighbor stage for
     * [[knnClassify]] (exact / sign-LSH multi-probe / IVF probe). Corpus

@@ -1420,8 +1420,12 @@ object Extensions {
     Q("q_version_diff",
       (s, d) => {
         val root = Fixtures.ensureVersionedDiff(s, d)
+        // the LAST two versions: a fixture build that crashed between
+        // its publishes and re-ran leaves superseded early versions
+        // behind (re-publish-supersedes recovery) — the newest pair is
+        // always the completed v1/v2
         val vs = graft.etl.Versioned.listVersions(s, root).sorted
-        graft.etl.Versioned.diff(s, root, vs(0), vs(1),
+        graft.etl.Versioned.diff(s, root, vs(vs.size - 2), vs.last,
             keyCols = Seq("doc_id"), compareCols = Seq("text"))
           .groupBy("change_type")
           .agg(count(lit(1)).as("n"),

@@ -235,57 +235,9 @@ object Streams {
     val assigned = graft.ops.Similarity
       .ivfAssign(cleaned, idCol, vecCol, centroids)
       .withColumnRenamed("__cell", "cell").drop("__sim")
-    // ONLY a genuinely absent index is a first upsert — a transient read
-    // failure must FAIL the batch (offsets uncommitted → replay), because
-    // treating it as empty would let the dynamic overwrite replace the
-    // landing cells with delta-only rows, silently deleting vectors
-    val (fs, target) = Refresh.hfs(spark, path)
-    val existing: Option[DataFrame] =
-      if (!fs.exists(target)) None
-      else
-        // hive partition-column inference reads `cell=N` back as INT —
-        // normalize to LONG so collects and the union with the freshly
-        // assigned (long) cells agree on one type
-        Some(spark.read.parquet(path).withColumn("cell", col("cell").cast("long")))
-    val newCells = assigned.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSet
-    // locating moved ids is a NARROW (id, cell) column scan of the index
-    // (parquet column pruning — vectors are never read); still ∝ index
-    // rows, so an extreme-scale deployment should keep an id→cell
-    // sidecar to make this a lookup. The cell REWRITE below stays
-    // strictly ∝ touched cells either way.
-    val oldCells = existing.map(
-        _.select(col(idCol), col("cell"))
-          .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
-          .select("cell").distinct().collect().map(_.getLong(0)).toSet)
-      .getOrElse(Set.empty)
-    val touched = (newCells ++ oldCells).toSeq.sorted
-    val merged = existing match {
-      case None => assigned
-      case Some(idx) =>
-        idx.filter(col("cell").isin(touched: _*))
-          .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
-          .unionByName(assigned)
-          // truncate lineage so the overwrite never reads the files it is
-          // replacing (self-read-overwrite is undefined)
-          .localCheckpoint(true)
-    }
-    // dynamic partition overwrite WITHOUT Refresh.overwritePartitions:
-    // that helper ends with a read-back count of the WHOLE dataset (the
-    // reference's COPY-count semantics), which here would scan the full
-    // index on every upsert — the entire point is to touch only cells
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell")
-      .parquet(path)
-    // dynamic overwrite only replaces partitions PRESENT in the delta: a
-    // touched cell whose last vector moved away produced no rows, so its
-    // stale directory must be dropped explicitly
-    val remaining = merged.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSet
-    (touched.toSet -- remaining).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
-    }
+    // the merge itself — touched-cells-only dynamic overwrite, emptied
+    // cells dropped, empty delta a no-op — is the shared algorithm
+    graft.ops.CellUpsert.upsert(spark, assigned, idCol, "cell", path)
   }
 
   /** Streaming ANN index maintenance: each drained micro-batch of

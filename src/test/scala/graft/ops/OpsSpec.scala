@@ -335,6 +335,21 @@ class OpsSpec extends SparkSpec {
       .filter($"id" === 0).count() == 0, "moved key still in its old cell")
   }
 
+  test("cell upsert: an all-filtered-out first delta is a no-op, never a poison directory") {
+    val path = java.nio.file.Files.createTempDirectory("zpoison").toString + "/layout"
+    // a first batch whose rows ALL fail the null quarantine must write
+    // NOTHING: a zero-row first write would leave a schema-less
+    // directory every later read throws on — replaying forever
+    val nullDelta = Seq((Option.empty[Long], Option(1L), Option(2L)))
+      .toDF("id", "x", "y")
+    Layout.upsertZClustered(spark, nullDelta, "id", "x", "y", 10, 3, path)
+    assert(!new java.io.File(path).exists(), "no-op upsert created a directory")
+    // and the store still bootstraps normally afterwards
+    Layout.upsertZClustered(spark, Seq((1L, 10L, 10L)).toDF("id", "x", "y"),
+      "id", "x", "y", 10, 3, path)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("zorder2 column expression agrees with the constant-side interleave, and " +
     "every in-box point's cell is enumerated by cellsForBox") {
     val bits = 10
