@@ -225,6 +225,34 @@ class PlanSpec extends SparkSpec {
     assert(viaLayout == viaFlat, s"layout answer $viaLayout != flat answer $viaFlat")
   }
 
+  test("Z-order layout survives compaction: cells keep pruning after Refresh.compact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+
+    // small-file cleanup is routine maintenance on a 100 TB layout —
+    // it must not cost the pruning the layout exists for
+    val path = java.nio.file.Files.createTempDirectory("zcompact").toString + "/layout"
+    val rows = (0L until 400L).map(i => (i, (i * 37) % 700, (i * 53) % 120))
+      .toDF("id", "x", "y")
+    graft.ops.Layout.writeZClustered(rows, "x", "y", 10, 3, path)
+    graft.etl.Refresh.compact(spark, path)
+    val box = graft.ops.Layout.boxQuery(spark, path, "x", "y", 0, 127, 0, 127, 10, 3)
+    val inner = box.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = inner.collect { case s: FileSourceScanExec => s }.head
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected == 1 && selected < total,
+      s"compacted layout lost cell pruning ($selected of $total)")
+    val expect = (0L until 400L)
+      .filter(i => (i * 37) % 700 <= 127 && (i * 53) % 120 <= 127).toSet
+    assert(box.select("id").as[Long].collect().toSet == expect)
+  }
+
   test("IVF cell-partitioned index prunes non-probed cells at the source") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
