@@ -350,6 +350,24 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("cell upsert replay is idempotent — a crashed batch's re-run changes nothing") {
+    // streaming exactly-once rests on this: offsets commit AFTER the
+    // upsert, so a crash between them replays the same delta; a keyed
+    // merge (not an append) must land on the identical store
+    val path = java.nio.file.Files.createTempDirectory("zreplay").toString + "/layout"
+    val base = (0L until 50L).map(i => (i, i % 20, i % 7)).toDF("id", "x", "y")
+    Layout.writeZClustered(base, "x", "y", 10, 3, path)
+    val delta = Seq((3L, 600L, 100L), (100L, 5L, 5L)).toDF("id", "x", "y")
+    Layout.upsertZClustered(spark, delta, "id", "x", "y", 10, 3, path)
+    val once = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    Layout.upsertZClustered(spark, delta, "id", "x", "y", 10, 3, path)
+    val twice = spark.read.parquet(path).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(once == twice, "replaying the same delta changed the store")
+    assert(once.count(_._1 == 3L) == 1 && once.contains((100L, 5L, 5L)))
+  }
+
   test("zorder2 column expression agrees with the constant-side interleave, and " +
     "every in-box point's cell is enumerated by cellsForBox") {
     val bits = 10
