@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage: scalable fuzzy (edit-distance) joins.
+  *
+  * The naive fuzzy join is a cross product with a levenshtein filter —
+  * n·m distance evaluations, dead at corpus scale. The standard linkage
+  * plan is BLOCK → VERIFY, the same shape as every banded pipeline here
+  * (MinHash/SimHash/LSH): a cheap equi-join key (blocking) restricts
+  * candidates, the exact predicate verifies only those. Cost follows
+  * block collisions, never n·m; the join shuffles on the block key like
+  * any equi-join, so it co-partitions and skew-salts with the standard
+  * machinery.
+  *
+  * Blocking recall is an explicit, documented tradeoff (as in every
+  * production linkage system): a match whose edits fall inside the
+  * blocking prefix lands in different blocks and is missed. Callers
+  * needing higher recall union several blocking passes (prefix, suffix,
+  * sorted-token prefix) — each pass is this same operator.
+  */
+object Linkage {
+
+  /** Edit-distance join of `left` and `right` on their text columns:
+    * candidates share a lowercased `prefixLen`-char block key and sit
+    * within `maxDist` of each other in length (a length gap > maxDist
+    * already implies distance > maxDist — free pre-pruning); survivors
+    * verify with exact levenshtein ≤ `maxDist`. Output: left columns,
+    * right columns, and the distance.
+    *
+    * Both sides are projected through [[blockKey]]; the equi-join on
+    * the key is the ONLY shuffle. The levenshtein verify is Spark's
+    * codegen'd built-in — no UDF.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftText: String, rightText: String,
+                maxDist: Int, prefixLen: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    val l = left.withColumn("__bk", blockKey(col(leftText), prefixLen))
+    val r = right.withColumn("__bk2", blockKey(col(rightText), prefixLen))
+    l.join(r, col("__bk") === col("__bk2") &&
+        abs(length(col(leftText)) - length(col(rightText))) <= maxDist)
+      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
+      .filter(col("dist") <= maxDist)
+      .drop("__bk", "__bk2")
+  }
+
+  /** The blocking key: lowercased first `prefixLen` characters. A pure
+    * narrow expression — usable as a bucketing/partition key when the
+    * linkage runs repeatedly over the same corpus (write once, join
+    * co-partitioned forever, the q_curation_bucketed lever).
+    */
+  def blockKey(text: Column, prefixLen: Int): Column =
+    lower(substring(text, 1, prefixLen))
+}

@@ -1407,6 +1407,39 @@ object Extensions {
              |WHERE list_cosine_similarity(a.v, b.v) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Record linkage: scalable fuzzy (edit-distance) join
+    // (ops.Linkage.fuzzyJoin) — BLOCK (lowercased 3-char prefix key +
+    // length band, the only shuffle) → VERIFY (codegen'd levenshtein on
+    // candidates only), the same collision-driven shape as every banded
+    // pipeline here, never n·m distance evaluations. The right side is
+    // a deterministic typo corpus (5th char deleted from every 3rd
+    // doc's normalized head), so the oracle rebuilds both sides and the
+    // identical candidate/verify cascade; at sf0.01 blocking cuts
+    // 400×134 potential pairs to ~1.8k candidates.
+    Q("q_fuzzy_join",
+      (s, d) => {
+        val a = Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("doc_id").as("id_a"),
+            lower(substring(col("text"), 1, 40)).as("s_a"))
+        val b = a.filter(col("id_a") % 3 === 0)
+          .select((col("id_a") + 20000).as("id_b"),
+            concat(substring(col("s_a"), 1, 4), expr("substring(s_a, 6)")).as("s_b"))
+        graft.ops.Linkage.fuzzyJoin(a, b, "s_a", "s_b",
+            maxDist = 2, prefixLen = 3)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH a AS (SELECT doc_id AS id_a, lower(substr(text, 1, 40)) AS s_a
+             |FROM documents WHERE doc_id < 400),
+             |b AS (SELECT id_a + 20000 AS id_b,
+             |substr(s_a, 1, 4) || substr(s_a, 6) AS s_b
+             |FROM a WHERE id_a % 3 = 0)
+             |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INTEGER) AS dist
+             |FROM a JOIN b ON lower(substr(s_a, 1, 3)) = lower(substr(s_b, 1, 3))
+             |AND abs(length(s_a) - length(s_b)) <= 2
+             |WHERE levenshtein(s_a, s_b) <= 2
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     // CDC over the snapshot store (etl.Versioned.diff): the row-level
     // change feed between two committed versions — keyed full-outer
     // join of (key, row-hash) projections, classified insert / delete /

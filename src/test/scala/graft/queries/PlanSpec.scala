@@ -253,6 +253,14 @@ class PlanSpec extends SparkSpec {
     assert(box.select("id").as[Long].collect().toSet == expect)
   }
 
+  test("fuzzy join blocks to an equi-join: no cartesian product, verify only on candidates") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "fuzzy join degenerated to an all-pairs plan")
+    assert(p.contains("levenshtein"),
+      "edit-distance verify missing from the candidate stage")
+  }
+
   test("IVF cell-partitioned index prunes non-probed cells at the source") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
