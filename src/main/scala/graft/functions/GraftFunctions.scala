@@ -103,6 +103,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"jwt_verify takes 2 arguments, got ${args.length}")
         JwtVerify(args.head, args(1))
+      }),
+    (FunctionIdentifier("bpe_encode"),
+      info(classOf[BpeEncode], "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"bpe_encode takes 2 arguments, got ${args.length}")
+        BpeEncode(args.head, args(1))
       }))
 
   /** Register all functions into a LIVE session through the same

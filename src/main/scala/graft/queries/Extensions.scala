@@ -36,6 +36,32 @@ object Extensions {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Number of frequency-ranked merge rules q_bpe_encode applies. */
+  private val BpeRules = 16
+
+  /** DuckDB replay of [[graft.functions.BpeEncode]]: the word `w` spread
+    * to space-separated code points, then one left-to-right
+    * `list_reduce` fold per merge rule `m[k]` (in priority order) that
+    * fuses a trailing symbol `a` with an incoming `b` into `ab`. A fused
+    * symbol is `a||b != a`, so it can never re-fuse with the next input
+    * on the same rule — the kernel's non-overlapping semantics fall out
+    * of the fold itself. Out-of-range `m[k]` folds to NULL conditions →
+    * the ELSE branch → an identity pass, matching the kernel's shorter
+    * merge table.
+    */
+  private val BpeFoldSql: String = {
+    val chars = "array_to_string(list_transform(range(1, len(w) + 1)," +
+      " i -> substring(w, i, 1)), ' ')"
+    (1 to BpeRules).foldLeft(chars) { (inner, k) =>
+      val a = s"split_part(m[$k], ' ', 1)"
+      val b = s"split_part(m[$k], ' ', 2)"
+      s"list_reduce(string_split($inner, ' '), (acc, x) -> " +
+        s"CASE WHEN x = $b AND (acc = $a OR ends_with(acc, ' ' || $a)) " +
+        s"THEN left(acc, len(acc) - len($a)) || $a || $b " +
+        s"ELSE acc || ' ' || x END)"
+    }
+  }
+
   /** Shared CTE chain reproducing the MinHash+LSH candidate/verify
     * pipeline in DuckDB (used by the pairs query and the cluster
     * closure on top of it).
@@ -580,6 +606,62 @@ object Extensions {
              |FROM pr GROUP BY sym_a, sym_b
              |ORDER BY pair_count DESC, sym_a, sym_b
              |LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    // BPE tokenizer APPLICATION — the other half of q_bpe_merges' mining
+    // statistic: encode the corpus with the top-16 frequency-ranked merge
+    // rules (one-shot approximation of sequential BPE training; the rank
+    // order IS the merge priority) and report the top-20 subword tokens
+    // by frequency-weighted count. Everything after the one corpus scan
+    // is vocabulary-sized: distinct words are encoded ONCE (leaf-
+    // materialized so mining and encoding share the scan) with the merge
+    // table broadcast, and token counts weight by word frequency — at
+    // 100 TB the encode itself never touches the corpus again. The
+    // oracle replays the identical fold chain (native kernel semantics
+    // == 16 chained list_reduce folds) symbol-for-symbol.
+    Q("q_bpe_encode",
+      (s, d) => {
+        val (wc, _) = Dedup.materializeLeaf(
+          Tables.documents(s, d)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+            .filter(col("w") =!= "")
+            .groupBy("w").agg(count(lit(1)).as("wc")))
+        val pairs = wc.filter(length(col("w")) >= 2)
+          .select(col("wc"), explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              |i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"""
+              .stripMargin.replace("\n", " "))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("pc"))
+        val merges = pairs
+          .orderBy(col("pc").desc, col("a"), col("b")).limit(BpeRules)
+          .agg(transform(
+            array_sort(collect_list(struct(
+              (-col("pc")).as("r"), col("a").as("a"), col("b").as("b")))),
+            x => concat(x.getField("a"), lit(" "), x.getField("b"))).as("m"))
+        wc.crossJoin(broadcast(merges))
+          .select(col("wc"),
+            explode(graft.functions.BpeEncode(col("w"), col("m"))).as("token"))
+          .groupBy("token").agg(sum(col("wc")).as("tok_count"))
+          .orderBy(col("tok_count").desc, col("token")).limit(20)
+      },
+      Some(s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM
+             |(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> '' GROUP BY w),
+             |pr AS (SELECT substring(w, i, 1) AS sym_a,
+             |substring(w, i + 1, 1) AS sym_b, wc
+             |FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+             |WHERE len(w) >= 2),
+             |mg AS (SELECT list(sym_a || ' ' || sym_b
+             |ORDER BY pair_count DESC, sym_a, sym_b) AS m FROM
+             |(SELECT sym_a, sym_b, sum(wc) AS pair_count FROM pr
+             |GROUP BY sym_a, sym_b
+             |ORDER BY pair_count DESC, sym_a, sym_b LIMIT $BpeRules) ranked),
+             |enc AS (SELECT wc, string_split($BpeFoldSql, ' ') AS toks
+             |FROM wc CROSS JOIN mg)
+             |SELECT token, CAST(sum(wc) AS BIGINT) AS tok_count
+             |FROM (SELECT unnest(toks) AS token, wc FROM enc) u
+             |GROUP BY token ORDER BY tok_count DESC, token
+             |LIMIT 20""".stripMargin.replace("\n", " "))),
 
     // Cumulative distinct users by day WITHOUT count-distinct-over-
     // expanding-window (quadratic) or HLL merge: each user collapses to
