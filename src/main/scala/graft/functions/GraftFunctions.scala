@@ -109,6 +109,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"bpe_encode takes 2 arguments, got ${args.length}")
         BpeEncode(args.head, args(1))
+      }),
+    (FunctionIdentifier("pq_encode"),
+      info(classOf[PqEncode], "pq_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"pq_encode takes 3 arguments, got ${args.length}")
+        PqEncode(args.head, args(1), intArg(args(2), "pq_encode", 2))
+      }),
+    (FunctionIdentifier("pq_adc"),
+      info(classOf[PqAdc], "pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"pq_adc takes 4 arguments, got ${args.length}")
+        PqAdc(args.head, args(1), args(2), intArg(args(3), "pq_adc", 3))
       }))
 
   /** Register all functions into a LIVE session through the same

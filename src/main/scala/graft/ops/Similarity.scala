@@ -361,6 +361,67 @@ object Similarity {
   def dequantize8(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast(DoubleType) * qv.getField("scale"))
 
+  /** Deterministic product-quantization codebooks, `[m][ks][D/m]`:
+    * subspace `mi`'s codeword `c` seeds from the `c`-th lowest-id
+    * vector's `mi`-th subvector (the PQ analog of [[ivfCentroids]]'
+    * id-rank seeding — reproducible, so the DuckDB oracle rebuilds the
+    * identical codebooks from the same parquet). Optional per-subspace
+    * Lloyd refinement (`iters > 0`): assign every subvector to its
+    * nearest codeword with a narrow greatest() scan, then average each
+    * cell with one map-side-combined groupBy per subspace — only
+    * `m × ks` rows ever reach the driver per round, and an emptied cell
+    * keeps its previous codeword. Refinement tightens quantization
+    * error without changing any downstream plan shape ([[PqSpec]] pins
+    * the improvement); the oracle-checked query uses the id-rank
+    * codebooks so both engines derive them from relational state alone.
+    */
+  def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, iters: Int = 0): Array[Array[Array[Double]]] = {
+    val seeds = vectors.orderBy(col(idCol)).limit(ks)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val d = seeds(0).length
+    require(m > 0 && d % m == 0, s"dim $d not a multiple of m=$m subspaces")
+    val dsub = d / m
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      seeds.map(s => java.util.Arrays.copyOfRange(s, mi * dsub, (mi + 1) * dsub))
+    }
+    val v = col(vecCol).cast("array<double>")
+    (0 until iters).foreach { _ =>
+      cb = cb.zipWithIndex.map { case (words, mi) =>
+        val base = mi * dsub
+        // argmin as greatest() over struct(-dist, -c): single narrow scan
+        val cells = words.zipWithIndex.map { case (w, c) =>
+          val dist = (0 until dsub).map { i =>
+            val diff = element_at(v, base + i + 1) - lit(w(i))
+            diff * diff
+          }.reduce(_ + _)
+          struct((-dist).as("nd"), lit(-c).as("nc"))
+        }
+        val sums = vectors
+          .withColumn("__c", -greatest(cells: _*).getField("nc"))
+          .groupBy(col("__c"))
+          .agg(count(lit(1)).as("__n"),
+            (0 until dsub).map(i =>
+              sum(element_at(v, base + i + 1)).as(s"__s$i")): _*)
+          .collect()
+          .map(r => r.getInt(0) ->
+            Array.tabulate(dsub)(i => r.getDouble(i + 2) / r.getLong(1)))
+          .toMap
+        words.zipWithIndex.map { case (old, c) => sums.getOrElse(c, old) }
+      }
+    }
+    cb
+  }
+
+  /** [[pqCodebooks]] flattened to the `[m·ks][dsub]` subspace-major
+    * literal layout [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]
+    * consume, as a Column.
+    */
+  def pqCodebooksLit(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.flatten.map(_.toSeq).toSeq)
+
   /** Per-query top-k over a (query_id, match_id, sim) candidate frame —
     * the rank stage every batch neighbor join shares.
     */

@@ -1926,6 +1926,67 @@ object Extensions {
              |round(avg(sim), 4) AS mean_sim, round(min(sim), 4) AS min_sim
              |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " "))),
 
+    // Product quantization ANN (Jégou et al. 2011): the corpus collapses
+    // to m=4 codes per vector (one byte each at ks=8 — 64 doubles → 4
+    // bytes), probes stay RAW and rank candidates by asymmetric distance
+    // (ADC) against the broadcast codebooks — at 100 TB the quantized
+    // index fits in cluster memory and the scan is table lookups, not
+    // float math against raw vectors; composes with the IVF cell layout
+    // (IVF-PQ) by encoding within cells. Codebooks seed from the id-rank
+    // vectors (the ivfCentroids convention) so the oracle rebuilds them
+    // relationally; both engines fold subvector distances in ascending
+    // index order. Native codegen kernels: pq_encode / pq_adc.
+    Q("q_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cbLit = Similarity.pqCodebooksLit(
+          Similarity.pqCodebooks(emb, "vec_id", "v", m = 4, ks = 8))
+        val codes = emb.select(col("vec_id").as("match_id"),
+          graft.functions.PqEncode(col("v"), cbLit, ks = 8).as("codes"))
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("q"))
+        val cands = broadcast(probes).crossJoin(codes)
+          .filter(col("probe_id") =!= col("match_id"))
+          .select(col("probe_id"), col("match_id"),
+            graft.functions.PqAdc(col("q"), col("codes"), cbLit, ks = 8).as("adc"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("match_id"))
+        cands.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("probe_id"), col("rank"), col("match_id"),
+            round(col("adc"), 4).as("adc"))
+          .orderBy("probe_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
+             |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |FROM (SELECT vec_id, l FROM v ORDER BY vec_id LIMIT 8) s),
+             |ms AS (SELECT unnest(range(0, 4)) AS mi),
+             |cb AS (SELECT ms.mi, seeds.c,
+             |list_slice(seeds.l, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+             |FROM seeds CROSS JOIN ms),
+             |dist AS (SELECT v.vec_id, cb.mi, cb.c,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (v.l[cb.mi*16 + i] - cb.w[i]) * (v.l[cb.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM v CROSS JOIN cb),
+             |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+             |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+             |FROM dist) t WHERE rn = 1),
+             |sub AS (SELECT p.vec_id AS probe_id, co.vec_id AS match_id, co.mi,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (p.l[co.mi*16 + i] - cb.w[i]) * (p.l[co.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM (SELECT * FROM v WHERE vec_id < 5) p
+             |JOIN codes co ON co.vec_id <> p.vec_id
+             |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+             |adc AS (SELECT probe_id, match_id, sum(dd) AS adc
+             |FROM sub GROUP BY probe_id, match_id),
+             |r AS (SELECT probe_id, match_id, adc,
+             |row_number() OVER (PARTITION BY probe_id ORDER BY adc, match_id) AS rank
+             |FROM adc)
+             |SELECT probe_id, CAST(rank AS BIGINT) AS rank, match_id,
+             |round(adc, 4) AS adc FROM r WHERE rank <= 5
+             |ORDER BY probe_id, rank""".stripMargin.replace("\n", " "))),
+
     // Incremental dedup: the "new batch" (doc_id >= 400) deduplicated
     // against the historical corpus (doc_id < 400) through a PERSISTED
     // band index — history is signed once at index-build time, never
