@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Mergeable frequency sketches (Cormode & Muthukrishnan 2005,
+  * "An Improved Data Stream Summary: The Count-Min Sketch").
+  *
+  * The sketch here is RELATIONAL: `d × w` (row, bucket) cells whose
+  * values are plain sums — so Spark's map-side combine IS the sketch
+  * merge (each partition builds its partial sketch locally and the
+  * shuffle moves at most `d·w` cells per partition, never the corpus),
+  * and two sketches union by adding cells. At 100 TB the frequency
+  * profile of any keyed column costs one narrow scan plus a `d·w`-sized
+  * aggregate, and daily sketches roll up into monthly ones by cell-wise
+  * addition instead of re-scanning history.
+  *
+  * Hashing is md5-derived (row j hashes `j:value`), so the sketch is a
+  * pure function of the data — engine-portable and exactly replayable
+  * by the DuckDB oracle. Estimates are the classic min-over-rows upper
+  * bound: `est(x) = min_j cell[j][h_j(x)] ≥ true(x)`, within
+  * `ε·N` of the truth with probability `1 − δ` for `w = ⌈e/ε⌉`,
+  * `d = ⌈ln 1/δ⌉`.
+  */
+object Sketch {
+
+  /** `h_j(value)` — md5-uniform bucket of `value` under hash row `j`. */
+  def cmsBucket(value: Column, j: Column, w: Int): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"),
+      value.cast("string"))), 1, 8), 16, 10).cast(LongType) % w
+
+  /** The `d × w` sketch of `valueCol`'s frequencies: one row per
+    * non-empty cell, `(j, bucket, cnt)`. One corpus scan, exploded ×d
+    * (d is 4-ish — a constant-factor projection, not a blowup), one
+    * map-side-combined aggregate whose output is ≤ `d·w` rows.
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame =
+    df.select(explode(array((0 until d).map(lit): _*)).as("j"),
+        col(valueCol).as("__v"))
+      .select(col("j"), cmsBucket(col("__v"), col("j"), w).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for a candidate frame of values (one column named
+    * `valueCol`): `min_j cell[j][h_j(x)]`. The sketch side is `d·w`
+    * rows → broadcast; candidates never shuffle. Values the sketch
+    * never saw still land in buckets (estimate = that bucket's noise
+    * floor) — the CMS one-sided error contract.
+    */
+  def cmsEstimate(candidates: DataFrame, valueCol: String,
+                  sketch: DataFrame, d: Int, w: Int): DataFrame =
+    candidates
+      .select(col(valueCol), explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col(valueCol), col("j"), w))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(valueCol))
+      .agg(min(col("cnt")).as("cms_est"))
+
+  /** Heavy-hitter report over `valueCol`: every distinct value's true
+    * count next to its sketch estimate (`cms_est ≥ n` always; equality
+    * when the value's buckets saw no collisions). The demo/oracle path
+    * derives candidates from the same frame; a production monitor keeps
+    * only the sketch and probes it with last period's heavy hitters.
+    */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String,
+                      d: Int = 4, w: Int = 64): DataFrame = {
+    val sketch = cmsSketch(df, valueCol, d, w)
+    val truth = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+    cmsEstimate(truth.select(col(valueCol)), valueCol, sketch, d, w)
+      .join(truth, Seq(valueCol))
+      .select(col(valueCol), col("n"), col("cms_est"),
+        (col("cms_est") - col("n")).as("overcount"))
+  }
+}

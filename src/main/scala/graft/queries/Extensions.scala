@@ -1987,6 +1987,40 @@ object Extensions {
              |round(adc, 4) AS adc FROM r WHERE rank <= 5
              |ORDER BY probe_id, rank""".stripMargin.replace("\n", " "))),
 
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+    // the token stream: the d=4 × w=64 sketch is RELATIONAL (cells are
+    // plain sums), so map-side combine IS the sketch merge — each
+    // partition ships ≤ d·w cells, never its tokens, and daily sketches
+    // roll up by cell-wise addition. md5-derived hash rows make the
+    // sketch a pure function of the data; the oracle rebuilds every cell
+    // and the min-over-rows estimates exactly. est ≥ truth always (one-
+    // sided error); the report ranks by estimate — what a monitor that
+    // kept ONLY the sketch would rank by — with truth and overcount
+    // alongside (w=64 ≪ vocab forces real collisions, so overcount is
+    // honest, not trivially zero).
+    Q("q_cms_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        graft.ops.Sketch.cmsHeavyHitters(toks, "token", d = 4, w = 64)
+          .orderBy(col("cms_est").desc, col("token")).limit(20)
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+             |js AS (SELECT unnest(range(0, 4)) AS j),
+             |cells AS (SELECT js.j,
+             |CAST(concat('0x', substring(md5(js.j || ':' || wd), 1, 8)) AS BIGINT) % 64 AS bucket,
+             |CAST(count(*) AS BIGINT) AS cnt FROM toks CROSS JOIN js GROUP BY 1, 2),
+             |truth AS (SELECT wd, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY wd),
+             |est AS (SELECT t.wd, min(coalesce(c.cnt, 0)) AS cms_est
+             |FROM truth t CROSS JOIN js
+             |LEFT JOIN cells c ON c.j = js.j AND c.bucket =
+             |CAST(concat('0x', substring(md5(js.j || ':' || t.wd), 1, 8)) AS BIGINT) % 64
+             |GROUP BY t.wd)
+             |SELECT t.wd AS token, t.n, CAST(e.cms_est AS BIGINT) AS cms_est,
+             |CAST(e.cms_est - t.n AS BIGINT) AS overcount
+             |FROM truth t JOIN est e ON t.wd = e.wd
+             |ORDER BY cms_est DESC, token LIMIT 20""".stripMargin.replace("\n", " "))),
+
     // Incremental dedup: the "new batch" (doc_id >= 400) deduplicated
     // against the historical corpus (doc_id < 400) through a PERSISTED
     // band index — history is signed once at index-build time, never

@@ -481,6 +481,91 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch's distribution-drift report — see
+    * [[driftMonitorQuery]].
+    */
+  case class DriftReport(nDocs: Long, nCats: Int, klBits: Double,
+                         topShiftCat: String, topShiftBits: Double)
+
+  /** One batch's categorical drift vs a fixed reference — the PURE body
+    * of [[driftMonitorQuery]], so the spec pins the arithmetic without a
+    * stream. `KL(batch ‖ reference)` in bits between λ-uniform-smoothed
+    * distributions over the UNION of batch and reference categories:
+    * `p' = (1−λ)·p + λ/K` (smoothing keeps every term finite when a
+    * category appears on only one side — new-source and vanished-source
+    * drift both register instead of dividing by zero). `topShiftCat` is
+    * the category contributing the largest KL term (ties break to the
+    * lexicographically smallest), i.e. WHAT drifted, not just how much.
+    *
+    * The per-batch histogram is one distributed map-side-combined
+    * groupBy; only ≤ |categories| rows reach the driver — this is a
+    * monitor for LOW-CARDINALITY mix columns (source, lang, shard), the
+    * same bound the IVF centroid collect documents. Reference weights
+    * are unnormalized (any positive scale); None on an empty batch.
+    */
+  def driftReport(batch: DataFrame, catCol: String,
+                  reference: Map[String, Double],
+                  lambda: Double = 0.01): Option[DriftReport] = {
+    require(lambda > 0 && lambda < 1, s"need 0<lambda<1, got $lambda")
+    require(reference.nonEmpty && reference.values.forall(_ >= 0)
+      && reference.values.sum > 0, "reference must carry positive weight")
+    val counts = batch
+      .groupBy(col(catCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    if (counts.isEmpty) None
+    else {
+      val cats = (counts.keySet ++ reference.keySet).toSeq.sorted
+      val k = cats.size
+      val n = counts.values.sum.toDouble
+      val w = reference.values.sum
+      var kl = 0.0d
+      var topCat = cats.head
+      var topBits = Double.MinValue
+      cats.foreach { c => // sorted fold: deterministic double accumulation
+        val p = (1 - lambda) * (counts.getOrElse(c, 0L) / n) + lambda / k
+        val q = (1 - lambda) * (reference.getOrElse(c, 0.0) / w) + lambda / k
+        val term = p * math.log(p / q) / math.log(2)
+        kl += term
+        if (term > topBits) { topBits = term; topCat = c }
+      }
+      Some(DriftReport(counts.values.sum, k, kl, topCat, topBits))
+    }
+  }
+
+  /** Streaming ingestion-mix drift monitor: every micro-batch is scored
+    * against the fixed reference with [[driftReport]] and appends ONE
+    * row under `reportDir/batch_id=N` (written through the staging
+    * overwrite, so a REPLAYED batch rewrites its own partition instead
+    * of duplicating it — replay-idempotent by layout, the same lever
+    * the versioned refresh uses). Alerting is a downstream filter on
+    * `kl_bits`; the report stream is tiny (one row per batch) and reads
+    * back as one partitioned table with `batch_id` from the directory
+    * key.
+    */
+  def driftMonitorQuery(docs: DataFrame, catCol: String,
+                        reference: Map[String, Double], reportDir: String,
+                        checkpoint: String, lambda: Double = 0.01,
+                        trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        driftReport(batch, catCol, reference, lambda).foreach { r =>
+          Refresh.overwrite(
+            Seq((r.nDocs, r.nCats, r.klBits, r.topShiftCat, r.topShiftBits))
+              .toDF("n_docs", "n_cats", "kl_bits",
+                "top_shift_cat", "top_shift_bits"),
+            s"$reportDir/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** A detected streaming duplicate: `docId` arrived with the same
     * MinHash signature as the earlier `firstDocId`.
     */

@@ -694,4 +694,52 @@ class StreamsSpec extends SparkSpec {
       assert(after2 === Set(1L, 3L, 5L), s"batch 2 kept $after2")
     } finally q2.stop()
   }
+
+  test("driftReport: zero drift for a matching mix, drift localized to the shifted category") {
+    val ref = Map("a" -> 3.0, "b" -> 1.0)
+    // batch mix == reference mix (any scale): smoothed p == smoothed q
+    val same = driftReport(Seq("a", "a", "a", "b").toDF("src"), "src", ref).get
+    assert(same.nDocs == 4 && same.nCats == 2)
+    assert(math.abs(same.klBits) < 1e-12, s"kl=${same.klBits}")
+    // all-b batch: drift, and the top term is b's overweight
+    val skew = driftReport(Seq("b", "b", "b", "b").toDF("src"), "src", ref).get
+    assert(skew.klBits > 1.0 && skew.topShiftCat == "b")
+    // a category the reference never saw still scores finitely
+    val novel = driftReport(Seq("zz", "zz").toDF("src"), "src", ref).get
+    assert(novel.topShiftCat == "zz" && novel.klBits.isFinite
+      && novel.klBits > skew.klBits)
+    // empty batch: no report
+    assert(driftReport(Seq.empty[String].toDF("src"), "src", ref).isEmpty)
+  }
+
+  test("driftMonitorQuery appends one replay-idempotent report row per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val reports = tmp("drift_reports") + "/reports"
+    val ckpt = tmp("ckpt_drift")
+    val ref = Map("a" -> 1.0, "b" -> 1.0)
+    input.addData("a", "b", "a", "b")
+    val q = driftMonitorQuery(input.toDF().toDF("src"), "src", ref,
+      reports, ckpt)
+    try q.awaitTermination() finally q.stop()
+    input.addData("b", "b", "b", "b")
+    val q2 = driftMonitorQuery(input.toDF().toDF("src"), "src", ref,
+      reports, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    val rows = spark.read.parquet(reports)
+      .select("batch_id", "n_docs", "kl_bits")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(rows(0)._2 == 4 && math.abs(rows(0)._3) < 1e-12)
+    assert(rows(1)._2 == 4 && rows(1)._3 > 0.5)
+    // replaying a batch body rewrites its partition, never duplicates it
+    driftReport(Seq("b", "b", "b", "b").toDF("src"), "src", ref).foreach { r =>
+      graft.etl.Refresh.overwrite(
+        Seq((r.nDocs, r.nCats, r.klBits, r.topShiftCat, r.topShiftBits))
+          .toDF("n_docs", "n_cats", "kl_bits",
+            "top_shift_cat", "top_shift_bits"),
+        reports + "/batch_id=1")
+    }
+    assert(spark.read.parquet(reports).count() == 2)
+  }
 }
