@@ -592,14 +592,58 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** [[ivfJoin]] with PQ-ADC ranking — the IVF-PQ composition (the
+    * standard billion-scale ANN recipe): candidates come from the
+    * probed IVF cells exactly as in [[ivfJoin]], but the rank key is
+    * the asymmetric product-quantization distance against the corpus
+    * CODES ([[graft.functions.PqAdc]]), so at rank time the cells hold
+    * `pqM` one-byte codes per vector plus the broadcast codebooks —
+    * never the raw vectors. At 100 TB that is the difference between a
+    * memory-resident index and re-reading terabytes of floats per probe
+    * batch. `sim = −adc`, so the shared rank/vote stages (which order
+    * by sim DESC) and [[knnClassify]] work unchanged — the fourth
+    * swappable neighbor stage (exact / LSH multi-probe / IVF / IVF-PQ),
+    * accuracy-pinned like the others on the clustered fixture.
+    */
+  def ivfPqJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
+                pqM: Int = 4, pqKs: Int = 8): DataFrame = {
+    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
+    val centroids = ivfCentroids(corpus, idCol, vecCol, m)
+    val cbLit = pqCodebooksLit(
+      pqCodebooks(corpus, idCol, vecCol, pqM, pqKs))
+    val cellSims = centroids.map { case (cellId, c) =>
+      struct(cosine(col("__qv"), array(c.map(lit): _*)).as("sim"),
+        lit(cellId).as("cell"))
+    }
+    val probes = slice(reverse(array_sort(array(cellSims: _*))), 1, nProbe)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
+    val c = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("match_id"),
+        graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
+          pqKs).as("__codes"),
+        col("__cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    q.join(c, Seq("__cell"))
+      .select(col("query_id"), col("match_id"),
+        (-graft.functions.PqAdc(col("__qv"), col("__codes"), cbLit, pqKs))
+          .as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** kNN label classification over ANY neighbor stage: majority vote of
     * the k nearest labels (ties broken by smaller label), reduced to
     * per-class accuracy counts. `neighbors` supplies (query_id,
     * match_id, sim) — [[annJoinExact]] is the oracle-scale ground
-    * truth; [[annJoin]] (LSH multi-probe) and [[ivfJoin]] (IVF probe)
+    * truth; [[annJoin]] (LSH multi-probe), [[ivfJoin]] (IVF probe) and
+    * [[ivfPqJoin]] (IVF cells ranked by PQ-ADC codes)
     * are the 100 TB paths; all flow through the IDENTICAL vote/accuracy
     * plan, so swapping the probe in changes one argument, not the
-    * pipeline (the spec pins both approximate variants' accuracy within
+    * pipeline (the spec pins the approximate variants' accuracy within
     * 5 points of exact on the clustered fixture).
     * Self-matches are excluded here, so queries may be a subset of the
     * corpus.

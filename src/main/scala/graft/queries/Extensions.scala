@@ -2021,6 +2021,58 @@ object Extensions {
              |FROM truth t JOIN est e ON t.wd = e.wd
              |ORDER BY cms_est DESC, token LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Linear quality probe (ops.Regress): distill the expensive fused-
+    // kernel diversity signal (type-token ratio — needs a (doc, token)
+    // shuffle) into a closed-form OLS probe over two CHEAP features
+    // (log length, chars-per-token) the corpus already carries. ONE
+    // corpus pass emits the nine normal-equation sums; coefficients are
+    // Cramer's rule on that single row and R² expands from the same
+    // sums — the expensive gate runs once, every later pass scores with
+    // b0 + b1·x1 + b2·x2. Both engines share the exact Cramer operation
+    // structure; TTR's negative slope on log-length IS Heaps' law, so
+    // the fit is meaningful, not a toy identity.
+    Q("q_linear_probe",
+      (s, d) => {
+        val lex = TextAnalysis.lexicalStats(Tables.documents(s, d),
+          "doc_id", "text")
+        val feats = lex.join(
+            Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars")),
+            Seq("id"))
+          .select(col("ttr").as("y"),
+            log(col("n_chars").cast(DoubleType) + 1.0).as("x1"),
+            (col("n_chars").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType)).as("x2"))
+        graft.ops.Regress.fitLinear2(feats, col("y"), col("x1"), col("x2"))
+          .select(col("n"), round(col("b0"), 6).as("b0"),
+            round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+            round(col("r2"), 6).as("r2"))
+      },
+      Some("""WITH tc AS (SELECT doc_id AS id, tok, count(*) AS c FROM
+             |(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+             |GROUP BY 1, 2),
+             |lex AS (SELECT id, CAST(count(*) AS DOUBLE) / sum(c) AS y,
+             |CAST(sum(c) AS DOUBLE) AS nt FROM tc GROUP BY id),
+             |feats AS (SELECT lex.y, ln(CAST(d.n_chars AS DOUBLE) + 1.0) AS x1,
+             |CAST(d.n_chars AS DOUBLE) / lex.nt AS x2
+             |FROM lex JOIN documents d ON d.doc_id = lex.id),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1,
+             |sum(x2) AS s2, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+             |sum(x2*x2) AS s22, sum(y) AS sy, sum(x1*y) AS s1y,
+             |sum(x2*y) AS s2y, sum(y*y) AS syy FROM feats),
+             |b AS (SELECT *, n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+             |+ s2*(s1*s12 - s11*s2) AS det FROM s),
+             |c AS (SELECT *,
+             |(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0,
+             |(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1,
+             |(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2
+             |FROM b)
+             |SELECT CAST(n AS BIGINT) AS n, round(b0, 6) AS b0,
+             |round(b1, 6) AS b1, round(b2, 6) AS b2,
+             |round(1 - (syy - 2*(b0*sy + b1*s1y + b2*s2y)
+             |+ (b0*b0*n + b1*b1*s11 + b2*b2*s22 + 2*b0*b1*s1 + 2*b0*b2*s2
+             |+ 2*b1*b2*s12)) / (syy - sy*sy/n), 6) AS r2
+             |FROM c""".stripMargin.replace("\n", " "))),
+
     // Incremental dedup: the "new batch" (doc_id >= 400) deduplicated
     // against the historical corpus (doc_id < 400) through a PERSISTED
     // band index — history is signed once at index-build time, never

@@ -324,6 +324,13 @@ class ExtensionsSpec extends SparkSpec {
       Similarity.ivfJoin(a, b, "vec_id", "embedding", k = 6,
         m = 16, nProbe = 4, kmeansIters = 3))
     assert(math.abs(exact - ivf) <= 0.05, s"exact=$exact ivf=$ivf")
+    // fourth neighbor stage: IVF cells ranked by PQ-ADC codes — the
+    // memory-resident variant must not trade away model quality either
+    // (8 subspaces × 16 codewords on the 32-d fixture)
+    val ivfpq = accuracy((a, b) =>
+      Similarity.ivfPqJoin(a, b, "vec_id", "embedding", k = 6,
+        m = 16, nProbe = 4, pqM = 8, pqKs = 16))
+    assert(math.abs(exact - ivfpq) <= 0.05, s"exact=$exact ivfpq=$ivfpq")
     emb.unpersist()
   }
 
