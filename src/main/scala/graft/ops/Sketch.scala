@@ -41,6 +41,22 @@ object Sketch {
       .select(col("j"), cmsBucket(col("__v"), col("j"), w).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** [[cmsSketch]] from a pre-aggregated `(value, weight)` frame — cell
+    * values are IDENTICAL (a cell's count over raw occurrences equals
+    * the weight-sum over distinct values), but the ×d explode runs over
+    * the vocabulary instead of the corpus. When a frequency table
+    * already exists (or the caller needs truth next to the estimate
+    * anyway), this halves the corpus scans and shrinks the exploded
+    * side by the corpus/vocabulary ratio.
+    */
+  def cmsSketchWeighted(freq: DataFrame, valueCol: String, weightCol: String,
+                        d: Int, w: Int): DataFrame =
+    freq.select(col(valueCol).as("__v"), col(weightCol).as("__n"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("j"), cmsBucket(col("__v"), col("j"), w).as("bucket"),
+        col("__n"))
+      .groupBy("j", "bucket").agg(sum(col("__n")).as("cnt"))
+
   /** Point estimates for a candidate frame of values (one column named
     * `valueCol`): `min_j cell[j][h_j(x)]`. The sketch side is `d·w`
     * rows → broadcast; candidates never shuffle. Values the sketch
@@ -65,8 +81,14 @@ object Sketch {
     */
   def cmsHeavyHitters(df: DataFrame, valueCol: String,
                       d: Int = 4, w: Int = 64): DataFrame = {
-    val sketch = cmsSketch(df, valueCol, d, w)
-    val truth = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+    // ONE corpus scan: the truth table doubles as the sketch's weighted
+    // input (identical cells — see cmsSketchWeighted), so the ×d explode
+    // runs over the vocabulary, not the corpus; truth feeds three
+    // branches (sketch, candidates, report join) → leaf-materialized
+    // once, vocabulary-sized
+    val (truth, _) = Dedup.materializeLeaf(
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("n")))
+    val sketch = cmsSketchWeighted(truth, valueCol, "n", d, w)
     cmsEstimate(truth.select(col(valueCol)), valueCol, sketch, d, w)
       .join(truth, Seq(valueCol))
       .select(col(valueCol), col("n"), col("cms_est"),

@@ -29,6 +29,14 @@ class SketchSpec extends SparkSpec {
     assert(hh.filter(col("overcount") > 0).count() > 0)
   }
 
+  test("weighted sketch over the frequency table equals the raw sketch") {
+    val raw = (0 until 400).map(i => s"k${i % 23}").toDF("v")
+    val freq = raw.groupBy("v").agg(count(lit(1)).as("n"))
+    val a = Sketch.cmsSketch(raw, "v", d = 4, w = 16)
+    val b = Sketch.cmsSketchWeighted(freq, "v", "n", d = 4, w = 16)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("sketch of a union equals the cell-wise sum of the sketches") {
     val a = (0 until 200).map(i => s"x${i % 17}").toDF("v")
     val b = (0 until 300).map(i => s"x${i % 29}").toDF("v")
