@@ -590,4 +590,38 @@ class PlanSpec extends SparkSpec {
     assert(!decodePrefix.contains("Exchange hashpartitioning"),
       "decode stage introduced a shuffle")
   }
+
+  test("PQ ADC: probes broadcast against the coded corpus; top-k prunes pre-shuffle") {
+    val p = plan("q_pq_adc")
+    // the 5-probe side is the broadcast build of the cross join — the
+    // corpus (codes) side streams, raw vectors never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), "probe side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "ADC scan degenerated to a shuffled join")
+    // Spark's rank-filter rewrite: per-probe top-k drops candidates
+    // BEFORE the window exchange, so the shuffle carries ~k rows/probe
+    assert(p.contains("WindowGroupLimit"),
+      "per-probe top-k must prune before the rank window")
+  }
+
+  test("BPE encode: merge table broadcasts; token counts combine map-side") {
+    val p = plan("q_bpe_encode")
+    // the 1-row merge table joins by broadcast — the vocabulary never
+    // shuffles to meet it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "merge table must broadcast")
+    // final token counts: partial aggregation before the exchange
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("linear probe: ONE row crosses the final stage — sufficient stats, no second data pass") {
+    val df = SparkEntry.queries("q_linear_probe")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // a single global aggregate feeds the Cramer arithmetic: no join of
+    // the fit back onto the data, no window over the corpus
+    assert(!p.contains("Window "), "probe fit must not window over the corpus")
+    val joins = "SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).size
+    // the only join is the feature build (lexical stats × n_chars)
+    assert(joins <= 1, s"unexpected joins in the fit:\n${p.take(1000)}")
+  }
 }
