@@ -65,4 +65,52 @@ class NativeExprPropSpec extends SparkSpec {
       .filter(coalesce($"jr", lit(0d)) =!= coalesce($"jn", lit(0d)))
     assert(cmp.isEmpty, cmp.limit(5).collect().mkString("\n"))
   }
+
+  test("bpe_encode reconstruction invariant: symbols concatenate back to the word") {
+    val rnd = new scala.util.Random(11)
+    val words = (Iterator.continually(word.sample).flatten
+      .filter(_.nonEmpty).take(200).toSeq ++
+      Seq("llll", "ababab", "日本語日本", "aaaa", "xyzzy")).distinct
+    // random single-char rules drawn from the words' own alphabet, so
+    // merges genuinely fire
+    val alphabet = words.flatMap(_.toSeq).distinct
+    val rules = (0 until 12).map { _ =>
+      s"${alphabet(rnd.nextInt(alphabet.size))} ${alphabet(rnd.nextInt(alphabet.size))}"
+    }
+    val out = words.toDF("w")
+      .select($"w", BpeEncode($"w", typedLit(rules)).as("syms"))
+      .as[(String, Seq[String])].collect()
+    out.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"'$w' -> $syms loses content")
+      assert(syms.forall(_.nonEmpty), s"'$w' -> $syms has empty symbols")
+    }
+  }
+
+  test("pq encode/adc agree with a scalar brute-force reference on random vectors") {
+    val rnd = new scala.util.Random(23)
+    val m = 4; val ks = 8; val dsub = 4; val dim = m * dsub
+    val cb = Array.fill(m * ks)(Array.fill(dsub)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian()))
+    def l2(a: Array[Double], off: Int, w: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < w.length) { val d = a(off + i) - w(i); s += d * d; i += 1 }
+      s
+    }
+    def refEncode(v: Array[Double]): Seq[Int] =
+      (0 until m).map { mi =>
+        (0 until ks).minBy(c => (l2(v, mi * dsub, cb(mi * ks + c)), c))
+      }
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val got = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+      .select($"id", PqEncode($"v", cbLit, ks).as("codes"),
+        PqAdc($"v", PqEncode($"v", cbLit, ks), cbLit, ks).as("adc"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    got.foreach { case (id, codes, adc) =>
+      val v = vecs(id.toInt)._2
+      val exp = refEncode(v)
+      assert(codes == exp, s"vec $id: $codes vs $exp")
+      val expAdc = (0 until m).map(mi => l2(v, mi * dsub, cb(mi * ks + codes(mi)))).sum
+      assert(math.abs(adc - expAdc) < 1e-12, s"vec $id adc $adc vs $expAdc")
+    }
+  }
 }
