@@ -84,6 +84,7 @@ object Versioned {
   }
 
   private val TagLine = "#tag="
+  private val TsLine = "#ts="
 
   private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val (fs, _) = Refresh.hfs(spark, root)
@@ -153,13 +154,15 @@ object Versioned {
     * concurrent publishes are arbitrated.
     */
   private def commitManifest(spark: SparkSession, root: String, v: Long,
-                             files: Seq[String], tag: Option[String]): Unit = {
+                             files: Seq[String], tag: Option[String],
+                             tsMillis: Option[Long] = None): Unit = {
     val (fs, _) = Refresh.hfs(spark, root)
     val mdir = new Path(root, ManifestsDir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-v=$v-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    val lines = tag.map(TagLine + _).toSeq ++ files
+    val lines = Seq(TsLine + tsMillis.getOrElse(System.currentTimeMillis())) ++
+      tag.map(TagLine + _).toSeq ++ files
     try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -230,6 +233,44 @@ object Versioned {
   def readLatest(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Commit time of version `v` in epoch millis: the `#ts=` line its
+    * manifest recorded at commit ([[migrate]] backfills it from the
+    * legacy data directory's mtime), or — for manifests written before
+    * the line existed — the manifest file's own modification time,
+    * which the atomic rename stamped at commit.
+    */
+  def commitTimeOf(spark: SparkSession, root: String, v: Long): Long =
+    manifestLines(spark, root, v).find(_.startsWith(TsLine))
+      .map(_.stripPrefix(TsLine).toLong)
+      .getOrElse {
+        val (fs, _) = Refresh.hfs(spark, root)
+        fs.getFileStatus(manifestPath(root, v)).getModificationTime
+      }
+
+  /** The newest version committed at-or-before `tsMillis` — time travel
+    * over the snapshot store. Versions commit through a single ordered
+    * writer path, so commit times are monotone in the version number;
+    * the resolver still takes the max over ALL qualifying versions
+    * rather than assuming it, so a clock hiccup degrades to a correct-
+    * if-slower answer, never a wrong one. None when `tsMillis` predates
+    * the first commit.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] =
+    listVersions(spark, root)
+      .filter(v => commitTimeOf(spark, root, v) <= tsMillis)
+      .maxOption
+
+  /** Read the snapshot as it stood at `tsMillis` ("SELECT ... AS OF"):
+    * resolve with [[versionAsOf]], read that version's manifest-exact
+    * file list.
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val v = versionAsOf(spark, root, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"no version committed at or before $tsMillis under $root"))
     readVersion(spark, root, v)
   }
 
@@ -332,7 +373,15 @@ object Versioned {
           !s.getPath.getName.startsWith("."))
         .map(_.getPath.getName).sorted
       if (files.isEmpty) None
-      else { commitManifest(spark, root, v, files, None); Some(v) }
+      else {
+        // a legacy version's best commit-time estimate is its data
+        // directory's mtime, not the migration's wall clock — time
+        // travel across the migration boundary stays meaningful
+        val dirTs = fs.getFileStatus(new Path(versionDir(root, v)))
+          .getModificationTime
+        commitManifest(spark, root, v, files, None, Some(dirTs))
+        Some(v)
+      }
     }
   }
 }

@@ -166,4 +166,47 @@ class VersionedSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(m == Map(3L -> "delete", 4L -> "insert"), s"got $m")
   }
+
+  test("time travel: readAsOf resolves the snapshot a timestamp saw") {
+    val root = freshRoot()
+    val before = System.currentTimeMillis() - 1
+    Versioned.publish(Seq("v1").toDF("t"), root)
+    val t1 = Versioned.commitTimeOf(spark, root, 1L)
+    Thread.sleep(5) // distinct commit millis for the two versions
+    Versioned.publish(Seq("v2a", "v2b").toDF("t"), root)
+    val t2 = Versioned.commitTimeOf(spark, root, 2L)
+    assert(t1 < t2, s"commit times must be monotone: $t1 vs $t2")
+    // as-of each commit instant: exactly that snapshot
+    assert(Versioned.versionAsOf(spark, root, t1).contains(1L))
+    assert(Versioned.readAsOf(spark, root, t1).as[String].collect().toSeq
+      == Seq("v1"))
+    assert(Versioned.versionAsOf(spark, root, t2).contains(2L))
+    assert(Versioned.readAsOf(spark, root, System.currentTimeMillis())
+      .count() == 2L)
+    // between the commits: still the older snapshot
+    if (t2 - t1 > 1)
+      assert(Versioned.versionAsOf(spark, root, t2 - 1).contains(1L))
+    // before the first commit: nothing to read
+    assert(Versioned.versionAsOf(spark, root, before).isEmpty)
+    intercept[IllegalStateException] {
+      Versioned.readAsOf(spark, root, before)
+    }
+  }
+
+  test("migrate backfills legacy commit times from the data directory, not the clock") {
+    val root = freshRoot()
+    Versioned.publish(Seq("x").toDF("t"), root)
+    // forge a legacy (pre-manifest) version: data dir without a manifest
+    val legacyDir = s"$root/v=2"
+    Seq("legacy").toDF("t").write.parquet(legacyDir)
+    val dirTs = {
+      val (fs, _) = graft.etl.Refresh.hfs(spark, root)
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(legacyDir))
+        .getModificationTime
+    }
+    Thread.sleep(5)
+    assert(Versioned.migrate(spark, root) == Seq(2L))
+    assert(Versioned.commitTimeOf(spark, root, 2L) == dirTs,
+      "migrated version must carry the data dir's mtime, not migration time")
+  }
 }
