@@ -84,7 +84,10 @@ object BpeEncode {
     val nRules = merges.numElements()
     var r = 0
     while (r < nRules && syms.size > 1) {
-      val rule = merges.getUTF8String(r).toString
+      // a null or separator-less element is an inert rule, not an error —
+      // SQL callers can hand-build merge arrays
+      val ruleU = if (merges.isNullAt(r)) null else merges.getUTF8String(r)
+      val rule = if (ruleU == null) "" else ruleU.toString
       val sp = rule.indexOf(' ')
       if (sp > 0) {
         val a = rule.substring(0, sp)

@@ -46,6 +46,8 @@ object Pq {
       var c = 0
       while (c < ks) {
         val w = cb.getArray(mi * ks + c)
+        require(w.numElements() == dsub,
+          s"codeword ${mi * ks + c} has ${w.numElements()} dims, expected $dsub")
         var dist = 0.0d
         var i = 0
         while (i < dsub) {
@@ -74,7 +76,12 @@ object Pq {
     var total = 0.0d
     var mi = 0
     while (mi < m) {
-      val w = cb.getArray(mi * ks + codes.getInt(mi))
+      val code = codes.getInt(mi)
+      require(code >= 0 && code < ks && mi * ks + code < cb.numElements(),
+        s"code $code out of range for ks=$ks at subspace $mi")
+      val w = cb.getArray(mi * ks + code)
+      require(w.numElements() == dsub,
+        s"codeword ${mi * ks + code} has ${w.numElements()} dims, expected $dsub")
       val base = mi * dsub
       var dist = 0.0d
       var i = 0

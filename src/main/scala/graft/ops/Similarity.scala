@@ -380,7 +380,8 @@ object Similarity {
     val seeds = vectors.orderBy(col(idCol)).limit(ks)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    require(seeds.length == ks,
+      s"pqCodebooks needs >= ks=$ks vectors to seed, corpus has ${seeds.length}")
     val d = seeds(0).length
     require(m > 0 && d % m == 0, s"dim $d not a multiple of m=$m subspaces")
     val dsub = d / m
