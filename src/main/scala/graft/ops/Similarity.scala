@@ -331,6 +331,110 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialized PQ index: the corpus persisted as `(id, codes)` —
+    * `pqM` small codes of payload per vector instead of the raw floats
+    * (~100–1000× smaller) — with the codebooks (and, when `ivfCells >
+    * 0`, the coarse centroids) in a `_PQ_CODEBOOKS` sidecar, so probes
+    * rebuild the exact quantizer without touching the corpus. With
+    * `ivfCells > 0` the codes are `cell=`-hive-partitioned by the IVF
+    * assignment (the IVF-PQ layout): a probe reads ONLY its probed
+    * cells' code files — source-level pruning on an already code-sized
+    * index, the standard billion-scale serving layout. Doubles
+    * round-trip the sidecar exactly (`Double.toString`/`parseDouble`),
+    * so a probe's ADC arithmetic is bit-identical to an in-memory run.
+    * The sidecar lands after the data overwrite; a crash between the
+    * two leaves an index [[probePqIndex]] rejects loudly (missing
+    * sidecar), never one it misreads.
+    */
+  def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                   path: String, pqM: Int = 4, pqKs: Int = 8,
+                   ivfCells: Int = 0): Array[Array[Array[Double]]] = {
+    val spark = vectors.sparkSession
+    val cb = pqCodebooks(vectors, idCol, vecCol, pqM, pqKs)
+    val cbLit = pqCodebooksLit(cb)
+    val codes = graft.functions.PqEncode(
+      col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
+    val cents =
+      if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
+      else Array.empty[(Long, Array[Double])]
+    if (ivfCells > 0)
+      graft.etl.Refresh.overwrite(
+        ivfAssign(vectors, idCol, vecCol, cents)
+          .select(col(idCol), codes, col("__cell").as("cell")),
+        path, partitionByCols = Seq("cell"))
+    else
+      graft.etl.Refresh.overwrite(vectors.select(col(idCol), codes), path)
+    writePqSidecar(spark, path, pqM, pqKs, cb, cents)
+    cb
+  }
+
+  private val PqSidecar = "_PQ_CODEBOOKS"
+
+  private def writePqSidecar(spark: SparkSession, path: String, pqM: Int,
+                             pqKs: Int, cb: Array[Array[Array[Double]]],
+                             cents: Array[(Long, Array[Double])]): Unit = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, path)
+    val lines = Seq(s"pq $pqM $pqKs ${cb(0)(0).length}") ++
+      cb.flatten.map(w => "cw " + w.mkString(",")) ++
+      cents.map { case (id, c) => s"ct $id " + c.mkString(",") }
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, PqSidecar), true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The quantizer a [[writePqIndex]] extract was built with:
+    * `(pqM, pqKs, codebooks [m][ks][dsub], centroids)`.
+    */
+  def readPqSidecar(spark: SparkSession, path: String)
+      : (Int, Int, Array[Array[Array[Double]]], Array[(Long, Array[Double])]) = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, PqSidecar)
+    require(fs.exists(p), s"$path has no $PqSidecar sidecar — not a committed PQ index")
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val Array(_, mS, ksS, _) = lines.head.split(' ')
+    val (m, ks) = (mS.toInt, ksS.toInt)
+    val words = lines.tail.filter(_.startsWith("cw "))
+      .map(_.stripPrefix("cw ").split(',').map(java.lang.Double.parseDouble))
+    require(words.length == m * ks, s"sidecar has ${words.length} codewords, expected ${m * ks}")
+    val cb = Array.tabulate(m)(mi => Array.tabulate(ks)(c => words(mi * ks + c)))
+    val cents = lines.tail.filter(_.startsWith("ct ")).map { l =>
+      val rest = l.stripPrefix("ct ")
+      val sp = rest.indexOf(' ')
+      rest.take(sp).toLong -> rest.drop(sp + 1).split(',')
+        .map(java.lang.Double.parseDouble)
+    }.toArray
+    (m, ks, cb, cents)
+  }
+
+  /** Probe a [[writePqIndex]] extract: ADC top-k over the code files —
+    * only the `nProbe` nearest cells' partitions when the index is
+    * IVF-PQ-partitioned (source-level pruning), the whole (still
+    * code-sized) index otherwise. Returns `(id, adc)` ascending — the
+    * PQ estimate of squared L2, smaller is nearer.
+    */
+  def probePqIndex(spark: SparkSession, path: String, idCol: String,
+                   query: Array[Double], k: Int,
+                   nProbe: Int = 4): DataFrame = {
+    val (_, ks, cb, cents) = readPqSidecar(spark, path)
+    val cbLit = pqCodebooksLit(cb)
+    val q = typedLit(query.toSeq)
+    val base = spark.read.parquet(path)
+    val scoped =
+      if (cents.isEmpty) base
+      else base.filter(col("cell").isin(
+        nearestCells(cents, query, nProbe): _*))
+    scoped.select(col(idCol),
+        graft.functions.PqAdc(q, col("codes"), cbLit, ks).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** L2-normalize a vector column onto the unit sphere (double
     * precision, sequential fold — oracle-reproducible). Normalized
     * storage turns cosine into a pure dot product downstream.
