@@ -251,17 +251,17 @@ object Versioned {
       }
 
   /** The newest version committed at-or-before `tsMillis` — time travel
-    * over the snapshot store. Versions commit through a single ordered
-    * writer path, so commit times are monotone in the version number;
-    * the resolver still takes the max over ALL qualifying versions
-    * rather than assuming it, so a clock hiccup degrades to a correct-
-    * if-slower answer, never a wrong one. None when `tsMillis` predates
-    * the first commit.
+    * over the snapshot store. Scans versions DESCENDING and stops at the
+    * first qualifying one: that is exactly the max qualifying version
+    * (no monotone-commit-time assumption needed — newer versions that
+    * haven't qualified are merely skipped on the way down), and the
+    * typical as-of-recent query opens O(tail) manifests instead of all
+    * of them — the [[versionForTag]] cost posture, not an O(#versions)
+    * sweep per call. None when `tsMillis` predates the first commit.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] =
-    listVersions(spark, root)
-      .filter(v => commitTimeOf(spark, root, v) <= tsMillis)
-      .maxOption
+    listVersions(spark, root).reverseIterator
+      .find(v => commitTimeOf(spark, root, v) <= tsMillis)
 
   /** Read the snapshot as it stood at `tsMillis` ("SELECT ... AS OF"):
     * resolve with [[versionAsOf]], read that version's manifest-exact

@@ -37,6 +37,11 @@ object Pq {
     val d = vec.numElements()
     require(m > 0 && d % m == 0, s"dim $d not a multiple of m=$m subspaces")
     val dsub = d / m
+    var nc = 0
+    while (nc < d) {
+      require(!vec.isNullAt(nc), s"null vector component at $nc")
+      nc += 1
+    }
     val out = new Array[Any](m)
     var mi = 0
     while (mi < m) {
@@ -76,6 +81,7 @@ object Pq {
     var total = 0.0d
     var mi = 0
     while (mi < m) {
+      require(!codes.isNullAt(mi), s"null code at subspace $mi")
       val code = codes.getInt(mi)
       require(code >= 0 && code < ks && mi * ks + code < cb.numElements(),
         s"code $code out of range for ks=$ks at subspace $mi")

@@ -34,7 +34,12 @@ object Regress {
     * rather than an exploding division.
     */
   def fitLinear2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    // rows with ANY null drop from EVERY statistic: count(lit(1)) counts
+    // all rows while sum() skips nulls, so without this filter the
+    // normal equations would mix row populations and solve a mismatched
+    // system — silently wrong coefficients, not an error
     val s = df.select(y.as("y"), x1.as("x1"), x2.as("x2"))
+      .na.drop(Seq("y", "x1", "x2"))
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),

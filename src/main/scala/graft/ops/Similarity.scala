@@ -493,28 +493,46 @@ object Similarity {
       seeds.map(s => java.util.Arrays.copyOfRange(s, mi * dsub, (mi + 1) * dsub))
     }
     val v = col(vecCol).cast("array<double>")
+    // ONE corpus scan per iteration for ALL subspaces: per-row argmin
+    // codes (m narrow greatest() columns), then a single map-side-
+    // combined aggregate of m·ks·(dsub+1) conditional sums — the
+    // ivfCentroidsKMeans shape generalized across subspaces. An m-jobs-
+    // per-iteration formulation would scan the corpus m times for the
+    // same statistics. Column count is m·ks·(dsub+1) (~550 at the 4×8×16
+    // defaults) — fine for codegen; a very large m·ks should refine on a
+    // sample instead.
     (0 until iters).foreach { _ =>
-      cb = cb.zipWithIndex.map { case (words, mi) =>
+      val codeCols = (0 until m).map { mi =>
         val base = mi * dsub
-        // argmin as greatest() over struct(-dist, -c): single narrow scan
-        val cells = words.zipWithIndex.map { case (w, c) =>
+        // argmin as greatest() over struct(-dist, -c): narrow compute
+        val cells = cb(mi).zipWithIndex.map { case (w, c) =>
           val dist = (0 until dsub).map { i =>
             val diff = element_at(v, base + i + 1) - lit(w(i))
             diff * diff
           }.reduce(_ + _)
           struct((-dist).as("nd"), lit(-c).as("nc"))
         }
-        val sums = vectors
-          .withColumn("__c", -greatest(cells: _*).getField("nc"))
-          .groupBy(col("__c"))
-          .agg(count(lit(1)).as("__n"),
-            (0 until dsub).map(i =>
-              sum(element_at(v, base + i + 1)).as(s"__s$i")): _*)
-          .collect()
-          .map(r => r.getInt(0) ->
-            Array.tabulate(dsub)(i => r.getDouble(i + 2) / r.getLong(1)))
-          .toMap
-        words.zipWithIndex.map { case (old, c) => sums.getOrElse(c, old) }
+        (-greatest(cells: _*).getField("nc")).as(s"__c$mi")
+      }
+      val assigned = vectors.select(codeCols :+ v.as("__v"): _*)
+      // block layout per (mi, c): [count, sum_0 .. sum_{dsub-1}]
+      val aggCols = for {
+        mi <- 0 until m
+        c <- 0 until ks
+        a <- count(when(col(s"__c$mi") === c, 1)).as(s"__n_${mi}_$c") +:
+          (0 until dsub).map(i =>
+            sum(when(col(s"__c$mi") === c,
+              element_at(col("__v"), mi * dsub + i + 1)))
+              .as(s"__s_${mi}_${c}_$i"))
+      } yield a
+      val row = assigned.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      cb = Array.tabulate(m) { mi =>
+        Array.tabulate(ks) { c =>
+          val off = (mi * ks + c) * (dsub + 1)
+          val n = row.getLong(off)
+          if (n == 0) cb(mi)(c) // emptied cell keeps its previous codeword
+          else Array.tabulate(dsub)(i => row.getDouble(off + 1 + i) / n)
+        }
       }
     }
     cb
@@ -669,16 +687,21 @@ object Similarity {
     * index-build-sized). Each corpus row lives in exactly ONE cell, so
     * unlike the multi-probe LSH join no candidate dedup is needed.
     */
-  def ivfJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
-    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
-    val centroids =
-      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
-      else ivfCentroids(corpus, idCol, vecCol, m)
-    // per-query probe set: top-nProbe cells by centroid cosine. Sorting m
-    // struct(sim, cell) literals per row is O(m log m) codegen'd compute,
-    // m is index-build-sized (tens to thousands) — never a shuffle.
+  /** Shared IVF probe/candidate stage for [[ivfJoin]] and [[ivfPqJoin]]
+    * — the variants differ ONLY in what the corpus side carries
+    * (`corpusCols`) and how candidates are ranked, so probe selection
+    * and tie-breaking can never drift apart between them. Per-query
+    * probe set: top-nProbe cells by centroid cosine; sorting m
+    * struct(sim, cell) literals per row is O(m log m) codegen'd
+    * compute, m is index-build-sized (tens to thousands) — never a
+    * shuffle. Output: `(query_id, __qv, match_id, corpusCols...)` from
+    * the cell equi-join.
+    */
+  private def ivfCellCandidates(queries: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                centroids: Array[(Long, Array[Double])],
+                                nProbe: Int,
+                                corpusCols: Seq[Column]): DataFrame = {
     val cellSims = centroids.map { case (cellId, c) =>
       struct(cosine(col("__qv"), array(c.map(lit): _*)).as("sim"),
         lit(cellId).as("cell"))
@@ -687,14 +710,23 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
     val c = ivfAssign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("match_id"), col(vecCol).as("__cv"), col("__cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+      .select(col(idCol).as("match_id") +: corpusCols :+ col("__cell"): _*)
     q.join(c, Seq("__cell"))
-      .select(col("query_id"), col("match_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  def ivfJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    rankTopK(
+      ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+        Seq(col(vecCol).as("__cv")))
+        .select(col("query_id"), col("match_id"),
+          cosine(col("__qv"), col("__cv")).as("sim")),
+      k)
   }
 
   /** [[ivfJoin]] with PQ-ADC ranking — the IVF-PQ composition (the
@@ -717,27 +749,14 @@ object Similarity {
     val centroids = ivfCentroids(corpus, idCol, vecCol, m)
     val cbLit = pqCodebooksLit(
       pqCodebooks(corpus, idCol, vecCol, pqM, pqKs))
-    val cellSims = centroids.map { case (cellId, c) =>
-      struct(cosine(col("__qv"), array(c.map(lit): _*)).as("sim"),
-        lit(cellId).as("cell"))
-    }
-    val probes = slice(reverse(array_sort(array(cellSims: _*))), 1, nProbe)
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
-    val c = ivfAssign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("match_id"),
-        graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
-          pqKs).as("__codes"),
-        col("__cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
-    q.join(c, Seq("__cell"))
-      .select(col("query_id"), col("match_id"),
-        (-graft.functions.PqAdc(col("__qv"), col("__codes"), cbLit, pqKs))
-          .as("sim"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
+    rankTopK(
+      ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+        Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
+          pqKs).as("__codes")))
+        .select(col("query_id"), col("match_id"),
+          (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
+            col("__codes"), cbLit, pqKs)).as("sim")),
+      k)
   }
 
   /** kNN label classification over ANY neighbor stage: majority vote of

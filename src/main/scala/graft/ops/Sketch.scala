@@ -79,19 +79,32 @@ object Sketch {
     * derives candidates from the same frame; a production monitor keeps
     * only the sketch and probes it with last period's heavy hitters.
     */
+  /** [[cmsHeavyHitters]] over an EXISTING frequency table — the real
+    * production shape: at corpus scale the `(value, n)` table is a
+    * materialized artifact anyway (a published extract, a cached stage),
+    * and this variant adds zero corpus scans and pins nothing. `freq`
+    * feeds three vocabulary-sized branches (weighted sketch, estimate
+    * probe, report join); hand it a materialized frame or accept
+    * recomputation of its plan.
+    */
+  def cmsHeavyHittersFromFreq(freq: DataFrame, valueCol: String, nCol: String,
+                              d: Int = 4, w: Int = 64): DataFrame = {
+    val sketch = cmsSketchWeighted(freq, valueCol, nCol, d, w)
+    cmsEstimate(freq.select(col(valueCol)), valueCol, sketch, d, w)
+      .join(freq, Seq(valueCol))
+      .select(col(valueCol), col(nCol).as("n"), col("cms_est"),
+        (col("cms_est") - col(nCol)).as("overcount"))
+  }
+
   def cmsHeavyHitters(df: DataFrame, valueCol: String,
                       d: Int = 4, w: Int = 64): DataFrame = {
-    // ONE corpus scan: the truth table doubles as the sketch's weighted
-    // input (identical cells — see cmsSketchWeighted), so the ×d explode
-    // runs over the vocabulary, not the corpus; truth feeds three
-    // branches (sketch, candidates, report join) → leaf-materialized
-    // once, vocabulary-sized
+    // convenience wrapper: the corpus is scanned ONCE into a vocabulary-
+    // sized disk leaf that backs all three branches. The leaf RDD stays
+    // pinned for the session (no unpersist hook on a lazy result) — a
+    // per-period monitor should materialize its own frequency table and
+    // call cmsHeavyHittersFromFreq instead.
     val (truth, _) = Dedup.materializeLeaf(
       df.groupBy(col(valueCol)).agg(count(lit(1)).as("n")))
-    val sketch = cmsSketchWeighted(truth, valueCol, "n", d, w)
-    cmsEstimate(truth.select(col(valueCol)), valueCol, sketch, d, w)
-      .join(truth, Seq(valueCol))
-      .select(col(valueCol), col("n"), col("cms_est"),
-        (col("cms_est") - col("n")).as("overcount"))
+    cmsHeavyHittersFromFreq(truth, valueCol, "n", d, w)
   }
 }

@@ -1978,7 +1978,8 @@ object Extensions {
              |FROM (SELECT * FROM v WHERE vec_id < 5) p
              |JOIN codes co ON co.vec_id <> p.vec_id
              |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
-             |adc AS (SELECT probe_id, match_id, sum(dd) AS adc
+             |adc AS (SELECT probe_id, match_id,
+             |list_sum(list(dd ORDER BY mi)) AS adc
              |FROM sub GROUP BY probe_id, match_id),
              |r AS (SELECT probe_id, match_id, adc,
              |row_number() OVER (PARTITION BY probe_id ORDER BY adc, match_id) AS rank

@@ -509,10 +509,14 @@ object Streams {
     require(lambda > 0 && lambda < 1, s"need 0<lambda<1, got $lambda")
     require(reference.nonEmpty && reference.values.forall(_ >= 0)
       && reference.values.sum > 0, "reference must carry positive weight")
+    // null keeps its own category (U+0000 sentinel — the repo's standard
+    // null marker, outside any real category alphabet): folding it into
+    // "" would collide with a genuine empty-string category and toMap
+    // would silently drop one of the two counts
     val counts = batch
-      .groupBy(col(catCol).cast("string").as("c"))
+      .groupBy(coalesce(col(catCol).cast("string"), lit("\u0000")).as("c"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) None
     else {
       val cats = (counts.keySet ++ reference.keySet).toSeq.sorted

@@ -37,6 +37,16 @@ class SketchSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("cmsHeavyHittersFromFreq over a frequency table matches the raw path") {
+    val raw = (0 until 300).map(i => s"v${i % 13}").toDF("v")
+    val freq = raw.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val a = Sketch.cmsHeavyHitters(raw, "v", d = 4, w = 8).orderBy("v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b = Sketch.cmsHeavyHittersFromFreq(freq, "v", "cnt", d = 4, w = 8)
+      .orderBy("v").as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("sketch of a union equals the cell-wise sum of the sketches") {
     val a = (0 until 200).map(i => s"x${i % 17}").toDF("v")
     val b = (0 until 300).map(i => s"x${i % 29}").toDF("v")
