@@ -1988,6 +1988,70 @@ object Extensions {
              |round(adc, 4) AS adc FROM r WHERE rank <= 5
              |ORDER BY probe_id, rank""".stripMargin.replace("\n", " "))),
 
+    // The composed IVF-PQ batch join, oracle-checked end to end: probes
+    // pick their nProbe nearest coarse cells (argsort EXPRESSION), cell
+    // candidates rank by PQ-ADC against the codes — the billion-scale
+    // serving shape (Similarity.ivfPqJoin, the 4th knnClassify stage).
+    // The oracle re-derives centroid assignment (greatest() tie-break ==
+    // ORDER BY sim DESC, cell DESC), the probe sets, the codes, and the
+    // ordered ADC fold from relational state alone — every stage of the
+    // composition is replayed, not just its pieces. Self-matches rank
+    // first by construction (a vector's ADC to its own codes is its
+    // quantization error) and are kept: deterministic on both engines.
+    Q("q_ivf_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val nn = Similarity.ivfPqJoin(probes, emb, "vec_id", "embedding",
+          k = 5, m = 8, nProbe = 2, pqM = 4, pqKs = 8)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("match_id"))
+        nn.withColumn("rank", row_number().over(w).cast(LongType))
+          .select(col("query_id"), col("rank"), col("match_id"),
+            round(-col("sim"), 4).as("adc"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
+             |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |FROM (SELECT vec_id, l FROM v ORDER BY vec_id LIMIT 8) s),
+             |ms AS (SELECT unnest(range(0, 4)) AS mi),
+             |cb AS (SELECT ms.mi, seeds.c,
+             |list_slice(seeds.l, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+             |FROM seeds CROSS JOIN ms),
+             |dist AS (SELECT v.vec_id, cb.mi, cb.c,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (v.l[cb.mi*16 + i] - cb.w[i]) * (v.l[cb.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM v CROSS JOIN cb),
+             |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+             |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+             |FROM dist) t WHERE rn = 1),
+             |cents AS (SELECT vec_id AS cell, l AS cl FROM v ORDER BY vec_id LIMIT 8),
+             |asim AS (SELECT v.vec_id, cents.cell,
+             |list_cosine_similarity(v.l, cents.cl) AS sim FROM v CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM asim) t WHERE rn = 1),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM asim WHERE vec_id < 5) t WHERE rn <= 2),
+             |cand AS (SELECT p.query_id, a.vec_id AS match_id
+             |FROM probes p JOIN assigned a ON a.cell = p.cell),
+             |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (q.l[co.mi*16 + i] - cb.w[i]) * (q.l[co.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM cand JOIN v q ON q.vec_id = cand.query_id
+             |JOIN codes co ON co.vec_id = cand.match_id
+             |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+             |adc AS (SELECT query_id, match_id,
+             |list_sum(list(dd ORDER BY mi)) AS adc
+             |FROM sub GROUP BY query_id, match_id),
+             |r AS (SELECT query_id, match_id, adc,
+             |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rank
+             |FROM adc)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, match_id,
+             |round(adc, 4) AS adc FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin.replace("\n", " "))),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the token stream: the d=4 × w=64 sketch is RELATIONAL (cells are
     // plain sums), so map-side combine IS the sketch merge — each

@@ -570,6 +570,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming frequency-profile maintenance: each micro-batch's
+    * count-min sketch cell-adds into the persisted `d×w` sketch —
+    * mergeability ([[graft.ops.Sketch]]) IS the streaming operator, so
+    * the running corpus-lifetime profile costs one batch-sized scan plus
+    * a ≤ `d·w`-row merge per drain, and NEVER a history re-scan. The
+    * store is a versioned snapshot root: every merge publishes a NEW
+    * tiny version under the batch's idempotency tag, so a replayed
+    * batch (crash between publish and checkpoint commit) finds its tag
+    * and skips — exactly-once cell totals on an at-least-once executor,
+    * the [[versionedRefreshQuery]] recovery contract applied to sketch
+    * state. Readers `Versioned.readLatest` a complete snapshot, never a
+    * half-merged one; `keep` bounds the version trail.
+    */
+  def cmsSketchStream(docs: DataFrame, valueCol: String, root: String,
+                      checkpoint: String, d: Int = 4, w: Int = 64,
+                      keep: Int = 3,
+                      trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = docs.sparkSession
+    val ckptId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"$ckptId:$batchId"
+          if (graft.etl.Versioned.versionForTag(spark, root, tag).isEmpty) {
+            val bs = graft.ops.Sketch.cmsSketch(batch, valueCol, d, w)
+            val merged = graft.etl.Versioned.currentVersion(spark, root) match {
+              case None => bs
+              case Some(_) => graft.etl.Versioned.readLatest(spark, root)
+                .union(bs).groupBy(col("j"), col("bucket"))
+                .agg(sum(col("cnt")).as("cnt"))
+            }
+            graft.etl.Versioned.publish(merged, root, Some(tag))
+            graft.etl.Versioned.vacuum(spark, root, keep)
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
   /** A detected streaming duplicate: `docId` arrived with the same
     * MinHash signature as the earlier `firstDocId`.
     */

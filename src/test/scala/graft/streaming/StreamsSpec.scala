@@ -712,6 +712,35 @@ class StreamsSpec extends SparkSpec {
     assert(driftReport(Seq.empty[String].toDF("src"), "src", ref).isEmpty)
   }
 
+  test("cmsSketchStream: merged sketch equals the all-data sketch, exactly-once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val root = tmp("cms_root") + "/sketch"
+    val ckpt = tmp("ckpt_cms")
+    def drain(): Unit = {
+      val q = cmsSketchStream(input.toDF().toDF("v"), "v", root, ckpt,
+        d = 4, w = 8)
+      try q.awaitTermination() finally q.stop()
+    }
+    val b1 = (0 until 50).map(i => s"k${i % 7}")
+    val b2 = (0 until 80).map(i => s"k${i % 11}")
+    input.addData(b1: _*); drain()
+    input.addData(b2: _*); drain()
+    val got = graft.etl.Versioned.readLatest(spark, root)
+      .orderBy("j", "bucket").as[(Int, Long, Long)].collect().toSeq
+    val want = graft.ops.Sketch.cmsSketch((b1 ++ b2).toDF("v"), "v", 4, 8)
+      .orderBy("j", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(got == want, s"merged $got vs all-data $want")
+    assert(graft.etl.Versioned.listVersions(spark, root).size == 2)
+    // crash-replay window: re-publishing batch 1's tag must be skipped —
+    // the batch body's own guard (versionForTag) sees it committed
+    val ckptId = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    assert(graft.etl.Versioned.versionForTag(spark, root, s"$ckptId:0").nonEmpty)
+    assert(graft.etl.Versioned.versionForTag(spark, root, s"$ckptId:1").nonEmpty)
+  }
+
   test("driftMonitorQuery appends one replay-idempotent report row per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
