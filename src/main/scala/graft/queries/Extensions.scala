@@ -2086,6 +2086,51 @@ object Extensions {
              |FROM truth t JOIN est e ON t.wd = e.wd
              |ORDER BY cms_est DESC, token LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Batch analog of the streaming drift monitor, oracle-checked: the
+    // corpus's NEW half (doc_id >= 300, "this week's crawl") scored
+    // against the OLD half's source mix with the same λ-uniform-smoothed
+    // KL(new ‖ old) the monitor computes, per-category terms included —
+    // so the drift arithmetic itself has an oracle, not just a spec.
+    // Two vocabulary-sized aggregates + a categories-sized join; the
+    // sorted ORDER BY makes the fold order irrelevant (per-term rows,
+    // summed by the reader or a trivial rollup).
+    Q("q_drift_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val newc = docs.filter(col("doc_id") >= 300)
+          .groupBy(col("source")).agg(count(lit(1)).as("cn"))
+        val oldc = docs.filter(col("doc_id") < 300)
+          .groupBy(col("source")).agg(count(lit(1)).as("co"))
+        val joined = newc.join(oldc, Seq("source"), "full_outer")
+          .na.fill(0L, Seq("cn", "co"))
+        val tot = joined.agg(sum(col("cn")).as("tn"), sum(col("co")).as("to"),
+          count(lit(1)).as("k"))
+        // literal 0.99/0.01 on BOTH sides (not 1−λ arithmetic, whose
+        // result can differ from the parsed literal by one ulp)
+        val p = (lit(0.99d) * col("cn").cast(DoubleType) /
+          col("tn").cast(DoubleType)) + lit(0.01d) / col("k").cast(DoubleType)
+        val q = (lit(0.99d) * col("co").cast(DoubleType) /
+          col("to").cast(DoubleType)) + lit(0.01d) / col("k").cast(DoubleType)
+        joined.crossJoin(broadcast(tot))
+          .select(col("source"), col("cn").as("n_new"), col("co").as("n_old"),
+            round(p * log2(p / q), 6).as("kl_term_bits"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS cn
+             |FROM documents WHERE doc_id >= 300 GROUP BY source),
+             |o AS (SELECT source, CAST(count(*) AS BIGINT) AS co
+             |FROM documents WHERE doc_id < 300 GROUP BY source),
+             |j AS (SELECT coalesce(n.source, o.source) AS source,
+             |coalesce(cn, 0) AS cn, coalesce(co, 0) AS co
+             |FROM n FULL OUTER JOIN o ON n.source = o.source),
+             |t AS (SELECT CAST(sum(cn) AS DOUBLE) AS tn,
+             |CAST(sum(co) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS k FROM j)
+             |SELECT source, cn AS n_new, co AS n_old,
+             |round((0.99 * cn / tn + 0.01 / k) *
+             |log2((0.99 * cn / tn + 0.01 / k) / (0.99 * co / tt + 0.01 / k)), 6)
+             |AS kl_term_bits
+             |FROM j CROSS JOIN t ORDER BY source""".stripMargin.replace("\n", " "))),
+
     // Linear quality probe (ops.Regress): distill the expensive fused-
     // kernel diversity signal (type-token ratio — needs a (doc, token)
     // shuffle) into a closed-form OLS probe over two CHEAP features
