@@ -815,4 +815,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     eagerlyWith(result, recordCap, Seq(bandedAll, banded) ++ counts: _*)
   }
+
+  /** Corpus-level repeated-n-gram span coverage — the fixed-n core of
+    * exact SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §3.1): any n-token
+    * sequence occurring ≥ `minCount` times ACROSS the corpus is
+    * duplicated text (boilerplate, licenses, mirrored passages — the
+    * spans a model memorizes first), and each document reports how many
+    * of its tokens flagged spans cover. Coverage is the union of the
+    * overlapping `[start, start+n)` intervals, computed by
+    * gaps-and-islands (a new island when the next flagged start is ≥ n
+    * past the previous; each island covers `max−min+n` tokens) — no
+    * per-token explode, no interval self-join.
+    *
+    * This is the token-level tier between [[graft.ops.TextAnalysis]]'s
+    * segment boilerplate removal (line-exact) and MinHash (whole-doc
+    * fuzzy): it finds VERBATIM spans shorter than a segment and smaller
+    * than a document. Lee et al. use suffix arrays for unbounded match
+    * length; fixing n trades tail length for a pure groupBy pipeline —
+    * one corpus-sized (gram-keyed) shuffle + one doc-keyed window, both
+    * map-side combined, skew-free (gram keys are near-unique outside
+    * the flagged set). At 100 TB the gram shuffle is the honest price
+    * of EXACT substring semantics; sampled or hashed-gram variants
+    * reduce it at recall cost.
+    */
+  def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+    val grams = toks.select(col("id"), explode(expr(
+      s"""transform(sequence(1, size(w) - ${n - 1}),
+         |i -> struct(i AS start, array_join(slice(w, i, $n), ' ') AS g))"""
+        .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("id"), col("p.start").as("start"), col("p.g").as("g"))
+    val flagged = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("g"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    val islands = grams.join(flagged, Seq("g"), "left_semi")
+      .withColumn("prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("start") - col("prev") >= n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    val covered = islands.groupBy(col("id"), col("island"))
+      .agg((max(col("start")) - min(col("start")) + n).as("span"))
+      .groupBy(col("id")).agg(sum(col("span")).cast(LongType).as("covered"))
+    docs.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .join(covered, Seq("id"))
+      .select(col("id"), col("n_tokens"), col("covered"))
+  }
 }

@@ -2086,6 +2086,41 @@ object Extensions {
              |FROM truth t JOIN est e ON t.wd = e.wd
              |ORDER BY cms_est DESC, token LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Exact substring-level dedup signal (Lee et al. 2022 §3.1, fixed
+    // n): tokens covered by any 8-gram occurring >= 2x corpus-wide —
+    // verbatim boilerplate/mirrored spans BELOW the segment and document
+    // tiers. The oracle replays gram explode, the flagged set, and the
+    // gaps-and-islands interval union exactly; cost is one gram-keyed
+    // shuffle + one doc-keyed window (see Dedup.repeatedNgramCoverage).
+    Q("q_ngram_spans",
+      (s, d) => Dedup.repeatedNgramCoverage(
+          Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2)
+        .withColumn("dup_frac",
+          round(col("covered").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 5))
+        .orderBy(col("id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |grams AS (SELECT doc_id, i AS start,
+             |array_to_string(list_slice(w, i, i + 7), ' ') AS g
+             |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
+             |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+             |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
+             |isl AS (SELECT doc_id, start,
+             |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
+             |OVER (PARTITION BY doc_id ORDER BY start) AS island
+             |FROM (SELECT doc_id, start,
+             |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
+             |cov AS (SELECT doc_id, CAST(sum(mx - mn + 8) AS BIGINT) AS covered
+             |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
+             |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id)
+             |SELECT d.doc_id AS id,
+             |CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             |c.covered,
+             |round(CAST(c.covered AS DOUBLE) / len(string_split(d.text, ' ')), 5)
+             |AS dup_frac
+             |FROM documents d JOIN cov c ON c.doc_id = d.doc_id
+             |ORDER BY id""".stripMargin.replace("\n", " "))),
+
     // Batch analog of the streaming drift monitor, oracle-checked: the
     // corpus's NEW half (doc_id >= 300, "this week's crawl") scored
     // against the OLD half's source mix with the same λ-uniform-smoothed

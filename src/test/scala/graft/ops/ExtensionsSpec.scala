@@ -596,4 +596,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.head.getLong(0) == feats.orderBy("doc_id").select("doc_id").head().getLong(0))
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("repeatedNgramCoverage: interval union via islands — overlap merges, gap splits, adjacency seams") {
+    val common = (1 to 10).map(i => s"w$i").mkString(" ")     // 10 shared tokens
+    val run8 = (1 to 8).map(i => s"c$i").mkString(" ")        // exactly one gram
+    val docs = Seq(
+      (1L, common),                                  // flagged starts 1,2,3 → one island, 10 covered
+      (2L, s"u1 u2 $common v1"),                     // same passage shifted → 10 of 13
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // unique → no row
+      (4L, s"$common sep $common"),                  // two islands (gap 9 ≥ 8) → 20 of 21
+      (5L, s"$run8 $run8")                           // starts 1,9: adjacent seam → 16 of 16
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramCoverage(docs, "doc_id", "text",
+        n = 8, minCount = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 10L), (2L, 13L, 10L),
+      (4L, 21L, 20L), (5L, 16L, 16L)), s"got $got")
+  }
 }
