@@ -867,4 +867,65 @@ object Dedup {
       .join(covered, Seq("id"))
       .select(col("id"), col("n_tokens"), col("covered"))
   }
+
+  /** The REMOVAL counterpart of [[repeatedNgramCoverage]]: every token
+    * covered by a flagged span is dropped and the survivors rejoin in
+    * order — the cleaned corpus Lee et al.'s pipeline actually trains
+    * on (their §4: removing the duplicated spans, not the documents).
+    * Docs the spans never touched pass through byte-identical; a doc
+    * that was ALL duplicated text survives empty (the caller's
+    * quality gate decides its fate, same contract as
+    * [[graft.ops.TextAnalysis.removeBoilerplate]]).
+    *
+    * The flagged islands collapse to a per-doc RANGE LIST (islands are
+    * few — merged intervals, not positions), broadcast back onto the
+    * token array as one `filter(... !exists(ranges, …))` projection —
+    * no per-token shuffle, and the doc-keyed aggregation reuses the
+    * coverage pipeline's one window.
+    */
+  def removeRepeatedNgramSpans(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int = 8,
+                               minCount: Int = 2): DataFrame = {
+    require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+    val grams = toks.select(col("id"), explode(expr(
+      s"""transform(sequence(1, size(w) - ${n - 1}),
+         |i -> struct(i AS start, array_join(slice(w, i, $n), ' ') AS g))"""
+        .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("id"), col("p.start").as("start"), col("p.g").as("g"))
+    val flagged = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("g"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    val ranges = grams.join(flagged, Seq("g"), "left_semi")
+      .withColumn("prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("start") - col("prev") >= n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("start")).as("lo"), (max(col("start")) + n - 1).as("hi"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
+    // Positions are real ELEMENT values of a sequence() array rather
+    // than lambda-index arguments: Spark's index-aware lambdas are
+    // 0-based while DuckDB's are 1-based — value-positions keep the
+    // kernel and its oracle structurally identical instead of hiding an
+    // off-by-one in each engine's lambda convention. The keep-mask is a
+    // flat covered-positions array (O(covered) ints per doc, bounded by
+    // the doc's own length).
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .join(ranges, Seq("id"), "left")
+      .withColumn("cov", expr("flatten(transform(rs, r -> sequence(r.lo, r.hi)))"))
+      .select(col("id"), array_join(
+        when(col("rs").isNull, col("w")).otherwise(expr(
+          // token at 1-based position p survives iff p is uncovered;
+          // dropped tokens become NULL then filter out (split() tokens
+          // are never null themselves)
+          """filter(transform(sequence(1, size(w)),
+            |p -> IF(array_contains(cov, p), NULL, element_at(w, p))),
+            |x -> x IS NOT NULL)""".stripMargin.replace("\n", " "))),
+        " ").as("text"))
+  }
 }

@@ -612,5 +612,14 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 10L, 10L), (2L, 13L, 10L),
       (4L, 21L, 20L), (5L, 16L, 16L)), s"got $got")
+    // the removal counterpart: spans dropped, survivors keep order,
+    // untouched docs byte-identical, all-duplicate docs survive empty
+    val cleaned = Dedup.removeRepeatedNgramSpans(docs, "doc_id", "text",
+        n = 8, minCount = 2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(cleaned == Seq(
+      (1L, ""), (2L, "u1 u2 v1"),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (4L, "sep"), (5L, "")), s"cleaned $cleaned")
   }
 }
