@@ -33,8 +33,11 @@ object Bucketing {
     // an in-memory session catalog forgets tables across JVMs while their
     // warehouse files survive; clear a stale location or the CREATE path
     // of saveAsTable refuses it (LOCATION_ALREADY_EXISTS)
+    // PARSE the name — TableIdentifier(table) would treat "db.t" as one
+    // undotted name and resolve <warehouse>/db.t instead of the real
+    // <warehouse>/db.db/t, leaving the true stale location in place
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      .defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write

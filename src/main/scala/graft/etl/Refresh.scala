@@ -286,8 +286,11 @@ object Refresh {
     require(cols.nonEmpty && bitsPerCol >= 1 &&
       bitsPerCol * cols.length <= 62, s"need bitsPerCol*cols <= 62")
     val n = 1 << bitsPerCol
-    val ranks = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, (1 until n).map(_ / n.toDouble).toArray, 0.001)
+    // ONE quantile pass for ALL clustering columns (the multi-column
+    // overload) — per-column calls would scan the input once per column
+    val allBounds = df.stat.approxQuantile(cols.toArray,
+      (1 until n).map(_ / n.toDouble).toArray, 0.001)
+    val ranks = cols.zip(allBounds).map { case (c, bounds) =>
       bounds.map(b => when(col(c).cast("double") > b, 1L).otherwise(0L))
         .reduce(_ + _) // rank = # boundaries below the value, in [0, 2^bits)
     }

@@ -271,10 +271,12 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
             // configuration re-attach must name an EXISTING config owned
             // by the requesting user (file.py:266-273)
             val configId = jsonField(body, "configuration_id")
+            // a catalog read FAILURE must propagate to the generic 500
+            // handler — mapping it to None here would misreport an
+            // outage as the definitive client error 400 "not found"
             val configRow = configId.flatMap(_.toLongOption).flatMap { i =>
-              try store.readConfigs().filter(c => c.id == i && c.userId == userId)
+              store.readConfigs().filter(c => c.id == i && c.userId == userId)
                 .collect().headOption
-              catch { case scala.util.control.NonFatal(_) => None }
             }
             if (configId.nonEmpty && configRow.isEmpty)
               respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")
@@ -318,10 +320,10 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     val newName = jsonField(body, "filename")
     val newConfig = jsonField(body, "configuration_id")
     lookup(ex, idStr) { f =>
+      // catalog read failures propagate (500), never masquerade as 400
       val configRow = newConfig.flatMap(_.toLongOption).flatMap { i =>
-        try store.readConfigs().filter(c => c.id == i && c.userId == f.userId)
+        store.readConfigs().filter(c => c.id == i && c.userId == f.userId)
           .collect().headOption
-        catch { case scala.util.control.NonFatal(_) => None }
       }
       if (newConfig.nonEmpty && configRow.isEmpty)
         respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")

@@ -345,7 +345,12 @@ object Streams {
 
   // ---- A2/T3: consecutive-failure tracker ------------------------------
 
-  val FailureThreshold = 3
+  /** ONE source of truth with the catalog accounting
+    * ([[graft.catalog.MetaStore.recordSyncResult]] reads the same
+    * constant) — the streaming tracker and the catalog must agree on
+    * when a file deactivates.
+    */
+  val FailureThreshold: Int = graft.ops.State.FailureThreshold
 
   case class SyncEvent(fileId: Long, seq: Long, success: Boolean)
 
@@ -445,12 +450,15 @@ object Streams {
                             idCol: String, textCol: String,
                             corpusPath: String, indexPath: String,
                             checkpoint: String, threshold: Double = 0.8,
-                            trigger: Trigger = Trigger.AvailableNow()) =
+                            trigger: Trigger = Trigger.AvailableNow()) = {
+    val ckptId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val intra = graft.ops.Dedup.nearDupPairs(batch, idCol, textCol, threshold)
           val batchClean = batch.join(
@@ -472,14 +480,27 @@ object Streams {
           try {
             // corpus first, then bands: a crash between the two leaves a
             // doc unindexed (its dups slip through once) rather than a
-            // band pointing at a doc the corpus doesn't have
-            survivors.write.mode("append").parquet(corpusPath)
+            // band pointing at a doc the corpus doesn't have.
+            //
+            // REPLAY idempotency: each batch's survivors land in their
+            // own batch=<ckpt>-<id> partition via OVERWRITE, so a batch
+            // replayed after a crash (foreachBatch is at-least-once)
+            // REWRITES its partition instead of appending duplicates.
+            // The replay recomputes the SAME survivor set: the index's
+            // self-rows are excluded by nearDupsAgainstIndex's
+            // id_new =!= id_old filter, so a doc never suppresses its
+            // own first-attempt copy — that filter is load-bearing for
+            // this contract. Replayed band appends can duplicate band
+            // rows, which is harmless (candidates are distinct-ed).
+            survivors.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$ckptId-$batchId")
             graft.ops.Dedup.appendToBandIndex(survivors, idCol, textCol, indexPath)
           } finally survivors.unpersist(blocking = false)
           ()
         }
       }
       .start()
+  }
 
   /** One micro-batch's distribution-drift report — see
     * [[driftMonitorQuery]].
@@ -641,6 +662,12 @@ object Streams {
     import docs.sparkSession.implicits._
     val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    // months have no fixed millisecond length; silently dropping them
+    // would shrink the state horizon to zero and let later-in-the-month
+    // duplicates through unreported — reject rather than under-dedup
+    require(horizonMs.months == 0,
+      s"month-denominated watermarks are not supported here (got '$watermark'); " +
+        "use a day/hour horizon")
     val horizon = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
     docs
       .withColumn("__sig",
@@ -694,10 +721,17 @@ object Streams {
                             k: Int = 6): DataFrame =
     docs
       .withColumn("__sig", graft.functions.MinHashSignature(col(textCol), 3, k))
-      .filter(col("__sig").isNotNull)
+      // a doc with fewer than 3 words has no shingles → NULL signature.
+      // Those docs must PASS THROUGH, not vanish: they fall back to an
+      // exact-text dedup key (U+0000-prefixed so it can never collide
+      // with a joined signature) — identical short docs still suppress,
+      // distinct ones all survive.
+      .withColumn("__key",
+        when(col("__sig").isNotNull, concat_ws("|", col("__sig")))
+          .otherwise(concat(lit("\u0000"), col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__sig")
-      .drop("__sig")
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__sig", "__key")
 
   // ---- Monitoring: watermarked tumbling windows ------------------------
 

@@ -380,13 +380,18 @@ class StreamsSpec extends SparkSpec {
         (ts("2024-01-01 10:00:00"), 1L, doc),
         (ts("2024-01-01 10:00:01"), 2L, doc),               // exact dup
         (ts("2024-01-01 10:00:02"), 3L, "a wholly different document text"),
-        (ts("2024-01-01 10:00:03"), 4L, "hi"))              // < 3 words: no signature, filtered
+        // < 3 words: no signature — must PASS THROUGH (exact-key tier),
+        // not vanish
+        (ts("2024-01-01 10:00:03"), 4L, "hi"))
       q.processAllAvailable()
-      input.addData((ts("2024-01-01 10:05:00"), 5L, doc))   // dup across batch
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 5L, doc),  // dup across batch
+        (ts("2024-01-01 10:05:01"), 6L, "hi"), // exact short dup: suppressed
+        (ts("2024-01-01 10:05:02"), 7L, "yo")) // distinct short: survives
       q.processAllAvailable()
       val got = spark.table("neardup_stream").select("doc_id")
         .as[Long].collect().toSet
-      assert(got == Set(1L, 3L))
+      assert(got == Set(1L, 3L, 4L, 7L))
     } finally q.stop()
   }
 
