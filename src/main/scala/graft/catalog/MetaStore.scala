@@ -132,7 +132,13 @@ class MetaStore(spark: SparkSession, root: String) {
     * registry answers the EXISTING row for a known url).
     */
   def createOrGetServer(incoming: ServerMeta): ServerMeta = {
-    val existing = readServers()
+    // first-use: a genuinely ABSENT table is an empty registry (the
+    // createOrGetUser convention) — a transient read failure on an
+    // existing table still propagates, never wipes the registry
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path("servers"))
+    val existing: Dataset[ServerMeta] =
+      if (!fs.exists(target)) spark.emptyDataset[ServerMeta]
+      else readServers()
     existing.filter(_.url == incoming.url).collect().headOption.getOrElse {
       val staged = existing.unionByName(Seq(incoming).toDS())
       val dupes = staged.groupBy($"url").count().filter($"count" > 1).count()
@@ -189,7 +195,11 @@ class MetaStore(spark: SparkSession, root: String) {
     * (configuration.py:19-54).
     */
   def createOrGetConfig(incoming: ConfigMeta): ConfigMeta = {
-    val existing = readConfigs()
+    // see createOrGetServer: absent table == empty registry, first use
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path("configurations"))
+    val existing: Dataset[ConfigMeta] =
+      if (!fs.exists(target)) spark.emptyDataset[ConfigMeta]
+      else readConfigs()
     existing.filter(c => c.serverAddress == incoming.serverAddress &&
         c.tokenName == incoming.tokenName && c.userId == incoming.userId)
       .collect().headOption.getOrElse {

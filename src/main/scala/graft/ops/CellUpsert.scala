@@ -41,10 +41,20 @@ object CellUpsert {
     * replace the landing cells with delta-only rows, silently deleting
     * data.
     */
-  def upsert(spark: SparkSession, assigned: DataFrame, keyCol: String,
+  def upsert(spark: SparkSession, assignedIn: DataFrame, keyCol: String,
              cellCol: String, path: String,
              sortWithin: Option[Column] = None): Unit = {
     val (fs, target) = graft.etl.Refresh.hfs(spark, path)
+    // PIN the delta before anything observes it: `assignedIn` is
+    // evaluated by several independent jobs below (touched-cell
+    // collects, the merge, the remaining-cell collect), and callers
+    // legitimately hand in NONDETERMINISTIC frames (dropDuplicates
+    // keeps an arbitrary row per key). If two jobs resolved a
+    // duplicated key to DIFFERENT cells, the touched set and the
+    // written rows would disagree and a dynamic overwrite of a cell
+    // whose pre-existing rows were never read back is silent data
+    // loss. One materialization makes every job see the same rows.
+    val assigned = assignedIn.localCheckpoint(true)
     val existing: Option[DataFrame] =
       if (!fs.exists(target)) None
       else

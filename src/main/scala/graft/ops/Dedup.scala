@@ -194,6 +194,12 @@ object Dedup {
     * around the target Jaccard threshold.
     */
   def lshBands(sig: DataFrame, k: Int = 6, rows: Int = 2): DataFrame = {
+    // an indivisible geometry would silently DROP the k % rows trailing
+    // signature components — recall degrades with no error and no
+    // CapMetrics signal; make the geometry error loud instead
+    require(rows >= 1 && k % rows == 0,
+      s"band rows ($rows) must divide the signature width ($k) — " +
+        s"${k % rows} trailing components would be silently unused")
     // single pass: explode one array of band structs rather than a union
     // of per-band selects (a union re-evaluates the signature subtree once
     // per band)
@@ -839,8 +845,15 @@ object Dedup {
     * of EXACT substring semantics; sampled or hashed-gram variants
     * reduce it at recall cost.
     */
-  def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 8, minCount: Int = 2): DataFrame = {
+  /** Shared flagged-span stage for [[repeatedNgramCoverage]] and
+    * [[removeRepeatedNgramSpans]]: per doc, the MERGED intervals of
+    * corpus-repeated n-grams as `(id, island, lo, hi)` (1-based token
+    * positions, `hi` inclusive). One gram-keyed shuffle + one doc-keyed
+    * window; both operators consume THIS frame, so the gram expression
+    * and the island break condition can never drift between them.
+    */
+  private def flaggedIslands(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, minCount: Int): DataFrame = {
     require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
     val toks = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("w"))
@@ -854,17 +867,27 @@ object Dedup {
       .filter(col("c") >= minCount).select(col("g"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
-    val islands = grams.join(flagged, Seq("g"), "left_semi")
+    grams.join(flagged, Seq("g"), "left_semi")
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
       .withColumn("brk",
         when(col("start") - col("prev") >= n, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(byDoc))
-    val covered = islands.groupBy(col("id"), col("island"))
-      .agg((max(col("start")) - min(col("start")) + n).as("span"))
-      .groupBy(col("id")).agg(sum(col("span")).cast(LongType).as("covered"))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("start")).as("lo"), (max(col("start")) + n - 1).as("hi"))
+  }
+
+  def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, minCount: Int = 2): DataFrame = {
+    val covered = flaggedIslands(docs, idCol, textCol, n, minCount)
+      .groupBy(col("id"))
+      .agg(sum(col("hi") - col("lo") + 1).cast(LongType).as("covered"))
+    // EVERY document reports — clean docs at covered 0 (the rows a
+    // coverage-distribution or keep-gate consumer most wants), matching
+    // the contamination operator's left-join convention
     docs.select(col(idCol).as("id"),
         size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
-      .join(covered, Seq("id"))
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("covered"))
       .select(col("id"), col("n_tokens"), col("covered"))
   }
 
@@ -886,26 +909,7 @@ object Dedup {
   def removeRepeatedNgramSpans(docs: DataFrame, idCol: String,
                                textCol: String, n: Int = 8,
                                minCount: Int = 2): DataFrame = {
-    require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
-    val toks = docs.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= n)
-    val grams = toks.select(col("id"), explode(expr(
-      s"""transform(sequence(1, size(w) - ${n - 1}),
-         |i -> struct(i AS start, array_join(slice(w, i, $n), ' ') AS g))"""
-        .stripMargin.replace("\n", " "))).as("p"))
-      .select(col("id"), col("p.start").as("start"), col("p.g").as("g"))
-    val flagged = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount).select(col("g"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("start"))
-    val ranges = grams.join(flagged, Seq("g"), "left_semi")
-      .withColumn("prev", lag(col("start"), 1).over(byDoc))
-      .withColumn("brk",
-        when(col("start") - col("prev") >= n, 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(byDoc))
-      .groupBy(col("id"), col("island"))
-      .agg(min(col("start")).as("lo"), (max(col("start")) + n - 1).as("hi"))
+    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
     // Positions are real ELEMENT values of a sequence() array rather

@@ -38,11 +38,18 @@ object Linkage {
                 maxDist: Int, prefixLen: Int = 3): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    // DATAFRAME-qualified references, not bare col(): when both sides
+    // share the text column name — the normal linkage case (two
+    // customer tables, self-linkage) — bare names are AMBIGUOUS after
+    // the join and the operator would throw on exactly its primary
+    // use case
     val l = left.withColumn("__bk", blockKey(col(leftText), prefixLen))
     val r = right.withColumn("__bk2", blockKey(col(rightText), prefixLen))
-    l.join(r, col("__bk") === col("__bk2") &&
-        abs(length(col(leftText)) - length(col(rightText))) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
+    val lt = l(leftText)
+    val rt = r(rightText)
+    l.join(r, l("__bk") === r("__bk2") &&
+        abs(length(lt) - length(rt)) <= maxDist)
+      .withColumn("dist", levenshtein(lt, rt))
       .filter(col("dist") <= maxDist)
       .drop("__bk", "__bk2")
   }

@@ -565,10 +565,15 @@ object Multimodal {
     * byte offsets (frame anchors) per payload; one output row per frame —
     * a generator (explode) over a computed offsets array, no UDF.
     */
-  def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame =
+  def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame = {
+    // sequence(0, n-1) with n <= 0 is a DESCENDING sequence (the
+    // Dedup.shinglesRaw pitfall) — bogus negative-offset frames, not an
+    // empty set; reject the geometry loudly
+    require(n >= 1, s"need n >= 1 frames per payload, got $n")
     df
       .withColumn("__len", octet_length(col(payloadCol)).cast(LongType))
       .withColumn("frame_no", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_offset", floor(col("frame_no") * col("__len") / n))
       .drop("__len")
+  }
 }

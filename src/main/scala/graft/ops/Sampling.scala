@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the key's md5. */
+  /** Stable bucket in [0, buckets) from the key's md5. Null keys
+    * coalesce to "" (the [[stratumBucket]] convention) instead of
+    * hashing to NULL — a null bucket would make every split/sample
+    * predicate null-out, silently dropping the null-key population from
+    * samples and routing it wholesale into a split's otherwise() arm.
+    */
   def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 4), 16, 10)
       .cast("long") % buckets
 
   /** Add a `split` column ("train"/"val"/"test") by hash bucket:

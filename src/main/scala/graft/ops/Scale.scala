@@ -51,6 +51,17 @@ object Scale {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  entropy: Column, n: Int, joinType: String = "inner",
                  forceSalt: Boolean = false): DataFrame = {
+    // the small side is REPLICATED n× under the salt: join types that
+    // preserve unmatched SMALL-side rows (right/full outer) would emit
+    // each such row once per replica — n duplicates the unsalted join
+    // never produces. Types preserving only the large side are safe
+    // (each large row carries exactly one salt).
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+        "cross").contains(jt),
+      s"saltedJoin cannot preserve unmatched small-side rows " +
+        s"(joinType '$joinType' would emit them once per salt replica); " +
+        "swap the sides or use the unsalted join")
     val threshold =
       org.apache.spark.sql.graftshim.Shim.autoBroadcastThreshold(large.sparkSession)
     val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes

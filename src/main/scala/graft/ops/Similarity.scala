@@ -702,11 +702,15 @@ object Similarity {
                                 centroids: Array[(Long, Array[Double])],
                                 nProbe: Int,
                                 corpusCols: Seq[Column]): DataFrame = {
+    // (−sim, cell) ascending == sim desc with SMALLER cell winning ties
+    // — the same tie order nearestCells (ivfTopK / probeIvfIndex /
+    // probePqIndex) uses, so the join-based and index-based IVF paths
+    // probe identical cells on tied centroids
     val cellSims = centroids.map { case (cellId, c) =>
-      struct(cosine(col("__qv"), array(c.map(lit): _*)).as("sim"),
+      struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("ns"),
         lit(cellId).as("cell"))
     }
-    val probes = slice(reverse(array_sort(array(cellSims: _*))), 1, nProbe)
+    val probes = slice(array_sort(array(cellSims: _*)), 1, nProbe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
     val c = ivfAssign(corpus, idCol, vecCol, centroids)

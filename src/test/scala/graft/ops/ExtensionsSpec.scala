@@ -610,7 +610,8 @@ class ExtensionsSpec extends SparkSpec {
     val got = Dedup.repeatedNgramCoverage(docs, "doc_id", "text",
         n = 8, minCount = 2)
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 10L, 10L), (2L, 13L, 10L),
+    // every doc reports — the clean doc 3 at covered 0
+    assert(got == Seq((1L, 10L, 10L), (2L, 13L, 10L), (3L, 12L, 0L),
       (4L, 21L, 20L), (5L, 16L, 16L)), s"got $got")
     // the removal counterpart: spans dropped, survivors keep order,
     // untouched docs byte-identical, all-duplicate docs survive empty
