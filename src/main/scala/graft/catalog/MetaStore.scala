@@ -120,10 +120,22 @@ class MetaStore(spark: SparkSession, root: String) {
     writeHyperFiles(updated)
   }
 
+  /** Read a registry table where a genuinely ABSENT table is an EMPTY
+    * registry (first use — nothing has been created yet), shared by all
+    * three registries and every HTTP handler above them. A transient
+    * failure reading an EXISTING table still propagates: falling back to
+    * empty there would let a create-or-get overwrite wipe the registry
+    * on an FS hiccup.
+    */
+  private def readOrEmpty[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path(table))
+    if (!fs.exists(target)) spark.emptyDataset[T]
+    else spark.read.parquet(path(table)).as[T]
+  }
+
   // ---- server registry (app/models/server.py, unique url) ---------------
 
-  def readServers(): Dataset[ServerMeta] =
-    spark.read.parquet(path("servers")).as[ServerMeta]
+  def readServers(): Dataset[ServerMeta] = readOrEmpty[ServerMeta]("servers")
 
   def initServers(rows: Seq[ServerMeta]): Unit =
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("servers"))
@@ -132,13 +144,7 @@ class MetaStore(spark: SparkSession, root: String) {
     * registry answers the EXISTING row for a known url).
     */
   def createOrGetServer(incoming: ServerMeta): ServerMeta = {
-    // first-use: a genuinely ABSENT table is an empty registry (the
-    // createOrGetUser convention) — a transient read failure on an
-    // existing table still propagates, never wipes the registry
-    val (fs, target) = graft.etl.Refresh.hfs(spark, path("servers"))
-    val existing: Dataset[ServerMeta] =
-      if (!fs.exists(target)) spark.emptyDataset[ServerMeta]
-      else readServers()
+    val existing = readServers() // absent table == empty registry
     existing.filter(_.url == incoming.url).collect().headOption.getOrElse {
       val staged = existing.unionByName(Seq(incoming).toDS())
       val dupes = staged.groupBy($"url").count().filter($"count" > 1).count()
@@ -150,8 +156,7 @@ class MetaStore(spark: SparkSession, root: String) {
 
   // ---- user registry (app/models/user.py, unique (serverId, username)) --
 
-  def readUsers(): Dataset[UserMeta] =
-    spark.read.parquet(path("users")).as[UserMeta]
+  def readUsers(): Dataset[UserMeta] = readOrEmpty[UserMeta]("users")
 
   def initUsers(rows: Seq[UserMeta]): Unit =
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("users"))
@@ -163,14 +168,7 @@ class MetaStore(spark: SparkSession, root: String) {
     * an EMPTY registry, not an error — the first sign-in creates it.
     */
   def createOrGetUser(username: String, serverId: Long): UserMeta = {
-    // ONLY a genuinely absent table reads as empty — a transient failure
-    // reading an EXISTING table must propagate, because falling back to
-    // empty here would make the overwrite below wipe every registered
-    // user (and recycle their ids) on an FS hiccup
-    val (fs, target) = graft.etl.Refresh.hfs(spark, path("users"))
-    val existing: Seq[UserMeta] =
-      if (!fs.exists(target)) Seq.empty
-      else readUsers().collect().toSeq
+    val existing: Seq[UserMeta] = readUsers().collect().toSeq // absent == empty
     existing.find(u => u.username == username && u.serverId == serverId)
       .getOrElse {
         val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -185,8 +183,7 @@ class MetaStore(spark: SparkSession, root: String) {
   // ---- configuration registry (app/models/configuration.py,
   //      unique (serverAddress, tokenName, userId)) ----------------------
 
-  def readConfigs(): Dataset[ConfigMeta] =
-    spark.read.parquet(path("configurations")).as[ConfigMeta]
+  def readConfigs(): Dataset[ConfigMeta] = readOrEmpty[ConfigMeta]("configurations")
 
   def initConfigs(rows: Seq[ConfigMeta]): Unit =
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("configurations"))
@@ -195,11 +192,7 @@ class MetaStore(spark: SparkSession, root: String) {
     * (configuration.py:19-54).
     */
   def createOrGetConfig(incoming: ConfigMeta): ConfigMeta = {
-    // see createOrGetServer: absent table == empty registry, first use
-    val (fs, target) = graft.etl.Refresh.hfs(spark, path("configurations"))
-    val existing: Dataset[ConfigMeta] =
-      if (!fs.exists(target)) spark.emptyDataset[ConfigMeta]
-      else readConfigs()
+    val existing = readConfigs() // absent table == empty registry
     existing.filter(c => c.serverAddress == incoming.serverAddress &&
         c.tokenName == incoming.tokenName && c.userId == incoming.userId)
       .collect().headOption.getOrElse {

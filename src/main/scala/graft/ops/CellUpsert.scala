@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object CellUpsert {
 
-  /** Merge `assigned` — one row per `keyCol`, each already carrying its
-    * LONG `cellCol` — into the hive-partitioned dataset at `path`.
+  /** Merge `assignedIn` — one row per `keyCol`, each already carrying
+    * its LONG `cellCol` — into the hive-partitioned dataset at `path`.
     * `sortWithin` optionally re-sorts each rewritten partition (the
     * Z-layout keeps intra-file curve clustering through the merge).
     *

@@ -197,9 +197,9 @@ object Dedup {
     // an indivisible geometry would silently DROP the k % rows trailing
     // signature components — recall degrades with no error and no
     // CapMetrics signal; make the geometry error loud instead
-    require(rows >= 1 && k % rows == 0,
-      s"band rows ($rows) must divide the signature width ($k) — " +
-        s"${k % rows} trailing components would be silently unused")
+    require(rows >= 1 && k >= rows && k % rows == 0,
+      s"band rows ($rows) must divide the signature width ($k >= $rows) — " +
+        "an indivisible or empty geometry silently degrades recall")
     // single pass: explode one array of band structs rather than a union
     // of per-band selects (a union re-evaluates the signature subtree once
     // per band)

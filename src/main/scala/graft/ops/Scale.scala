@@ -58,7 +58,7 @@ object Scale {
     // (each large row carries exactly one salt).
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
-        "cross").contains(jt),
+        "semi", "anti", "cross").contains(jt),
       s"saltedJoin cannot preserve unmatched small-side rows " +
         s"(joinType '$joinType' would emit them once per salt replica); " +
         "swap the sides or use the unsalted join")

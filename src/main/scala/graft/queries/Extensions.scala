@@ -1612,7 +1612,7 @@ object Extensions {
       Some("""SELECT doc_id, CASE WHEN b < 80 THEN 'train'
              |WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (
              |SELECT doc_id,
-             |CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+             |CAST(concat('0x', substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 4)) AS BIGINT) % 100 AS b
              |FROM documents) x ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Stratified deterministic sampling: ~20% of documents per source by
@@ -3018,7 +3018,7 @@ object Extensions {
              |CAST(count(*) AS BIGINT) AS n_docs,
              |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
              |FROM (SELECT doc_id, text,
-             |CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100 AS b
+             |CAST(concat('0x', substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')),1,4)) AS BIGINT) % 100 AS b
              |FROM clean) x
              |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
