@@ -853,14 +853,25 @@ object Dedup {
     * and the island break condition can never drift between them.
     */
   private def flaggedIslands(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int, minCount: Int): DataFrame = {
+                             n: Int, minCount: Int,
+                             hashGrams: Boolean = false): DataFrame = {
     require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
     val toks = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
+    // hashGrams: the 100 TB variant — the gram-keyed shuffle carries a
+    // 60-bit md5 prefix instead of the ~50-byte n-gram string (≈6×
+    // narrower shuffle). A hash collision can only FALSE-POSITIVE a
+    // gram into the flagged set (never unflag a real repeat) at ~2⁻⁶⁰
+    // per pair — deterministic, and identical on any engine that
+    // replays the same md5 prefix. The oracle-checked queries run the
+    // exact string keys; DedupSpec pins hashed == exact on real data.
+    val gramKey =
+      if (hashGrams) s"conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)"
+      else s"array_join(slice(w, i, $n), ' ')"
     val grams = toks.select(col("id"), explode(expr(
       s"""transform(sequence(1, size(w) - ${n - 1}),
-         |i -> struct(i AS start, array_join(slice(w, i, $n), ' ') AS g))"""
+         |i -> struct(i AS start, $gramKey AS g))"""
         .stripMargin.replace("\n", " "))).as("p"))
       .select(col("id"), col("p.start").as("start"), col("p.g").as("g"))
     val flagged = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
@@ -877,8 +888,9 @@ object Dedup {
   }
 
   def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 8, minCount: Int = 2): DataFrame = {
-    val covered = flaggedIslands(docs, idCol, textCol, n, minCount)
+                            n: Int = 8, minCount: Int = 2,
+                            hashGrams: Boolean = false): DataFrame = {
+    val covered = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams)
       .groupBy(col("id"))
       .agg(sum(col("hi") - col("lo") + 1).cast(LongType).as("covered"))
     // EVERY document reports — clean docs at covered 0 (the rows a

@@ -623,4 +623,17 @@ class ExtensionsSpec extends SparkSpec {
       (3L, (1 to 12).map(i => s"z$i").mkString(" ")),
       (4L, "sep"), (5L, "")), s"cleaned $cleaned")
   }
+
+  test("hashed-gram coverage equals exact-string coverage on real data") {
+    // the 100 TB shuffle-width variant must not change a single answer
+    // where no md5-prefix collision occurs (~2^-60 per pair)
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = Dedup.repeatedNgramCoverage(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val hashed = Dedup.repeatedNgramCoverage(docs, "doc_id", "text",
+        hashGrams = true)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(exact == hashed)
+    assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
+  }
 }
