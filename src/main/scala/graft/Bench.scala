@@ -48,6 +48,10 @@ object Bench {
   private val DefaultSfDir = "/root/testdata/sf0.1"
 
   def main(args: Array[String]): Unit = {
+    // the record line is machine-parsed: f"" interpolators format via
+    // the DEFAULT locale, and a comma-decimal locale (de_DE etc.) would
+    // emit unparseable JSON — pin ROOT for the whole run
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt, "graft-bench")
@@ -151,7 +155,15 @@ object Bench {
           val t1 = (time(sfDir).toSeq :+ t1main).min
           val warm = time(scaledDir)
           val tF = warm match {
-            case Some(w) if w > 60.0 => Some(w)
+            case Some(w) if w > 60.0 =>
+              // the budget path must still honor reproduce-before-flag:
+              // a warm figure that WOULD read as superlinear can be pure
+              // one-time fixture setup, so it pays exactly one timed
+              // reproduction (min of the two); a non-flagging figure is
+              // recorded as-is without a second multi-minute run
+              if (w / t1 > 1.3 * scaleFactor)
+                Some(math.min(w, time(scaledDir).getOrElse(w)))
+              else Some(w)
             case _ =>
               time(scaledDir) match {
                 case Some(t) if t / t1 > 1.3 * scaleFactor && t <= 180.0 =>
@@ -281,7 +293,10 @@ object Bench {
     // this run IS the canonical sf (then it may reclaim a stale record a
     // smoke run seeded while no record existed; without this exception the
     // sf-mismatch gate would lock the stale record in forever).
-    if (failed.isEmpty && canaryDrift <= 3.0 &&
+    // "clean" means NO error on ANY run — a FLAKY query (threw once,
+    // timed once) keeps the old record: its surviving sample may be
+    // unrepresentative and must not become the delta baseline
+    if (results.forall(_._3.isEmpty) && canaryDrift <= 3.0 &&
         (prevSfMatches != Some(false) || sfDir == DefaultSfDir))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>

@@ -33,6 +33,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // the legacy nanos conf stays SET for the session — a DELIBERATE
+    // tradeoff, not an accident: the parquet reader consults it at
+    // EXECUTION time too, so a save/restore scoped to analysis (the
+    // ScaleUp.ensure pattern, which materializes eagerly) would make
+    // the lazy frame returned here throw when the caller finally acts
+    // on it. Consequence, documented in the verify recipe: after any
+    // events() call, other TIMESTAMP(NANOS) reads in this session
+    // yield longs instead of the loud rejection — route them through
+    // this accessor.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -56,15 +65,31 @@ object Tables {
     * between engines. At scale this is a narrow flatMap over the part
     * scan: no shuffle, no driver state, 4× part cardinality.
     */
+  /** Key-domain block size ScaleUp's ×F replicas offset their keys by
+    * (copy c adds `c · KeyOffset` to every key column). partsupp's FK
+    * derivation is written against this convention so it stays valid on
+    * replicas; unscaled dirs (all keys < KeyOffset) reduce to the plain
+    * formula exactly.
+    */
+  val KeyOffset: Long = 1L << 40
+
   def partsupp(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val scnt = supplier(s, d).agg(count(lit(1)).as("__scnt"))
+    // COPY-AWARE FK derivation: mod the part key's within-copy base
+    // against the PER-COPY supplier count and re-add the copy offset —
+    // a replica part references its own copy's suppliers, so the
+    // derived FK joins stay ×F-consistent (global count + global key
+    // would point most replica parts at suppliers that don't exist).
+    val scnt = supplier(s, d).filter(col("s_suppkey") < KeyOffset)
+      .agg(count(lit(1)).as("__scnt"))
+    val base = col("p_partkey") % KeyOffset
+    val copyOff = col("p_partkey") - base
     part(s, d).select(col("p_partkey"))
       .crossJoin(broadcast(scnt))
       .select(col("p_partkey"), col("__scnt"),
         explode(sequence(lit(0), lit(3))).as("__i"))
       .withColumn("ps_suppkey",
-        ((col("p_partkey") * 7 + col("__i") * 13) % col("__scnt")) + 1)
+        ((base * 7 + col("__i") * 13) % col("__scnt")) + 1 + copyOff)
       .select(
         col("p_partkey").as("ps_partkey"),
         col("ps_suppkey"),

@@ -33,18 +33,10 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // ONE escaper (graft.Json) for every hand-rolled JSON emitter — a
+    // control-char fix must never silently miss this file, whose
+    // malformed output would zero the round's correctness gate.
+    def q(s: String): String = Json.str(s)
     // fixture-path tokens resolve against THIS run's sf dir (the Spark
     // queries above already wrote those fixtures — see queries.Fixtures)
     val json = SparkEntry.oracleSql

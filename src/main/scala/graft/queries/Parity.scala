@@ -33,9 +33,11 @@ object Parity {
     * partsupp table. All-BIGINT columns keep every downstream sum exact.
     */
   private val PartsuppCte: String =
-    """WITH ps0 AS (
+    s"""WITH ps0 AS (
       |SELECT p_partkey AS ps_partkey,
-      |((p_partkey * 7 + t.i * 13) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey
+      |(((p_partkey % ${graft.Tables.KeyOffset}) * 7 + t.i * 13)
+      |% (SELECT count(*) FROM supplier WHERE s_suppkey < ${graft.Tables.KeyOffset}))
+      |+ 1 + (p_partkey - (p_partkey % ${graft.Tables.KeyOffset})) AS ps_suppkey
       |FROM part CROSS JOIN generate_series(0,3) t(i)
       |), partsupp AS (
       |SELECT ps_partkey, ps_suppkey,

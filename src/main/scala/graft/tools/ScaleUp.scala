@@ -41,7 +41,7 @@ object ScaleUp {
     * test SF (keys are < 2^31), far below int64/double-exact range even
     * at factor 64 (2^40·64 = 2^46 < 2^53).
     */
-  val KeyOffset: Long = 1L << 40
+  val KeyOffset: Long = graft.Tables.KeyOffset
 
   private val FixedDims = Set("region", "nation")
 
@@ -83,8 +83,14 @@ object ScaleUp {
     val root = s"${sys.props("java.io.tmpdir").stripSuffix("/")}/graft_scaleup/${base}x$factor"
     val marker = java.nio.file.Paths.get(root, "_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
-      val tables = new java.io.File(sfDir).listFiles()
+      // fail FAST on a typo'd or empty source dir — listFiles() returns
+      // null for a nonexistent path, and replicating zero tables would
+      // "succeed" at writing a marker into a dir that was never created
+      val listing = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(sys.error(s"sf dir does not exist: $sfDir"))
+      val tables = listing
         .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+      require(tables.nonEmpty, s"no *.parquet tables under $sfDir")
       val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
       val nanosPrev = spark.conf.getOption(nanosKey)
       try tables.foreach { t =>
