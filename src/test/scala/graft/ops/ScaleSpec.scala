@@ -49,6 +49,25 @@ class ScaleSpec extends SparkSpec {
     assert(salted.select("o_orderkey", "c_name")
       .as[(Long, String)].collect().sorted.toSeq == plain)
     assert(plain.nonEmpty)
+
+    // left-semi through the salted path stays correct too (small side
+    // emits nothing, so replication is invisible)
+    val semi = Scale.saltedJoin(orders, custDim, Seq("o_custkey"),
+        entropy = $"o_orderkey", n = 8, joinType = "left_semi",
+        forceSalt = true)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val plainSemi = orders.join(custDim, Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(semi == plainSemi)
+
+    // join types that preserve unmatched SMALL-side rows would emit
+    // them once per salt replica — rejected loudly, not silently wrong
+    val e = intercept[IllegalArgumentException] {
+      Scale.saltedJoin(orders, custDim, Seq("o_custkey"),
+        entropy = $"o_orderkey", n = 8, joinType = "right",
+        forceSalt = true)
+    }
+    assert(e.getMessage.contains("salt"))
   }
 
   test("bucketed tables co-locate the join: no exchange in the plan") {
