@@ -285,6 +285,22 @@ object Bench {
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    // Compact summary as the TRUE last stdout line: the full record above
+    // is ~6 KB, which overflows a bounded tail window (the driver's bench
+    // record carried "parsed": null for eight straight rounds because of
+    // it). This line keeps the same schema (metric/value/unit/queries/sf)
+    // but truncates `queries` to the slowest 10, so any last-line JSON
+    // parser gets a complete object well under 2,000 chars; the full
+    // per-query map lives one line up and in bench_out.json.
+    val slow10 = results
+      .flatMap { case (k, ts, _) => ts.minOption.map(k -> _) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, t) => jsonStr(k) + ":" + f"$t%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow10,""" +
+        s""""sf":${jsonStr(sfDir)},"n":${results.size},"n_failed":${failed.size},""" +
+        s""""queries_truncated_to_slowest":10,"full_record":${jsonStr(outPath)}}""")
     // a clean run (no failures, canary uncontaminated) becomes the next
     // round's comparison record, so delta_vs_prev always tracks the latest
     // accepted figures instead of drifting rounds behind. A run at a
