@@ -78,6 +78,13 @@ object Pq {
     val d = q.numElements()
     require(m > 0 && d % m == 0, s"dim $d not a multiple of m=$m subspaces")
     val dsub = d / m
+    // mirror encode's per-component guard: getDouble reads a null slot
+    // as 0.0, which would silently skew EVERY distance instead of failing
+    var nc = 0
+    while (nc < d) {
+      require(!q.isNullAt(nc), s"null query component at $nc")
+      nc += 1
+    }
     var total = 0.0d
     var mi = 0
     while (mi < m) {

@@ -53,17 +53,30 @@ object Regress {
     val det = det3(col("n"), col("s1"), col("s2"),
       col("s1"), col("s11"), col("s12"),
       col("s2"), col("s12"), col("s22"))
+    // singularity by RELATIVE magnitude, not det == 0 exactly: nearly-
+    // collinear features leave det within float rounding of zero but
+    // formally nonzero, and dividing by it explodes the coefficients.
+    // Scale = Hadamard bound (product of row norms), the determinant's
+    // natural magnitude; 1e-12 leaves ~4 decimal digits of conditioning
+    // above double-precision rounding (eps ~ 2.2e-16).
+    val rowNorm = (a: Column, b: Column, c: Column) =>
+      sqrt(a * a + b * b + c * c)
+    val detScale = rowNorm(col("n"), col("s1"), col("s2")) *
+      rowNorm(col("s1"), col("s11"), col("s12")) *
+      rowNorm(col("s2"), col("s12"), col("s22"))
+    val okDet = abs(col("det")) > lit(1e-12) * col("det_scale")
     val withB = s.withColumn("det", det)
+      .withColumn("det_scale", detScale)
       .withColumn("b0",
-        when(col("det") =!= 0, det3(col("sy"), col("s1"), col("s2"),
+        when(okDet, det3(col("sy"), col("s1"), col("s2"),
           col("s1y"), col("s11"), col("s12"),
           col("s2y"), col("s12"), col("s22")) / col("det")))
       .withColumn("b1",
-        when(col("det") =!= 0, det3(col("n"), col("sy"), col("s2"),
+        when(okDet, det3(col("n"), col("sy"), col("s2"),
           col("s1"), col("s1y"), col("s12"),
           col("s2"), col("s2y"), col("s22")) / col("det")))
       .withColumn("b2",
-        when(col("det") =!= 0, det3(col("n"), col("s1"), col("sy"),
+        when(okDet, det3(col("n"), col("s1"), col("sy"),
           col("s1"), col("s11"), col("s1y"),
           col("s2"), col("s12"), col("s2y")) / col("det")))
     val sse = col("syy") -
@@ -77,7 +90,7 @@ object Regress {
         lit(2.0) * col("b1") * col("b2") * col("s12"))
     val sst = col("syy") - col("sy") * col("sy") / col("n")
     withB
-      .withColumn("r2", when(col("det") =!= 0 && sst =!= 0,
+      .withColumn("r2", when(okDet && sst =!= 0,
         lit(1.0) - sse / sst))
       .select(col("n").cast("long").as("n"),
         col("b0"), col("b1"), col("b2"), col("r2"))

@@ -97,14 +97,27 @@ object Sketch {
   }
 
   def cmsHeavyHitters(df: DataFrame, valueCol: String,
-                      d: Int = 4, w: Int = 64): DataFrame = {
-    // convenience wrapper: the corpus is scanned ONCE into a vocabulary-
-    // sized disk leaf that backs all three branches. The leaf RDD stays
-    // pinned for the session (no unpersist hook on a lazy result) — a
-    // per-period monitor should materialize its own frequency table and
-    // call cmsHeavyHittersFromFreq instead.
-    val (truth, _) = Dedup.materializeLeaf(
+                      d: Int = 4, w: Int = 64): DataFrame =
+    cmsHeavyHittersManaged(df, valueCol, d, w)._1
+
+  /** [[cmsHeavyHitters]] with an explicit lifetime: the corpus is
+    * scanned ONCE into a vocabulary-sized frequency leaf that backs all
+    * three branches, the REPORT is materialized from it, and the
+    * frequency leaf is released before returning — so one call pins
+    * exactly one vocabulary-sized leaf (the report itself), returned as
+    * the second element for caller-side `unpersist`. A per-period
+    * monitor unpersists it after publishing each report; without that a
+    * cached leaf would accumulate per call (they'd age out of the disk
+    * cache only via LRU). Monitors that already keep a materialized
+    * frequency table should call [[cmsHeavyHittersFromFreq]], which
+    * pins nothing.
+    */
+  def cmsHeavyHittersManaged(df: DataFrame, valueCol: String,
+                             d: Int = 4, w: Int = 64)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (truth, truthRdd) = Dedup.materializeLeaf(
       df.groupBy(col(valueCol)).agg(count(lit(1)).as("n")))
-    cmsHeavyHittersFromFreq(truth, valueCol, "n", d, w)
+    try Dedup.materializeLeaf(cmsHeavyHittersFromFreq(truth, valueCol, "n", d, w))
+    finally truthRdd.unpersist(blocking = false)
   }
 }

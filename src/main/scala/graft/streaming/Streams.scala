@@ -433,6 +433,35 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Relocate pre-partition-layout corpus files (flat `part-*` at the
+    * root) into a `batch=legacy` partition so they coexist with the
+    * `batch=<ckpt>-<id>` directories [[incrementalDedupQuery]] writes.
+    * Hidden files (`_SUCCESS`, dotfiles) are left alone -- Spark's
+    * partition discovery ignores them. Idempotent and cheap when the
+    * corpus is already partitioned (one directory listing).
+    */
+  private[graft] def migrateFlatCorpus(spark: SparkSession,
+                                       corpusPath: String): Unit = {
+    val (fs, root) = Refresh.hfs(spark, corpusPath)
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (flat.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+        fs.mkdirs(legacy)
+        flat.foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
+          require(fs.rename(st.getPath, dst),
+            s"could not relocate legacy corpus file ${st.getPath} to $dst; " +
+              "move flat files out of the corpus root (or into a " +
+              "batch=<name> directory) and restart")
+        }
+      }
+    }
+  }
+
   /** Streaming corpus builder with HISTORY-WIDE dedup — the incremental
     * evolution of batch [[graft.ops.Dedup.nearDupPairs]]: each
     * micro-batch is deduplicated (a) within itself (keep-lowest-id over
@@ -445,12 +474,27 @@ object Streams {
     * [[nearDupSuppressStream]]/[[nearDupPairsStream]] (whose state ages
     * out), the index IS the state — durable, unbounded-horizon, and
     * shared with batch consumers.
+    *
+    * Corpus layout: `spark.read.parquet(corpusPath)` returns the clean
+    * corpus PLUS a string partition column `batch` (`<ckpt>-<id>`, or
+    * `legacy` for rows migrated from a flat pre-partitioned corpus) --
+    * drop it if the original schema is required.
     */
   def incrementalDedupQuery(spark: SparkSession, docs: DataFrame,
                             idCol: String, textCol: String,
                             corpusPath: String, indexPath: String,
                             checkpoint: String, threshold: Double = 0.8,
                             trigger: Trigger = Trigger.AvailableNow()) = {
+    // Corpus layout contract: survivors land in hive-style
+    // batch=<ckpt>-<id> partition directories, so every reader of
+    // corpusPath sees an extra STRING partition column `batch` (replay
+    // idempotency depends on it -- see the write below). A corpus
+    // written by a pre-partitioned layout (flat part files at the root)
+    // would make partition discovery fail with "conflicting directory
+    // structures" on the FIRST mixed write, far from the cause -- so
+    // relocate any flat root files into a batch=legacy partition up
+    // front, before the stream starts.
+    migrateFlatCorpus(spark, corpusPath)
     val ckptId = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
@@ -718,8 +762,8 @@ object Streams {
     */
   def nearDupSuppressStream(docs: DataFrame, tsCol: String, textCol: String,
                             watermark: String = "10 minutes",
-                            k: Int = 6): DataFrame =
-    docs
+                            k: Int = 6): DataFrame = {
+    val keyed = docs
       .withColumn("__sig", graft.functions.MinHashSignature(col(textCol), 3, k))
       // a doc with fewer than 3 words has no shingles → NULL signature.
       // Those docs must PASS THROUGH, not vanish: they fall back to an
@@ -730,8 +774,15 @@ object Streams {
         when(col("__sig").isNotNull, concat_ws("|", col("__sig")))
           .otherwise(concat(lit("\u0000"), col(textCol))))
       .withWatermark(tsCol, watermark)
+    // NULL-text docs have a NULL fallback key, and the stateful dedup
+    // groups null keys together -- distinct null-text docs would collapse
+    // to one survivor. There is no content to dedup on, so they bypass
+    // the operator (both branches hang off the same watermark node).
+    keyed.filter(col("__key").isNotNull)
       .dropDuplicatesWithinWatermark("__key")
+      .unionByName(keyed.filter(col("__key").isNull))
       .drop("__sig", "__key")
+  }
 
   // ---- Monitoring: watermarked tumbling windows ------------------------
 

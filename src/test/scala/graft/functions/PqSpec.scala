@@ -39,6 +39,18 @@ class PqSpec extends SparkSpec {
     assert(encode(Seq(5.0, 5.0, 5.0, 5.0)).head == 0)
   }
 
+  test("a null query component fails loudly instead of reading as 0.0") {
+    val e = intercept[Exception] {
+      Seq(Seq(1, 0)).toDF("c")
+        .select(PqAdc(
+          expr("array(1.0d, cast(null as double), 3.0d, 4.0d)"),
+          col("c"), typedLit(cb), ks = 2).as("d"))
+        .as[Double].head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null query component"),
+      s"got ${e.getMessage}")
+  }
+
   test("adc is the sum of per-subspace squared L2 to the coded words") {
     // q = (1,2, 3,4) vs codes (1,0): ||(1,2)-(10,10)||² + ||(3,4)-(5,5)||²
     val expected = (81.0 + 64.0) + (4.0 + 1.0)

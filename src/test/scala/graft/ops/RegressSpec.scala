@@ -36,14 +36,26 @@ class RegressSpec extends SparkSpec {
   }
 
   test("a singular normal matrix yields null coefficients, not infinities") {
-    // x2 = 2·x1: perfectly collinear
+    // x2 = 2·x1: perfectly collinear — the relative-magnitude guard
+    // (|det| vs the Hadamard bound of the normal matrix) catches this
+    // whether float rounding lands det at exact zero or a few ulps off,
+    // so ALL coefficients must be null, no hedging
     val df = (1 to 20).map(i => (i.toDouble, 2.0 * i, i * 1.5)).toDF("x1", "x2", "y")
     val fit = Regress.fitLinear2(df, col("y"), col("x1"), col("x2"))
     val r = fit.select("b0", "b1", "b2", "r2").collect().head
-    // det of a rank-deficient 3x3 in floating point lands at (or within
-    // ulps of) zero; either exact-null or a finite fallback is visible —
-    // what must NOT happen is Inf/NaN escaping
-    assert(r.anyNull || (!r.getDouble(1).isInfinite && !r.getDouble(1).isNaN))
+    assert((0 to 3).forall(r.isNullAt), s"expected all-null coefficients, got $r")
+  }
+
+  test("near-collinear features within rounding of singular are rejected too") {
+    // x2 = 2·x1 + tiny jitter: det is formally nonzero but far below the
+    // 1e-12 * Hadamard-bound threshold — exact `det != 0` would pass it
+    // and emit huge unstable coefficients
+    val df = (1 to 20).map { i =>
+      (i.toDouble, 2.0 * i + i * 1e-14, i * 1.5)
+    }.toDF("x1", "x2", "y")
+    val fit = Regress.fitLinear2(df, col("y"), col("x1"), col("x2"))
+    val r = fit.select("b0", "b1", "b2", "r2").collect().head
+    assert((0 to 3).forall(r.isNullAt), s"expected all-null coefficients, got $r")
   }
 
   test("score applies the broadcast fit to new rows") {

@@ -387,11 +387,15 @@ class StreamsSpec extends SparkSpec {
       input.addData(
         (ts("2024-01-01 10:05:00"), 5L, doc),  // dup across batch
         (ts("2024-01-01 10:05:01"), 6L, "hi"), // exact short dup: suppressed
-        (ts("2024-01-01 10:05:02"), 7L, "yo")) // distinct short: survives
+        (ts("2024-01-01 10:05:02"), 7L, "yo"), // distinct short: survives
+        // NULL text: no content to dedup on — BOTH must survive, not
+        // collapse to one via a shared null key
+        (ts("2024-01-01 10:05:03"), 8L, null),
+        (ts("2024-01-01 10:05:04"), 9L, null))
       q.processAllAvailable()
       val got = spark.table("neardup_stream").select("doc_id")
         .as[Long].collect().toSet
-      assert(got == Set(1L, 3L, 4L, 7L))
+      assert(got == Set(1L, 3L, 4L, 7L, 8L, 9L))
     } finally q.stop()
   }
 
@@ -698,6 +702,33 @@ class StreamsSpec extends SparkSpec {
         .as[Long].collect().toSet
       assert(after2 === Set(1L, 3L, 5L), s"batch 2 kept $after2")
     } finally q2.stop()
+  }
+
+  test("incrementalDedupQuery migrates a flat pre-partitioned corpus into batch=legacy") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmp("inc_corpus_legacy") + "/corpus"
+    val index = tmp("inc_index_legacy") + "/index"
+    // a corpus written by the OLD flat layout: part files at the root
+    Seq((100L, "legacy document text kept as is")).toDF("doc_id", "text")
+      .write.parquet(corpus)
+    val flatFiles = new java.io.File(corpus).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(flatFiles.nonEmpty, "fixture must start flat")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "completely new content for the partitioned era"))
+    val q = incrementalDedupQuery(spark, input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, index, tmp("ckpt_incdedup_legacy"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    // without the migration, mixed flat + batch=... layouts make
+    // partition discovery throw "conflicting directory structures"
+    val rows = spark.read.parquet(corpus).select("doc_id", "batch")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet === Set(100L, 1L), s"got $rows")
+    assert(rows(100L) == "legacy", s"legacy row landed in batch=${rows(100L)}")
+    assert(new java.io.File(corpus).listFiles().forall(f =>
+      f.isDirectory || f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "no visible flat files may remain at the corpus root")
   }
 
   test("driftReport: zero drift for a matching mix, drift localized to the shifted category") {
