@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
 class MetaStore(spark: SparkSession, root: String) {
   import spark.implicits._
 
+  /** Product metrics registry (reference import counters,
+    * app/utils/onadata_utils.py:37-47), rendered by `GET /metrics` on
+    * [[graft.serve.Serve]]. Lives on the store because
+    * [[recordSyncResult]] is the one accounting choke point every sync
+    * path (scheduled tick, manual trigger, publish retry) flows through.
+    */
+  val metrics: graft.Metrics = new graft.Metrics
+
   private def path(table: String) = s"$root/$table"
 
   def readHyperFiles(): Dataset[HyperFileMeta] =
@@ -75,6 +83,7 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   def recordSyncResult(fileId: Long, success: Boolean,
                        at: java.sql.Timestamp, reason: String = ""): Unit = {
+    if (success) metrics.importSucceeded() else metrics.importFailed()
     val thr = graft.ops.State.FailureThreshold
     val updated = readHyperFiles().map { f =>
       if (f.id != fileId) f

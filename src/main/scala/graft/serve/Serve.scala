@@ -97,6 +97,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       (ex: HttpExchange) => handleRegistry(ex, "configurations"))
     server.createContext("/api/v1/oauth", (ex: HttpExchange) => handleOAuth(ex))
     server.createContext("/health", (ex: HttpExchange) => handleHealth(ex))
+    server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
     server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.setExecutor(null) // single-threaded: catalog reads are tiny
     server.start()
@@ -109,6 +110,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      store.metrics.request("files", ex.getRequestMethod)
       if (!authed(ex)) respondJson(ex, 403, """{"detail":"Not authenticated"}""")
       else {
         val rel = ex.getRequestURI.getPath.stripPrefix("/api/v1/files")
@@ -357,6 +359,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
 
   private def handleRegistry(ex: HttpExchange, which: String): Unit =
     try {
+      store.metrics.request(which, ex.getRequestMethod)
       if (!authed(ex)) respondJson(ex, 403, """{"detail":"Not authenticated"}""")
       else {
         val rel = ex.getRequestURI.getPath.stripPrefix(s"/api/v1/$which")
@@ -445,6 +448,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     */
   private def handleOAuth(ex: HttpExchange): Unit =
     try {
+      store.metrics.request("oauth", ex.getRequestMethod)
       val rel = ex.getRequestURI.getPath.stripPrefix("/api/v1/oauth")
         .stripPrefix("/").stripSuffix("/")
       val q = query(ex)
@@ -531,9 +535,28 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     */
   private def handleHealth(ex: HttpExchange): Unit =
     try {
+      store.metrics.request("health", ex.getRequestMethod)
       val db = try { store.readHyperFiles().limit(1).collect(); "ok" }
                catch { case scala.util.control.NonFatal(_) => "error" }
       respondJson(ex, if (db == "ok") 200 else 500, s"""{"database":${jsonStr(db)}}""")
+    } finally ex.close()
+
+  /** GET /metrics (app/main.py:64, counters at
+    * app/utils/onadata_utils.py:37-47): Prometheus text format from the
+    * store's [[graft.Metrics]] registry. Unauthenticated, matching the
+    * reference (mounted outside the authed API router); renders from
+    * in-process atomics — no catalog read, no Spark job.
+    */
+  private def handleMetrics(ex: HttpExchange): Unit =
+    try {
+      store.metrics.request("metrics", ex.getRequestMethod)
+      if (ex.getRequestMethod == "GET") {
+        val body = store.metrics.render.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      } else respondJson(ex, 405, """{"detail":"Method not allowed"}""")
     } finally ex.close()
 
   /** GET / (app/main.py:64-72): app info. Anything else under the root

@@ -160,6 +160,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // in-progress gauge around the import body — the reference's
+          // IN_PROGRESS_HYPER_IMPORT inc/dec pair (onadata_utils.py:37)
+          store.metrics.importStarted()
           try {
             Refresh.overwrite(prepare(latestExport(batch)), extractPath)
             postCommit(extractPath)
@@ -168,7 +171,7 @@ object Streams {
             case e: Throwable =>
               store.recordSyncResult(fileId, success = false, at,
                 reason = String.valueOf(e.getMessage))
-          }
+          } finally store.metrics.importFinished()
           ()
         }
       }

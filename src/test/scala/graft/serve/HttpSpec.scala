@@ -431,6 +431,56 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("GET /metrics: Prometheus text fed by real sync outcomes, no auth") {
+    withServer { (port, store, _) =>
+      // unauthenticated, like the reference's /metrics outside the API router
+      val conn = new URI(s"http://127.0.0.1:$port/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(Option(conn.getHeaderField("Content-Type"))
+        .exists(_.startsWith("text/plain")), conn.getHeaderField("Content-Type"))
+      val b0 = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(b0.contains("# TYPE in_progress_hyper_import gauge"))
+      assert(b0.contains("successful_hyper_database_imports_total 0.0"))
+      assert(b0.contains("failed_hyper_database_imports_total 0.0"))
+      assert(b0.contains("in_progress_hyper_import 0.0"))
+
+      def syncServe(postCommit: String => Unit) = {
+        val landing = java.nio.file.Files.createTempDirectory("m_landing").toString
+        val extract = java.nio.file.Files.createTempDirectory("m_extract").toString + "/ex"
+        val ckpt = java.nio.file.Files.createTempDirectory("m_ckpt").toString
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(landing, "export1.csv"), "id,name\n1,a\n")
+        new Serve(spark, store, Token,
+          sync = id => graft.streaming.Streams.syncTick(
+            spark, landing, "id LONG, name STRING", extract, ckpt,
+            store, id, ts("2024-07-01 00:00:00"),
+            postCommit = postCommit).awaitTermination(),
+          downloadPath = _ => extract)
+      }
+
+      // success + failure both flow through recordSyncResult's accounting
+      val ok = syncServe(_ => ())
+      val pOk = ok.start()
+      try assert(request(pOk, "/api/v1/files/1/sync", method = "POST")._1 == 200)
+      finally ok.stop()
+      val bad = syncServe(_ => sys.error("publish transport down"))
+      val pBad = bad.start()
+      try assert(request(pBad, "/api/v1/files/2/sync", method = "POST")._1 == 200)
+      finally bad.stop()
+
+      val (s1, b1, _) = request(port, "/metrics", token = "")
+      assert(s1 == 200)
+      assert(b1.contains("successful_hyper_database_imports_total 1.0"), b1)
+      assert(b1.contains("failed_hyper_database_imports_total 1.0"), b1)
+      // the gauge went up during the import and back down after
+      assert(b1.contains("in_progress_hyper_import 0.0"), b1)
+      // request counting by route group and method
+      assert(b1.contains("""duva_requests_total{handler="files",method="POST"} 2.0"""), b1)
+      assert(b1.contains("""duva_requests_total{handler="metrics",method="GET"}"""), b1)
+    }
+  }
+
   test("delete: side effects run, row gone, 204; unknown id is 404") {
     withServer { (port, store, _) =>
       val conn = new URI(s"http://127.0.0.1:$port/api/v1/files/7").toURL
