@@ -34,6 +34,40 @@ class MetaStore(spark: SparkSession, root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  // ---- driver-side snapshot cache ---------------------------------------
+  // The catalog is the reference's Postgres: tiny and driver-side by
+  // design. Serving paths (one HTTP GET each) should not launch a Spark
+  // job per request, so collected snapshots are cached here and
+  // invalidated by every write — all writes flow through `overwrite` or
+  // an `init*`, making those the two invalidation choke points. The
+  // cache is per-process, matching the single-writer serving model (an
+  // out-of-band writer to the same catalog root needs its own process's
+  // store, exactly as the reference's app holds its own DB session).
+
+  private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
+
+  private def snapshot[T](table: String)(load: => Seq[T]): Seq[T] =
+    snapshots.computeIfAbsent(table, _ => load.asInstanceOf[Seq[Any]])
+      .asInstanceOf[Seq[T]]
+
+  private def invalidateSnapshot(table: String): Unit = { snapshots.remove(table); () }
+
+  /** Cached driver-side rows, refreshed lazily after any write through
+    * this store. Total order by id, so pagination over the snapshot is
+    * deterministic without a per-request sort job.
+    */
+  def hyperFilesSnapshot(): Seq[HyperFileMeta] =
+    snapshot("hyperfiles")(readHyperFiles().collect().toSeq.sortBy(_.id))
+
+  def serversSnapshot(): Seq[ServerMeta] =
+    snapshot("servers")(readServers().collect().toSeq.sortBy(_.id))
+
+  def usersSnapshot(): Seq[UserMeta] =
+    snapshot("users")(readUsers().collect().toSeq.sortBy(_.id))
+
+  def configsSnapshot(): Seq[ConfigMeta] =
+    snapshot("configurations")(readConfigs().collect().toSeq.sortBy(_.id))
+
   def readHyperFiles(): Dataset[HyperFileMeta] =
     spark.read.parquet(path("hyperfiles")).as[HyperFileMeta]
 
@@ -47,8 +81,10 @@ class MetaStore(spark: SparkSession, root: String) {
     overwrite(ds.toDF(), "hyperfiles")
   }
 
-  def initHyperFiles(rows: Seq[HyperFileMeta]): Unit =
+  def initHyperFiles(rows: Seq[HyperFileMeta]): Unit = {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
+    invalidateSnapshot("hyperfiles")
+  }
 
   /** Create-or-get: insert only rows whose (userId, formId) is absent;
     * existing rows (and their state) are preserved verbatim.
@@ -146,8 +182,10 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readServers(): Dataset[ServerMeta] = readOrEmpty[ServerMeta]("servers")
 
-  def initServers(rows: Seq[ServerMeta]): Unit =
+  def initServers(rows: Seq[ServerMeta]): Unit = {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("servers"))
+    invalidateSnapshot("servers")
+  }
 
   /** Create-or-get under the unique `url` key (server.py:14-37: the
     * registry answers the EXISTING row for a known url).
@@ -167,8 +205,10 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readUsers(): Dataset[UserMeta] = readOrEmpty[UserMeta]("users")
 
-  def initUsers(rows: Seq[UserMeta]): Unit =
+  def initUsers(rows: Seq[UserMeta]): Unit = {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("users"))
+    invalidateSnapshot("users")
+  }
 
   /** Create-or-get under the unique (serverId, username) key — the OAuth
     * callback's user upsert (oauth.py:115-135: a known user is updated
@@ -194,8 +234,10 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readConfigs(): Dataset[ConfigMeta] = readOrEmpty[ConfigMeta]("configurations")
 
-  def initConfigs(rows: Seq[ConfigMeta]): Unit =
+  def initConfigs(rows: Seq[ConfigMeta]): Unit = {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("configurations"))
+    invalidateSnapshot("configurations")
+  }
 
   /** Create-or-get under the composite unique key
     * (configuration.py:19-54).
@@ -228,5 +270,6 @@ class MetaStore(spark: SparkSession, root: String) {
     val staging = new org.apache.hadoop.fs.Path(path(table) + "__staging")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     graft.etl.Refresh.swapInto(fs, staging, target)
+    invalidateSnapshot(table)
   }
 }

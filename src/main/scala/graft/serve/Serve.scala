@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, max}
 
 import graft.catalog.{ConfigMeta, FileStatus, HyperFileMeta, MetaStore, ServerMeta}
 
@@ -161,7 +160,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     // overflows, so the age test alone would never fire
     if (tokenCache._2 == Long.MinValue || nowMillis - tokenCache._2 > 5000L) {
       val fresh =
-        try Some(store.readUsers().collect()
+        try Some(store.usersSnapshot()
           .map(u => OAuth.accessToken(token, u.id)).toSet)
         catch { case scala.util.control.NonFatal(_) => None } // keep last good set
       // a FAILED refresh must not consume the invalidation sentinel: a
@@ -211,16 +210,21 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       case (_, _, Some((bad, None))) =>
         respondJson(ex, 400, s"""{"detail":${jsonStr(s"Invalid limit provided: $bad")}}""")
       case _ =>
-        val all = store.readHyperFiles()
+        // cached catalog snapshot (id-ordered): filter + paginate are
+        // driver-side Scala over ≤ catalog-size rows, no Spark job per
+        // request. The DISTRIBUTED forms of these ops stay oracle-checked
+        // as Catalog.pointLookup/paginate (q_point_lookup/q_pagination) —
+        // this path is the reference's "Postgres query from the app tier".
+        val all = store.hyperFilesSnapshot()
         val filtered = formId.flatMap(_._2) match {
-          case Some(fid) =>
-            graft.catalog.Catalog.pointLookup(all.toDF(), "formId", fid)
-          case None => all.toDF()
+          case Some(fid) => all.filter(_.formId == fid)
+          case None => all
         }
         // P2 pagination under a total order, reference defaults 0/100
-        val page = graft.catalog.Catalog.paginate(filtered, Seq("id"),
-          skip.flatMap(_._2).getOrElse(0), limit.flatMap(_._2).getOrElse(100))
-        val rows = page.as[HyperFileMeta].collect() // bounded by `limit`
+        // (drop/take, not slice: skip+limit may overflow Int)
+        val rows = filtered
+          .drop(skip.flatMap(_._2).getOrElse(0))
+          .take(limit.flatMap(_._2).getOrElse(100))
         respondJson(ex, 200,
           rows.map(fileJson(_, withUrls = true)).mkString("[", ",", "]"))
     }
@@ -277,8 +281,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
             // handler — mapping it to None here would misreport an
             // outage as the definitive client error 400 "not found"
             val configRow = configId.flatMap(_.toLongOption).flatMap { i =>
-              store.readConfigs().filter(c => c.id == i && c.userId == userId)
-                .collect().headOption
+              store.configsSnapshot().find(c => c.id == i && c.userId == userId)
             }
             if (configId.nonEmpty && configRow.isEmpty)
               respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")
@@ -286,17 +289,15 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
               val filename = m.get("title").map(t => s"$t.parquet")
                 .orElse(jsonField(body, "filename"))
                 .getOrElse(s"form_$formId.parquet")
-              val existing = store.readHyperFiles()
-              val newId = existing.toDF().agg(max(col("id"))).head().getAs[Any](0) match {
-                case null => 1L
-                case mx: Long => mx + 1L
-              }
+              val newId =
+                store.hyperFilesSnapshot().map(_.id).maxOption.getOrElse(0L) + 1L
               val metaData = configRow.map(c =>
                 Map("configuration-id" -> c.id.toString)).getOrElse(Map.empty[String, String])
               val row = HyperFileMeta(newId, userId, formId, filename,
                 FileStatus.Queued, isActive = true, metaData, clock())
-              val owner = store.createOrGet(Seq(row).toDS())
-                .filter(f => f.userId == userId && f.formId == formId).head()
+              store.createOrGet(Seq(row).toDS()) // write invalidates the snapshot
+              val owner = store.hyperFilesSnapshot()
+                .find(f => f.userId == userId && f.formId == formId).get
               val created = owner.id == newId
               if (created && jsonField(body, "sync_immediately").contains("true"))
                 sync(owner.id)
@@ -324,8 +325,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     lookup(ex, idStr) { f =>
       // catalog read failures propagate (500), never masquerade as 400
       val configRow = newConfig.flatMap(_.toLongOption).flatMap { i =>
-        store.readConfigs().filter(c => c.id == i && c.userId == f.userId)
-          .collect().headOption
+        store.configsSnapshot().find(c => c.id == i && c.userId == f.userId)
       }
       if (newConfig.nonEmpty && configRow.isEmpty)
         respondJson(ex, 400, """{"detail":"Configuration not found with given ID"}""")
@@ -337,7 +337,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
             .map(c => renamed.copy(metaData = renamed.metaData + ("configuration-id" -> c)))
             .getOrElse(renamed)
         }
-        val updated = store.readHyperFiles().filter(_.id == f.id).head()
+        val updated = store.hyperFilesSnapshot().find(_.id == f.id).get
         respondJson(ex, 200, fileJson(updated, withUrls = true))
       }
     }
@@ -367,7 +367,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         val parts = if (rel.isEmpty) Array.empty[String] else rel.split("/")
         (ex.getRequestMethod, parts, which) match {
           case ("GET", Array(), "servers") =>
-            respondJson(ex, 200, store.readServers().collect().sortBy(_.id)
+            respondJson(ex, 200, store.serversSnapshot()
               .map(serverJson).mkString("[", ",", "]"))
           case ("POST", Array(), "servers") =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -378,26 +378,26 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                 // stripped) so the unique-url key and the by-url match
                 // agree on one spelling
                 val normalized = url.stripSuffix("/")
-                val nextId = store.readServers().collect()
+                val nextId = store.serversSnapshot()
                   .map(_.id).maxOption.getOrElse(0L) + 1L
                 val row = store.createOrGetServer(ServerMeta(nextId, normalized))
                 respondJson(ex, if (row.id == nextId) 201 else 200, serverJson(row))
             }
           case ("GET", Array(id), "servers") =>
             id.toLongOption.flatMap(i =>
-              store.readServers().filter(_.id == i).collect().headOption) match {
+              store.serversSnapshot().find(_.id == i)) match {
               case Some(s) => respondJson(ex, 200, serverJson(s))
               case None => respondJson(ex, 404, """{"detail":"Server not found."}""")
             }
           case ("GET", Array(), "configurations") =>
-            respondJson(ex, 200, store.readConfigs().collect().sortBy(_.id)
+            respondJson(ex, 200, store.configsSnapshot()
               .map(configJson).mkString("[", ",", "]"))
           case ("POST", Array(), "configurations") =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             (jsonField(body, "user_id").flatMap(_.toLongOption),
              jsonField(body, "server_address"), jsonField(body, "token_name")) match {
               case (Some(uid), Some(addr), Some(tok)) =>
-                val nextId = store.readConfigs().collect()
+                val nextId = store.configsSnapshot()
                   .map(_.id).maxOption.getOrElse(0L) + 1L
                 val row = store.createOrGetConfig(
                   ConfigMeta(nextId, uid, addr, tok, Map.empty))
@@ -414,7 +414,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
               store.updateConfig(c.id)(row =>
                 newTok.map(t => row.copy(tokenName = t)).getOrElse(row))
               respondJson(ex, 200,
-                configJson(store.readConfigs().filter(_.id == c.id).head()))
+                configJson(store.configsSnapshot().find(_.id == c.id).get))
             }
           case ("DELETE", Array(id), "configurations") =>
             withConfig(ex, id) { c =>
@@ -431,7 +431,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
 
   private def withConfig(ex: HttpExchange, idStr: String)(body: ConfigMeta => Unit): Unit =
     idStr.toLongOption.flatMap(i =>
-      store.readConfigs().filter(_.id == i).collect().headOption) match {
+      store.configsSnapshot().find(_.id == i)) match {
       case Some(c) => body(c)
       case None => respondJson(ex, 404, """{"detail":"Configuration not found."}""")
     }
@@ -457,7 +457,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
           q.get("server_url").map(_.stripSuffix("/")) match {
             case None => respondJson(ex, 400, """{"detail":"server_url is required"}""")
             case Some(url) =>
-              store.readServers().filter(_.url == url).collect().headOption match {
+              store.serversSnapshot().find(_.url == url) match {
                 case None =>
                   respondJson(ex, 400, """{"detail":"Server not configured"}""")
                 case Some(srv) =>
@@ -478,8 +478,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                 case None => respondJson(ex, 401,
                   """{"detail":"Authorization state can not be confirmed."}""")
                 case Some(st) =>
-                  store.readServers().filter(_.id == st.serverId)
-                    .collect().headOption match {
+                  store.serversSnapshot().find(_.id == st.serverId) match {
                     case None =>
                       respondJson(ex, 400, """{"detail":"Server not configured"}""")
                     case Some(srv) =>
@@ -597,10 +596,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   }
 
   private def lookup(ex: HttpExchange, idStr: String)(body: HyperFileMeta => Unit): Unit =
-    idStr.toLongOption.flatMap { id =>
-      graft.catalog.Catalog.pointLookup(store.readHyperFiles().toDF(), "id", id)
-        .as[HyperFileMeta].collect().headOption // point lookup: <= 1 row
-    } match {
+    idStr.toLongOption.flatMap(id => store.hyperFilesSnapshot().find(_.id == id))
+    match {
       case Some(f) => body(f)
       case None => respondJson(ex, 404, """{"detail":"File not found."}""")
     }

@@ -60,4 +60,12 @@ object Shim {
     f(ext)
     ext.registerFunctions(spark.sessionState.functionRegistry)
   }
+
+  /** Drain the Spark listener bus (`listenerBus` is `private[spark]`) so
+    * a spec counting job events via a SparkListener can assert
+    * synchronously — e.g. "this cached catalog request launched ZERO
+    * Spark jobs" needs all pending job-start events delivered first.
+    */
+  def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

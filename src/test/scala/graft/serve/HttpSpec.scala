@@ -431,6 +431,49 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("catalog snapshot cache: cached GETs launch zero Spark jobs; writes invalidate") {
+    withServer { (port, _, _) =>
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def drain(): Unit =
+        org.apache.spark.sql.graftshim.Shim.waitForListenerBus(spark)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // warm: first request per table loads its snapshot (jobs expected)
+        assert(request(port, "/api/v1/files")._1 == 200)
+        assert(request(port, "/api/v1/servers")._1 == 200)
+        drain(); jobs.set(0)
+        // cached: list, detail, and a 404 probe — ZERO Spark jobs
+        assert(request(port, "/api/v1/files")._1 == 200)
+        assert(request(port, "/api/v1/files/1")._1 == 200)
+        assert(request(port, "/api/v1/files/99999")._1 == 404)
+        assert(request(port, "/api/v1/servers")._1 == 200)
+        drain()
+        assert(jobs.get == 0, s"cached GETs launched ${jobs.get} Spark jobs")
+        // a write through the store invalidates: the PATCH commits and
+        // re-reads the catalog (its response renders from the reloaded
+        // snapshot), and subsequent GETs serve the NEW state job-free
+        jobs.set(0)
+        val (ps, _) = bodyRequest(port, "/api/v1/files/1", "PATCH",
+          """{"filename":"renamed.parquet"}""")
+        assert(ps == 200)
+        drain()
+        assert(jobs.get > 0, "the write path must hit the real catalog")
+        jobs.set(0)
+        val (gs, gb, _) = request(port, "/api/v1/files/1")
+        assert(gs == 200 && gb.contains("renamed.parquet"), gb)
+        drain()
+        assert(jobs.get == 0,
+          s"post-write GET launched ${jobs.get} jobs — the PATCH already re-warmed the snapshot")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("GET /metrics: Prometheus text fed by real sync outcomes, no auth") {
     withServer { (port, store, _) =>
       // unauthenticated, like the reference's /metrics outside the API router
