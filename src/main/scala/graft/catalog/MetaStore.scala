@@ -69,7 +69,38 @@ class MetaStore(spark: SparkSession, root: String) {
     snapshot("configurations")(readConfigs().collect().toSeq.sortBy(_.id))
 
   def readHyperFiles(): Dataset[HyperFileMeta] =
-    spark.read.parquet(path("hyperfiles")).as[HyperFileMeta]
+    evolve[HyperFileMeta](spark.read.parquet(path("hyperfiles")))
+
+  /** Schema evolution on read — the alembic analog (reference
+    * `app/alembic/`): a catalog written by an OLDER build (narrower
+    * case class) still reads after a field is added. Columns the file
+    * lacks are null-filled via `unionByName(allowMissingColumns)`
+    * against the encoder's schema; non-nullable primitives among them
+    * get the type's zero value (alembic's `server_default`), since a
+    * null in a primitive field would throw at collect time. Columns the
+    * file has but the case class dropped ride along ignored — encoders
+    * bind by name. New catalog fields should prefer nullable types
+    * (String / Map / Option) so the null fill IS the default; the
+    * zero-fill covers the primitive exception.
+    */
+  private def evolve[T](raw: org.apache.spark.sql.DataFrame)
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val missing = enc.schema.fields.filterNot(f => raw.columns.contains(f.name))
+    if (missing.isEmpty) raw.as[T]
+    else {
+      val aligned = spark.emptyDataset[T].toDF()
+        .unionByName(raw, allowMissingColumns = true)
+      missing.filterNot(_.nullable).foldLeft(aligned) { (df, f) =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            df.na.fill(0L, Seq(f.name))
+          case org.apache.spark.sql.types.BooleanType =>
+            df.na.fill(value = false, Seq(f.name))
+          case _ => df
+        }
+      }.as[T]
+    }
+  }
 
   def writeHyperFiles(ds: Dataset[HyperFileMeta]): Unit = {
     // self-check the unique key before commit (cheap: catalog-sized)
@@ -175,7 +206,7 @@ class MetaStore(spark: SparkSession, root: String) {
   private def readOrEmpty[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
     val (fs, target) = graft.etl.Refresh.hfs(spark, path(table))
     if (!fs.exists(target)) spark.emptyDataset[T]
-    else spark.read.parquet(path(table)).as[T]
+    else evolve[T](spark.read.parquet(path(table))) // see evolve: alembic analog
   }
 
   // ---- server registry (app/models/server.py, unique url) ---------------

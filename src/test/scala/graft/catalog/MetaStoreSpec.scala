@@ -70,4 +70,33 @@ class MetaStoreSpec extends SparkSpec {
       HyperFileMeta(8L, 1L, 1L, "y", FileStatus.Queued, true, Map.empty, ts("2024-01-01 00:00:00"))).toDS()
     intercept[IllegalArgumentException] { store.writeHyperFiles(bad) }
   }
+
+  test("schema evolution: a catalog written by an older, narrower build still reads") {
+    // simulate a pre-metaData / pre-isActive catalog: the parquet on disk
+    // lacks a nullable field (metaData), a non-nullable primitive
+    // (isActive), AND carries a column the current build dropped
+    val root = java.nio.file.Files.createTempDirectory("metastore_old").toString
+    Seq(
+      (1L, 10L, 100L, "a.parquet", FileStatus.FileAvailable,
+        ts("2024-01-01 00:00:00"), "dropped-in-v2"),
+      (2L, 11L, 200L, "b.parquet", FileStatus.Queued,
+        ts("2024-01-01 00:00:00"), "dropped-in-v2"))
+      .toDF("id", "userId", "formId", "filename", "fileStatus",
+        "lastUpdated", "legacyNote")
+      .coalesce(1).write.parquet(s"$root/hyperfiles")
+    val store = new MetaStore(spark, root)
+    val rows = store.readHyperFiles().collect().sortBy(_.id)
+    assert(rows.map(_.id).toSeq == Seq(1L, 2L))
+    assert(rows.head.filename == "a.parquet")
+    // nullable missing field -> null (callers treat as absent)
+    assert(rows.forall(_.metaData == null))
+    // non-nullable primitive missing field -> the type's zero value
+    assert(rows.forall(_.isActive == false))
+    // and the evolved catalog is WRITABLE: a full update round-trips on
+    // the current schema (the migration is then materialized on disk)
+    store.update(1L, ts("2024-02-01 00:00:00"))(f =>
+      f.copy(metaData = Map(MetaKeys.SyncFailures -> "0"), isActive = true))
+    val migrated = store.readHyperFiles().filter(_.id == 1L).head()
+    assert(migrated.isActive && migrated.metaData(MetaKeys.SyncFailures) == "0")
+  }
 }
