@@ -301,10 +301,16 @@ object Similarity {
     * analog of [[writeLshIndex]] — probing `nProbe` cells becomes
     * source-level partition pruning. Returns the centroids; keep them
     * with the index (they are the probe map).
+    *
+    * Builds with k-means-REFINED centroids by default
+    * ([[ivfCentroidsKMeans]], recall win spec-pinned): an index is
+    * built once and probed forever, so the refinement's extra build
+    * scans are amortized where they pay most — `kmeansIters = 0` keeps
+    * the deterministic id-rank seed for oracle-anchored replays.
     */
   def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
                     path: String, m: Int = 16,
-                    kmeansIters: Int = 0): Array[(Long, Array[Double])] = {
+                    kmeansIters: Int = 5): Array[(Long, Array[Double])] = {
     val centroids =
       if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
       else ivfCentroids(vectors, idCol, vecCol, m)
@@ -348,14 +354,19 @@ object Similarity {
     */
   def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
                    path: String, pqM: Int = 4, pqKs: Int = 8,
-                   ivfCells: Int = 0): Array[Array[Array[Double]]] = {
+                   ivfCells: Int = 0,
+                   kmeansIters: Int = 5): Array[Array[Array[Double]]] = {
     val spark = vectors.sparkSession
     val cb = pqCodebooks(vectors, idCol, vecCol, pqM, pqKs)
     val cbLit = pqCodebooksLit(cb)
     val codes = graft.functions.PqEncode(
       col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
+    // refined cells by default, like writeIvfIndex: the sidecar carries
+    // whichever centroids the build used, so probes always agree
     val cents =
-      if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
+      if (ivfCells > 0 && kmeansIters > 0)
+        ivfCentroidsKMeans(vectors, idCol, vecCol, ivfCells, kmeansIters)
+      else if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
       else Array.empty[(Long, Array[Double])]
     if (ivfCells > 0)
       graft.etl.Refresh.overwrite(
@@ -862,6 +873,20 @@ object Similarity {
     * cells a skewed embedding distribution produces. One shuffle on the
     * cell id; the pair filter never leaves the cell.
     */
+  /** [[semanticDedup]] that builds its own cell map — k-means-refined
+    * centroids by default, the production entry point (tighter cells →
+    * fewer cross-cell near-dup escapes at the same m). The
+    * explicit-centroids overload below stays for oracle-anchored
+    * replays and for callers sharing one cell map across stages.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    m: Int, threshold: Double,
+                    kmeansIters: Int): DataFrame =
+    semanticDedup(vectors, idCol, vecCol,
+      if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(vectors, idCol, vecCol, m),
+      threshold)
+
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[(Long, Array[Double])], threshold: Double,
                     maxCell: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {

@@ -257,6 +257,28 @@ class ExtensionsSpec extends SparkSpec {
       s"k-means refinement did not improve recall: $kmRecall <= $baseRecall")
   }
 
+  test("index build paths default to k-means-refined centroids") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idRank = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8, 5)
+    val ivfPath = java.nio.file.Files.createTempDirectory("ivf_def").toString + "/idx"
+    val built = Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfPath, m = 8)
+    assert(built.map(_._1).toSeq == refined.map(_._1).toSeq)
+    assert(built.flatMap(_._2).toSeq == refined.flatMap(_._2).toSeq,
+      "writeIvfIndex default must build the k-means-refined centroids")
+    assert(built.flatMap(_._2).toSeq != idRank.flatMap(_._2).toSeq,
+      "refinement moved no centroid on real embeddings — default not wired?")
+    // the IVF-PQ build writes the SAME refined centroids into its sidecar
+    val pqPath = java.nio.file.Files.createTempDirectory("pq_def").toString + "/idx"
+    val embD = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    Similarity.writePqIndex(embD, "vec_id", "v", pqPath,
+      pqM = 4, pqKs = 8, ivfCells = 8)
+    val (_, _, _, sidecarCents) = Similarity.readPqSidecar(spark, pqPath)
+    assert(sidecarCents.map(_._1).toSeq == refined.map(_._1).toSeq)
+    assert(sidecarCents.flatMap(_._2).toSeq == refined.flatMap(_._2).toSeq,
+      "PQ sidecar must carry the refined centroids the build assigned with")
+  }
+
   test("batch ANN join: LSH multi-probe recall vs the exact join") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 5)

@@ -288,9 +288,10 @@ class PlanSpec extends SparkSpec {
     val total = scan.relation.location.listFiles(Nil, Nil).length
     assert(selected <= nProbe && selected < total,
       s"no source-level pruning ($selected of $total)")
-    // pruned probe == recompute-and-filter variant
+    // pruned probe == recompute-and-filter variant (kmeansIters matches
+    // the index build default: both sides must share one cell map)
     val viaAssign = graft.ops.Similarity.ivfTopK(
-      emb, "vec_id", "embedding", query, k = 10, m = 8, nProbe)
+      emb, "vec_id", "embedding", query, k = 10, m = 8, nProbe, kmeansIters = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex == viaAssign)
