@@ -105,20 +105,46 @@ object Versioned {
   def tagOf(spark: SparkSession, root: String, v: Long): Option[String] =
     manifestLines(spark, root, v).find(_.startsWith(TagLine)).map(_.stripPrefix(TagLine))
 
-  /** The newest committed version carrying `tag` — the writer-side
-    * idempotency probe: a retried publish (streaming batch replay after
-    * a crash) asks this before publishing again. Only the newest
-    * `lookback` manifests are read (never a data-tree listing): a replay
-    * can only duplicate a version from the most recent crash window, so
-    * at sync cadence the probe stays O(lookback) even once the root holds
-    * thousands of versions. A tag older than the lookback window is
-    * reported absent — callers that need full history pass
-    * `lookback = Int.MaxValue`.
+  /** The committed version carrying `tag` — the writer-side idempotency
+    * probe: a retried publish (streaming batch replay after a crash)
+    * asks this before publishing again. Resolution order:
+    *
+    *  1. the tag→version INDEX pointer ([[commitManifest]] writes one
+    *     per tagged commit): one pointer read + one manifest existence
+    *     check — O(1) at ANY history depth, full-history answer. The
+    *     pointer is verified (stored tag equality, manifest present)
+    *     before being trusted, so an MD5 collision or a vacuumed
+    *     version falls through rather than lying.
+    *  2. fallback newest-`lookback` manifest scan, for roots whose
+    *     tagged commits predate the index (or a crash between manifest
+    *     and pointer renames). A tag older than the window is reported
+    *     absent on this path — callers needing full pre-index history
+    *     pass `lookback = Int.MaxValue`.
     */
   def versionForTag(spark: SparkSession, root: String, tag: String,
-                    lookback: Int = 64): Option[Long] =
-    listVersions(spark, root).reverse.take(math.max(lookback, 1))
-      .find(v => tagOf(spark, root, v).contains(tag))
+                    lookback: Int = 64): Option[Long] = {
+    val (fs, _) = Refresh.hfs(spark, root)
+    val ptr = tagPointerPath(root, tag)
+    val viaIndex =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val nl = txt.indexOf('\n')
+        val (vStr, storedTag) =
+          if (nl < 0) (txt, "") else (txt.take(nl), txt.drop(nl + 1))
+        vStr.trim.toLongOption
+          .filter(_ => storedTag == tag) // MD5 collision guard
+          .filter(v => fs.exists(manifestPath(root, v)) &&
+            tagOf(spark, root, v).contains(tag)) // vacuumed/stale guard
+      }
+    viaIndex.orElse(
+      listVersions(spark, root).reverse.take(math.max(lookback, 1))
+        .find(v => tagOf(spark, root, v).contains(tag)))
+  }
 
   /** The version the `_LATEST` pointer names, if published. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -153,9 +179,9 @@ object Versioned {
     * the caller's staged data stays an invisible orphan — the one place
     * concurrent publishes are arbitrated.
     */
-  private def commitManifest(spark: SparkSession, root: String, v: Long,
-                             files: Seq[String], tag: Option[String],
-                             tsMillis: Option[Long] = None): Unit = {
+  private[etl] def commitManifest(spark: SparkSession, root: String, v: Long,
+                                  files: Seq[String], tag: Option[String],
+                                  tsMillis: Option[Long] = None): Unit = {
     val (fs, _) = Refresh.hfs(spark, root)
     val mdir = new Path(root, ManifestsDir)
     fs.mkdirs(mdir)
@@ -168,6 +194,33 @@ object Versioned {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, manifestPath(root, v)) // Rename.NONE: fail if committed
+    // tag→version index entry, AFTER the manifest is committed: one
+    // no-overwrite rename per tag, so [[versionForTag]] is an O(1)
+    // pointer read instead of a newest-K manifest scan. The pointer is
+    // an OPTIMIZATION, never the source of truth — a crash between the
+    // two renames leaves a tagged manifest the fallback scan still
+    // finds, and versionForTag verifies the pointed-at manifest before
+    // trusting a pointer.
+    tag.foreach { t =>
+      val ptmp = new Path(mdir, s".tmp-tag-${java.util.UUID.randomUUID()}")
+      val pout = fs.create(ptmp, true)
+      try pout.write(s"$v\n$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally pout.close()
+      try fc.rename(ptmp, tagPointerPath(root, t)) // first committer wins
+      catch { case scala.util.control.NonFatal(_) => fs.delete(ptmp, false); () }
+    }
+  }
+
+  /** Index entry for `tag` under `_manifests`: filename is the tag's MD5
+    * (tags are free-form batch ids — not filename-safe), content is
+    * `version\ntag` so a hash collision is detected by comparing the
+    * stored tag, never silently resolved.
+    */
+  private[etl] def tagPointerPath(root: String, tag: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new Path(s"$root/$ManifestsDir", s"tag-$h.ptr")
   }
 
   /** Publish `df` as the next version and flip `_LATEST` to it; returns
@@ -338,8 +391,14 @@ object Versioned {
     val current = currentVersion(spark, root)
     val deletable = vs.dropRight(keep).filterNot(current.contains)
     deletable.foreach { v =>
+      // capture the tag BEFORE the manifest goes, so the version's index
+      // pointer is reclaimed with it (a stale pointer is harmless —
+      // versionForTag verifies — but it would leak one tiny file per
+      // vacuumed tagged version forever)
+      val tag = tagOf(spark, root, v)
       fs.delete(manifestPath(root, v), false)
       fs.delete(new Path(versionDir(root, v)), true)
+      tag.foreach(t => fs.delete(tagPointerPath(root, t), false))
     }
     // the pointed-at version is NEVER orphan-GC'd, even when it has no
     // manifest: a pre-manifest root (see [[migrate]]) has live data dirs

@@ -132,16 +132,46 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.migrate(spark, root).isEmpty)
   }
 
-  test("versionForTag honors the lookback window") {
+  test("versionForTag: index answers full history; fallback honors lookback") {
     val root = freshRoot()
     Versioned.publish(Seq(1).toDF("x"), root, tag = Some("batch-1"))
     Versioned.publish(Seq(2).toDF("x"), root, tag = Some("batch-2"))
     Versioned.publish(Seq(3).toDF("x"), root, tag = Some("batch-3"))
     assert(Versioned.versionForTag(spark, root, "batch-2").contains(2L))
-    // a tag older than the window is reported absent (documented contract)
-    assert(Versioned.versionForTag(spark, root, "batch-1", lookback = 1).isEmpty)
+    // the tag index answers at ANY depth, regardless of lookback
+    assert(Versioned.versionForTag(spark, root, "batch-1", lookback = 1).contains(1L))
     assert(Versioned.versionForTag(spark, root, "batch-3", lookback = 1).contains(3L))
+    // pre-index root (tagged commits older than the index, or a crash
+    // between manifest and pointer renames): delete the pointer — the
+    // fallback manifest scan honors the lookback window
+    val (fs, _) = graft.etl.Refresh.hfs(spark, root)
+    fs.delete(Versioned.tagPointerPath(root, "batch-1"), false)
+    assert(Versioned.versionForTag(spark, root, "batch-1", lookback = 1).isEmpty)
+    assert(Versioned.versionForTag(spark, root, "batch-1").contains(1L))
   }
+
+  test("tag index: versionForTag stays O(1) manifest reads at 1k versions") {
+    val root = freshRoot()
+    // manifest-only commits through the internal hook — the probe's cost
+    // model doesn't care whether data files exist
+    (1L to 1000L).foreach { v =>
+      Versioned.commitManifest(spark, root, v, Seq("part-00000"),
+        Some(s"t-$v"), tsMillis = Some(v))
+    }
+    // lookback=1 permits at most ONE manifest on the scan path, so only
+    // the O(1) index can answer the OLDEST tag — this is the proof the
+    // probe did not walk the 1k-manifest history
+    assert(Versioned.versionForTag(spark, root, "t-1", lookback = 1).contains(1L))
+    assert(Versioned.versionForTag(spark, root, "t-500", lookback = 1).contains(500L))
+    assert(Versioned.versionForTag(spark, root, "t-1000", lookback = 1).contains(1000L))
+    assert(Versioned.versionForTag(spark, root, "t-nope", lookback = 1).isEmpty)
+    // a vacuumed tagged version reclaims its pointer and stops resolving
+    Versioned.vacuum(spark, root, keep = 999)
+    assert(Versioned.versionForTag(spark, root, "t-1", lookback = 1).isEmpty)
+    assert(!fs(root).exists(Versioned.tagPointerPath(root, "t-1")))
+  }
+
+  private def fs(root: String) = graft.etl.Refresh.hfs(spark, root)._1
 
   test("diff classifies insert/delete/update; null-vs-empty and no-op rows behave") {
     val root = freshRoot()
