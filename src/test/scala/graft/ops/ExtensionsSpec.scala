@@ -538,6 +538,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(Multimodal.decodeAudioSamples("not audio".getBytes).isEmpty)
   }
 
+  test("unknown-length audio re-strides geometrically: samples spread, not head-biased") {
+    // AU container with dataSize = -1 (unknown): the one JDK-decodable
+    // format whose frame length is genuinely absent — the decoder must
+    // take the re-stride path, not the fixed-stride one
+    def synthAuUnknownLength(rate: Int, pcm: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24 + pcm.length * 2)
+      bb.putInt(0x2E736E64) // ".snd"
+      bb.putInt(24)         // data offset
+      bb.putInt(-1)         // data size UNKNOWN — the point of the fixture
+      bb.putInt(3)          // encoding 3: 16-bit linear PCM (big-endian)
+      bb.putInt(rate)
+      bb.putInt(1)          // mono
+      pcm.foreach(bb.putShort)
+      bb.array()
+    }
+    val pcm = Array.tabulate[Short](4096)(i => (i % 256).toShort)
+    val au = synthAuUnknownLength(8000, pcm)
+    val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(au))
+    assert(probe.getFrameLength == -1L,
+      s"fixture must be frame-length-less, got ${probe.getFrameLength}")
+    val a = Multimodal.decodeAudioSamples(au, budget = 100).get
+    // true length still counted to EOF, budget still honored
+    assert(a.frames == 4096L && a.sampleRate == 8000)
+    assert(a.samples.length <= 100, s"budget blown: ${a.samples.length}")
+    // geometric re-stride: stride doubles 1→2→…→64 (the first power of
+    // two with 4096/s ≤ 100), so the survivors are EXACTLY frames
+    // 0, 64, 128, …, 4032 — spread over the whole clip. A head-biased
+    // decoder would have kept frames 0..99 and stopped.
+    assert(a.samples.length == 64, s"expected 64 survivors, got ${a.samples.length}")
+    (0 until 64).foreach { k =>
+      val want = (((k * 64) % 256) / 32768.0).toFloat
+      assert(a.samples(k) == want, s"survivor $k: ${a.samples(k)} != $want")
+    }
+    // the tail of the clip is represented: the last survivor is frame
+    // 4032, deep in the final 2% of the stream
+    assert(a.samples(63) == ((4032 % 256) / 32768.0).toFloat)
+  }
+
   test("decodeFeatures routes WAV payloads through the real audio path") {
     // first half silent, second half at 0.5 amplitude: envelope bins
     // 0-7 must be 0, bins 8-15 exactly 0.5; int slots = (rate, channels)
