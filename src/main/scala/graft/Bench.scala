@@ -129,8 +129,16 @@ object Bench {
       else try {
         val scaledDir = graft.tools.ScaleUp.ensure(spark, sfDir, scaleFactor)
         clearAll(spark)
-        val heaviest = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.min) }
-          .sortBy(-_._2).take(scaleTopN)
+        val byWeight = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.min) }
+          .sortBy(-_._2)
+        // SPARK_GRAFT_SCALE_INCLUDE forces named queries into the
+        // scale-proof regardless of rank — for benching a scale-path
+        // VARIANT (e.g. hashed-gram spans) side by side with the exact
+        // form even when the variant is too fast to make the top N
+        val include = sys.env.getOrElse("SPARK_GRAFT_SCALE_INCLUDE", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val heaviest = (byWeight.take(scaleTopN) ++
+          byWeight.filter(kv => include.contains(kv._1))).distinct
         val entries = heaviest.map { case (name, t1main) =>
           val q = SparkEntry.queries(name)
           def time(dir: String): Option[Double] = {

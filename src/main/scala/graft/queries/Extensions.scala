@@ -62,6 +62,34 @@ object Extensions {
     }
   }
 
+  /** Oracle for q_ngram_spans AND q_ngram_spans_hashed: exact string
+    * gram keys — the hashed variant's contract is answer-identity with
+    * the exact form (md5-prefix collisions are ~2⁻⁶⁰ per pair and can
+    * only false-positive, never unflag), so both check against one SQL.
+    */
+  private val NgramSpansSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (SELECT doc_id, i AS start,
+      |array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
+      |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
+      |isl AS (SELECT doc_id, start,
+      |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
+      |OVER (PARTITION BY doc_id ORDER BY start) AS island
+      |FROM (SELECT doc_id, start,
+      |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
+      |cov AS (SELECT doc_id, CAST(sum(mx - mn + 8) AS BIGINT) AS covered
+      |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
+      |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id)
+      |SELECT d.doc_id AS id,
+      |CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |c.covered,
+      |round(CAST(c.covered AS DOUBLE) / len(string_split(d.text, ' ')), 5)
+      |AS dup_frac
+      |FROM documents d JOIN cov c ON c.doc_id = d.doc_id
+      |ORDER BY id""".stripMargin.replace("\n", " ")
+
   /** Shared CTE chain reproducing the MinHash+LSH candidate/verify
     * pipeline in DuckDB (used by the pairs query and the cluster
     * closure on top of it).
@@ -2100,27 +2128,27 @@ object Extensions {
           round(col("covered").cast(DoubleType) /
             col("n_tokens").cast(DoubleType), 5))
         .orderBy(col("id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |grams AS (SELECT doc_id, i AS start,
-             |array_to_string(list_slice(w, i, i + 7), ' ') AS g
-             |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
-             |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-             |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
-             |isl AS (SELECT doc_id, start,
-             |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
-             |OVER (PARTITION BY doc_id ORDER BY start) AS island
-             |FROM (SELECT doc_id, start,
-             |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
-             |cov AS (SELECT doc_id, CAST(sum(mx - mn + 8) AS BIGINT) AS covered
-             |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
-             |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id)
-             |SELECT d.doc_id AS id,
-             |CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-             |c.covered,
-             |round(CAST(c.covered AS DOUBLE) / len(string_split(d.text, ' ')), 5)
-             |AS dup_frac
-             |FROM documents d JOIN cov c ON c.doc_id = d.doc_id
-             |ORDER BY id""".stripMargin.replace("\n", " "))),
+      Some(NgramSpansSql)),
+
+    // The 100 TB shuffle-width variant of q_ngram_spans: the gram-keyed
+    // shuffle carries a 60-bit md5 prefix instead of the ~50-byte gram
+    // string (≈6× narrower shuffle rows). A hash collision can only
+    // FALSE-POSITIVE a gram into the flagged set at ~2⁻⁶⁰ per pair —
+    // never unflag a real repeat — so it shares the exact form's oracle:
+    // identical answers on real data IS the contract (also spec-pinned,
+    // ExtensionsSpec "hashed-gram coverage"). Benched alongside the
+    // exact form at ×64 so the shuffle savings are a recorded number,
+    // not an implication.
+    Q("q_ngram_spans_hashed",
+      (s, d) => Dedup.repeatedNgramCoverage(
+          Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2,
+          hashGrams = true)
+        .filter(col("covered") > 0)
+        .withColumn("dup_frac",
+          round(col("covered").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 5))
+        .orderBy(col("id")),
+      Some(NgramSpansSql)),
 
     // The removal counterpart of q_ngram_spans — the cleaned corpus the
     // Lee et al. pipeline trains on: flagged-span tokens dropped,
