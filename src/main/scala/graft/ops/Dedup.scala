@@ -860,14 +860,17 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
     // hashGrams: the 100 TB variant — the gram-keyed shuffle carries a
-    // 60-bit md5 prefix instead of the ~50-byte n-gram string (≈6×
-    // narrower shuffle). A hash collision can only FALSE-POSITIVE a
-    // gram into the flagged set (never unflag a real repeat) at ~2⁻⁶⁰
-    // per pair — deterministic, and identical on any engine that
-    // replays the same md5 prefix. The oracle-checked queries run the
-    // exact string keys; DedupSpec pins hashed == exact on real data.
+    // fixed 8-byte BIGINT (60-bit md5 prefix; the CAST matters — conv()
+    // alone returns a up-to-19-char decimal STRING, giving back most of
+    // the width) instead of the ~50-byte n-gram string. A hash collision
+    // can only FALSE-POSITIVE a gram into the flagged set (never unflag
+    // a real repeat) at ~2⁻⁶⁰ per pair — deterministic, and identical on
+    // any engine that replays the same md5 prefix. The oracle-checked
+    // queries run the exact string keys; the hashed form shares their
+    // oracle and a spec pins hashed == exact on real data.
     val gramKey =
-      if (hashGrams) s"conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)"
+      if (hashGrams)
+        s"CAST(conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10) AS BIGINT)"
       else s"array_join(slice(w, i, $n), ' ')"
     val grams = toks.select(col("id"), explode(expr(
       s"""transform(sequence(1, size(w) - ${n - 1}),
