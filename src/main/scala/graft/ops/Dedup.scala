@@ -923,8 +923,9 @@ object Dedup {
     */
   def removeRepeatedNgramSpans(docs: DataFrame, idCol: String,
                                textCol: String, n: Int = 8,
-                               minCount: Int = 2): DataFrame = {
-    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount)
+                               minCount: Int = 2,
+                               hashGrams: Boolean = false): DataFrame = {
+    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
     // Positions are real ELEMENT values of a sequence() array rather

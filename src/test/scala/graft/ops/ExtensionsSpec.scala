@@ -685,6 +685,19 @@ class ExtensionsSpec extends SparkSpec {
       (4L, "sep"), (5L, "")), s"cleaned $cleaned")
   }
 
+  test("hashed-gram scrub produces byte-identical cleaned text") {
+    // the removal pipeline rides the same flagged-islands core — the
+    // 8-byte-key variant must rebuild every cleaned doc identically
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = Dedup.removeRepeatedNgramSpans(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val hashed = Dedup.removeRepeatedNgramSpans(docs, "doc_id", "text",
+        hashGrams = true)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(exact == hashed)
+    assert(exact.nonEmpty)
+  }
+
   test("hashed-gram coverage equals exact-string coverage on real data") {
     // the 100 TB shuffle-width variant must not change a single answer
     // where no md5-prefix collision occurs (~2^-60 per pair)
