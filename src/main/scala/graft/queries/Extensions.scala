@@ -90,6 +90,33 @@ object Extensions {
       |FROM documents d JOIN cov c ON c.doc_id = d.doc_id
       |ORDER BY id""".stripMargin.replace("\n", " ")
 
+  /** Oracle for q_ngram_scrub AND q_ngram_scrub_hashed — same
+    * answer-identity contract as [[NgramSpansSql]].
+    */
+  private val NgramScrubSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |grams AS (SELECT doc_id, i AS start,
+             |array_to_string(list_slice(w, i, i + 7), ' ') AS g
+             |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
+             |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+             |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
+             |isl AS (SELECT doc_id, start,
+             |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
+             |OVER (PARTITION BY doc_id ORDER BY start) AS island
+             |FROM (SELECT doc_id, start,
+             |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
+             |rng AS (SELECT doc_id, list(struct_pack(lo := mn, hi := mx + 7)) AS rs
+             |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
+             |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id),
+             |cl AS (SELECT d.doc_id AS id, CASE WHEN r.rs IS NULL THEN d.text
+             |ELSE coalesce(array_to_string(list_filter(string_split(d.text, ' '),
+             |(x, i) -> len(list_filter(r.rs, q -> i >= q.lo AND i <= q.hi)) = 0),
+             |' '), '') END AS ct
+             |FROM documents d LEFT JOIN rng r ON r.doc_id = d.doc_id)
+             |SELECT id, md5(ct) AS clean_md5,
+             |CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_after
+             |FROM cl ORDER BY id""".stripMargin.replace("\n", " ")
+
   /** Shared CTE chain reproducing the MinHash+LSH candidate/verify
     * pipeline in DuckDB (used by the pairs query and the cluster
     * closure on top of it).
@@ -2161,28 +2188,19 @@ object Extensions {
         .select(col("id"), md5(col("text")).as("clean_md5"),
           size(split(col("text"), " ")).cast(LongType).as("n_after"))
         .orderBy("id"),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |grams AS (SELECT doc_id, i AS start,
-             |array_to_string(list_slice(w, i, i + 7), ' ') AS g
-             |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
-             |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-             |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
-             |isl AS (SELECT doc_id, start,
-             |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
-             |OVER (PARTITION BY doc_id ORDER BY start) AS island
-             |FROM (SELECT doc_id, start,
-             |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
-             |rng AS (SELECT doc_id, list(struct_pack(lo := mn, hi := mx + 7)) AS rs
-             |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
-             |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id),
-             |cl AS (SELECT d.doc_id AS id, CASE WHEN r.rs IS NULL THEN d.text
-             |ELSE coalesce(array_to_string(list_filter(string_split(d.text, ' '),
-             |(x, i) -> len(list_filter(r.rs, q -> i >= q.lo AND i <= q.hi)) = 0),
-             |' '), '') END AS ct
-             |FROM documents d LEFT JOIN rng r ON r.doc_id = d.doc_id)
-             |SELECT id, md5(ct) AS clean_md5,
-             |CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_after
-             |FROM cl ORDER BY id""".stripMargin.replace("\n", " "))),
+      Some(NgramScrubSql)),
+
+    // Scrub half of the hashed-gram scale path (see q_ngram_spans_hashed):
+    // 8-byte BIGINT gram keys through the same flagged-islands core,
+    // byte-identical cleaned text (spec-pinned), same oracle.
+    Q("q_ngram_scrub_hashed",
+      (s, d) => Dedup.removeRepeatedNgramSpans(
+          Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2,
+          hashGrams = true)
+        .select(col("id"), md5(col("text")).as("clean_md5"),
+          size(split(col("text"), " ")).cast(LongType).as("n_after"))
+        .orderBy("id"),
+      Some(NgramScrubSql)),
 
     // Batch analog of the streaming drift monitor, oracle-checked: the
     // corpus's NEW half (doc_id >= 300, "this week's crawl") scored
