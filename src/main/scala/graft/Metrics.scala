@@ -39,9 +39,20 @@ class Metrics {
   def importSucceeded(): Unit = { successful.incrementAndGet(); () }
   def importFailed(): Unit = { failed.incrementAndGet(); () }
 
-  /** One HTTP request seen by `handler` (route group) with `method`. */
+  private val KnownMethods =
+    Set("GET", "POST", "PUT", "PATCH", "DELETE", "HEAD", "OPTIONS")
+
+  /** One HTTP request seen by `handler` (route group) with `method`.
+    * The method string is CLIENT-CONTROLLED on an unauthenticated
+    * surface (request counting runs before auth, and the JDK httpserver
+    * accepts any token as a method), so it is normalized to a known
+    * verb or "OTHER" — otherwise unique garbage methods would grow the
+    * registry without bound and a quote in the raw token would corrupt
+    * the exposition text for every later scrape.
+    */
   def request(handler: String, method: String): Unit = {
-    requests.computeIfAbsent((handler, method), _ => new AtomicLong(0))
+    val m = if (method != null && KnownMethods.contains(method)) method else "OTHER"
+    requests.computeIfAbsent((handler, m), _ => new AtomicLong(0))
       .incrementAndGet()
     ()
   }

@@ -150,7 +150,6 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   def recordSyncResult(fileId: Long, success: Boolean,
                        at: java.sql.Timestamp, reason: String = ""): Unit = {
-    if (success) metrics.importSucceeded() else metrics.importFailed()
     val thr = graft.ops.State.FailureThreshold
     val updated = readHyperFiles().map { f =>
       if (f.id != fileId) f
@@ -171,6 +170,11 @@ class MetaStore(spark: SparkSession, root: String) {
       }
     }
     writeHyperFiles(updated)
+    // count AFTER the catalog write commits: a success whose catalog
+    // write throws reaches the caller's failure path, which calls back
+    // here with success=false — counting up front would tally that one
+    // sync as BOTH a success and a failure
+    if (success) metrics.importSucceeded() else metrics.importFailed()
   }
 
   /** P4: the schedulable set (app/crud/crud_hyperfile.py:34-35). */

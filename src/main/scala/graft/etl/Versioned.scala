@@ -197,17 +197,25 @@ object Versioned {
     // tag→version index entry, AFTER the manifest is committed: one
     // no-overwrite rename per tag, so [[versionForTag]] is an O(1)
     // pointer read instead of a newest-K manifest scan. The pointer is
-    // an OPTIMIZATION, never the source of truth — a crash between the
-    // two renames leaves a tagged manifest the fallback scan still
-    // finds, and versionForTag verifies the pointed-at manifest before
-    // trusting a pointer.
+    // an OPTIMIZATION, never the source of truth — so the WHOLE block is
+    // guarded, not just the rename: the manifest above has already
+    // committed, and a pointer-side IOException escaping here would
+    // abort publish() before its _LATEST flip while the replayed
+    // batch's versionForTag probe finds the tag and skips — the batch's
+    // committed version would silently never become latest. A failed
+    // pointer write just means this tag resolves via the fallback scan.
     tag.foreach { t =>
-      val ptmp = new Path(mdir, s".tmp-tag-${java.util.UUID.randomUUID()}")
-      val pout = fs.create(ptmp, true)
-      try pout.write(s"$v\n$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally pout.close()
-      try fc.rename(ptmp, tagPointerPath(root, t)) // first committer wins
-      catch { case scala.util.control.NonFatal(_) => fs.delete(ptmp, false); () }
+      try {
+        val ptmp = new Path(mdir, s".tmp-tag-${java.util.UUID.randomUUID()}")
+        val pout = fs.create(ptmp, true)
+        try pout.write(s"$v\n$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally pout.close()
+        try fc.rename(ptmp, tagPointerPath(root, t)) // first committer wins
+        catch { case scala.util.control.NonFatal(_) => fs.delete(ptmp, false); () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[versioned] tag pointer write failed for $t: $e")
+      }
     }
   }
 

@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ShuffleBytes {
   def main(args: Array[String]): Unit = {
+    // same reason Bench pins it: f"" interpolators under a comma-decimal
+    // locale would print sec=1,23 and break parsers of the record line
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val names = args.headOption
       .getOrElse(sys.error("usage: ShuffleBytes <q1,q2,...> [sfDir]"))
       .split(",").map(_.trim).filter(_.nonEmpty)

@@ -521,6 +521,12 @@ class HttpSpec extends SparkSpec {
       // request counting by route group and method
       assert(b1.contains("""duva_requests_total{handler="files",method="POST"} 2.0"""), b1)
       assert(b1.contains("""duva_requests_total{handler="metrics",method="GET"}"""), b1)
+      // client-controlled garbage methods normalize to OTHER (label
+      // injection / unbounded-registry guard on the unauthenticated path)
+      assert(bodyRequest(port, "/api/v1/files", "PROPFIND", "")._1 == 404)
+      val (_, b2, _) = request(port, "/metrics", token = "")
+      assert(b2.contains("""duva_requests_total{handler="files",method="OTHER"} 1.0"""), b2)
+      assert(!b2.contains("PROPFIND"), b2)
     }
   }
 
