@@ -342,7 +342,10 @@ object Dedup {
           element_at(col("__ov"), 2).cast("double")).as("cont_a"),
         (element_at(col("__ov"), 1).cast("double") /
           element_at(col("__ov"), 3).cast("double")).as("cont_b"))
-    eagerly(result, Seq(sig, pairs, txt) ++ counts: _*)
+    // eagerlyWith, not eagerly: the cap recorder must run or a capped
+    // super-bucket's dropped candidates would be silent recall loss —
+    // the exact contract nearDupPairs keeps
+    eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → signature → bands →
@@ -631,6 +634,27 @@ object Dedup {
     docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Shared tail of [[contamination]] and [[bloomContamination]]: the
+    * per-document distinct-shingle counts joined against a per-document
+    * overlap-hit frame. One definition, because the two operators are
+    * contractually pinned to IDENTICAL output (the sketch cuts join
+    * volume, never the answer) — sharing the arithmetic keeps that true
+    * by construction instead of by parallel maintenance.
+    */
+  private def contaminationReport(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  hits: DataFrame): DataFrame = {
+    val own = docs.select(col(idCol).as("id"),
+        size(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
+          .cast(LongType).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    own.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
+
   /** Benchmark decontamination: for every document, how many of its
     * distinct word n-grams also appear anywhere in `bench` (the eval/test
     * corpus), plus the overlap ratio — the standard train-set
@@ -648,20 +672,12 @@ object Dedup {
     val benchShingles = bench
       .select(explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
       .distinct()
-    val own = docs.select(col(idCol).as("id"),
-        size(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
-          .cast(LongType).as("n_shingles"))
-      .filter(col("n_shingles") > 0)
     val hits = docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .groupBy(col("id")).agg(countDistinct(col("shingle")).as("n_overlap"))
-    own.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("overlap_ratio"))
+    contaminationReport(docs, idCol, textCol, n, hits)
   }
 
   /** [[contamination]]'s scale path for when the benchmark shingle SET
@@ -700,10 +716,6 @@ object Dedup {
       val probablyInBench = org.apache.spark.sql.graftshim.Shim
         .bloomMightContain(bos.toByteArray, xxhash64(col("shingle")))
 
-      val own = docs.select(col(idCol).as("id"),
-          size(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
-            .cast(LongType).as("n_shingles"))
-        .filter(col("n_shingles") > 0)
       val hits = docs
         .select(col(idCol).as("id"),
           explode(TextAnalysis.shingleArray(col(textCol), n)).as("shingle"))
@@ -713,12 +725,7 @@ object Dedup {
         // happens to fit, which is fine)
         .join(benchShingles, Seq("shingle"), "left_semi")
         .groupBy(col("id")).agg(countDistinct(col("shingle")).as("n_overlap"))
-      val result = own.join(hits, Seq("id"), "left")
-        .select(col("id"), col("n_shingles"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-            col("n_shingles").cast("double")).as("overlap_ratio"))
-      eagerly(result, benchShingles)
+      eagerly(contaminationReport(docs, idCol, textCol, n, hits), benchShingles)
     } catch {
       case t: Throwable => benchShingles.unpersist(blocking = false); throw t
     }
@@ -817,8 +824,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair,
+      // so the order is semantically free, and the distinct exchange
+      // then carries only matches instead of every bucket-collision
+      // candidate (most of which a dense bucket produces just to discard)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     eagerlyWith(result, recordCap, Seq(bandedAll, banded) ++ counts: _*)
   }
 
@@ -932,19 +943,22 @@ object Dedup {
     // than lambda-index arguments: Spark's index-aware lambdas are
     // 0-based while DuckDB's are 1-based — value-positions keep the
     // kernel and its oracle structurally identical instead of hiding an
-    // off-by-one in each engine's lambda convention. The keep-mask is a
-    // flat covered-positions array (O(covered) ints per doc, bounded by
-    // the doc's own length).
+    // off-by-one in each engine's lambda convention. The keep-test is
+    // exists-over-the-MERGED-RANGES (O(n_tokens × n_islands) per doc,
+    // matching the oracle's list_filter over r.rs) — NOT a flattened
+    // covered-positions array: a mostly-covered 100k-token boilerplate
+    // doc would make array_contains an O(n_tokens × covered) single-task
+    // scan, ~10^10 comparisons for one document.
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .join(ranges, Seq("id"), "left")
-      .withColumn("cov", expr("flatten(transform(rs, r -> sequence(r.lo, r.hi)))"))
       .select(col("id"), array_join(
         when(col("rs").isNull, col("w")).otherwise(expr(
-          // token at 1-based position p survives iff p is uncovered;
+          // token at 1-based position p survives iff no island covers p;
           // dropped tokens become NULL then filter out (split() tokens
           // are never null themselves)
           """filter(transform(sequence(1, size(w)),
-            |p -> IF(array_contains(cov, p), NULL, element_at(w, p))),
+            |p -> IF(exists(rs, r -> p >= r.lo AND p <= r.hi),
+            |NULL, element_at(w, p))),
             |x -> x IS NOT NULL)""".stripMargin.replace("\n", " "))),
         " ").as("text"))
   }

@@ -277,8 +277,14 @@ object Similarity {
       val nb = math.sqrt(query.map(x => x * x).sum)
       dot / (na * nb)
     }
+    // ties toward the LARGEST cell id — the SAME side [[ivfAssign]]'s
+    // greatest(struct(sim, cell)) takes. With duplicate seed centroids
+    // (identical vectors among the m lowest ids — likely in a dedup
+    // corpus), every tied vector is ASSIGNED to the larger cell; a
+    // probe breaking ties the other way would read the EMPTY smaller
+    // cell and return zero neighbors for that whole region at nProbe=1.
     centroids.map { case (id, c) => id -> cos(c) }
-      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1).toSeq
+      .sortBy { case (id, s) => (-s, -id) }.take(nProbe).map(_._1).toSeq
   }
 
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
@@ -580,7 +586,14 @@ object Similarity {
       Seq(col(idCol).as("match_id"), col(vecCol).as("__cv")) ++
         labelCol.map(l => col(l).as("__cl")): _*)
     val joined = q.crossJoin(c)
-    labelCol.fold(joined)(_ => joined.filter(col("__ql") =!= col("__cl")))
+    // null labels are EXCLUDED explicitly (both sides): =!= alone is
+    // null for them, which silently dropped the rows anyway — but a
+    // null-label candidate cannot be a verified TRUE negative (its
+    // label might equal the query's), and a null-label query has no
+    // label to mismatch against, so exclusion is the contract, stated
+    labelCol.fold(joined)(_ => joined.filter(
+      col("__ql").isNotNull && col("__cl").isNotNull &&
+        col("__ql") =!= col("__cl")))
       .select(col("query_id"), col("match_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
   }
@@ -617,7 +630,10 @@ object Similarity {
         lshBucket(col(vecCol), planes).as("__bucket")) ++
         labelCol.map(l => col(l).as("__cl")): _*)
     val joined = q.join(c, Seq("__bucket"))
-    labelCol.fold(joined)(_ => joined.filter(col("__ql") =!= col("__cl")))
+    // same explicit null-label exclusion as exactCandidates
+    labelCol.fold(joined)(_ => joined.filter(
+      col("__ql").isNotNull && col("__cl").isNotNull &&
+        col("__ql") =!= col("__cl")))
       .select(col("query_id"), col("match_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
       .distinct() // a pair can collide in several probed buckets
@@ -638,7 +654,10 @@ object Similarity {
     * DIFFERENT label — the pairs a triplet/InfoNCE loss learns most
     * from. The label-mismatch predicate restricts candidates BEFORE the
     * top-k window, so each query always gets k true negatives (filtering
-    * a plain top-k afterwards would return fewer). Exact cosine over the
+    * a plain top-k afterwards would return fewer). NULL-label rows are
+    * excluded on BOTH sides: an unlabeled candidate cannot be verified
+    * a true negative, and an unlabeled query has nothing to mismatch —
+    * such query ids are absent from the output by contract. Exact cosine over the
     * cross join is the oracle/baseline path (queries are a small probe
     * set); at corpus scale swap the candidate stage for [[annJoin]]'s
     * LSH bucket join or the IVF cell join with an over-fetched k, same
@@ -713,17 +732,18 @@ object Similarity {
                                 centroids: Array[(Long, Array[Double])],
                                 nProbe: Int,
                                 corpusCols: Seq[Column]): DataFrame = {
-    // (−sim, cell) ascending == sim desc with SMALLER cell winning ties
-    // — the same tie order nearestCells (ivfTopK / probeIvfIndex /
-    // probePqIndex) uses, so the join-based and index-based IVF paths
-    // probe identical cells on tied centroids
+    // (−sim, −cell) ascending == sim desc with the LARGER cell winning
+    // ties — the same side [[ivfAssign]]'s greatest(struct(sim, cell))
+    // and nearestCells (ivfTopK / probeIvfIndex / probePqIndex) take, so
+    // on tied (e.g. duplicate) centroids probes read the cell vectors
+    // were actually assigned to, never its empty twin
     val cellSims = centroids.map { case (cellId, c) =>
       struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("ns"),
-        lit(cellId).as("cell"))
+        lit(-cellId).as("negcell"))
     }
     val probes = slice(array_sort(array(cellSims: _*)), 1, nProbe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__cell", explode(transform(probes, p => p.getField("cell"))))
+      .withColumn("__cell", explode(transform(probes, p => -p.getField("negcell"))))
     val c = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("match_id") +: corpusCols :+ col("__cell"): _*)
     q.join(c, Seq("__cell"))
@@ -792,7 +812,11 @@ object Similarity {
                   neighbors: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val nn = neighbors(queries, corpus).filter(col("match_id") =!= col("query_id"))
     val lbl = corpus.select(col(idCol).as("match_id"), col(labelCol).as("nlabel"))
-    val votes = nn.join(broadcast(lbl), Seq("match_id"))
+    // no broadcast hint on lbl: it is CORPUS-sized, and forcing it would
+    // hit the 8 GB broadcast limit (or OOM the driver) exactly at the
+    // scale the IVF-PQ neighbor stage exists for. nn is O(queries × k) —
+    // AQE broadcasts whichever side actually fits at runtime.
+    val votes = nn.join(lbl, Seq("match_id"))
       .groupBy(col("query_id"), col("nlabel")).agg(count(lit(1)).as("nv"))
     val byVotes = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("nv").desc, col("nlabel"))

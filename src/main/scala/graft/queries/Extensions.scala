@@ -1272,7 +1272,7 @@ object Extensions {
              |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cents.c) AS sim
              |FROM embeddings q CROSS JOIN cents WHERE q.vec_id < 5),
              |probes AS (SELECT query_id, cell, embedding FROM (SELECT query_id, cell, embedding,
-             |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell ASC) AS rn
+             |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
              |FROM qsims) t WHERE rn <= 2),
              |csims AS (SELECT e.vec_id, cents.cell, e.embedding,
              |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c) AS sim
@@ -2087,7 +2087,7 @@ object Extensions {
              |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
              |FROM asim) t WHERE rn = 1),
              |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
-             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
              |FROM asim WHERE vec_id < 5) t WHERE rn <= 2),
              |cand AS (SELECT p.query_id, a.vec_id AS match_id
              |FROM probes p JOIN assigned a ON a.cell = p.cell),

@@ -106,9 +106,7 @@ object Streams {
       .schema(schemaDdl)
       .option("header", "true")
       .csv(srcDir)
-    val ckptId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
+    val ckptId = checkpointId(checkpoint)
     src.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -125,6 +123,18 @@ object Streams {
       }
       .start()
   }
+
+  /** 12-hex-char digest of a checkpoint location — the load-bearing
+    * prefix of every replay-idempotency tag (`<ckptId>:<batchId>` /
+    * `batch=<ckptId>-<batchId>`). ONE definition: three hand-maintained
+    * copies of this constant could drift (truncation length, charset)
+    * and silently break tag matching across streams that share a
+    * corpus or version root.
+    */
+  private def checkpointId(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
 
   /** One full sync tick WITH catalog accounting — the reference's
     * `import_to_hyper` loop end to end (app/core/importer.py:129-220):
@@ -164,13 +174,24 @@ object Streams {
           // IN_PROGRESS_HYPER_IMPORT inc/dec pair (onadata_utils.py:37)
           store.metrics.importStarted()
           try {
-            Refresh.overwrite(prepare(latestExport(batch)), extractPath)
-            postCommit(extractPath)
-            store.recordSyncResult(fileId, success = true, at)
-          } catch {
-            case e: Throwable =>
-              store.recordSyncResult(fileId, success = false, at,
-                reason = String.valueOf(e.getMessage))
+            // only the IMPORT itself maps to a recorded sync failure;
+            // the success bookkeeping sits OUTSIDE the try, so a store
+            // hiccup after a fully successful import propagates as the
+            // stream error it is instead of marking a healthy file
+            // latest_sync_failed. NonFatal, not Throwable: an OOM or an
+            // interrupt must not be swallowed into failure accounting
+            // while the JVM is in an unreliable state (retryPublish
+            // already follows both rules).
+            val ok =
+              try { Refresh.overwrite(prepare(latestExport(batch)), extractPath)
+                    postCommit(extractPath); true }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  store.recordSyncResult(fileId, success = false, at,
+                    reason = String.valueOf(e.getMessage))
+                  false
+              }
+            if (ok) store.recordSyncResult(fileId, success = true, at)
           } finally store.metrics.importFinished()
           ()
         }
@@ -498,9 +519,7 @@ object Streams {
     // relocate any flat root files into a batch=legacy partition up
     // front, before the stream starts.
     migrateFlatCorpus(spark, corpusPath)
-    val ckptId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
+    val ckptId = checkpointId(checkpoint)
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -656,9 +675,7 @@ object Streams {
                       keep: Int = 3,
                       trigger: Trigger = Trigger.AvailableNow()) = {
     val spark = docs.sparkSession
-    val ckptId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
+    val ckptId = checkpointId(checkpoint)
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -716,10 +733,25 @@ object Streams {
       s"month-denominated watermarks are not supported here (got '$watermark'); " +
         "use a day/hour horizon")
     val horizon = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    // fail at ANALYSIS time on a non-integral id column: cast("long")
+    // on a string/uuid id yields null under non-ANSI semantics, and the
+    // non-nullable Long in the tuple encoder would then kill the query
+    // MID-STREAM on the first batch ("Null value appeared in
+    // non-nullable field") — map such ids to longs upstream (xxhash64)
+    val idType = docs.schema(idCol).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"nearDupPairsStream reports DupMatch(long, long); id column '$idCol' " +
+        s"is ${idType.simpleString} — hash or map it to a long upstream")
     docs
       .withColumn("__sig",
         concat_ws("|", graft.functions.MinHashSignature(col(textCol), 3, k)))
       .filter(col("__sig") =!= "")
+      // a NULL id cannot be reported in a DupMatch — route it out before
+      // the non-nullable encoder, like the empty-signature rows above
+      .filter(col(idCol).isNotNull)
       .select(col("__sig"), col(idCol).cast("long").as("__id"),
         col(tsCol).as("__ts"))
       // watermark AFTER the projection: tagging the pre-rename column and
