@@ -68,6 +68,38 @@ class MetaStore(spark: SparkSession, root: String) {
   def configsSnapshot(): Seq[ConfigMeta] =
     snapshot("configurations")(readConfigs().collect().toSeq.sortBy(_.id))
 
+  /** Monotonic id allocation per table — the Postgres-sequence analog
+    * the reference relies on: an id is NEVER reused after a delete.
+    * max(id)+1 over live rows would recycle the highest id once its row
+    * is deleted, and any dangling reference to it (a file's stored
+    * `configuration-id`, a saved download URL) would silently resolve
+    * to the NEW unrelated row instead of failing. Persisted as a
+    * high-water-mark file under the catalog root (read-modify-rename,
+    * single-writer like every catalog commit); `currentMax` folds in
+    * pre-sequence catalogs on first use.
+    */
+  def nextId(table: String, currentMax: Long): Long = synchronized {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, s"_seq_$table")
+    val prev =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val next = math.max(prev, currentMax) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._seq_$table.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    next
+  }
+
   def readHyperFiles(): Dataset[HyperFileMeta] =
     evolve[HyperFileMeta](spark.read.parquet(path("hyperfiles")))
 
@@ -255,7 +287,9 @@ class MetaStore(spark: SparkSession, root: String) {
     val existing: Seq[UserMeta] = readUsers().collect().toSeq // absent == empty
     existing.find(u => u.username == username && u.serverId == serverId)
       .getOrElse {
-        val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
+        // sequence allocator, never max+1 — a deleted top id must not be
+        // recycled under the HMAC tokens minted from it
+        val id = nextId("users", existing.map(_.id).maxOption.getOrElse(0L))
         val row = UserMeta(id, username, serverId)
         // the rows are driver-side, so the write never reads its own
         // target; staging + atomic rename keeps concurrent readers safe

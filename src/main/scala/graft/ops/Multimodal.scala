@@ -97,8 +97,11 @@ object Multimodal {
         val grid = 4 // FeatureDim = grid * grid
         val sums = new Array[Double](grid * grid)
         val counts = new Array[Long](grid * grid)
-        val stepY = math.max(1, h / 64)
-        val stepX = math.max(1, w / 64)
+        // ceil division: h/64 under-strides (h=127 -> step 1 -> 127
+        // positions, ~4x the documented 64-per-axis cap on the hot
+        // decode path); (h+63)/64 keeps positions <= 64 exactly
+        val stepY = math.max(1, (h + 63) / 64)
+        val stepX = math.max(1, (w + 63) / 64)
         var y = 0
         while (y < h) {
           val gy = math.min(grid - 1, y * grid / h)
@@ -146,8 +149,11 @@ object Multimodal {
         val grid = 4
         val sums = new Array[Long](grid * grid)
         val counts = new Array[Long](grid * grid)
-        val stepY = math.max(1, h / 64)
-        val stepX = math.max(1, w / 64)
+        // ceil division: h/64 under-strides (h=127 -> step 1 -> 127
+        // positions, ~4x the documented 64-per-axis cap on the hot
+        // decode path); (h+63)/64 keeps positions <= 64 exactly
+        val stepY = math.max(1, (h + 63) / 64)
+        val stepX = math.max(1, (w + 63) / 64)
         var y = 0
         while (y < h) {
           val gy = math.min(grid - 1, y * grid / h)
@@ -527,6 +533,13 @@ object Multimodal {
         val out = new java.awt.image.BufferedImage(
           nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
+        // SRC_OVER onto a zero-initialized INT_RGB raster composites
+        // transparent PNG/GIF regions onto BLACK — a transparent-
+        // background logo would come out solid black and its luma
+        // features near zero. Fill white first (the print/web default
+        // for flattening alpha) so transparency reads as background.
+        g.setColor(java.awt.Color.WHITE)
+        g.fillRect(0, 0, nw, nh)
         g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, nw, nh, null)

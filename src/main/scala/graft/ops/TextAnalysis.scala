@@ -80,7 +80,10 @@ object TextAnalysis {
     * regex; extend the pattern list per deployment's PII policy.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  // \s, not a literal space: [^ ]+ would run PAST a newline/tab and
+  // redact the adjacent word with the URL ("https://a.b\nhello" →
+  // "<URL>" eating "hello") — corpus documents are full of newlines
+  val UrlRe = "https?://[^\\s]+"
 
   /** URL canonicalization for crawl dedup — the normalization every
     * web-corpus pipeline runs before keying anything on a URL: strip the
@@ -106,14 +109,16 @@ object TextAnalysis {
         regexp_replace(auth, ":80$", ""))
       .when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
       .otherwise(auth)
-    val noUtmMid = regexp_replace(rest, "&utm_[^&]*", "")
+    // split path/query FIRST: '&' is a legal PATH character, so the utm
+    // strips must run on the QUERY alone — '/a&utm_x/b' is a distinct
+    // resource, not a tracking param ('path/?q' still collapses with
+    // 'path?q' because the trailing-slash strip applies to the path)
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val qs = regexp_replace(rest, "^[^?]*", "")
+    val noUtmMid = regexp_replace(qs, "&utm_[^&]*", "")
     val noUtmFirst = regexp_replace(noUtmMid, "\\?utm_[^&]*&", "?")
     val noUtm = regexp_replace(noUtmFirst, "\\?utm_[^&]*$", "")
-    // trailing-slash strip applies to the PATH only — a '/' ending a
-    // query value is data, and 'path/?q' must collapse with 'path?q'
-    val path = regexp_extract(noUtm, "^[^?]*", 0)
-    val qs = regexp_replace(noUtm, "^[^?]*", "")
-    concat(authNoPort, regexp_replace(path, "/$", ""), qs)
+    concat(authNoPort, regexp_replace(path, "/$", ""), noUtm)
   }
 
   def scrubPii(text: Column): Column =
@@ -202,10 +207,12 @@ object TextAnalysis {
     *
     * Plan: one posexplode scan → distinct (doc, segment) → one
     * segment-keyed count (map-side combined, output ∝ segment vocabulary,
-    * not corpus) → the boilerplate SET joins back to the exploded rows
-    * (vocabulary-sized → broadcast at any corpus scale) → order-restoring
-    * collect_list rebuild per doc. Two shuffles total: the count and the
-    * per-doc rebuild, both keyed, no global sort.
+    * not corpus) → the boilerplate SET anti-joins back to the exploded
+    * rows (no forced broadcast: the set of segments shared by ≥ minDocs
+    * docs GROWS with the corpus — every common footer/greeting qualifies
+    * — and forcing it past autoBroadcastJoinThreshold would OOM the
+    * driver at corpus scale; AQE still broadcasts it when it actually
+    * fits) → order-restoring collect_list rebuild per doc.
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         sep: String = ". ", minDocs: Int = 3): DataFrame = {
@@ -216,7 +223,7 @@ object TextAnalysis {
       .groupBy("seg").agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("seg"))
-    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
     val rebuilt = kept.groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("seg")))).as("ps"))
       .select(col("id"),

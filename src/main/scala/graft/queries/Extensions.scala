@@ -2838,17 +2838,17 @@ object Extensions {
              |parts AS (SELECT doc_id,
              |lower(regexp_extract(regexp_replace(url, '#.*', ''),
              |'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS auth,
-             |regexp_replace(regexp_replace(regexp_replace(
              |regexp_replace(regexp_replace(url, '#.*', ''),
-             |'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-             |'&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS rest
+             |'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
              |FROM u),
              |c AS (SELECT doc_id,
              |(CASE WHEN auth LIKE 'http://%' THEN regexp_replace(auth, ':80$', '')
              |WHEN auth LIKE 'https://%' THEN regexp_replace(auth, ':443$', '')
              |ELSE auth END) ||
              |regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/$', '') ||
-             |regexp_replace(rest, '^[^?]*', '') AS canonical
+             |regexp_replace(regexp_replace(regexp_replace(
+             |regexp_replace(rest, '^[^?]*', ''),
+             |'&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS canonical
              |FROM parts)
              |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
              |min(doc_id) AS keeper

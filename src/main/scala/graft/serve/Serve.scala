@@ -126,6 +126,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         }
       }
     } catch {
+      case BadRequest(m) =>
+        respondJson(ex, 400, s"""{"detail":${jsonStr(m)}}""")
       case e: Throwable =>
         respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
@@ -148,8 +150,16 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
       .flatMap(_.split(";").map(_.trim).collectFirst {
         case c if c.startsWith("graft_session=") => c.stripPrefix("graft_session=")
       })
+    // constant-time equality (MessageDigest.isEqual): String.== short-
+    // circuits at the first differing byte, leaking the static token's
+    // matching prefix length to anyone who can time many requests. The
+    // minted set is probed the same way — it is small (one per user).
+    def tokenEq(a: String, b: String): Boolean =
+      java.security.MessageDigest.isEqual(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
     (bearer.toSeq ++ cookie.toSeq).exists { presented =>
-      presented == token || mintedTokens(clock().getTime).contains(presented)
+      tokenEq(presented, token) ||
+        mintedTokens(clock().getTime).exists(tokenEq(presented, _))
     }
   }
 
@@ -187,9 +197,18 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        java.net.URLDecoder.decode(k, "UTF-8") ->
+        // malformed percent-encoding (a stray '%') is CLIENT error 400,
+        // not the generic 500 the outer catch would produce
+        try java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
+        catch {
+          case e: IllegalArgumentException =>
+            throw BadRequest(s"malformed query parameter: ${e.getMessage}")
+        }
       }.toMap
+
+  /** Client-input failure: rendered as 400 by every route's catch. */
+  private case class BadRequest(msg: String) extends RuntimeException(msg)
 
   // ---- handlers ---------------------------------------------------------
 
@@ -289,8 +308,10 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
               val filename = m.get("title").map(t => s"$t.parquet")
                 .orElse(jsonField(body, "filename"))
                 .getOrElse(s"form_$formId.parquet")
-              val newId =
-                store.hyperFilesSnapshot().map(_.id).maxOption.getOrElse(0L) + 1L
+              // sequence allocator, never max+1: a deleted top id must
+              // not be recycled under a dangling reference
+              val newId = store.nextId("hyperfiles",
+                store.hyperFilesSnapshot().map(_.id).maxOption.getOrElse(0L))
               val metaData = configRow.map(c =>
                 Map("configuration-id" -> c.id.toString)).getOrElse(Map.empty[String, String])
               val row = HyperFileMeta(newId, userId, formId, filename,
@@ -378,8 +399,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                 // stripped) so the unique-url key and the by-url match
                 // agree on one spelling
                 val normalized = url.stripSuffix("/")
-                val nextId = store.serversSnapshot()
-                  .map(_.id).maxOption.getOrElse(0L) + 1L
+                val nextId = store.nextId("servers",
+                  store.serversSnapshot().map(_.id).maxOption.getOrElse(0L))
                 val row = store.createOrGetServer(ServerMeta(nextId, normalized))
                 respondJson(ex, if (row.id == nextId) 201 else 200, serverJson(row))
             }
@@ -397,8 +418,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
             (jsonField(body, "user_id").flatMap(_.toLongOption),
              jsonField(body, "server_address"), jsonField(body, "token_name")) match {
               case (Some(uid), Some(addr), Some(tok)) =>
-                val nextId = store.configsSnapshot()
-                  .map(_.id).maxOption.getOrElse(0L) + 1L
+                val nextId = store.nextId("configurations",
+                  store.configsSnapshot().map(_.id).maxOption.getOrElse(0L))
                 val row = store.createOrGetConfig(
                   ConfigMeta(nextId, uid, addr, tok, Map.empty))
                 respondJson(ex, if (row.id == nextId) 201 else 200, configJson(row))
@@ -425,6 +446,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         }
       }
     } catch {
+      case BadRequest(m) =>
+        respondJson(ex, 400, s"""{"detail":${jsonStr(m)}}""")
       case e: Throwable =>
         respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
@@ -482,9 +505,24 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                     case None =>
                       respondJson(ex, 400, """{"detail":"Server not configured"}""")
                     case Some(srv) =>
-                      try {
-                        val (access, _) = exchange(srv, code)
-                        val username = profile(access)
+                      // ONLY the two UPSTREAM calls sit inside the
+                      // 400/502 catch: a catalog failure in the user
+                      // upsert below is an INTERNAL outage and must
+                      // reach the generic 500 handler (the rule the
+                      // config-validation comments state), and a send
+                      // failure must not trigger a second send attempt
+                      val upstream =
+                        try Right { val (access, _) = exchange(srv, code)
+                                    profile(access) }
+                        catch {
+                          case OAuth.CredentialsError(m) => Left((400, m))
+                          case scala.util.control.NonFatal(e) =>
+                            Left((502, String.valueOf(e.getMessage)))
+                        }
+                      upstream match {
+                        case Left((status, m)) =>
+                          respondJson(ex, status, s"""{"detail":${jsonStr(m)}}""")
+                        case Right(username) =>
                         val user = store.createOrGetUser(username, srv.id)
                         invalidateTokenCache() // the new user's token must work NOW
                         val minted = OAuth.accessToken(token, user.id)
@@ -510,12 +548,6 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
                             respondJson(ex, 200,
                               s"""{"access_token":${jsonStr(minted)},"token_type":"bearer"}""")
                         }
-                      } catch {
-                        case OAuth.CredentialsError(m) =>
-                          respondJson(ex, 400, s"""{"detail":${jsonStr(m)}}""")
-                        case scala.util.control.NonFatal(e) =>
-                          respondJson(ex, 502,
-                            s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
                       }
                   }
               }
@@ -525,6 +557,8 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
         case _ => respondJson(ex, 404, """{"detail":"Not found."}""")
       }
     } catch {
+      case BadRequest(m) =>
+        respondJson(ex, 400, s"""{"detail":${jsonStr(m)}}""")
       case e: Throwable =>
         respondJson(ex, 500, s"""{"detail":${jsonStr(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
@@ -589,10 +623,45 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     val p = ("\"" + java.util.regex.Pattern.quote(key) +
       "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|(true|false|-?\\d+))").r
     p.findFirstMatchIn(body).map { m =>
-      Option(m.group(1))
-        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(m.group(2))
+      Option(m.group(1)).map(unescapeJson).getOrElse(m.group(2))
     }
+  }
+
+  /** Full JSON string unescape: every escape the grammar allows, not
+    * just \" and \\ — a legal `"a\nb"` must decode to a newline, not be
+    * stored as the literal two characters `\n` (silent corruption that
+    * also fails to round-trip through fileJson's re-escaping). An
+    * unknown escape is the client's malformed JSON → 400 via BadRequest.
+    */
+  private def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\') { sb.append(c); i += 1 }
+      else {
+        if (i + 1 >= s.length) throw BadRequest(s"dangling escape in: $s")
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' =>
+            if (i + 6 > s.length) throw BadRequest(s"truncated \\u escape in: $s")
+            val hex = s.substring(i + 2, i + 6)
+            val cp = try Integer.parseInt(hex, 16)
+                     catch { case _: NumberFormatException =>
+                       throw BadRequest(s"invalid \\u escape \\u$hex") }
+            sb.append(cp.toChar); i += 6
+          case other => throw BadRequest(s"invalid escape \\$other")
+        }
+      }
+    }
+    sb.result()
   }
 
   private def lookup(ex: HttpExchange, idStr: String)(body: HyperFileMeta => Unit): Unit =

@@ -66,11 +66,27 @@ class ExtensionsSpec extends SparkSpec {
       // slash strip is PATH-only: a '/' ending a query value is data,
       // and 'path/?q' collapses with 'path?q'
       "https://example.com/a?next=/" -> "https://example.com/a?next=/",
-      "https://example.com/data/doc/?b=1" -> "https://example.com/data/doc?b=1")
+      "https://example.com/data/doc/?b=1" -> "https://example.com/data/doc?b=1",
+      // '&' is a legal PATH character: a literal '&utm_' in the path is
+      // a distinct resource, NOT a tracking param to strip
+      "https://example.com/a&utm_x/b" -> "https://example.com/a&utm_x/b",
+      "https://example.com/a&utm_x/b?utm_c=1" -> "https://example.com/a&utm_x/b")
     val out = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "u")
       .select($"i", TextAnalysis.canonicalUrl($"u").as("c"))
       .orderBy("i").as[(Int, String)].collect().map(_._2)
     assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("scrubPii stops a URL redaction at whitespace, not just spaces") {
+    // [^ ]+ would run past the newline and delete "hello" with the URL
+    val out = Seq((1L, "see https://a.example/x\nhello world"),
+        (2L, "mail me@example.org\tnow"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.scrubPii($"text").as("t"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "see <URL>\nhello world"),
+      (2L, "mail <EMAIL>\tnow")), out.toString)
   }
 
   test("fingerprintMd5 is whitespace/case insensitive; rolling is order sensitive") {
@@ -634,6 +650,22 @@ class ExtensionsSpec extends SparkSpec {
     val stub = Multimodal.resizeImages(
       Multimodal.withPayload(Seq((1L, "x" * 2000)).toDF("doc_id", "text")), maxDim = 4)
     assert(stub.head().getAs[Array[Byte]]("payload").length <= 16)
+  }
+
+  test("resize flattens transparency onto white, not black") {
+    // fully-transparent 100x80 ARGB PNG: the resized RGB raster must
+    // read white (a transparent logo must not become a solid-black
+    // image with near-zero luma features)
+    val img = new java.awt.image.BufferedImage(
+      100, 80, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = Multimodal.resizeImages(
+        Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"), maxDim = 32)
+      .head().getAs[Array[Byte]]("payload")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert((back.getRGB(16, 13) & 0xFFFFFF) == 0xFFFFFF,
+      f"transparent pixel flattened to 0x${back.getRGB(16, 13) & 0xFFFFFF}%06X")
   }
 
   test("sampleFrames emits n deterministic offsets per payload") {

@@ -530,6 +530,58 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("malformed percent-encoding and bad JSON escapes answer 400, not 500") {
+    withServer { (port, _, _) =>
+      // stray '%' in a query value is CLIENT error 400 — sent over a
+      // raw socket because well-behaved HTTP clients reject the URL
+      // before sending (the JDK server 400s the invalid request-target
+      // itself; the handler's BadRequest guard covers any server that
+      // passes the raw query through)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.getOutputStream.write(
+          (s"GET /api/v1/files?form_id=1% HTTP/1.1\r\nHost: x\r\n" +
+            s"Authorization: Bearer $Token\r\nConnection: close\r\n\r\n").getBytes)
+        sock.getOutputStream.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        assert(resp.startsWith("HTTP/1.1 400"), resp.take(120))
+      } finally sock.close()
+      // invalid JSON escape in a body field is CLIENT error too
+      val (s2, b2) = bodyRequest(port, "/api/v1/files/1", "PATCH",
+        """{"filename":"a\q"}""")
+      assert(s2 == 400 && b2.contains("invalid escape"), s"$s2 $b2")
+      // and a LEGAL escape decodes to the real character (\t here) —
+      // the response re-escapes it, proving the round-trip, and the
+      // catalog row holds the one-char tab, not the two chars `\t`
+      val (s3, b3) = bodyRequest(port, "/api/v1/files/1", "PATCH",
+        """{"filename":"a\tb.parquet"}""")
+      assert(s3 == 200, s"$s3 $b3")
+      assert(request(port, "/api/v1/files/1")._2.contains("""a\tb.parquet"""))
+    }
+  }
+
+  test("registry ids are never recycled after a delete") {
+    withServer { (port, store, _) =>
+      // create a config (takes the next sequence id), delete it, create
+      // another: the second id must be strictly greater — a recycled id
+      // would silently re-resolve dangling configuration-id references
+      val (c1s, c1b) = bodyRequest(port, "/api/v1/configurations", "POST",
+        """{"user_id":10,"server_address":"https://t1.example.org","token_name":"p1"}""")
+      assert(c1s == 201, c1b)
+      val id1 = """"id":(\d+)""".r.findFirstMatchIn(c1b).get.group(1).toLong
+      val conn = new URI(s"http://127.0.0.1:$port/api/v1/configurations/$id1")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("DELETE")
+      conn.setRequestProperty("Authorization", s"Bearer $Token")
+      assert(conn.getResponseCode == 204)
+      val (c2s, c2b) = bodyRequest(port, "/api/v1/configurations", "POST",
+        """{"user_id":10,"server_address":"https://t2.example.org","token_name":"p2"}""")
+      assert(c2s == 201, c2b)
+      val id2 = """"id":(\d+)""".r.findFirstMatchIn(c2b).get.group(1).toLong
+      assert(id2 > id1, s"id recycled: deleted $id1, new row took $id2")
+    }
+  }
+
   test("delete: side effects run, row gone, 204; unknown id is 404") {
     withServer { (port, store, _) =>
       val conn = new URI(s"http://127.0.0.1:$port/api/v1/files/7").toURL
