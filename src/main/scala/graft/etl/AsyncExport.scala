@@ -134,6 +134,12 @@ object AsyncExport {
           throw ExportFailed(s"URL: $ready download failed after $maxFetchAttempts attempts")
         case Accepted("FAILURE", _, _, progress) =>
           throw ExportFailed(progress.getOrElse("FAILURE"))
+        case Accepted("SUCCESS", _, None, _) =>
+          // a SUCCESS with no export_url is a malformed terminal response
+          // — falling through to the in-progress branch would burn the
+          // whole poll budget and then blame a stuck job ("took too
+          // long") for what is actually a bad server payload
+          throw ExportFailed(s"URL: $url job_status SUCCESS carried no export_url")
         case Accepted(_, jobUuid, _, _) =>
           jobUuid.foreach(u => url = addJobUuid(url, u))
           if (polls >= maxPolls)

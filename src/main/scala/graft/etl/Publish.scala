@@ -70,6 +70,12 @@ object Publish {
       }.getOrElse(throw new NoSuchElementException(
         s"project '${dest.projectName}' not found on ${dest.serverAddress}"))
       session.publish(projectId, extractPath, overwrite = true)
-    } finally session.signOut()
+    } finally {
+      // a signOut failure on an already-broken session must not REPLACE
+      // the original publish/lookup exception (finally semantics would
+      // propagate it and hide the root cause) — sign-out is best-effort
+      try session.signOut()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }

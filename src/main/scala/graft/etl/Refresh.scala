@@ -37,8 +37,27 @@ object Refresh {
     * object stores rename is a server-side copy; prefer the direct
     * `mode("overwrite")` commit path of [[overwrite]] there.
     */
+  /** Complete a HALF-FINISHED staged swap: a crash between swapInto's two
+    * renames leaves the extract only at `target__old`. Without this, the
+    * next read-modify tick sees a MISSING target, rebuilds from the delta
+    * alone, and its own swap then deletes the `__old` recovery copy —
+    * total silent data loss. Restoring old → target re-runs the crashed
+    * tick's merge instead (idempotent: the same delta upserts to the
+    * same result). Call before ANY read that decides "absent table".
+    */
+  private[graft] def recoverHalfSwap(fs: FileSystem, target: Path): Unit = {
+    val old = new Path(target.toString + "__old")
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"half-swap recovery $old -> $target failed")
+  }
+
   private[graft] def swapInto(fs: FileSystem, staging: Path, target: Path): Unit = {
     val old = new Path(target.toString + "__old")
+    // a leftover __old with NO target is the previous tick's only data —
+    // recover it instead of deleting it (see recoverHalfSwap); with a
+    // live target the leftover is just debris from a crash after the
+    // second rename
+    recoverHalfSwap(fs, target)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target))
       require(fs.rename(target, old), s"rename $target -> $old failed")
@@ -74,11 +93,19 @@ object Refresh {
   def overwritePartitions(df: DataFrame, path: String,
                           partitionByCols: Seq[String]): Long = {
     require(partitionByCols.nonEmpty, "dynamic overwrite needs partition columns")
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionByCols: _*)
-      .parquet(path)
-    df.sparkSession.read.parquet(path).count()
+    // count the REFRESHED rows, served from the cache the write warmed —
+    // re-reading the extract would (a) return the whole table's count,
+    // not this tick's import (the reference counts rows synced), and
+    // (b) list/footer-scan every untouched partition of a 100 TB extract
+    // per tick just to produce that wrong number
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionByCols: _*)
+        .parquet(path)
+      cached.count()
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Incremental refresh: MERGE the delta into the extract by key —
@@ -105,6 +132,9 @@ object Refresh {
   def incremental(spark: SparkSession, delta: DataFrame, extractPath: String,
                   keys: Seq[String], deletes: Option[DataFrame] = None): Long = {
     val (fs, target) = hfs(spark, extractPath)
+    // a crashed prior tick may have left the extract at __old only —
+    // recover BEFORE the exists() decides this is a first-ever write
+    recoverHalfSwap(fs, target)
     val upserted =
       if (!fs.exists(target)) delta
       else graft.catalog.Catalog.upsertEvolving(
@@ -236,22 +266,42 @@ object Refresh {
       import spark.implicits._
       val leaves = leafPartitions(fs, target, partCols.length)
       val plan = leaves.map { case (p, bytes) =>
-        // leaf path suffix col1=v1/.../colN=vN -> unescaped values
+        // leaf path suffix col1=v1/.../colN=vN -> unescaped values; the
+        // hive null-partition sentinel dir reads back as a NULL value,
+        // so the plan stores null there too (the join is null-safe)
         val vals = p.toString.split('/').takeRight(partCols.length)
-          .map(seg => unescapePathName(seg.split("=", 2)(1))).toSeq
+          .map { seg =>
+            val v = unescapePathName(seg.split("=", 2)(1))
+            if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+          }.toSeq
         (vals, math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong))
       }.toDF("__pv", "__nf")
-      val df = spark.read.parquet(extractPath)
-      val dataCols = df.columns.filterNot(partCols.contains).toSeq
-      // join the tiny per-leaf plan on string-cast partition values, then
-      // salt deterministically so each leaf splits into ~its file count
-      val keyExpr = array(partCols.map(c => col(c).cast("string")): _*)
-      df.join(broadcast(plan), keyExpr === col("__pv"), "left")
-        .withColumn("__salt",
-          pmod(xxhash64(dataCols.map(col): _*), coalesce(col("__nf"), lit(1L))))
-        .repartition(partCols.map(col) :+ col("__salt"): _*)
-        .drop("__pv", "__nf", "__salt")
-        .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
+      // read with partition-type INFERENCE OFF: inferred values do not
+      // round-trip to the path strings the plan is keyed by (form_id=0123
+      // infers to int 123, score=0.10 to 0.1, a null dir to NULL), and a
+      // mismatched leaf would silently fall back to ONE file regardless
+      // of size. As strings, both sides are byte-identical by
+      // construction, and writing string partition columns reproduces
+      // the exact original directory names (0123 stays 0123).
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val inferPrev = spark.conf.getOption(inferKey)
+      spark.conf.set(inferKey, "false")
+      try {
+        val df = spark.read.parquet(extractPath)
+        val dataCols = df.columns.filterNot(partCols.contains).toSeq
+        // join the tiny per-leaf plan on the partition-value strings, then
+        // salt deterministically so each leaf splits into ~its file count
+        val keyExpr = array(partCols.map(col): _*)
+        df.join(broadcast(plan), keyExpr <=> col("__pv"), "left")
+          .withColumn("__salt",
+            pmod(xxhash64(dataCols.map(col): _*), coalesce(col("__nf"), lit(1L))))
+          .repartition(partCols.map(col) :+ col("__salt"): _*)
+          .drop("__pv", "__nf", "__salt")
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
+      } finally inferPrev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
     }
     swapInto(fs, staging, target)
     spark.read.parquet(extractPath).count()
@@ -291,6 +341,12 @@ object Refresh {
     val allBounds = df.stat.approxQuantile(cols.toArray,
       (1 until n).map(_ / n.toDouble).toArray, 0.001)
     val ranks = cols.zip(allBounds).map { case (c, bounds) =>
+      // approxQuantile ignores nulls: an all-null clustering column
+      // yields ZERO boundaries, and the reduce below would die with a
+      // bare "empty.reduce" naming neither column nor cause
+      require(bounds.nonEmpty,
+        s"z-order column '$c' has no non-null values this run — " +
+          "drop it from the clustering key or filter the frame")
       bounds.map(b => when(col(c).cast("double") > b, 1L).otherwise(0L))
         .reduce(_ + _) // rank = # boundaries below the value, in [0, 2^bits)
     }

@@ -35,6 +35,10 @@ object Scd {
   def type2History(events: DataFrame, keys: Seq[String], order: Seq[Column],
                    tracked: Seq[String], validFrom: Column,
                    carry: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty && tracked.nonEmpty,
+      s"type2History needs keys, order and tracked columns " +
+        s"(got ${keys.size}/${order.size}/${tracked.size}) — " +
+        "an empty tracked list would die with a bare empty.reduce")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val changed = tracked
       .map(c => !(lag(col(c), 1).over(w) <=> col(c)))

@@ -38,7 +38,11 @@ object Pack {
     // spark_partition_id() is the range rank. Persist so the offsets job
     // and the final pass see the SAME sampled range boundaries.
     val ranged = docs
-      .select(col(idCol).as("id"), tokens.cast("long").as("n_tokens"))
+      // a null token count (null text) reads as 0 tokens: the window sum
+      // skips nulls but `start - n_tokens` would be null, silently
+      // assigning the doc a null seq_id and dropping it from packing
+      .select(col(idCol).as("id"),
+        coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(col("id"))
       .withColumn("__part", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

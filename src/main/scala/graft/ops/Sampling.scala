@@ -82,17 +82,6 @@ object Sampling {
     df.filter(stratumBucket(col(strataCol), col(keyCol)) < pct)
   }
 
-  /** Per-key cap: keep the first `cap` rows of each `keys` group in
-    * `order` (e.g. at most N documents per domain — the anti-boilerplate
-    * mixture guard). Two-phase for hot keys: a LOCAL cap within each
-    * input partition first (window keyed on (keys, partition id) — the
-    * shuffle key carries the partition salt, so a 10^8-row domain spreads
-    * over all reducers and at most cap·P of its rows survive to phase 2),
-    * then the global cap on the survivors. Result is identical to the
-    * single-phase form for any partitioning (phase 1 keeps a superset of
-    * every group's global first `cap`: a group's partition-local rank is
-    * a lower bound of its global rank).
-    */
   /** Suppress rows whose `keys` group has fewer than `k` members — the
     * k-anonymity-style small-group filter of privacy-aware curation (a
     * (lang, source) combination seen twice identifies its contributor;
@@ -110,6 +99,17 @@ object Sampling {
       .drop("__gn")
   }
 
+  /** Per-key cap: keep the first `cap` rows of each `keys` group in
+    * `order` (e.g. at most N documents per domain — the anti-boilerplate
+    * mixture guard). Two-phase for hot keys: a LOCAL cap within each
+    * input partition first (window keyed on (keys, partition id) — the
+    * shuffle key carries the partition salt, so a 10^8-row domain spreads
+    * over all reducers and at most cap·P of its rows survive to phase 2),
+    * then the global cap on the survivors. Result is identical to the
+    * single-phase form for any partitioning (phase 1 keeps a superset of
+    * every group's global first `cap`: a group's partition-local rank is
+    * a lower bound of its global rank).
+    */
   def capPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                 cap: Int): DataFrame = {
     require(cap >= 1, s"need cap >= 1; got $cap")

@@ -20,6 +20,26 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
   }
 
+  test("incremental recovers a half-finished swap instead of rebuilding from the delta") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("halfswap").toString + "/extract"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Refresh.incremental(spark, base, path, Seq("id"))
+    // simulate a crash between swapInto's two renames: the extract lives
+    // only at __old, target is missing
+    val (fs, target) = Refresh.hfs(spark, path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    assert(fs.rename(target, old))
+    // the next tick must RECOVER the old copy and merge against it —
+    // without recovery it would treat the extract as absent, keep only
+    // the delta, and then destroy the __old copy
+    val delta = Seq((3L, "c")).toDF("id", "name")
+    Refresh.incremental(spark, delta, path, Seq("id"))
+    val got = spark.read.parquet(path).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"history lost: $got")
+    assert(!fs.exists(old))
+  }
+
   test("incremental refresh absorbs schema drift: added column null-fills old rows") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("incr_ev").toString + "/extract"
