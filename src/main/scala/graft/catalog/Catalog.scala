@@ -64,6 +64,13 @@ object Catalog {
     * deterministic form of `dropDuplicates` (which keeps an arbitrary row).
     * Implemented as a rank-1 window: single shuffle on the dedup key, and
     * at 100 TB the window's sort is per-key (no global sort).
+    *
+    * PRECONDITION: `orderCol` must be unique within each key group —
+    * on ties the window ranks by partition-arrival order and the kept
+    * row varies run to run, exactly the nondeterminism this operator
+    * exists to remove. Callers here pass ids/timestamps that are unique
+    * per key; append a unique column to `orderCol`'s role when yours
+    * are not.
     */
   def dedupFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))

@@ -31,6 +31,22 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightCols: Seq[String],
                prefix: String = "asof_"): DataFrame = {
+    // the tie-break window orders by the right payload struct; map-typed
+    // columns are unorderable and would die in analysis with an error
+    // naming no operator — fail here with the fix (pre-aggregate to
+    // unique (key, ts), or carry the map via a joined-back id)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    rightCols.foreach { c =>
+      require(!hasMap(right.schema(c).dataType),
+        s"joinAsOf right column '$c' contains a map type, which cannot " +
+          "order the tie-break window — pre-aggregate the right side to " +
+          "unique (key, ts) and carry the map by id instead")
+    }
     val leftCols = left.columns.toSeq
     val lType = StructType(leftCols.map(c => left.schema(c)))
     val rType = StructType(rightCols.map(c => right.schema(c)))
@@ -44,7 +60,14 @@ object AsOf {
     // (nulls-first ordering would otherwise make it the "preceding" match
     // for every left row). Left rows with NULL ts sort before all right
     // rows and correctly get a null match.
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // NULL join keys never match under equi semantics (DuckDB ASOF JOIN
+    // and merge_asof agree), but partitionBy groups null keys together —
+    // null-keyed RIGHT rows must therefore stay out of the union, or a
+    // null-keyed left row would "match" them; with them gone it gets the
+    // correct null match from its empty carry-forward window.
+    val rightKeyed =
+      if (keys.isEmpty) right else right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val r = rightKeyed.filter(col(rightTs).isNotNull).select(
       keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(lType).as("__l") :+
         struct(rightCols.map(col): _*).as("__r"): _*)
@@ -80,9 +103,15 @@ object RangeJoin {
     val binMicros = binSeconds * 1000000L
     val lb = left.withColumn("__bin", floor(unix_micros(col(leftTs)) / binMicros))
     // interval [start, end) overlaps bins floor(start/b) .. floor((end-1µs)/b)
-    val rb = right.withColumn("__bin", explode(sequence(
-      floor(unix_micros(col(startCol)) / binMicros),
-      floor((unix_micros(col(endCol)) - 1) / binMicros))))
+    // inverted/degenerate intervals (end <= start) must match NOTHING:
+    // sequence(a, b) with b < a steps -1 and would enumerate ~every bin
+    // between the two timestamps DESCENDING — one malformed row exploding
+    // into millions of elements. when() yields null there; explode drops
+    // the row.
+    val startBin = floor(unix_micros(col(startCol)) / binMicros)
+    val endBin = floor((unix_micros(col(endCol)) - 1) / binMicros)
+    val rb = right.withColumn("__bin",
+      explode(when(endBin >= startBin, sequence(startBin, endBin))))
     lb.join(rb, Seq("__bin"))
       .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
       .drop("__bin")

@@ -72,6 +72,11 @@ object Layout {
     */
   def writeZClustered(df: DataFrame, xCol: String, yCol: String,
                       bits: Int, k: Int, path: String): Unit = {
+    // cellsForBox validates k <= bits at QUERY time; the write paths
+    // must too — a negative shift is masked mod 64 by shiftright, every
+    // coordinate collapses to ~0, and the garbage layout publishes
+    // silently, only failing when the first box query runs
+    require(k >= 1 && k <= bits, s"need 1 <= k <= bits, got k=$k bits=$bits")
     val s = bits - k
     df.withColumn("zbucket",
         zorder2(shiftright(col(xCol).cast("long"), s),
@@ -98,6 +103,7 @@ object Layout {
   def upsertZClustered(spark: SparkSession, delta: DataFrame, keyCol: String,
                        xCol: String, yCol: String, bits: Int, k: Int,
                        path: String): Unit = {
+    require(k >= 1 && k <= bits, s"need 1 <= k <= bits, got k=$k bits=$bits")
     val s = bits - k
     // null keys/coords would poison the keyed merge; duplicate keys in
     // ONE delta keep a single arbitrary row (last-wins callers attach a

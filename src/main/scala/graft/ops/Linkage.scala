@@ -43,11 +43,16 @@ object Linkage {
     // customer tables, self-linkage) — bare names are AMBIGUOUS after
     // the join and the operator would throw on exactly its primary
     // use case
-    val l = left.withColumn("__bk", blockKey(col(leftText), prefixLen))
-    val r = right.withColumn("__bk2", blockKey(col(rightText), prefixLen))
-    val lt = l(leftText)
-    val rt = r(rightText)
-    l.join(r, l("__bk") === r("__bk2") &&
+    // ALIAS-qualified references, not df(col) handles: when left and
+    // right are the SAME DataFrame (true self-linkage), df-handle refs
+    // share one lineage and either throw AMBIGUOUS_SELF_JOIN or both
+    // resolve to the left side (levenshtein(x, x) = 0 for every
+    // candidate pair) — the standard a/b alias pattern disambiguates
+    val l = left.withColumn("__bk", blockKey(col(leftText), prefixLen)).alias("__fzl")
+    val r = right.withColumn("__bk2", blockKey(col(rightText), prefixLen)).alias("__fzr")
+    val lt = col(s"__fzl.$leftText")
+    val rt = col(s"__fzr.$rightText")
+    l.join(r, col("__fzl.__bk") === col("__fzr.__bk2") &&
         abs(length(lt) - length(rt)) <= maxDist)
       .withColumn("dist", levenshtein(lt, rt))
       .filter(col("dist") <= maxDist)

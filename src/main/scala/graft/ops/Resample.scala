@@ -29,7 +29,10 @@ object Resample {
                    valueAgg: Column): DataFrame = {
     val daily = events
       .groupBy(col(keyCol), date_trunc("day", col(tsCol)).cast("date").as("day"))
-      .agg(valueAgg.as("v"))
+      // __obs marks the day as OBSERVED: the filled flag must key off
+      // the spine-join miss, not v's null-ness — a day whose events all
+      // carry null values is observed data, not a calendar gap
+      .agg(valueAgg.as("v"), max(lit(1)).as("__obs"))
     val spine = daily
       .groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
@@ -41,6 +44,6 @@ object Resample {
     spine.join(daily, Seq(keyCol, "day"), "left")
       .select(col(keyCol), col("day"),
         last(col("v"), ignoreNulls = true).over(w).as("v_ff"),
-        when(col("v").isNull, lit(1)).otherwise(lit(0)).as("filled"))
+        when(col("__obs").isNull, lit(1)).otherwise(lit(0)).as("filled"))
   }
 }

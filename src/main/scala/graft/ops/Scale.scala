@@ -16,7 +16,13 @@ object Scale {
     * per-row spread, e.g. the row's unique id). Deterministic — replays
     * and retries salt identically, unlike rand().
     */
-  def salt(entropy: Column, n: Int): Column = pmod(xxhash64(entropy), lit(n.toLong))
+  def salt(entropy: Column, n: Int): Column = {
+    // pmod(x, 0) is NULL and explode(array()) is zero rows — n = 0 would
+    // silently EMPTY a salted join instead of failing; fail fast here,
+    // the one place every salted path flows through
+    require(n >= 1, s"salt fan-out must be >= 1, got $n")
+    pmod(xxhash64(entropy), lit(n.toLong))
+  }
 
   /** Two-stage salted aggregation: partial-aggregate on (keys, salt) —
     * splitting each hot key across `n` reducers — then final-aggregate on

@@ -27,8 +27,18 @@ object Shape {
     */
   def removeGroupName(name: String): String = name.replaceAll("^.*/", "")
 
-  def removeGroupNames(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).as(removeGroupName(c))).toSeq: _*)
+  def removeGroupNames(df: DataFrame): DataFrame = {
+    // leaf-name collisions ("hh/name" and "resp/name" both strip to
+    // "name") would select two identically-named columns — every later
+    // col("name")/join/write then throws AMBIGUOUS_REFERENCE far from
+    // the cause; fail here naming the colliding headers
+    val stripped = df.columns.map(c => c -> removeGroupName(c))
+    val dupes = stripped.groupBy(_._2).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      "group-prefix strip collides: " + dupes.map { case (leaf, cs) =>
+        s"'$leaf' <- ${cs.map(_._1).mkString("{", ", ", "}")}" }.mkString("; "))
+    df.select(stripped.map { case (c, n) => col(c).as(n) }.toSeq: _*)
+  }
 
   /** F2 value-level form (same regex, usable inside an oracle-checked
     * query): strip everything up to the last '/'.

@@ -42,5 +42,8 @@ object State {
     * HTTP 202 while queued/syncing — file.py:188-199).
     */
   def syncable(df: DataFrame, statusCol: String): DataFrame =
-    df.filter(!col(statusCol).isin("queued", "syncing"))
+    // null-safe: !isin(...) is NULL for a NULL status (three-valued
+    // logic) and filter would DROP the row — but an unset status is
+    // neither queued nor syncing, so it is sync-permitted
+    df.filter(col(statusCol).isNull || !col(statusCol).isin("queued", "syncing"))
 }

@@ -2531,16 +2531,16 @@ object Extensions {
           "user_id", "ts", round(avg(col("value")), 4))
         .orderBy("user_id", "day"),
       Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             |round(avg(value), 4) AS v FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |round(avg(value), 4) AS v, 1 AS obs FROM events WHERE user_id < 20 GROUP BY 1, 2),
              |spine AS (SELECT user_id,
              |unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
              |FROM daily GROUP BY user_id),
-             |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+             |j AS (SELECT s.user_id, s.day, d.v, d.obs FROM spine s
              |LEFT JOIN daily d USING (user_id, day))
              |SELECT user_id, day, last_value(v IGNORE NULLS) OVER
              |(PARTITION BY user_id ORDER BY day
              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
-             |CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+             |CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS filled
              |FROM j ORDER BY user_id, day""".stripMargin.replace("\n", " "))),
 
     // Corpus-fit order-2: per-document mean log2 conditional bigram
