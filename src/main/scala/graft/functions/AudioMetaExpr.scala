@@ -64,16 +64,13 @@ object AudioMeta {
   /** Column-API entry point: `audioMeta($"payload")`. */
   def apply(payload: Column): Column = Shim.column(AudioMeta(Shim.expression(payload)))
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
-      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
-  private def be24(b: Array[Byte], i: Int): Int =
-    (u8(b, i) << 16) | (u8(b, i + 1) << 8) | u8(b, i + 2)
-
-  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+  // byte-order primitives shared via ByteReads (one definition, the
+  // signedness in the name — see that object's scaladoc)
+  private def u8(b: Array[Byte], i: Int): Int = ByteReads.u8(b, i)
+  private def le16(b: Array[Byte], i: Int): Int = ByteReads.le16(b, i)
+  private def le32(b: Array[Byte], i: Int): Long = ByteReads.le32u(b, i)
+  private def be24(b: Array[Byte], i: Int): Int = ByteReads.be24(b, i)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean = ByteReads.tag(b, i, s)
 
   private def row(fmt: String, ch: Int, rate: Int, bits: Int, durMs: Long): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), ch, rate, bits, durMs))
@@ -86,11 +83,13 @@ object AudioMeta {
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
       var i = 12L
       var ch = -1; var rate = -1; var bits = -1; var dataBytes = -1L
+      var fmtTag = -1
       while (i + 8 <= b.length && (ch < 0 || dataBytes < 0)) {
         val p = i.toInt
         val size = le32(b, p + 4)
         if (size > b.length) return null // chunk larger than the buffer: malformed
         if (tag(b, p, "fmt ") && p + 24 <= b.length) {
+          fmtTag = le16(b, p + 8)
           ch = le16(b, p + 10)
           rate = le32(b, p + 12).toInt
           bits = le16(b, p + 22)
@@ -100,6 +99,13 @@ object AudioMeta {
         i += 8 + size + (size & 1) // chunks are word-aligned
       }
       if (ch <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) return null
+      // duration = dataBytes / (ch*bits/8) holds ONLY for uncompressed
+      // frames: PCM (1), IEEE float (3), a-law/mu-law (6/7, bits=8) and
+      // the extensible wrapper (0xFFFE). A compressed payload (ADPCM
+      // 0x11 at bits=4, MP3-in-WAV 0x55) would yield a confidently
+      // wrong duration — return null rather than 4x-off hour counts.
+      if (fmtTag != 1 && fmtTag != 3 && fmtTag != 6 && fmtTag != 7 &&
+          fmtTag != 0xFFFE) return null
       val bytesPerFrame = ch.toLong * bits / 8
       if (bytesPerFrame <= 0) return null
       val frames = dataBytes / bytesPerFrame

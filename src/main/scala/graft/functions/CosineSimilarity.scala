@@ -41,20 +41,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return NULL from NON-null inputs (mismatched lengths, null
+  // elements) — without this override the default child-derived
+  // nullability marks the expression non-nullable and codegen has no
+  // isNull slot to set
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // NULL on mismatched lengths and on any null element — matching the
+  // composable form (zip_with pads with nulls → NULL) and surfacing
+  // incomparable vectors instead of silently truncating to the shorter
+  // length or reading a null slot as 0.0 (a confident wrong similarity).
+  // The per-element null probe is generated ONLY when the schema says
+  // elements may be null, so containsNull=false columns pay nothing.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
-    val n = math.min(xa.numElements(), xb.numElements())
+    val n = xa.numElements()
+    if (n != xb.numElements()) return null
     val fa = elemIsFloat(left)
     val fb = elemIsFloat(right)
+    val checkA = mayHaveNullElems(left)
+    val checkB = mayHaveNullElems(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if ((checkA && xa.isNullAt(i)) || (checkB && xb.isNullAt(i))) return null
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y
@@ -76,17 +95,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullProbe =
+        (if (mayHaveNullElems(left)) s"$a.isNullAt($i)" else "false") +
+          " || " +
+          (if (mayHaveNullElems(right)) s"$b.isNullAt($i)" else "false")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.$getA($i);
-         |  final double $y = (double) $b.$getB($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($nullProbe) { ${ev.isNull} = true; break; }
+         |    final double $x = (double) $a.$getA($i);
+         |    final double $y = (double) $b.$getB($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
   }

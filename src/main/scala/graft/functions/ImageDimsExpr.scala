@@ -64,13 +64,14 @@ object ImageDims {
   /** Column-API entry point: `imageDims($"payload")`. */
   def apply(payload: Column): Column = Shim.column(ImageDims(Shim.expression(payload)))
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def be32(b: Array[Byte], i: Int): Int =
-    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-  private def le32(b: Array[Byte], i: Int): Int =
-    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  // byte-order primitives shared via ByteReads; this sniffer uses the
+  // SIGNED 32-bit forms (BMP biHeight is two's-complement — negative
+  // marks top-down row order)
+  private def u8(b: Array[Byte], i: Int): Int = ByteReads.u8(b, i)
+  private def be16(b: Array[Byte], i: Int): Int = ByteReads.be16(b, i)
+  private def le16(b: Array[Byte], i: Int): Int = ByteReads.le16(b, i)
+  private def be32(b: Array[Byte], i: Int): Int = ByteReads.be32s(b, i)
+  private def le32(b: Array[Byte], i: Int): Int = ByteReads.le32s(b, i)
 
   private def row(fmt: String, w: Int, h: Int): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
@@ -86,16 +87,29 @@ object ImageDims {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: "BM", DIB BITMAPINFOHEADER width/height at 18/22 (height may be
-    // negative for top-down rows — dimension is the magnitude)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    // BMP: "BM", then the DIB header SIZE at offset 14 picks the layout —
+    // 40+ (BITMAPINFO/V4/V5: le32 width/height at 18/22, height may be
+    // negative for top-down rows) or 12 (OS/2 BITMAPCOREHEADER: le16 at
+    // 18/20). Reading 32-bit fields from a CORE header would fuse
+    // width|height into one garbage value; unknown sizes return null.
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = le32(b, 14)
+      if (dib >= 40) return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
+      if (dib == 12) return row("bmp", le16(b, 18), le16(b, 20))
+      return null
+    }
     // JPEG: SOI then marker segments; dimensions are in the first SOF
     // (C0-C3, C5-C7, C9-CB, CD-CF) segment: [len][prec][height][width]
     if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2
       while (i + 9 <= b.length) {
         if (u8(b, i) != 0xff) return null // marker desync — not a JPEG
+        // JPEG B.1.1.2: any number of 0xFF FILL bytes may precede a
+        // marker — skip them, or the next byte pair reads FF FF as a
+        // marker with a bogus length and the scan desyncs on spec-valid
+        // files from padding-emitting encoders
+        while (i + 9 <= b.length && u8(b, i + 1) == 0xff) i += 1
+        if (i + 9 > b.length) return null
         val m = u8(b, i + 1)
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
           i += 2 // standalone markers carry no length

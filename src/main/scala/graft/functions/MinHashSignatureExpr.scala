@@ -89,22 +89,12 @@ object MinHashSignature {
     * composable pipeline and DuckDB `string_split(text, ' ')`.
     */
   def signature(text: UTF8String, n: Int, k: Int): GenericArrayData = {
-    // split to word byte slices without building Strings
+    // split to word byte slices without building Strings — the boundary
+    // scan is Shingles.wordStarts, the ONE definition all kernels share
     val bytes = text.getBytes
-    var words = 1
-    var p = 0
-    while (p < bytes.length) { if (bytes(p) == SpaceByte) words += 1; p += 1 }
+    val (starts, words) = Shingles.wordStarts(bytes)
     val m = words - n + 1
     if (m <= 0) return null
-
-    val starts = new Array[Int](words + 1)
-    var wi = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == SpaceByte) { starts(wi) = p + 1; wi += 1 }
-      p += 1
-    }
-    starts(words) = bytes.length + 1 // sentinel: word w spans [starts(w), starts(w+1)-1)
 
     val w = graft.ops.Dedup.sigWidth(k)
     val md = mdLocal.get()

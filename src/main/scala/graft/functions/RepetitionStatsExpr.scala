@@ -92,7 +92,7 @@ object RepetitionStats {
 
     // ---- segment axis (". "-separated) --------------------------------
     val segs = splitKeepEmpties(s, ". ")
-    val segCounts = new java.util.HashMap[String, Int](segs.length * 2)
+    val segCounts = new java.util.HashMap[String, Int](math.max(4, segs.length * 2))
     segs.foreach(g => segCounts.merge(g, 1, Integer.sum))
     var dupSegOcc = 0L
     var dupSegChars = 0L
@@ -116,7 +116,7 @@ object RepetitionStats {
     var topNgramCharFrac = 0.0
     var dupNgramCharFrac = 0.0
     if (m > 0 && totalChars > 0) {
-      val grams = new java.util.HashMap[String, Int](m * 2)
+      val grams = new java.util.HashMap[String, Int](math.max(4, m * 2))
       var i = 0
       while (i < m) {
         val g = words.slice(i, i + n).mkString(" ")

@@ -25,9 +25,14 @@ object Security {
   def encryptToken(text: Column, key: String, mode: String = "GCM"): Column =
     base64(aes_encrypt(text.cast("binary"), lit(key), lit(mode)))
 
-  /** Inverse of [[encryptToken]]: aes_decrypt(unbase64(token)) as string. */
+  /** Inverse of [[encryptToken]]: try_aes_decrypt(unbase64(token)) as
+    * string — NULL on a corrupt token or key mismatch, the null-safe
+    * shape the rest of the module composes with (aes_decrypt would
+    * throw in GCM tag verification and fail the whole job over one bad
+    * row among 10^9; a key-rotation sweep filters the nulls instead).
+    */
   def decryptToken(token: Column, key: String, mode: String = "GCM"): Column =
-    aes_decrypt(unbase64(token), lit(key), lit(mode)).cast(StringType)
+    try_aes_decrypt(unbase64(token), lit(key), lit(mode)).cast(StringType)
 
   /** Deterministic RFC-4122-shaped id (8-4-4-4-12, version nibble '4',
     * variant nibble 'a') from md5 of `seed` — engine-portable string ops

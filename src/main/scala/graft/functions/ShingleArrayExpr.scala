@@ -55,19 +55,9 @@ object ShingleArray {
 
   def shingles(text: UTF8String, n: Int): GenericArrayData = {
     val bytes = text.getBytes
-    var words = 1
-    var p = 0
-    while (p < bytes.length) { if (bytes(p) == ' '.toByte) words += 1; p += 1 }
+    val (starts, words) = Shingles.wordStarts(bytes)
     val m = words - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val starts = new Array[Int](words + 1)
-    var wi = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' '.toByte) { starts(wi) = p + 1; wi += 1 }
-      p += 1
-    }
-    starts(words) = bytes.length + 1
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {

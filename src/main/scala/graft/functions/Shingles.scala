@@ -12,19 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[functions] object Shingles {
 
-  /** Distinct word n-grams of `text`. A shingle of n consecutive words
-    * joined by ' ' is exactly the original text's byte range covering
-    * them (separators included), so no string assembly happens per
-    * shingle — just an offset/length slice.
+  /** Word-start offsets of `bytes` under `split(text, " ", -1)`
+    * semantics (empty words kept): `starts(w)` is word w's first byte,
+    * with a sentinel at index `words` so word w spans
+    * `[starts(w), starts(w+1) - 1)`. Returns (starts, wordCount). THE
+    * single definition of the boundary scan — MinHashSignature and
+    * ShingleArray share it, so split semantics cannot drift between the
+    * kernels and the oracles that replay them.
     */
-  def shingleSet(text: UTF8String, n: Int): java.util.HashSet[String] = {
-    val bytes = text.getBytes
+  def wordStarts(bytes: Array[Byte]): (Array[Int], Int) = {
     var words = 1
     var p = 0
     while (p < bytes.length) { if (bytes(p) == ' '.toByte) words += 1; p += 1 }
-    val m = words - n + 1
-    val set = new java.util.HashSet[String](math.max(4, m * 2))
-    if (m <= 0) return set
     val starts = new Array[Int](words + 1)
     var wi = 1
     p = 0
@@ -33,6 +32,20 @@ private[functions] object Shingles {
       p += 1
     }
     starts(words) = bytes.length + 1
+    (starts, words)
+  }
+
+  /** Distinct word n-grams of `text`. A shingle of n consecutive words
+    * joined by ' ' is exactly the original text's byte range covering
+    * them (separators included), so no string assembly happens per
+    * shingle — just an offset/length slice.
+    */
+  def shingleSet(text: UTF8String, n: Int): java.util.HashSet[String] = {
+    val bytes = text.getBytes
+    val (starts, words) = wordStarts(bytes)
+    val m = words - n + 1
+    val set = new java.util.HashSet[String](math.max(4, m * 2))
+    if (m <= 0) return set
     var i = 0
     while (i < m) {
       // shingle i = original byte range covering words [i, i+n) incl. separators

@@ -65,19 +65,14 @@ object VideoMeta {
   /** Column-API entry point: `videoMeta($"payload")`. */
   def apply(payload: Column): Column = Shim.column(VideoMeta(Shim.expression(payload)))
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def be32(b: Array[Byte], i: Int): Long =
-    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
-      u8(b, i + 3)) & 0xffffffffL
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
-  private def le32(b: Array[Byte], i: Int): Long =
-    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
-      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
-
-  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+  // byte-order primitives shared via ByteReads (one definition, the
+  // signedness in the name — see that object's scaladoc)
+  private def u8(b: Array[Byte], i: Int): Int = ByteReads.u8(b, i)
+  private def be16(b: Array[Byte], i: Int): Int = ByteReads.be16(b, i)
+  private def be32(b: Array[Byte], i: Int): Long = ByteReads.be32u(b, i)
+  private def be64(b: Array[Byte], i: Int): Long = ByteReads.be64(b, i)
+  private def le32(b: Array[Byte], i: Int): Long = ByteReads.le32u(b, i)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean = ByteReads.tag(b, i, s)
 
   private def row(fmt: String, durMs: Long, w: Int, h: Int): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), durMs, w, h))
@@ -121,12 +116,16 @@ object VideoMeta {
               val v = u8(b, cs)
               if (v == 0) {
                 val timescale = be32(b, cs + 12)
-                val dur = be32(b, cs + 16)
+                val dur = be32(b, cs + 16) // be32 is unsigned-masked
                 if (timescale > 0) durMs = dur * 1000L / timescale
               } else if (v == 1 && ce - cs >= 32) {
                 val timescale = be32(b, cs + 20)
                 val dur = be64(b, cs + 24)
-                if (timescale > 0) durMs = dur * 1000L / timescale
+                // overflow guard, same posture as the AVI branch: a
+                // crafted duration near 2^61 wraps dur*1000 to a
+                // POSITIVE garbage value the durMs<0 backstop misses
+                if (timescale > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+                  durMs = dur * 1000L / timescale
               }
             } else if (tag(b, ct, "trak")) {
               eachBox(b, cs, ce) { (tt, ts, te) =>

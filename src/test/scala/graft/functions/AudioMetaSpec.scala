@@ -45,6 +45,20 @@ class AudioMetaSpec extends SparkSpec {
     assert(got == ("wav", 2, 44100, 16, 1000L))
   }
 
+  test("compressed WAV (non-PCM format tag) sniffs to null, not a wrong duration") {
+    // IMA-ADPCM: format tag 0x11, bits=4 — dataBytes/(ch*bits/8) would
+    // report ~4x the real duration; the sniffer must decline instead
+    def le16(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff).map(_.toByte)
+    def le32(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff,
+      (v >>> 24) & 0xff).map(_.toByte)
+    val adpcm = "RIFF".getBytes ++ le32(36 + 1000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(0x11) ++ le16(2) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(4) ++
+      "data".getBytes ++ le32(1000) ++ Array.fill(1000)(0.toByte)
+    assert(Seq(Tuple1(adpcm)).toDF("payload")
+      .select(AudioMeta($"payload")).head().isNullAt(0))
+  }
+
   test("FLAC: STREAMINFO rate/channels/bits/samples") {
     val payload = flac(1, 16000, 16, 48000L) // 3 seconds mono
     val got = Seq(Tuple1(payload)).toDF("payload")

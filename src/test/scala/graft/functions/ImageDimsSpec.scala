@@ -33,9 +33,20 @@ class ImageDimsSpec extends SparkSpec {
     "GIF89a".getBytes ++ Array(w & 0xff, w >>> 8, h & 0xff, h >>> 8).map(_.toByte)
 
   private def bmp(w: Int, h: Int): Array[Byte] =
-    "BM".getBytes ++ Array.fill(16)(0.toByte) ++
+    // 14-byte file header, then BITMAPINFOHEADER: DIB size 40 at offset
+    // 14 (the sniffer DISPATCHES on this field — a zero there is not a
+    // conformant BMP and sniffs to null)
+    "BM".getBytes ++ Array.fill(12)(0.toByte) ++
+      Array(40, 0, 0, 0).map(_.toByte) ++
       Array(w & 0xff, (w >>> 8) & 0xff, (w >>> 16) & 0xff, (w >>> 24) & 0xff,
         h & 0xff, (h >>> 8) & 0xff, (h >>> 16) & 0xff, (h >>> 24) & 0xff).map(_.toByte)
+
+  private def bmpCore(w: Int, h: Int): Array[Byte] =
+    // OS/2 BITMAPCOREHEADER: DIB size 12, le16 width/height at 18/20
+    "BM".getBytes ++ Array.fill(12)(0.toByte) ++
+      Array(12, 0, 0, 0).map(_.toByte) ++
+      Array(w & 0xff, (w >>> 8) & 0xff, h & 0xff, (h >>> 8) & 0xff).map(_.toByte) ++
+      Array.fill(4)(0.toByte)
 
   test("sniffs dimensions from PNG, JPEG, GIF, and BMP headers") {
     val rows = Seq(
@@ -50,6 +61,30 @@ class ImageDimsSpec extends SparkSpec {
     assert(got("jpeg") == ("jpeg", 320, 240))
     assert(got("gif") == ("gif", 101, 53))
     assert(got("bmp") == ("bmp", 800, 600))
+  }
+
+  test("BMP core header (OS/2) and fill-padded JPEG parse; bad DIB size is null") {
+    // 12-byte BITMAPCOREHEADER: 16-bit dims — the 40-byte parse would
+    // fuse width|height into one garbage value
+    val core = Seq(Tuple1(bmpCore(320, 200))).toDF("payload")
+      .select(ImageDims($"payload").as("m")).select("m.*")
+      .as[(String, Int, Int)].head()
+    assert(core == ("bmp", 320, 200))
+    // unknown DIB size: null, never garbage
+    val bad = "BM".getBytes ++ Array.fill(12)(0.toByte) ++
+      Array(7, 0, 0, 0).map(_.toByte) ++ Array.fill(12)(0.toByte)
+    assert(Seq(Tuple1(bad)).toDF("payload")
+      .select(ImageDims($"payload")).head().isNullAt(0))
+    // JPEG B.1.1.2 fill bytes: extra 0xFF padding before a marker must
+    // not desync the scan
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val fill = Array(0xff, 0xff, 0xff).map(_.toByte)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 8, 0, 240, 1, 64, 3).map(_.toByte) ++
+      Array.fill(9)(0.toByte)
+    val padded = Seq(Tuple1(soi ++ fill ++ sof0)).toDF("payload")
+      .select(ImageDims($"payload").as("m")).select("m.*")
+      .as[(String, Int, Int)].head()
+    assert(padded == ("jpeg", 320, 240), padded.toString)
   }
 
   test("unknown payloads sniff to null; SQL surface matches; plan is codegen") {

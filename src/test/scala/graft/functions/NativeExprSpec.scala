@@ -117,4 +117,42 @@ class NativeExprSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.minhashSignatureNarrow(df, "doc_id", "text").count() === 1)
   }
+
+  test("cosine_sim: null elements and mismatched lengths yield NULL, not a wrong number") {
+    // a null slot read as 0.0 and a silent truncation to the shorter
+    // length both produce confident wrong similarities — the composable
+    // form returns NULL for both, and the native kernel must agree
+    val withNull = Seq(Tuple1(1)).toDF("x")
+      .select(CosineSimilarity(
+        expr("array(1.0d, cast(null as double), 3.0d)"),
+        expr("array(1.0d, 2.0d, 3.0d)")).as("s"))
+    assert(withNull.head().isNullAt(0), "null element must yield NULL")
+    val mismatched = Seq(Tuple1(1)).toDF("x")
+      .select(CosineSimilarity(
+        expr("array(1.0d, 2.0d)"),
+        expr("array(1.0d, 2.0d, 3.0d)")).as("s"))
+    assert(mismatched.head().isNullAt(0), "length mismatch must yield NULL")
+    // equal-length non-null still computes (and matches the HOF form)
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val native = ok.select(CosineSimilarity($"a", $"b")).as[Double].head()
+    val hof = ok.select(graft.ops.Similarity.cosineHof($"a", $"b")).as[Double].head()
+    assert(native == hof && math.abs(native - 1.0) < 1e-12)
+  }
+
+  test("decryptToken is null-safe on corrupt tokens (no job-killing throw)") {
+    GraftFunctions.register(spark)
+    val df = Seq(("ok", "0123456789abcdef"), ("bad", "0123456789abcdef"))
+      .toDF("label", "key")
+    val enc = df.filter($"label" === "ok")
+      .select(graft.functions.Security.encryptToken(lit("hello"), "0123456789abcdef").as("t"))
+      .as[String].head()
+    val roundtrip = Seq(Tuple1(enc)).toDF("t")
+      .select(graft.functions.Security.decryptToken($"t", "0123456789abcdef").as("p"))
+      .as[String].head()
+    assert(roundtrip == "hello")
+    // corrupt base64 payload: NULL, not a GCM-tag exception killing the task
+    val corrupt = Seq(Tuple1("AAAAAAAAAAAAAAAAAAAAAA==")).toDF("t")
+      .select(graft.functions.Security.decryptToken($"t", "0123456789abcdef"))
+    assert(corrupt.head().isNullAt(0))
+  }
 }
