@@ -71,7 +71,12 @@ object Sessions {
     "spark.sql.shuffle.partitions" -> "4096",
     "spark.sql.autoBroadcastJoinThreshold" -> "64m",
     "spark.sql.files.maxPartitionBytes" -> "256m",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // the native SQL function surface (minhash_signature, cosine_sim,
+    // ...) — absent from the --conf contract, a deployment built from
+    // these pairs alone would silently lose every graft SQL function,
+    // exactly the dropped-knob failure this map exists to prevent
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
 
   /** [[ClusterConf]] pre-applied (see object doc for the rationale per
     * knob). Returns the builder so the caller adds `appName`/master

@@ -29,23 +29,38 @@ object Bucketing {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     val sort = if (sortCols.nonEmpty) sortCols else bucketCols
     val spark = df.sparkSession
-    Ddl.dropTable(spark, table)
-    // an in-memory session catalog forgets tables across JVMs while their
-    // warehouse files survive; clear a stale location or the CREATE path
-    // of saveAsTable refuses it (LOCATION_ALREADY_EXISTS)
-    // PARSE the name — TableIdentifier(table) would treat "db.t" as one
-    // undotted name and resolve <warehouse>/db.t instead of the real
-    // <warehouse>/db.db/t, leaving the true stale location in place
-    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    // STAGED swap, mirroring Refresh.swapInto's posture: the new data is
+    // fully written to a staging TABLE before the old one is touched —
+    // dropping the target first would destroy the only copy if the write
+    // fails (or if df READS from the table being replaced, the normal
+    // re-bucket/compact shape). Crash windows: before the staging commit
+    // the old table is intact; between drop and rename the new data
+    // exists complete under the staging name.
+    def clearStaleLocation(name: String): Unit = {
+      // an in-memory session catalog forgets tables across JVMs while
+      // their warehouse files survive; clear a stale location or the
+      // CREATE path of saveAsTable refuses it (LOCATION_ALREADY_EXISTS).
+      // PARSE the name — TableIdentifier(name) would treat "db.t" as one
+      // undotted name and resolve <warehouse>/db.t instead of the real
+      // <warehouse>/db.db/t, leaving the true stale location in place
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(name)))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+    val staging = table + "__staging"
+    Ddl.dropTable(spark, staging)
+    clearStaleLocation(staging)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sort.head, sort.tail: _*)
-      .saveAsTable(table)
+      .saveAsTable(staging)
+    Ddl.dropTable(spark, table)
+    clearStaleLocation(table)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    ()
   }
 
   /** The bucketed table as a DataFrame (bucketing metadata attached, so

@@ -22,12 +22,18 @@ object Ddl {
 
   /** Register `path` (a parquet extract) as external table `table`
     * (optionally db-qualified). Schema comes from the parquet footers.
+    * REPLACE semantics (the reference's CREATE_AND_REPLACE,
+    * importer.py:242-246): re-registering after a republish points the
+    * table at the NEW location — IF NOT EXISTS would silently keep
+    * serving the stale path. External table: the drop never touches the
+    * extract files.
     */
   def registerExtract(spark: SparkSession, table: String, path: String): Unit = {
     // Spark string literals escape with backslash, not SQL-standard ''
     val lit = path.replace("\\", "\\\\").replace("'", "\\'")
+    dropTable(spark, table)
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS ${quote(table)} USING parquet LOCATION '$lit'")
+      s"CREATE TABLE ${quote(table)} USING parquet LOCATION '$lit'")
     ()
   }
 

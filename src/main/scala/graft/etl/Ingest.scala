@@ -26,8 +26,11 @@ object Ingest {
   /** Apply [[nullify]] to every string column of `df`. */
   def normalizeNulls(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      if (f.dataType == StringType) nullify(col(f.name)).as(f.name)
-      else col(f.name)
+      // backtick-escaped like TypePolicy: CSV headers are arbitrary
+      // strings and a dotted name would parse as struct access
+      if (f.dataType == StringType)
+        nullify(col("`" + f.name.replace("`", "``") + "`")).as(f.name)
+      else col("`" + f.name.replace("`", "``") + "`")
     }
     df.select(cols.toSeq: _*)
   }

@@ -31,12 +31,18 @@ object TypePolicy {
     case _                                                         => StringType
   }
 
-  /** Apply the collapse policy to every column of `df`. */
+  /** Apply the collapse policy to every column of `df`. Column refs are
+    * backtick-escaped (the Profile.numeric convention): this runs on
+    * Ingest.readCsv output whose headers are arbitrary survey strings —
+    * a bare col("price.usd") parses the dot as struct access and throws
+    * UNRESOLVED_COLUMN on every such export.
+    */
   def apply(df: DataFrame): DataFrame = {
+    def in(c: String) = col("`" + c.replace("`", "``") + "`")
     val cols = df.schema.fields.map { f =>
       val target = collapse(f.dataType)
-      if (target == f.dataType) col(f.name)
-      else col(f.name).cast(target).as(f.name)
+      if (target == f.dataType) in(f.name)
+      else in(f.name).cast(target).as(f.name)
     }
     df.select(cols.toSeq: _*)
   }

@@ -36,7 +36,13 @@ object Sketch {
     * map-side-combined aggregate whose output is ≤ `d·w` rows.
     */
   def cmsSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame =
-    df.select(explode(array((0 until d).map(lit): _*)).as("j"),
+    // nulls are EXCLUDED by contract (here and in every probe path): a
+    // null value hashes to a null bucket no estimate join can reach, so
+    // leaving them in would silently break the one-sided error bound
+    // (cms_est >= n) for the null group — the sketch's domain is the
+    // NON-NULL values, stated rather than accidental
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until d).map(lit): _*)).as("j"),
         col(valueCol).as("__v"))
       .select(col("j"), cmsBucket(col("__v"), col("j"), w).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
@@ -51,7 +57,7 @@ object Sketch {
     */
   def cmsSketchWeighted(freq: DataFrame, valueCol: String, weightCol: String,
                         d: Int, w: Int): DataFrame =
-    freq.select(col(valueCol).as("__v"), col(weightCol).as("__n"),
+    freq.filter(col(valueCol).isNotNull).select(col(valueCol).as("__v"), col(weightCol).as("__n"),
         explode(array((0 until d).map(lit): _*)).as("j"))
       .select(col("j"), cmsBucket(col("__v"), col("j"), w).as("bucket"),
         col("__n"))
@@ -66,6 +72,7 @@ object Sketch {
   def cmsEstimate(candidates: DataFrame, valueCol: String,
                   sketch: DataFrame, d: Int, w: Int): DataFrame =
     candidates
+      .filter(col(valueCol).isNotNull) // sketch domain excludes nulls
       .select(col(valueCol), explode(array((0 until d).map(lit): _*)).as("j"))
       .withColumn("bucket", cmsBucket(col(valueCol), col("j"), w))
       .join(broadcast(sketch), Seq("j", "bucket"), "left")

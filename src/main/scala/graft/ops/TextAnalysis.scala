@@ -64,7 +64,12 @@ object TextAnalysis {
     val en = countIn(text, StopwordsEn)
     val de = countIn(text, MarkersDe)
     val es = countIn(text, MarkersEs)
-    when(en >= de && en >= es, lit("en"))
+    // NULL text must classify as NULL: the marker counts are all null
+    // there, every >= is null under three-valued logic, and the when
+    // chain would FALL THROUGH to the otherwise branch — silently
+    // labeling null documents "es"
+    when(text.isNull, lit(null).cast("string"))
+      .when(en >= de && en >= es, lit("en"))
       .when(de >= es, lit("de"))
       .otherwise(lit("es"))
   }
@@ -73,7 +78,12 @@ object TextAnalysis {
     * text. The canonical exact-dedup key.
     */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    // collapse FIRST, trim second: Spark's trim strips only the space
+    // character, so a leading/trailing tab or newline would survive the
+    // pre-trim and become a leading/trailing SPACE in the canonical key
+    // — documents identical up to a trailing newline (ubiquitous in
+    // scraped corpora) would fingerprint apart
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** PII scrubbing: redact email addresses and bare URLs. RE2-safe
     * patterns (no lookarounds) so the DuckDB oracle applies the identical
@@ -259,7 +269,11 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // N rides as a broadcast 1-row aggregate (the unigramLogProb
+    // pattern), NOT docs.count(): an eager count would execute the
+    // whole upstream plan at CALL time and then re-execute it for the
+    // token stream — double full-corpus cost when docs is a pipeline
+    val nRow = docs.agg(count(lit(1)).cast(DoubleType).as("__n"))
     val tok = docs.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
@@ -267,9 +281,10 @@ object TextAnalysis {
     val df = tok.select("id", "term").distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nRow))
       .select(col("id"), col("term"),
         round(col("tf").cast(DoubleType) *
-          log(lit(n.toDouble) / col("df").cast(DoubleType)), 5).as("tfidf"))
+          log(col("__n") / col("df").cast(DoubleType)), 5).as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("__rk", row_number().over(w))

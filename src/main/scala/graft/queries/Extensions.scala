@@ -186,7 +186,7 @@ object Extensions {
           TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
-             |md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+             |md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
              |list_reduce(list_prepend(CAST(0 AS BIGINT),
              |list_transform(string_split(text, ' '),
              |t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT))),
@@ -819,7 +819,7 @@ object Extensions {
         .orderBy("source"),
       Some("""SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
              |SELECT source, doc_id, row_number() OVER (
-             |PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
              |ORDER BY doc_id) AS rn FROM documents) t
              |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 

@@ -119,8 +119,14 @@ object ExtractDataSource {
   private def lookup(spark: SparkSession, root: String, file: String): String = {
     // catalog-sized read (the reference's Postgres lookup, file.py:91-99)
     val metas = new MetaStore(spark, root).readHyperFiles().collect()
-    val m = metas.find(f => f.id.toString == file || f.filename == file).getOrElse(
-      throw new NoSuchElementException(
+    // DETERMINISTIC resolution precedence: id match first, then filename,
+    // each tie-broken to the lowest id. One combined find() over an
+    // unordered collect() would resolve a numeric filename vs another
+    // file's id by parquet task order — the same CREATE TABLE serving
+    // different extracts across restarts.
+    val m = metas.filter(_.id.toString == file).sortBy(_.id).headOption
+      .orElse(metas.filter(_.filename == file).sortBy(_.id).headOption)
+      .getOrElse(throw new NoSuchElementException(
         s"graft_extract: no catalog entry for '$file' under $root"))
     // availability guard (the reference 404s unless file_available)
     require(m.isActive && m.fileStatus == FileStatus.FileAvailable,

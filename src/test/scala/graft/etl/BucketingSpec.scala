@@ -14,6 +14,20 @@ class BucketingSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeBucketed re-buckets FROM the table it replaces (staged swap)") {
+    import spark.implicits._
+    Bucketing.writeBucketed(Tables.orders(spark, sf), "b_rebucket",
+      Seq("o_custkey"), numBuckets = 4)
+    val before = spark.table("b_rebucket").count()
+    // the normal re-bucket/compact shape: input READS the target table —
+    // a drop-before-write would delete the files under the running plan
+    Bucketing.writeBucketed(
+      Bucketing.readBucketed(spark, "b_rebucket").filter($"o_custkey" % 2 === 0),
+      "b_rebucket", Seq("o_custkey"), numBuckets = 2)
+    val after = spark.table("b_rebucket").count()
+    assert(after > 0 && after < before, s"$after of $before")
+  }
+
   test("join of two tables bucketed on the join key plans with zero Exchange") {
     Bucketing.writeBucketed(Tables.orders(spark, sf), "b_orders",
       Seq("o_orderkey"), numBuckets = 8)
