@@ -26,6 +26,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // the missing-dir-means-failed contract must hold when outDir
+          // is REUSED (the dev `only` loop): a stale previous dump — or
+          // a partial dir from a mid-job death — would otherwise be
+          // compared against the oracle as if it were this run's result
+          try org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$outDir/$name"))
+          catch { case _: Throwable => () }
         }
       }
     }

@@ -32,6 +32,38 @@ object Fixtures {
   def render(sql: String, sfDir: String): String =
     sql.replace(SfToken, new java.io.File(sfDir).getName)
 
+  /** Build-once guard with an ATOMIC publish: `build` writes into a
+    * temp sibling, the marker lands inside it, and ONE rename puts the
+    * complete fixture at `root`. The old check-then-act on the marker
+    * let two concurrent builders (a dev `only` Verify next to a full
+    * run) both pass the exists() check and build INTO root — for the
+    * versioned-diff store that meant duplicate v1/v2 publishes
+    * corrupting the version list, permanently hidden once the marker
+    * landed. Under ATOMIC_MOVE the loser's rename fails and its temp
+    * is discarded; a marker-less root (pre-fix debris, crashed build)
+    * is deleted before building.
+    */
+  private def ensureOnce(root: String, marker: String)(
+      build: String => Unit): String = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(rootPath.resolve(marker))) {
+      if (java.nio.file.Files.exists(rootPath))
+        org.apache.commons.io.FileUtils.deleteDirectory(rootPath.toFile)
+      val tmpRoot = root + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+      build(tmpRoot)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmpRoot, marker), Array.emptyByteArray)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmpRoot), rootPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // another builder won the race — its complete fixture stands
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpRoot))
+      }
+    }
+    root
+  }
+
   /** Materialize the binary-file landing fixture (first 20 docs' UTF-8
     * bytes as `docNNN.bin`) exactly once per sf dir — guarded by a
     * marker written LAST, so Verify/Bench reruns and concurrent queries
@@ -39,22 +71,17 @@ object Fixtures {
     * querying body itself stays a pure `binaryFile` read. The bounded
     * 20-row collect lives HERE, in setup, not in any timed query body.
     */
-  def ensureBlobs(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
-    val root = dir("blob_fixture", sfDir)
-    val marker = java.nio.file.Paths.get(root, "_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
-      new java.io.File(root).mkdirs()
+  def ensureBlobs(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    ensureOnce(dir("blob_fixture", sfDir), "_COMPLETE") { tmpRoot =>
+      new java.io.File(tmpRoot).mkdirs()
       graft.Tables.documents(spark, sfDir)
         .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
         .select("doc_id", "text").collect().foreach { r =>
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(root, f"doc${r.getLong(0)}%03d.bin"),
+            java.nio.file.Paths.get(tmpRoot, f"doc${r.getLong(0)}%03d.bin"),
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
     }
-    root
-  }
 
   /** Materialize a two-version snapshot store for the CDC diff query
     * exactly once per sf dir: v_first = docs under 300; v_second drops
@@ -70,9 +97,7 @@ object Fixtures {
   def ensureVersionedDiff(spark: org.apache.spark.sql.SparkSession,
                           sfDir: String): String = {
     import org.apache.spark.sql.functions._
-    val root = dir("vdiff", sfDir)
-    val marker = java.nio.file.Paths.get(root, "_FIXTURE_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
+    ensureOnce(dir("vdiff", sfDir), "_FIXTURE_COMPLETE") { root =>
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
       graft.etl.Versioned.publish(docs, root, tag = Some("v1"))
@@ -84,9 +109,8 @@ object Fixtures {
           .filter(col("doc_id") < 30)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       graft.etl.Versioned.publish(v2, root, tag = Some("v2"))
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      ()
     }
-    root
   }
 
   /** Z-order curve parameters for the documents layout: 10 bits per
@@ -107,15 +131,11 @@ object Fixtures {
     */
   def ensureZLayout(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
-    val root = dir("zorder_docs", sfDir)
-    val marker = java.nio.file.Paths.get(root, "_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
+    ensureOnce(dir("zorder_docs", sfDir), "_COMPLETE") { root =>
       val docs = graft.Tables.documents(spark, sfDir)
         .withColumn("token_count", graft.ops.TextAnalysis.tokenCount(col("text")))
       graft.ops.Layout.writeZClustered(
         docs, "n_chars", "token_count", ZBits, ZCells, root)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
     }
-    root
   }
 }

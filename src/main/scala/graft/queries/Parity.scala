@@ -23,8 +23,12 @@ case class Q(name: String,
 
 object Parity {
 
-  private def tmpExtract(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_extract_$name"
+  // sf-SCOPED like Fixtures.dir: these queries run in BOTH the bench set
+  // (sf0.1) and the verify set (sf0.01), and an unscoped path would let
+  // a concurrent bench overwrite the extract a verify run is reading
+  // back — the exact cross-SF race Fixtures' isolation invariant names
+  private def tmpExtract(name: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_extract_${name}_${new java.io.File(sfDir).getName}"
 
   /** DuckDB CTE deriving the synthetic `partsupp` — mirrors
     * [[graft.Tables.partsupp]] arithmetic verbatim over the same parquet
@@ -49,6 +53,10 @@ object Parity {
   val all: Seq[Q] = Seq(
 
     // S1 — CSV-policy scan: null sentinels ("n/a", "") → null, projection.
+    // COVERAGE NOTE: the shipped documents fixture carries zero
+    // sentinels in lang/source, so this oracle pair exercises only the
+    // pass-through; the sentinel policy's REAL coverage is q_csv_ingest
+    // (self-fabricated CSV with sentinels) plus EtlSpec's nullify cases.
     Q("q_scan_project",
       (s, d) => Ingest.normalizeNulls(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -88,7 +96,7 @@ object Parity {
     // S3/A1 — full-refresh overwrite of the columnar extract + row count.
     Q("q_count_full_refresh",
       (s, d) => {
-        val cnt = Refresh.overwrite(Tables.lineitem(s, d), tmpExtract("lineitem"))
+        val cnt = Refresh.overwrite(Tables.lineitem(s, d), tmpExtract("lineitem", d))
         import s.implicits._
         Seq(cnt).toDF("cnt")
       },
@@ -128,13 +136,20 @@ object Parity {
         .select("n_nationkey", "n_name", "n_regionkey"),
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_7'")),
 
-    // P8 — validate/cast with null-on-failure (try_cast on both engines).
+    // P8 — validate/cast with null-on-failure. The cast is gated on an
+    // INTEGRAL-shape regex on both engines: bare TRY_CAST diverges on
+    // decimal strings (DuckDB rounds '1.5' to 2, Spark nulls it), so a
+    // version-like suffix would hash-mismatch — the gate pins one
+    // semantic (non-integral -> null) everywhere.
     Q("q_validate_cast",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          expr("try_cast(regexp_replace(source, '^src', '') AS BIGINT)").as("src_num"))
+          expr("""CASE WHEN regexp_replace(source, '^src', '') RLIKE '^-?[0-9]+$'
+                 |THEN try_cast(regexp_replace(source, '^src', '') AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("src_num"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, TRY_CAST(regexp_replace(source, '^src', '') AS BIGINT) AS src_num
+      Some("""SELECT doc_id, CASE WHEN regexp_full_match(regexp_replace(source, '^src', ''), '-?[0-9]+')
+             |THEN TRY_CAST(regexp_replace(source, '^src', '') AS BIGINT) END AS src_num
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // P2 — deterministic offset/limit pagination.
@@ -288,7 +303,8 @@ object Parity {
         .select(col("doc_id"),
           Shape.removeGroupPrefix(concat(lit("grp/"), col("lang"))).as("label"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, regexp_replace(concat('grp/', lang), '^.*/', '') AS label
+      // || not concat(): see q_url_concat — null lang must null-propagate
+      Some("""SELECT doc_id, regexp_replace('grp/' || lang, '^.*/', '') AS label
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // F3 — select-multiple value shape: split to array + membership/size.
@@ -351,8 +367,12 @@ object Parity {
           concat(lit("https://example.org/"), col("source"), lit("/"),
             col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, concat('https://example.org/', source, '/',
-             |CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+      // oracle uses || rather than concat(): DuckDB's concat SKIPS null
+      // arguments while Spark's propagates null — a null source/lang
+      // would hash-mismatch (masked today only because the fixture has
+      // no nulls there); || null-propagates on both engines
+      Some("""SELECT doc_id, 'https://example.org/' || source || '/' ||
+             |CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // X25 end-to-end — incremental MERGE refresh through the extract
@@ -362,7 +382,7 @@ object Parity {
     // inside the CORRECTNESS gate.
     Q("q_incremental_merge",
       (s, d) => {
-        val path = tmpExtract("incr_merge")
+        val path = tmpExtract("incr_merge", d)
         val base = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         Refresh.overwrite(base, path)
@@ -388,7 +408,7 @@ object Parity {
     // integer-valued in double, so aggregation is order-independent.
     Q("q_partition_overwrite",
       (s, d) => {
-        val path = tmpExtract("part_overwrite")
+        val path = tmpExtract("part_overwrite", d)
         val base = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"), col("l_returnflag"))
@@ -717,6 +737,10 @@ object Parity {
     // directly (new session iff gap >= 30 min; end = last event + gap);
     // the streaming flavor (Streams.sessionCounts) shares the operator.
     Q("q_session_window",
+      // boundary semantics: Spark's session_window MERGES events whose
+      // gap equals the duration exactly (a new session needs gap >
+      // duration) — the oracle's island flag must use strict >, not >=,
+      // or minute-aligned streams with an exact-1800s gap hash-mismatch
       (s, d) => Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -725,7 +749,7 @@ object Parity {
         .orderBy("user_id", "session_start"),
       Some("""WITH flagged AS (SELECT user_id, ts, event_id,
              |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-             |OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |THEN 1 ELSE 0 END AS is_start FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (SELECT user_id, ts, sum(is_start) OVER
@@ -760,20 +784,31 @@ object Parity {
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // DECIMAL sums, the q_tpch_q10 pattern: double sums are
+        // partition-order-dependent and a group total landing within an
+        // ulp of a .005 boundary would round to different cents on the
+        // two engines at some partitioning — decimal accumulation is
+        // exact and order-free. Averages = exact decimal sum cast to
+        // double / count (IEEE division of identical operands).
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("sum_disc_price"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_qty"),
+          round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |round(sum(l_quantity), 2) AS sum_qty,
-             |round(sum(l_extendedprice), 2) AS sum_base_price,
-             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |round(avg(l_quantity), 4) AS avg_qty,
-             |round(avg(l_discount), 4) AS avg_disc,
+             |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+             |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+             |round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
              |count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
@@ -788,11 +823,12 @@ object Parity {
         .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10),
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
@@ -820,11 +856,12 @@ object Parity {
           .join(sup, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")), 2).cast("double")
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some("""SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -844,8 +881,9 @@ object Parity {
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue")),
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
              |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "))),
