@@ -62,12 +62,15 @@ object Extensions {
     }
   }
 
-  /** Oracle for q_ngram_spans AND q_ngram_spans_hashed: exact string
-    * gram keys — the hashed variant's contract is answer-identity with
-    * the exact form (md5-prefix collisions are ~2⁻⁶⁰ per pair and can
-    * only false-positive, never unflag), so both check against one SQL.
+  /** Shared flagged-islands CTE chain (Lee et al. fixed-n core) for the
+    * four substring-dedup oracles: toks → 8-grams → corpus-flagged set →
+    * per-doc flagged starts → gaps-and-islands. ONE definition — the
+    * gram width (7 = n−1) and the island break rule (gap >= n) are
+    * load-bearing boundaries, and a fix applied to a duplicated copy
+    * would silently leave the other oracle stale (the ShinglesCte
+    * precedent).
     */
-  private val NgramSpansSql =
+  private val NgramIslandCtes =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |grams AS (SELECT doc_id, i AS start,
       |array_to_string(list_slice(w, i, i + 7), ' ') AS g
@@ -78,7 +81,16 @@ object Extensions {
       |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
       |OVER (PARTITION BY doc_id ORDER BY start) AS island
       |FROM (SELECT doc_id, start,
-      |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
+      |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Oracle for q_ngram_spans AND q_ngram_spans_hashed: exact string
+    * gram keys — the hashed variant's contract is answer-identity with
+    * the exact form (md5-prefix collisions are ~2⁻⁶⁰ per pair and can
+    * only false-positive, never unflag), so both check against one SQL.
+    */
+  private val NgramSpansSql =
+    NgramIslandCtes + """,
       |cov AS (SELECT doc_id, CAST(sum(mx - mn + 8) AS BIGINT) AS covered
       |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
       |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id)
@@ -94,17 +106,7 @@ object Extensions {
     * answer-identity contract as [[NgramSpansSql]].
     */
   private val NgramScrubSql =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |grams AS (SELECT doc_id, i AS start,
-             |array_to_string(list_slice(w, i, i + 7), ' ') AS g
-             |FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t),
-             |flagged AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-             |fs AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM flagged)),
-             |isl AS (SELECT doc_id, start,
-             |sum(CASE WHEN start - prev >= 8 THEN 1 ELSE 0 END)
-             |OVER (PARTITION BY doc_id ORDER BY start) AS island
-             |FROM (SELECT doc_id, start,
-             |lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM fs) t),
+    NgramIslandCtes + """,
              |rng AS (SELECT doc_id, list(struct_pack(lo := mn, hi := mx + 7)) AS rs
              |FROM (SELECT doc_id, island, min(start) AS mn, max(start) AS mx
              |FROM isl GROUP BY doc_id, island) u GROUP BY doc_id),
@@ -114,12 +116,20 @@ object Extensions {
              |' '), '') END AS ct
              |FROM documents d LEFT JOIN rng r ON r.doc_id = d.doc_id)
              |SELECT id, md5(ct) AS clean_md5,
-             |CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_after
+             |CAST(CASE WHEN ct = '' THEN 0 ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_after
              |FROM cl ORDER BY id""".stripMargin.replace("\n", " ")
 
   /** Shared CTE chain reproducing the MinHash+LSH candidate/verify
     * pipeline in DuckDB (used by the pairs query and the cluster
     * closure on top of it).
+    *
+    * SCOPE NOTE: the oracle replays the UNCAPPED band self-join, while
+    * the engine path drops band buckets above Dedup.DefaultMaxBucket
+    * (4096). The two agree exactly as long as no bucket exceeds the cap
+    * — the cap's own documented contract at oracle scale; the capped
+    * regime (boilerplate-heavy corpora) is covered by SkewCapSpec's
+    * 5k-copy stress plus the CapMetrics drop ledger the bench records,
+    * NOT by this oracle.
     */
   private val LshPairsCtes =
     s"""$ShinglesCte,
@@ -1109,7 +1119,11 @@ object Extensions {
             round(element_at(Similarity.l2Normalize(col("embedding")), 1), 6).as("u1"))
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, round(sqrt(s2), 6) AS norm, round(l[1] / sqrt(s2), 6) AS u1
+      // zero-norm guard MIRRORS l2Normalize's `when(n > 0).otherwise(d)`:
+      // an all-zero embedding (dead/padded vector) divides 0/0 -> NaN in
+      // an unguarded oracle — fixture-dependent pass made data-independent
+      Some("""SELECT vec_id, round(sqrt(s2), 6) AS norm,
+             |round(CASE WHEN s2 > 0 THEN l[1] / sqrt(s2) ELSE l[1] END, 6) AS u1
              |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l,
              |list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s2
              |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
@@ -1133,10 +1147,13 @@ object Extensions {
               lit(0.0d), (acc, e) => greatest(acc, e)), 6).as("max_err"))
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, round(maxabs / 127.0, 6) AS scale,
-             |CAST(round(l[1] / maxabs * 127.0) AS INTEGER) AS q1,
-             |round(list_max(list_transform(l,
-             |x -> abs(x - round(x / maxabs * 127.0) * maxabs / 127.0))), 6) AS max_err
+      // zero-vector guard MIRRORS quantize8's `when(maxabs > 0)` branch
+      // (scale 0, zero codes, zero error) — the unguarded oracle would
+      // compute 0/0 on a dead vector and fail on realistic data
+      Some("""SELECT vec_id, round(CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0 END, 6) AS scale,
+             |CAST(CASE WHEN maxabs > 0 THEN round(l[1] / maxabs * 127.0) ELSE 0 END AS INTEGER) AS q1,
+             |round(CASE WHEN maxabs > 0 THEN list_max(list_transform(l,
+             |x -> abs(x - round(x / maxabs * 127.0) * maxabs / 127.0))) ELSE 0 END, 6) AS max_err
              |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l,
              |list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
              |FROM embeddings) t ORDER BY vec_id""".stripMargin.replace("\n", " "))),
@@ -1624,6 +1641,12 @@ object Extensions {
     // over the same directory. The fixture is deterministic (first 20
     // docs' UTF-8 bytes); at scale this reader is the input stage the
     // Multimodal decode contract consumes.
+    // ORACLE SCOPE: DuckDB 1.0's md5 is VARCHAR-only, so the digest
+    // parity requires UTF-8-decodable payloads — the fixture writes text
+    // bytes BY DESIGN. The binary plumbing itself (binaryFile schema,
+    // length accounting, per-file rows) is what this query pins; raw
+    // media digests are covered engine-side by the image/audio decode
+    // oracles, which hash DECODED content both engines can derive.
     Q("q_binary_files",
       (s, d) => {
         val dir = Fixtures.ensureBlobs(s, d)
@@ -2186,7 +2209,10 @@ object Extensions {
       (s, d) => Dedup.removeRepeatedNgramSpans(
           Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2)
         .select(col("id"), md5(col("text")).as("clean_md5"),
-          size(split(col("text"), " ")).cast(LongType).as("n_after"))
+          // '' splits to [''] (one token) on BOTH engines — a fully
+          // scrubbed doc must report 0 surviving tokens, not 1
+          when(col("text") === "", lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast(LongType)).as("n_after"))
         .orderBy("id"),
       Some(NgramScrubSql)),
 
@@ -2198,7 +2224,10 @@ object Extensions {
           Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2,
           hashGrams = true)
         .select(col("id"), md5(col("text")).as("clean_md5"),
-          size(split(col("text"), " ")).cast(LongType).as("n_after"))
+          // '' splits to [''] (one token) on BOTH engines — a fully
+          // scrubbed doc must report 0 surviving tokens, not 1
+          when(col("text") === "", lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast(LongType)).as("n_after"))
         .orderBy("id"),
       Some(NgramScrubSql)),
 
@@ -2764,12 +2793,6 @@ object Extensions {
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
-    // Sketch-accuracy diagnostic: for every verified near-dup pair, the
-    // MinHash ESTIMATE of Jaccard (fraction of agreeing signature
-    // components) next to the exact value — the per-pair view of the
-    // estimator the LSH banding is built on, oracle-checked because the
-    // signature scheme is a deterministic function of the text. At scale
-    // this is how you audit whether k is large enough for the corpus.
     // Cross-document boilerplate removal — the MassiveText/CCNet
     // line-dedup tier above the intra-doc pass (q_paragraph_dedup): a
     // segment appearing in >= 3 DISTINCT docs (here: an injected
@@ -2876,6 +2899,12 @@ object Extensions {
              |SELECT id AS doc_id, $SigCols
              |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Sketch-accuracy diagnostic: for every verified near-dup pair, the
+    // MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    // components) next to the exact value — the per-pair view of the
+    // estimator the LSH banding is built on, oracle-checked because the
+    // signature scheme is a deterministic function of the text. At scale
+    // this is how you audit whether k is large enough for the corpus.
     Q("q_minhash_estimate",
       (s, d) => {
         val docs = Tables.documents(s, d)
