@@ -100,8 +100,14 @@ class MetaStore(spark: SparkSession, root: String) {
     next
   }
 
-  def readHyperFiles(): Dataset[HyperFileMeta] =
+  def readHyperFiles(): Dataset[HyperFileMeta] = {
+    // half-swap recovery before the read: a missing table with a __old
+    // sibling is a crashed overwrite's only copy, not an error to throw
+    // on (see Refresh.recoverHalfSwap)
+    val (fs, target) = graft.etl.Refresh.hfs(spark, path("hyperfiles"))
+    graft.etl.Refresh.recoverHalfSwap(fs, target)
     evolve[HyperFileMeta](spark.read.parquet(path("hyperfiles")))
+  }
 
   /** Schema evolution on read — the alembic analog (reference
     * `app/alembic/`): a catalog written by an OLDER build (narrower
@@ -241,6 +247,10 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   private def readOrEmpty[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
     val (fs, target) = graft.etl.Refresh.hfs(spark, path(table))
+    // a crashed overwrite may have left the registry at __old only — a
+    // half-swapped table must READ as its recovered contents, not as an
+    // empty registry a later create-or-get would then overwrite
+    graft.etl.Refresh.recoverHalfSwap(fs, target)
     if (!fs.exists(target)) spark.emptyDataset[T]
     else evolve[T](spark.read.parquet(path(table))) // see evolve: alembic analog
   }

@@ -71,6 +71,25 @@ class MetaStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.writeHyperFiles(bad) }
   }
 
+  test("a half-swapped registry reads as its recovered contents, not empty") {
+    val root = java.nio.file.Files.createTempDirectory("metastore_swap").toString
+    val store = new MetaStore(spark, root)
+    store.initServers(Seq(ServerMeta(1L, "https://ona.example.org")))
+    // trigger a read-modify-overwrite so the registry goes through the
+    // staged swap path at least once, then simulate a crash between the
+    // two renames: registry lives only at __old
+    store.createOrGetServer(ServerMeta(2L, "https://two.example.org"))
+    val (fs, target) = graft.etl.Refresh.hfs(spark, s"$root/servers")
+    val old = new org.apache.hadoop.fs.Path(s"$root/servers__old")
+    assert(fs.rename(target, old))
+    // an un-recovered read would see an EMPTY registry here — and the
+    // next create-or-get would overwrite the only surviving copy
+    val got = store.readServers().collect().map(_.url).toSet
+    assert(got == Set("https://ona.example.org", "https://two.example.org"),
+      s"registry lost in half-swap: $got")
+    assert(!fs.exists(old))
+  }
+
   test("schema evolution: a catalog written by an older, narrower build still reads") {
     // simulate a pre-metaData / pre-isActive catalog: the parquet on disk
     // lacks a nullable field (metaData), a non-nullable primitive
