@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors defeated that for nine
+// rounds: the logger prefixes forked-process output with "[info] ", and
+// sbt appends its own "[success] Total time: …" as the true final line.
+// StdoutOutput pipes the forked JVM's stdout through unprefixed, and
+// showSuccess := false drops the success footer, so the bench's compact
+// JSON line really is the last thing on stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
