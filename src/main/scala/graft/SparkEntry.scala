@@ -68,6 +68,6 @@ object SparkEntry {
     "q_bpe_merges", "q_bpe_encode", "q_zorder_box", "q_image_neardup",
     "q_fuzzy_join", "q_pq_adc", "q_cms_heavy_hitters", "q_linear_probe",
     "q_ivf_pq", "q_drift_mix", "q_ngram_spans", "q_ngram_spans_hashed",
-    "q_ngram_scrub"
+    "q_ngram_spans_cms", "q_ngram_scrub"
   ).filter(queries.contains)
 }

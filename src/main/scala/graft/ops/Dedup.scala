@@ -865,7 +865,9 @@ object Dedup {
     */
   private def flaggedIslands(docs: DataFrame, idCol: String, textCol: String,
                              n: Int, minCount: Int,
-                             hashGrams: Boolean = false): DataFrame = {
+                             hashGrams: Boolean = false,
+                             cmsPrefilterW: Int = 0,
+                             cmsPrefilterD: Int = 2): DataFrame = {
     require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
     val toks = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("w"))
@@ -888,11 +890,50 @@ object Dedup {
          |i -> struct(i AS start, $gramKey AS g))"""
         .stripMargin.replace("\n", " "))).as("p"))
       .select(col("id"), col("p.start").as("start"), col("p.g").as("g"))
-    val flagged = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // cmsPrefilterW > 0: drop grams BEFORE the gram-keyed shuffle using a
+    // Count-Min sketch of gram frequencies ([[Sketch]]). The sketch pass
+    // is map-side combined (≤ d·w cells per partition cross the wire) and
+    // the per-occurrence estimate is d BROADCAST joins — no shuffle — so
+    // only grams whose estimate ≥ minCount reach the exact count. CMS
+    // error is ONE-SIDED (est ≥ truth): a truly-repeated gram can never
+    // be dropped, and false keeps die at the exact groupBy that follows,
+    // so the answer is identical to the unfiltered form for ANY (d, w)
+    // (spec-pinned, ExtensionsSpec "CMS-prefiltered coverage").
+    //
+    // WHEN IT PAYS — the honest α-law: the filter only drops a unique
+    // gram when at least one of its d buckets holds < minCount total
+    // mass, so with α = distinct_grams / w the expected keep-rate of a
+    // unique gram is ≈ (1 − e^−α)^d. It therefore needs w within a
+    // small factor of distinct/minCount while d·w cells stay
+    // broadcastable. For boilerplate thresholds (minCount ≥ ~50) or
+    // vocabulary-shaped corpora that holds at any scale; for minCount=2
+    // over mostly-unique grams it holds only while the corpus is small —
+    // at 100 TB exact count≥2 detection is communication-bound (every
+    // distinct gram key must reach a common reducer once) and the 8-byte
+    // hashed-gram shuffle IS the floor; the sketch saturates (α ≫ 1,
+    // keeps everything) and just adds CPU. Measured, not implied: see
+    // the round-10 SCALING entry for q_ngram_spans_cms.
+    val candGrams =
+      if (cmsPrefilterW <= 0) grams
+      else {
+        val d = cmsPrefilterD
+        val w = cmsPrefilterW
+        val sketch = Sketch.cmsSketch(grams, "g", d, w)
+        (0 until d).foldLeft(grams) { (acc, j) =>
+          val cells = sketch.filter(col("j") === j)
+            .select(col("bucket").as(s"__bk$j"), col("cnt").as(s"__c$j"))
+          acc.join(broadcast(cells),
+            Sketch.cmsBucket(col("g"), lit(j), w) === col(s"__bk$j"), "left")
+        }
+          .filter(least((0 until d).map(j =>
+            coalesce(col(s"__c$j"), lit(0L))): _*) >= minCount)
+          .select(col("id"), col("start"), col("g"))
+      }
+    val flagged = candGrams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
-    grams.join(flagged, Seq("g"), "left_semi")
+    candGrams.join(flagged, Seq("g"), "left_semi")
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
       .withColumn("brk",
         when(col("start") - col("prev") >= n, 1L).otherwise(0L))
@@ -903,8 +944,11 @@ object Dedup {
 
   def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 8, minCount: Int = 2,
-                            hashGrams: Boolean = false): DataFrame = {
-    val covered = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams)
+                            hashGrams: Boolean = false,
+                            cmsPrefilterW: Int = 0,
+                            cmsPrefilterD: Int = 2): DataFrame = {
+    val covered = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams,
+        cmsPrefilterW, cmsPrefilterD)
       .groupBy(col("id"))
       .agg(sum(col("hi") - col("lo") + 1).cast(LongType).as("covered"))
     // EVERY document reports — clean docs at covered 0 (the rows a
@@ -935,8 +979,11 @@ object Dedup {
   def removeRepeatedNgramSpans(docs: DataFrame, idCol: String,
                                textCol: String, n: Int = 8,
                                minCount: Int = 2,
-                               hashGrams: Boolean = false): DataFrame = {
-    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams)
+                               hashGrams: Boolean = false,
+                               cmsPrefilterW: Int = 0,
+                               cmsPrefilterD: Int = 2): DataFrame = {
+    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams,
+        cmsPrefilterW, cmsPrefilterD)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
     // Positions are real ELEMENT values of a sequence() array rather

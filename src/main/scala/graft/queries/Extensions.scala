@@ -2200,6 +2200,28 @@ object Extensions {
         .orderBy(col("id")),
       Some(NgramSpansSql)),
 
+    // CMS-prefiltered variant of the hashed form: a d×w Count-Min sketch
+    // of gram frequencies (map-side combined; ≤ d·w cells shuffle) is
+    // broadcast back and grams with estimate < minCount drop BEFORE the
+    // gram-keyed exchange. One-sided error ⇒ answer-identical for any
+    // width (shares the exact oracle; also spec-pinned at a saturated
+    // w=4). Pays when w can sit near distinct_grams/minCount while d·w
+    // stays broadcastable — i.e. high-minCount boilerplate mining or
+    // vocabulary-shaped corpora; at minCount=2 over mostly-unique grams
+    // the sketch saturates as the corpus outgrows w (the honest α-law in
+    // Dedup.flaggedIslands' comment). Benched at ×64 next to the exact
+    // and hashed forms so that crossover is a measured number.
+    Q("q_ngram_spans_cms",
+      (s, d) => Dedup.repeatedNgramCoverage(
+          Tables.documents(s, d), "doc_id", "text", n = 8, minCount = 2,
+          hashGrams = true, cmsPrefilterW = 1 << 19, cmsPrefilterD = 4)
+        .filter(col("covered") > 0)
+        .withColumn("dup_frac",
+          round(col("covered").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 5))
+        .orderBy(col("id")),
+      Some(NgramSpansSql)),
+
     // The removal counterpart of q_ngram_spans — the cleaned corpus the
     // Lee et al. pipeline trains on: flagged-span tokens dropped,
     // survivors rejoined in order, untouched docs byte-identical

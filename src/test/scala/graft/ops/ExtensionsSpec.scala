@@ -742,4 +742,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact == hashed)
     assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
   }
+
+  test("CMS-prefiltered coverage and scrub equal exact for ANY sketch width") {
+    // CMS error is one-sided (est >= truth): no width can unflag a real
+    // repeat, and false keeps die at the exact count that follows — so
+    // answer-identity must hold BOTH at a generous width (the filter
+    // actually drops unique grams) and at a deliberately tiny, fully
+    // saturated one (w=4: nearly every gram survives to the exact stage,
+    // exercising the false-keep kill path).
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = Dedup.repeatedNgramCoverage(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    for (w <- Seq(4, 1 << 15)) {
+      val cms = Dedup.repeatedNgramCoverage(docs, "doc_id", "text",
+          hashGrams = true, cmsPrefilterW = w)
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      assert(cms == exact, s"coverage diverged at w=$w")
+    }
+    val exactClean = Dedup.removeRepeatedNgramSpans(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val cmsClean = Dedup.removeRepeatedNgramSpans(docs, "doc_id", "text",
+        hashGrams = true, cmsPrefilterW = 1 << 15)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(cmsClean == exactClean)
+    assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
+  }
 }
