@@ -495,9 +495,15 @@ object Similarity {
     * error without changing any downstream plan shape ([[PqSpec]] pins
     * the improvement); the oracle-checked query uses the id-rank
     * codebooks so both engines derive them from relational state alone.
+    * Past `sampleThresholdCells` total cells (m·ks) the refinement
+    * routes through a deterministic hash-sample of `sampleN` vectors
+    * trained locally — see the branch comment for the geometry/memory
+    * math.
     */
   def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
-                  m: Int, ks: Int, iters: Int = 0): Array[Array[Array[Double]]] = {
+                  m: Int, ks: Int, iters: Int = 0,
+                  sampleThresholdCells: Int = 4096,
+                  sampleN: Int = 1 << 14): Array[Array[Array[Double]]] = {
     val seeds = vectors.orderBy(col(idCol)).limit(ks)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -510,14 +516,64 @@ object Similarity {
       seeds.map(s => java.util.Arrays.copyOfRange(s, mi * dsub, (mi + 1) * dsub))
     }
     val v = col(vecCol).cast("array<double>")
+    if (iters > 0 && m * ks > sampleThresholdCells) {
+      // LARGE m·ks: the full-corpus formulation below needs
+      // m·ks·(dsub+1) agg columns — at Faiss-like geometry (m=16,
+      // ks=256, d=256) that is ~70k conditional sums, far past codegen
+      // limits, with the whole corpus feeding every iteration. Standard
+      // practice (and Faiss's default) trains the quantizer on a small
+      // training set instead: a DETERMINISTIC hash-sample — the sampleN
+      // lowest (xxhash64(id), id) rows, reproducible on any run/engine,
+      // TakeOrdered so no corpus shuffle — is collected once
+      // (sampleN · d doubles; 16k × d=256 ≈ 34 MB) and Lloyd runs
+      // locally per subspace with the SAME argmin tie-break (lowest
+      // codeword wins) and empty-cell rule as the distributed path.
+      // PqSpec pins sample==corpus to match the distributed result and
+      // true sampling to still beat id-rank seeding on full-corpus
+      // error.
+      val sample = vectors
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleN)
+        .select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      (0 until iters).foreach { _ =>
+        cb = Array.tabulate(m) { mi =>
+          val base = mi * dsub
+          val sums = Array.fill(ks, dsub)(0.0)
+          val cnt = new Array[Long](ks)
+          sample.foreach { s =>
+            var best = 0
+            var bd = Double.MaxValue
+            var c = 0
+            while (c < ks) {
+              var dist = 0.0
+              var i = 0
+              while (i < dsub) {
+                val df = s(base + i) - cb(mi)(c)(i); dist += df * df; i += 1
+              }
+              if (dist < bd) { bd = dist; best = c } // strict <: lowest c wins ties
+              c += 1
+            }
+            cnt(best) += 1
+            var i = 0
+            while (i < dsub) { sums(best)(i) += s(base + i); i += 1 }
+          }
+          Array.tabulate(ks) { c =>
+            if (cnt(c) == 0) cb(mi)(c) // emptied cell keeps its previous codeword
+            else Array.tabulate(dsub)(i => sums(c)(i) / cnt(c))
+          }
+        }
+      }
+      return cb
+    }
     // ONE corpus scan per iteration for ALL subspaces: per-row argmin
     // codes (m narrow greatest() columns), then a single map-side-
     // combined aggregate of m·ks·(dsub+1) conditional sums — the
     // ivfCentroidsKMeans shape generalized across subspaces. An m-jobs-
     // per-iteration formulation would scan the corpus m times for the
     // same statistics. Column count is m·ks·(dsub+1) (~550 at the 4×8×16
-    // defaults) — fine for codegen; a very large m·ks should refine on a
-    // sample instead.
+    // defaults) — fine for codegen; past sampleThresholdCells cells the
+    // sampled path above takes over.
     (0 until iters).foreach { _ =>
       val codeCols = (0 until m).map { mi =>
         val base = mi * dsub

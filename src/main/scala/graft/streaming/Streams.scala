@@ -159,7 +159,15 @@ object Streams {
                at: java.sql.Timestamp,
                prepare: DataFrame => DataFrame = identity,
                trigger: Trigger = Trigger.AvailableNow(),
-               postCommit: String => Unit = _ => ()) = {
+               postCommit: String => Unit = _ => (),
+               // per-tick wall-clock budget — the reference bounds one
+               // sync job at TASK_TIMEOUT = 3600 s (app/jobs/scheduler
+               // .py:11,86: the RQ job is killed and the round counts as
+               // failed). Same contract here: a tick that outlives the
+               // budget records a sync FAILURE (feeding the A2 counter /
+               // deactivation threshold) and the batch advances, instead
+               // of a hung transport stalling the streaming loop forever.
+               tickBudgetMs: Long = 3600000L) = {
     val src = spark.readStream
       .schema(schemaDdl)
       .option("header", "true")
@@ -168,12 +176,22 @@ object Streams {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // in-progress gauge around the import body — the reference's
           // IN_PROGRESS_HYPER_IMPORT inc/dec pair (onadata_utils.py:37)
           store.metrics.importStarted()
           try {
+            // the failure record must be written EXACTLY once whether
+            // the import throws (worker side) or outlives the budget
+            // (watchdog side) — on timeout the cancelled Spark jobs
+            // usually also surface as a worker-side exception, and
+            // double-recording would bump the deactivation counter
+            // twice for one failed round
+            val recordedFailure = new java.util.concurrent.atomic.AtomicBoolean(false)
+            def recordFail(reason: String): Unit =
+              if (recordedFailure.compareAndSet(false, true))
+                store.recordSyncResult(fileId, success = false, at, reason = reason)
             // only the IMPORT itself maps to a recorded sync failure;
             // the success bookkeeping sits OUTSIDE the try, so a store
             // hiccup after a fully successful import propagates as the
@@ -182,14 +200,44 @@ object Streams {
             // interrupt must not be swallowed into failure accounting
             // while the JVM is in an unreliable state (retryPublish
             // already follows both rules).
-            val ok =
-              try { Refresh.overwrite(prepare(latestExport(batch)), extractPath)
-                    postCommit(extractPath); true }
+            val jobGroup = s"syncTick-$fileId-$batchId"
+            val body = new java.util.concurrent.FutureTask[Boolean](() =>
+              try {
+                // job group is THREAD-local, so it must be set inside
+                // the worker: that's what lets the watchdog cancel the
+                // hung tick's actual Spark jobs, not just abandon the
+                // thread driving them
+                spark.sparkContext.setJobGroup(jobGroup,
+                  s"sync tick file=$fileId batch=$batchId", interruptOnCancel = true)
+                try {
+                  Refresh.overwrite(prepare(latestExport(batch)), extractPath)
+                  postCommit(extractPath); true
+                } finally spark.sparkContext.clearJobGroup()
+              }
               catch {
                 case scala.util.control.NonFatal(e) =>
-                  store.recordSyncResult(fileId, success = false, at,
-                    reason = String.valueOf(e.getMessage))
+                  recordFail(String.valueOf(e.getMessage))
                   false
+              })
+            val worker = new Thread(body, s"graft-$jobGroup")
+            worker.setDaemon(true)
+            worker.start()
+            val ok =
+              try body.get(tickBudgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  recordFail(s"sync tick exceeded ${tickBudgetMs} ms budget")
+                  // stop the hung tick's cluster work and interrupt the
+                  // driver thread; a late partial write cannot corrupt
+                  // the extract (Refresh.overwrite is an atomic staged
+                  // swap — an uncommitted stage dir is just garbage)
+                  spark.sparkContext.cancelJobGroup(jobGroup)
+                  body.cancel(true)
+                  false
+                case e: java.util.concurrent.ExecutionException =>
+                  // fatal worker error (OOM, interrupt, linkage) —
+                  // NonFatal ones were already converted to `false`
+                  throw e.getCause
               }
             if (ok) store.recordSyncResult(fileId, success = true, at)
           } finally store.metrics.importFinished()

@@ -82,6 +82,41 @@ class PqSpec extends SparkSpec {
       s"refined error $refined should beat seeded $seeded")
   }
 
+  test("large-m·ks refinement routes through a deterministic sample with bounded error") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.count().toInt
+    def err(cbArr: Array[Array[Array[Double]]]): Double = {
+      val lit = Similarity.pqCodebooksLit(cbArr)
+      emb.select(PqAdc(col("v"),
+          PqEncode(col("v"), lit, ks = 8), lit, ks = 8).as("e"))
+        .agg(avg("e")).as[Double].head()
+    }
+    // threshold 0 forces the sampled route on the same data the full
+    // route refines — with sample == corpus the two run IDENTICAL math
+    // (same seeds, same lowest-code tie-break, same empty-cell rule),
+    // differing only in floating-point summation order
+    val full = Similarity.pqCodebooks(emb, "vec_id", "v",
+      m = 4, ks = 8, iters = 2)
+    val sampledAll = Similarity.pqCodebooks(emb, "vec_id", "v",
+      m = 4, ks = 8, iters = 2, sampleThresholdCells = 0, sampleN = n)
+    full.flatten.flatMap(_.toSeq).zip(sampledAll.flatten.flatMap(_.toSeq))
+      .foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9,
+        s"sample==corpus must reproduce the distributed refinement: $a vs $b") }
+    // a TRUE sample (quarter of the corpus) still beats id-rank seeding
+    // on FULL-corpus quantization error — the bounded-quality contract
+    // the sampled route ships under
+    val seeded = Similarity.pqCodebooks(emb, "vec_id", "v", m = 4, ks = 8)
+    val sampled = Similarity.pqCodebooks(emb, "vec_id", "v",
+      m = 4, ks = 8, iters = 2, sampleThresholdCells = 0, sampleN = n / 4)
+    assert(err(sampled) < err(seeded),
+      s"sample-refined ${err(sampled)} should beat seeded ${err(seeded)}")
+    // determinism: the hash-sample is a pure function of the data
+    val sampled2 = Similarity.pqCodebooks(emb, "vec_id", "v",
+      m = 4, ks = 8, iters = 2, sampleThresholdCells = 0, sampleN = n / 4)
+    assert(sampled.flatten.flatten.toSeq == sampled2.flatten.flatten.toSeq)
+  }
+
   test("SQL surface: pq_encode / pq_adc registered via extensions") {
     GraftFunctions.register(spark)
     val r = spark.sql(

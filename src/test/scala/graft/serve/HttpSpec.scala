@@ -474,6 +474,80 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("concurrent serving: a reader storm against a mutating store — no stale or regressing reads, cache quiesces job-free") {
+    // the snapshot cache's ConcurrentHashMap/single-writer contract,
+    // exercised MULTI-threaded: N clients hammer the detail route over
+    // real sockets while one writer (the contract's single writer)
+    // applies K sequential renames. Per-reader the observed version must
+    // never regress (computeIfAbsent's bin lock + write-then-invalidate
+    // ordering), the first request AFTER the last write must see the
+    // final state, and once the storm quiesces reads are cache hits
+    // launching zero Spark jobs again.
+    withServer { (port, store, _) =>
+      // warm the snapshot so the storm starts from the cached regime
+      assert(request(port, "/api/v1/files/1")._1 == 200)
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val K = 10
+        val readers = 4
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val requests = new java.util.concurrent.atomic.AtomicLong
+        val ver = """"filename":"v(\d+)\.parquet"""".r
+        def versionOf(body: String): Long =
+          ver.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
+        val threads = (1 to readers).map { r =>
+          new Thread(() => {
+            var last = -1L
+            while (!stop.get) {
+              val (s, b, _) = request(port, "/api/v1/files/1")
+              requests.incrementAndGet()
+              if (s != 200) failures.add(s"reader $r got HTTP $s")
+              else {
+                val v = versionOf(b)
+                if (v < last) failures.add(s"reader $r regressed v$last -> v$v")
+                last = v
+              }
+            }
+          }, s"graft-reader-$r")
+        }
+        threads.foreach(_.start())
+        val t0 = ts("2024-06-01 00:00:00")
+        (1 to K).foreach { k =>
+          store.update(1L, t0)(f => f.copy(filename = s"v$k.parquet"))
+        }
+        // single-writer contract: the first NEW request after the last
+        // write returns must serve the final state — no stale snapshot
+        // can survive its invalidation
+        val (fs2, fb, _) = request(port, "/api/v1/files/1")
+        assert(fs2 == 200 && versionOf(fb) == K,
+          s"post-write read saw v${versionOf(fb)}, want v$K")
+        stop.set(true)
+        threads.foreach(_.join(30000))
+        assert(threads.forall(!_.isAlive), "reader threads failed to stop")
+        assert(failures.isEmpty, failures.toArray.mkString("; "))
+        assert(requests.get >= 20L, s"storm too small: ${requests.get} requests")
+        // quiesced: the post-write probe above re-warmed the snapshot,
+        // so a fresh burst of list+detail reads is all cache hits
+        org.apache.spark.sql.graftshim.Shim.waitForListenerBus(spark)
+        jobs.set(0)
+        (1 to 20).foreach { _ =>
+          assert(request(port, "/api/v1/files/1")._1 == 200)
+          assert(request(port, "/api/v1/files")._1 == 200)
+        }
+        org.apache.spark.sql.graftshim.Shim.waitForListenerBus(spark)
+        assert(jobs.get == 0, s"quiesced GETs launched ${jobs.get} Spark jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("GET /metrics: Prometheus text fed by real sync outcomes, no auth") {
     withServer { (port, store, _) =>
       // unauthenticated, like the reference's /metrics outside the API router

@@ -490,6 +490,39 @@ class StreamsSpec extends SparkSpec {
     assert(!retryPublish(store, 1L, extract, _ => sys.error("boom"), t0))
   }
 
+  test("syncTick: a hung transport exhausts the tick budget and records a failed round") {
+    // the reference kills a sync job at TASK_TIMEOUT (app/jobs/
+    // scheduler.py:11,86) and the round counts as failed; here a
+    // transport that NEVER returns must not stall the streaming loop —
+    // the watchdog records exactly one failure and the batch advances
+    import graft.catalog._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val store = new MetaStore(spark, tmp("metastore_budget"))
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.Queued,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), t0)))
+    val src = tmp("landing_budget")
+    Files.writeString(java.nio.file.Path.of(src, "h.csv"), "id,name\n1,a\n")
+    val extract = tmp("extract_budget") + "/data"
+    val hungForever = new java.util.concurrent.CountDownLatch(1)
+    val q = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_budget"), store, fileId = 1L, at = t0,
+      postCommit = _ => hungForever.await(), // hung upload: no response, ever
+      tickBudgetMs = 1500L)
+    try {
+      // the loop must ADVANCE despite the hang: bounded wait, not forever
+      assert(q.awaitTermination(60000L), "tick did not finish within 60 s")
+      val f = store.readHyperFiles().collect().head
+      assert(f.fileStatus == FileStatus.LatestSyncFailed)
+      // exactly ONE failure for one timed-out round (the cancelled
+      // worker must not double-record through its own catch path)
+      assert(f.metaData(MetaKeys.SyncFailures) == "1")
+      assert(f.metaData(MetaKeys.FailureReason).contains("budget"))
+      // the extract itself committed before the hang — it survives
+      assert(spark.read.parquet(extract).count() == 1L)
+    } finally hungForever.countDown()
+  }
+
   test("annIndexStream upserts into the IVF index: insert, re-embed cell move, emptied cell dropped") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("ann_index_stream") + "/idx"
