@@ -70,7 +70,7 @@ object SparkEntry {
     // q_ngram_spans_cms is oracle-checked but NOT benched: the CMS
     // prefilter is a measured negative result at minCount=2 (sketch
     // saturates as distinct grams outgrow any broadcastable width —
-    // scaleproof_ngram_x64.json: ratio 48.1 vs hashed 27.5), kept as
+    // SCALING_NGRAM_CMS.json: ratio 49.0 vs hashed 21.6), kept as
     // the recorded experiment + the high-minCount tool it remains
     "q_ivf_pq", "q_drift_mix", "q_ngram_spans", "q_ngram_spans_hashed",
     "q_ngram_scrub"

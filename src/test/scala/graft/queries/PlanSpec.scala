@@ -615,6 +615,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(600))
   }
 
+  test("CMS gram prefilter: all d estimate probes are broadcast joins — no gram shuffle before the filter") {
+    // the prefilter's whole point is dropping grams BEFORE any exchange;
+    // if a sketch side ever exceeds the broadcast threshold Spark would
+    // silently fall back to a shuffled join and the pre-shuffle claim
+    // (and the positive high-minCount regime) would be void
+    val p = plan("q_ngram_spans_cms")
+    // every estimate probe joins on a __bkN bucket key; all must build
+    // broadcast-side (the exact-count stage AFTER the filter still
+    // shuffles by design — that one is out of scope here)
+    val probeJoins = p.linesIterator.filter(_.contains("__bk")).toSeq
+    val broadcastProbes = probeJoins.count(_.contains("BroadcastHashJoin"))
+    assert(broadcastProbes >= 4,
+      s"expected >=4 broadcast estimate probes, got $broadcastProbes:\n${probeJoins.mkString("\n")}")
+    assert(!probeJoins.exists(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      s"a sketch probe degenerated to a shuffled join:\n${probeJoins.mkString("\n")}")
+  }
+
   test("linear probe: ONE row crosses the final stage — sufficient stats, no second data pass") {
     val df = SparkEntry.queries("q_linear_probe")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
