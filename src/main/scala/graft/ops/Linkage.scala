@@ -32,6 +32,15 @@ object Linkage {
     * Both sides are projected through [[blockKey]]; the equi-join on
     * the key is the ONLY shuffle. The levenshtein verify is Spark's
     * codegen'd built-in — no UDF.
+    *
+    * UNICODE contract: distance counts CODEPOINTS (Spark's levenshtein
+    * — "café"→"cafe" is 1 edit), the semantics a linkage user expects.
+    * Discovered in the r10 cross-engine sweep: DuckDB's levenshtein
+    * counts BYTES (the same pair scores 2), so the DuckDB oracle for
+    * q_fuzzy_join is valid only on its ASCII fixture domain where the
+    * two definitions coincide; the codepoint behavior itself is pinned
+    * engine-side by ExtensionsSpec ("fuzzy join edit distance counts
+    * codepoints").
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftText: String, rightText: String,

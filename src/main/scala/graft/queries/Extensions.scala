@@ -1569,7 +1569,11 @@ object Extensions {
     // a deterministic typo corpus (5th char deleted from every 3rd
     // doc's normalized head), so the oracle rebuilds both sides and the
     // identical candidate/verify cascade; at sf0.01 blocking cuts
-    // 400×134 potential pairs to ~1.8k candidates.
+    // 400×134 potential pairs to ~1.8k candidates. ORACLE DOMAIN NOTE
+    // (r10 sweep): DuckDB's levenshtein counts BYTES, Spark's counts
+    // CODEPOINTS — identical on this ASCII fixture corpus; the library's
+    // codepoint semantics are pinned engine-side (ExtensionsSpec
+    // "fuzzy join edit distance counts codepoints").
     Q("q_fuzzy_join",
       (s, d) => {
         val a = Tables.documents(s, d).filter(col("doc_id") < 400)

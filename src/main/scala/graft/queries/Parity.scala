@@ -664,11 +664,24 @@ object Parity {
     // A — statistical aggregates: Pearson correlation, sample covariance
     // and stddev per group (all single-pass co-moment aggregates with
     // map-side partial combine on both engines).
+    //
+    // Pearson is spelled covar_samp / (sd·sd) through try_divide rather
+    // than corr(): r10 sweep finding — under ANSI mode (this library's
+    // default) Spark's corr() THROWS DIVIDE_BY_ZERO when a group has
+    // zero variance in either variable, while DuckDB returns NULL; a
+    // constant-valued group in a real corpus would kill the whole job.
+    // The co-moment identity is exact (sample n−1 factors cancel), and
+    // try_divide pins the degenerate-group semantics to NULL on any
+    // data — matching DuckDB's corr and the singleton-group behavior
+    // both engines already share (RegressSpec pins the zero-variance
+    // case engine-side).
     Q("q_stats_agg",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(expr("""try_divide(covar_samp(l_quantity, l_extendedprice),
+                        stddev_samp(l_quantity) * stddev_samp(l_extendedprice))""")
+            , 4).as("qty_price_corr"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_cov"),
           round(stddev_samp(col("l_discount")), 5).as("disc_sd"))
         .orderBy("l_returnflag"),

@@ -743,6 +743,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
   }
 
+  test("fuzzy join edit distance counts codepoints, not bytes") {
+    // cross-engine sweep finding (r10): DuckDB's levenshtein counts
+    // BYTES ("café"→"cafe" = 2), Spark's counts CODEPOINTS (= 1). The
+    // library semantic is codepoints — a one-accent edit is one edit —
+    // pinned here because the DuckDB oracle can only cover the ASCII
+    // domain where the definitions coincide.
+    val a = Seq((1L, "café au lait"), (2L, "resume")).toDF("id", "s")
+      .select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = Seq((10L, "cafe au lait"), (20L, "résumé")).toDF("id", "s")
+      .select(col("id").as("id_b"), col("s").as("s_b"))
+    val got = graft.ops.Linkage.fuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, prefixLen = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    // café↔cafe: 1 codepoint edit (2 bytes would break maxDist=1 logic
+    // downstream); resume↔résumé: 2 codepoint edits (4 bytes)
+    assert(got == Set((1L, 10L, 1), (2L, 20L, 2)), s"got $got")
+  }
+
   test("CMS-prefiltered coverage and scrub equal exact for ANY sketch width") {
     // CMS error is one-sided (est >= truth): no width can unflag a real
     // repeat, and false keeps die at the exact count that follows — so

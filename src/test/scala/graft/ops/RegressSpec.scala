@@ -58,6 +58,28 @@ class RegressSpec extends SparkSpec {
     assert((0 to 3).forall(r.isNullAt), s"expected all-null coefficients, got $r")
   }
 
+  test("Pearson via try_divide: zero-variance and singleton groups are NULL, never a throw") {
+    // r10 sweep finding: under ANSI mode Spark's corr() throws
+    // DIVIDE_BY_ZERO on a zero-variance group (DuckDB returns NULL) —
+    // q_stats_agg therefore spells Pearson as
+    // try_divide(covar_samp, sd·sd), algebraically identical where
+    // defined (the n−1 factors cancel) and NULL on degenerate groups on
+    // any data, matching the oracle engine.
+    val df = Seq(
+      ("const", 1.0, 2.0), ("const", 1.0, 3.0),   // zero variance in x
+      ("single", 5.0, 7.0),                        // n = 1
+      ("real", 1.0, 1.0), ("real", 2.0, 3.0), ("real", 3.0, 5.0))
+      .toDF("g", "x", "y")
+    val got = df.groupBy("g")
+      .agg(expr("try_divide(covar_samp(x, y), stddev_samp(x) * stddev_samp(y))").as("r"))
+      .orderBy("g")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq("const", "real", "single"))
+    assert(got(0)._2.isEmpty, "zero-variance group must be NULL")
+    assert(got(2)._2.isEmpty, "singleton group must be NULL")
+    assert(math.abs(got(1)._2.get - 1.0) < 1e-12, s"exact linear y=2x-1: ${got(1)._2}")
+  }
+
   test("score applies the broadcast fit to new rows") {
     val train = (1 to 99).map(i =>
       (i.toDouble, (i % 3).toDouble, 10.0 + 2.0 * i)).toDF("x1", "x2", "y")
