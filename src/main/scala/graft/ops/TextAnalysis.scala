@@ -458,4 +458,50 @@ object TextAnalysis {
               col(chunkCol).as("c")))),
             x => x.getField("c")),
           sep).as("text"))
+
+  /** Data-card summary — the release-note stat block for a corpus drop:
+    * doc/token/char totals, source+language breadth, English share, and
+    * the exact normalization-level dup rate — as `(metric, value)` rows.
+    * Input needs the documents schema (`text`, `n_chars`, `lang`,
+    * `source`). ONE corpus scan feeds one multi-distinct aggregate
+    * (Spark plans the 3 DISTINCTs as one Expand pass; at 100 TB swap the
+    * exact distincts for approx_count_distinct, same shape); the 1-row
+    * aggregate explodes into the row-per-metric card — no second scan.
+    *
+    * Ratios go through `try_divide`: on an EMPTY corpus (a new date
+    * partition, a filter that matched nothing) the global agg yields one
+    * row with n_docs = 0, and ANSI `/` would throw DIVIDE_BY_ZERO — the
+    * same hazard class as the r10 corr() sweep finding. try_divide
+    * reports the count metrics as 0 and the ratio metrics as NULL,
+    * which is also exactly DuckDB's division-by-zero result, so the two
+    * engines agree on the degenerate domain too (BehaviorSpec pins the
+    * empty corpus).
+    */
+  def dataCard(docs: DataFrame): DataFrame =
+    docs.select(
+        tokenCount(col("text")).as("nt"),
+        col("n_chars"), col("lang"), col("source"),
+        md5(normalizeText(col("text"))).as("nk"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("n_chars").as("n_chars_total"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("nk")).as("n_unique"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(explode(array(
+        struct(lit("dup_rate").as("metric"),
+          round(lit(1.0) - expr("try_divide(CAST(n_unique AS DOUBLE), n_docs)"), 4).as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          round(expr("try_divide(CAST(n_tokens AS DOUBLE), n_docs)"), 4).as("value")),
+        struct(lit("n_chars_total").as("metric"), col("n_chars_total").cast(DoubleType).as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").cast(DoubleType).as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").cast(DoubleType).as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").cast(DoubleType).as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").cast(DoubleType).as("value")),
+        struct(lit("pct_en").as("metric"),
+          round(expr("try_divide(CAST(n_en AS DOUBLE), n_docs)"), 4).as("value")))).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+      .orderBy("metric")
 }

@@ -881,35 +881,7 @@ object Extensions {
     // 1-row aggregate explodes into the row-per-metric card; no second
     // scan anywhere.
     Q("q_data_card",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val base = docs.select(
-          TextAnalysis.tokenCount(col("text")).as("nt"),
-          col("n_chars"), col("lang"), col("source"),
-          md5(TextAnalysis.normalizeText(col("text"))).as("nk"))
-        base.agg(
-            count(lit(1)).as("n_docs"),
-            sum("nt").as("n_tokens"),
-            sum("n_chars").as("n_chars_total"),
-            countDistinct(col("source")).as("n_sources"),
-            countDistinct(col("lang")).as("n_langs"),
-            countDistinct(col("nk")).as("n_unique"),
-            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-          .select(explode(array(
-            struct(lit("dup_rate").as("metric"),
-              round(lit(1.0) - col("n_unique").cast(DoubleType) / col("n_docs"), 4).as("value")),
-            struct(lit("mean_doc_tokens").as("metric"),
-              round(col("n_tokens").cast(DoubleType) / col("n_docs"), 4).as("value")),
-            struct(lit("n_chars_total").as("metric"), col("n_chars_total").cast(DoubleType).as("value")),
-            struct(lit("n_docs").as("metric"), col("n_docs").cast(DoubleType).as("value")),
-            struct(lit("n_langs").as("metric"), col("n_langs").cast(DoubleType).as("value")),
-            struct(lit("n_sources").as("metric"), col("n_sources").cast(DoubleType).as("value")),
-            struct(lit("n_tokens").as("metric"), col("n_tokens").cast(DoubleType).as("value")),
-            struct(lit("pct_en").as("metric"),
-              round(col("n_en").cast(DoubleType) / col("n_docs"), 4).as("value")))).as("kv"))
-          .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
-          .orderBy("metric")
-      },
+      (s, d) => TextAnalysis.dataCard(Tables.documents(s, d)),
       Some("""WITH b AS (SELECT len(string_split(text, ' ')) AS nt, n_chars, lang, source,
              |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk
              |FROM documents),
@@ -2277,11 +2249,17 @@ object Extensions {
         val tot = joined.agg(sum(col("cn")).as("tn"), sum(col("co")).as("to"),
           count(lit(1)).as("k"))
         // literal 0.99/0.01 on BOTH sides (not 1−λ arithmetic, whose
-        // result can differ from the parsed literal by one ulp)
-        val p = (lit(0.99d) * col("cn").cast(DoubleType) /
-          col("tn").cast(DoubleType)) + lit(0.01d) / col("k").cast(DoubleType)
-        val q = (lit(0.99d) * col("co").cast(DoubleType) /
-          col("to").cast(DoubleType)) + lit(0.01d) / col("k").cast(DoubleType)
+        // result can differ from the parsed literal by one ulp).
+        // try_divide on the half totals (r10 ANSI sweep): when one half
+        // of the corpus is EMPTY (first run: no "old" crawl yet) tn/to
+        // is a non-null 0 and ANSI `/` would throw DIVIDE_BY_ZERO —
+        // try_divide makes the drift term NULL for that half, which is
+        // DuckDB's own division-by-zero result, so both engines agree
+        // on the degenerate domain as well
+        val p = (lit(0.99d) * expr("try_divide(CAST(cn AS DOUBLE), CAST(tn AS DOUBLE))")) +
+          lit(0.01d) / col("k").cast(DoubleType)
+        val q = (lit(0.99d) * expr("try_divide(CAST(co AS DOUBLE), CAST(`to` AS DOUBLE))")) +
+          lit(0.01d) / col("k").cast(DoubleType)
         joined.crossJoin(broadcast(tot))
           .select(col("source"), col("cn").as("n_new"), col("co").as("n_old"),
             round(p * log2(p / q), 6).as("kl_term_bits"))

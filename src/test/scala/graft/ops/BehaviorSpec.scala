@@ -113,4 +113,26 @@ class BehaviorSpec extends SparkSpec {
       .filter(col("re_text") =!= col("orig_text"))
     assert(joined.isEmpty, "reassembled text differs from original")
   }
+
+  test("dataCard on an EMPTY corpus: counts 0, ratios NULL, no ANSI divide-by-zero throw") {
+    // the r10 sweep's hazard class: a global agg over an empty corpus
+    // (fresh date partition, filter matched nothing) puts n_docs = 0
+    // under every ratio — ANSI `/` would kill the job; try_divide must
+    // report NULL (DuckDB's own division-by-zero result)
+    val empty = Seq.empty[(Long, String, Long, String, String)]
+      .toDF("doc_id", "text", "n_chars", "lang", "source")
+    val card = TextAnalysis.dataCard(empty)
+      .as[(String, Option[Double])].collect().toMap
+    assert(card("n_docs").contains(0.0))
+    assert(card("n_sources").contains(0.0) && card("n_langs").contains(0.0))
+    assert(card("dup_rate").isEmpty, "ratio over zero docs must be NULL")
+    assert(card("mean_doc_tokens").isEmpty && card("pct_en").isEmpty)
+    // and the non-degenerate path still reports real numbers
+    val one = Seq((1L, "a b c", 5L, "en", "web"))
+      .toDF("doc_id", "text", "n_chars", "lang", "source")
+    val card1 = TextAnalysis.dataCard(one)
+      .as[(String, Option[Double])].collect().toMap
+    assert(card1("n_docs").contains(1.0) && card1("pct_en").contains(1.0))
+    assert(card1("mean_doc_tokens").contains(3.0))
+  }
 }
