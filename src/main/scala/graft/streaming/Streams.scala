@@ -27,6 +27,16 @@ import graft.etl.Refresh
   */
 object Streams {
 
+  /** Default per-tick sync budget: `TASK_TIMEOUT` seconds from the
+    * environment (the reference's exact knob, app/jobs/scheduler.py:11 —
+    * `TASK_TIMEOUT = int(os.environ.get("TASK_TIMEOUT", "3600"))`),
+    * falling back to 3600 s. Read once at class load, like the
+    * reference's module constant; per-call override via the
+    * [[syncTick]] parameter.
+    */
+  val DefaultTickBudgetMs: Long =
+    sys.env.get("TASK_TIMEOUT").flatMap(_.toLongOption).getOrElse(3600L) * 1000L
+
   // ---- T1: scheduled full refresh --------------------------------------
 
   /** Each landing file is a COMPLETE export (the reference's polled CSV
@@ -161,13 +171,14 @@ object Streams {
                trigger: Trigger = Trigger.AvailableNow(),
                postCommit: String => Unit = _ => (),
                // per-tick wall-clock budget — the reference bounds one
-               // sync job at TASK_TIMEOUT = 3600 s (app/jobs/scheduler
-               // .py:11,86: the RQ job is killed and the round counts as
-               // failed). Same contract here: a tick that outlives the
+               // sync job at TASK_TIMEOUT seconds, an env-tunable
+               // defaulting to 3600 (app/jobs/scheduler.py:11,86: the RQ
+               // job is killed and the round counts as failed). Same
+               // contract here, same env knob: a tick that outlives the
                // budget records a sync FAILURE (feeding the A2 counter /
                // deactivation threshold) and the batch advances, instead
                // of a hung transport stalling the streaming loop forever.
-               tickBudgetMs: Long = 3600000L) = {
+               tickBudgetMs: Long = DefaultTickBudgetMs) = {
     val src = spark.readStream
       .schema(schemaDdl)
       .option("header", "true")
