@@ -52,6 +52,19 @@ class MetaStore(spark: SparkSession, root: String) {
 
   private def invalidateSnapshot(table: String): Unit = { snapshots.remove(table); () }
 
+  // ---- write serialization ----------------------------------------------
+  // Every mutator is a read-modify-WRITE over a whole registry table;
+  // two interleaved mutators would lose one of the updates (the
+  // reference delegates this to Postgres row transactions). One
+  // store-level mutex makes the single-writer model an ENFORCED
+  // property instead of a calling convention — writes are rare (sync
+  // outcomes, PATCH/DELETE, registry upserts) and each already costs a
+  // parquet commit, so a coarse lock is the honest price; reads and
+  // snapshot serving never take it. MetaStoreSpec pins lost-update
+  // freedom under concurrent writers.
+  private val writeLock = new Object
+  private def mutate[T](body: => T): T = writeLock.synchronized(body)
+
   /** Cached driver-side rows, refreshed lazily after any write through
     * this store. Total order by id, so pagination over the snapshot is
     * deterministic without a per-request sort job.
@@ -150,7 +163,7 @@ class MetaStore(spark: SparkSession, root: String) {
     overwrite(ds.toDF(), "hyperfiles")
   }
 
-  def initHyperFiles(rows: Seq[HyperFileMeta]): Unit = {
+  def initHyperFiles(rows: Seq[HyperFileMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
     invalidateSnapshot("hyperfiles")
   }
@@ -158,7 +171,7 @@ class MetaStore(spark: SparkSession, root: String) {
   /** Create-or-get: insert only rows whose (userId, formId) is absent;
     * existing rows (and their state) are preserved verbatim.
     */
-  def createOrGet(incoming: Dataset[HyperFileMeta]): Dataset[HyperFileMeta] = {
+  def createOrGet(incoming: Dataset[HyperFileMeta]): Dataset[HyperFileMeta] = mutate {
     val existing = readHyperFiles()
     val fresh = incoming.join(existing, Seq("userId", "formId"), "left_anti")
       .as[HyperFileMeta]
@@ -170,7 +183,7 @@ class MetaStore(spark: SparkSession, root: String) {
   /** Guarded status transition for one file id; illegal transitions are
     * no-ops (the reference answers HTTP 202 and leaves the row alone).
     */
-  def transition(fileId: Long, to: String, at: java.sql.Timestamp): Unit = {
+  def transition(fileId: Long, to: String, at: java.sql.Timestamp): Unit = mutate {
     require(FileStatus.All.contains(to), s"unknown status $to")
     val updated = readHyperFiles().map { f =>
       if (f.id == fileId && FileStatus.canTransition(f.fileStatus, to))
@@ -187,7 +200,7 @@ class MetaStore(spark: SparkSession, root: String) {
     * counter and set file_available.
     */
   def recordSyncResult(fileId: Long, success: Boolean,
-                       at: java.sql.Timestamp, reason: String = ""): Unit = {
+                       at: java.sql.Timestamp, reason: String = ""): Unit = mutate {
     val thr = graft.ops.State.FailureThreshold
     val updated = readHyperFiles().map { f =>
       if (f.id != fileId) f
@@ -224,14 +237,14 @@ class MetaStore(spark: SparkSession, root: String) {
     * are the caller's side effects). No-op on an unknown id.
     */
   def delete(fileId: Long): Unit =
-    writeHyperFiles(readHyperFiles().filter(_.id != fileId))
+    mutate { writeHyperFiles(readHyperFiles().filter(_.id != fileId)) }
 
   /** Field-level update of one row (the PATCH surface, file.py:117-143:
     * re-attach configuration / rename). Pure copy-transform; unknown id
     * is a no-op. The caller stamps `lastUpdated` (replay-deterministic).
     */
   def update(fileId: Long, at: java.sql.Timestamp)
-            (f: HyperFileMeta => HyperFileMeta): Unit = {
+            (f: HyperFileMeta => HyperFileMeta): Unit = mutate {
     val updated = readHyperFiles().map { row =>
       if (row.id == fileId) f(row).copy(id = row.id, lastUpdated = at) else row
     }
@@ -259,7 +272,7 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readServers(): Dataset[ServerMeta] = readOrEmpty[ServerMeta]("servers")
 
-  def initServers(rows: Seq[ServerMeta]): Unit = {
+  def initServers(rows: Seq[ServerMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("servers"))
     invalidateSnapshot("servers")
   }
@@ -267,7 +280,7 @@ class MetaStore(spark: SparkSession, root: String) {
   /** Create-or-get under the unique `url` key (server.py:14-37: the
     * registry answers the EXISTING row for a known url).
     */
-  def createOrGetServer(incoming: ServerMeta): ServerMeta = {
+  def createOrGetServer(incoming: ServerMeta): ServerMeta = mutate {
     val existing = readServers() // absent table == empty registry
     existing.filter(_.url == incoming.url).collect().headOption.getOrElse {
       val staged = existing.unionByName(Seq(incoming).toDS())
@@ -282,7 +295,7 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readUsers(): Dataset[UserMeta] = readOrEmpty[UserMeta]("users")
 
-  def initUsers(rows: Seq[UserMeta]): Unit = {
+  def initUsers(rows: Seq[UserMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("users"))
     invalidateSnapshot("users")
   }
@@ -293,7 +306,7 @@ class MetaStore(spark: SparkSession, root: String) {
     * absent users table (fresh catalog root, nothing ever signed in) is
     * an EMPTY registry, not an error — the first sign-in creates it.
     */
-  def createOrGetUser(username: String, serverId: Long): UserMeta = {
+  def createOrGetUser(username: String, serverId: Long): UserMeta = mutate {
     val existing: Seq[UserMeta] = readUsers().collect().toSeq // absent == empty
     existing.find(u => u.username == username && u.serverId == serverId)
       .getOrElse {
@@ -313,7 +326,7 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def readConfigs(): Dataset[ConfigMeta] = readOrEmpty[ConfigMeta]("configurations")
 
-  def initConfigs(rows: Seq[ConfigMeta]): Unit = {
+  def initConfigs(rows: Seq[ConfigMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("configurations"))
     invalidateSnapshot("configurations")
   }
@@ -321,7 +334,7 @@ class MetaStore(spark: SparkSession, root: String) {
   /** Create-or-get under the composite unique key
     * (configuration.py:19-54).
     */
-  def createOrGetConfig(incoming: ConfigMeta): ConfigMeta = {
+  def createOrGetConfig(incoming: ConfigMeta): ConfigMeta = mutate {
     val existing = readConfigs() // absent table == empty registry
     existing.filter(c => c.serverAddress == incoming.serverAddress &&
         c.tokenName == incoming.tokenName && c.userId == incoming.userId)
@@ -333,13 +346,13 @@ class MetaStore(spark: SparkSession, root: String) {
 
   /** PATCH surface for a configuration (configuration.py:57-95). */
   def updateConfig(configId: Long)(f: ConfigMeta => ConfigMeta): Unit =
-    overwrite(readConfigs()
+    mutate { overwrite(readConfigs()
       .map(c => if (c.id == configId) f(c).copy(id = c.id) else c).toDF(),
-      "configurations")
+      "configurations") }
 
   /** DELETE a configuration row (configuration.py:98-123). */
   def deleteConfig(configId: Long): Unit =
-    overwrite(readConfigs().filter(_.id != configId).toDF(), "configurations")
+    mutate { overwrite(readConfigs().filter(_.id != configId).toDF(), "configurations") }
 
   /** Read-modify-overwrite with the same staging + atomic-rename commit
     * as [[writeHyperFiles]].

@@ -85,6 +85,7 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   import spark.implicits._
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Start on an ephemeral (or given) port; returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -98,12 +99,25 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
     server.createContext("/health", (ex: HttpExchange) => handleHealth(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
     server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
-    server.setExecutor(null) // single-threaded: catalog reads are tiny
+    // Small fixed pool (the reference serves via FastAPI's async
+    // workers): GETs are driver-side snapshot lookups and run fully
+    // concurrent; mutating routes serialize inside MetaStore's write
+    // lock, so concurrency here never races the catalog. Daemon threads
+    // — a forgotten stop() must not pin the JVM.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-serve")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdown(); () }
+  }
 
   // ---- routing ----------------------------------------------------------
 

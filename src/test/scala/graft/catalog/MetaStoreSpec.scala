@@ -118,4 +118,34 @@ class MetaStoreSpec extends SparkSpec {
     val migrated = store.readHyperFiles().filter(_.id == 1L).head()
     assert(migrated.isActive && migrated.metaData(MetaKeys.SyncFailures) == "0")
   }
+
+  test("concurrent writers never lose an update (store-level write serialization)") {
+    // every mutator is a read-modify-write over the whole registry —
+    // without the store's write lock, two interleaved update() calls
+    // read the same base and the second commit silently erases the
+    // first. 4 threads x 5 increments on a metaData counter must land
+    // on exactly 20, and the concurrent PATCH to the OTHER row must
+    // survive every one of them.
+    val store = freshStore()
+    val t0 = ts("2024-03-01 00:00:00")
+    store.update(1L, t0)(f => f.copy(metaData = f.metaData + ("ctr" -> "0")))
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        (1 to 5).foreach { _ =>
+          store.update(1L, t0) { f =>
+            val n = f.metaData("ctr").toInt + 1
+            f.copy(metaData = f.metaData + ("ctr" -> n.toString))
+          }
+        })
+    }
+    val renamer = new Thread(() =>
+      store.update(2L, t0)(_.copy(filename = "renamed-by-racer.parquet")))
+    (threads :+ renamer).foreach(_.start())
+    (threads :+ renamer).foreach(_.join(120000))
+    val rows = store.readHyperFiles().collect().map(f => f.id -> f).toMap
+    assert(rows(1L).metaData("ctr") == "20",
+      s"lost updates: counter at ${rows(1L).metaData("ctr")}, want 20")
+    assert(rows(2L).filename == "renamed-by-racer.parquet",
+      "the cross-row PATCH was erased by a concurrent writer")
+  }
 }
