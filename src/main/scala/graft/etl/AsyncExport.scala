@@ -169,7 +169,8 @@ object AsyncExport {
   /** The complete S5 story: acquire the CSV export (poll/backoff/resume),
     * ingest it with the reference's null/type policy ([[Ingest.readCsv]]),
     * and atomically full-refresh the columnar extract
-    * ([[Refresh.overwrite]]); returns the refreshed extract's row count —
+    * ([[Refresh.overwriteStaged]] — the committed extract survives a
+    * crash mid-refresh); returns the refreshed extract's row count —
     * exactly what the reference's sync returns to its scheduler
     * (app/utils/onadata_utils.py flow).
     */
@@ -181,6 +182,6 @@ object AsyncExport {
                  extractPath: String,
                  refreshToken: () => Unit = () => ()): Long = {
     val csv = downloadExport(exportUrl, poll, fetch, sleeper, refreshToken)
-    Refresh.overwrite(Ingest.readCsv(spark, csv), extractPath)
+    Refresh.overwriteStaged(Ingest.readCsv(spark, csv), extractPath)
   }
 }

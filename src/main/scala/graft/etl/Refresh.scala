@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference's single data product is a columnar extract rebuilt from
   * scratch on every sync: `CreateMode.CREATE_AND_REPLACE` + SQL `COPY`
   * (reference: app/core/importer.py:242-256), returning the imported row
-  * count. Spark-native equivalent: `mode("overwrite").parquet` — an atomic
-  * replace commit via the output committer, so the reference's per-file
-  * Redis sync lock (app/utils/onadata_utils.py:203) is unnecessary.
+  * count. Spark-native equivalent: `mode("overwrite").parquet` for a
+  * build-from-scratch destination, or [[overwriteStaged]] (write-aside +
+  * atomic rename swap) when the previous extract must survive a failed
+  * refresh; the staged swap also makes the reference's per-file Redis
+  * sync lock (app/utils/onadata_utils.py:203) unnecessary — readers
+  * never observe a torn extract.
   *
   * Scale posture: `partitionByCols` lets callers lay the extract out as
   * `(server_id, form_id, sync_date)` hive partitions so downstream reads
@@ -67,6 +70,12 @@ object Refresh {
 
   /** Overwrite `path` with `df` as parquet and return the row count of the
     * written extract (read back, as the reference's COPY count does).
+    *
+    * NOT crash/cancel-safe against the PREVIOUS extract: `mode
+    * ("overwrite")` clears the target before the new files commit, so a
+    * job that dies mid-write leaves neither the old nor the new data.
+    * Fine for a build-from-scratch destination; a live extract that must
+    * survive a failed refresh goes through [[overwriteStaged]].
     */
   def overwrite(df: DataFrame, path: String,
                 partitionByCols: Seq[String] = Nil): Long = {
@@ -76,6 +85,31 @@ object Refresh {
     // count() over freshly-written parquet is served from footer row-group
     // metadata (no column data is scanned).
     df.sparkSession.read.parquet(path).count()
+  }
+
+  /** Full refresh of a LIVE extract: write the new copy to a staging
+    * directory, then atomically swap it into place ([[swapInto]]). The
+    * previous extract stays intact and readable until the new one is
+    * COMPLETELY written — a refresh that is cancelled (e.g. by the sync
+    * tick's TASK_TIMEOUT watchdog, [[graft.streaming.Streams.syncTick]]),
+    * OOMs, or crashes mid-write leaves only staging debris; the committed
+    * extract survives. A crash BETWEEN the two swap renames is healed by
+    * [[recoverHalfSwap]] on the next write or catalog read. Same
+    * single-write cost as [[overwrite]] (the swap is metadata renames).
+    */
+  def overwriteStaged(df: DataFrame, path: String,
+                      partitionByCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (fs, target) = hfs(spark, path)
+    // a crashed prior swap may have left the extract at __old only —
+    // restore it so a failed THIS write still leaves data at target
+    recoverHalfSwap(fs, target)
+    val staging = new Path(path + "__staging")
+    val w = df.write.mode("overwrite")
+    val w2 = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
+    w2.parquet(staging.toString)
+    swapInto(fs, staging, target)
+    spark.read.parquet(path).count()
   }
 
   /** Full-refresh pipeline: read → overwrite extract → count. */

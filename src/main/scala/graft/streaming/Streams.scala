@@ -82,7 +82,11 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Refresh.overwrite(prepare(latestExport(batch)), extractPath); () }
+        // staged swap: a batch that crashes mid-write (and replays on
+        // restart) must not have destroyed the previous extract in the
+        // meantime — readers keep the committed copy until the new one
+        // is complete
+        if (!batch.isEmpty) { Refresh.overwriteStaged(prepare(latestExport(batch)), extractPath); () }
       }
       .start()
   }
@@ -221,7 +225,13 @@ object Streams {
                 spark.sparkContext.setJobGroup(jobGroup,
                   s"sync tick file=$fileId batch=$batchId", interruptOnCancel = true)
                 try {
-                  Refresh.overwrite(prepare(latestExport(batch)), extractPath)
+                  // STAGED swap, not plain overwrite: the watchdog below
+                  // may cancel this very write at the budget, and mode
+                  // ("overwrite") clears the target before committing —
+                  // a timeout mid-write would destroy the PREVIOUS
+                  // extract. Staging keeps the committed extract intact
+                  // until the new copy is complete.
+                  Refresh.overwriteStaged(prepare(latestExport(batch)), extractPath)
                   postCommit(extractPath); true
                 } finally spark.sparkContext.clearJobGroup()
               }
@@ -240,8 +250,9 @@ object Streams {
                   recordFail(s"sync tick exceeded ${tickBudgetMs} ms budget")
                   // stop the hung tick's cluster work and interrupt the
                   // driver thread; a late partial write cannot corrupt
-                  // the extract (Refresh.overwrite is an atomic staged
-                  // swap — an uncommitted stage dir is just garbage)
+                  // the extract (overwriteStaged writes to a stage dir
+                  // and swaps atomically — an uncommitted stage dir is
+                  // just garbage, and the committed extract survives)
                   spark.sparkContext.cancelJobGroup(jobGroup)
                   body.cancel(true)
                   false

@@ -523,6 +523,49 @@ class StreamsSpec extends SparkSpec {
     } finally hungForever.countDown()
   }
 
+  test("syncTick: a timeout DURING the extract write leaves the previous extract intact") {
+    // the watchdog may cancel the tick while the refresh itself is the
+    // hung stage (the most plausible multi-hour stage at scale). The
+    // write goes through the staged swap, so the cancelled tick's
+    // partial output is staging debris and the COMMITTED extract
+    // survives — a plain mode("overwrite") would have cleared it first
+    // and silently lost the data until the next successful tick
+    import graft.catalog._
+    import org.apache.spark.sql.DataFrame
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val store = new MetaStore(spark, tmp("metastore_writehang"))
+    store.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.Queued,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), t0)))
+    val src = tmp("landing_writehang")
+    Files.writeString(java.nio.file.Path.of(src, "e1.csv"), "id,name\n1,a\n")
+    val extract = tmp("extract_writehang") + "/data"
+    // tick 1: healthy — commits the extract
+    val q1 = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_wh1"), store, fileId = 1L, at = t0)
+    q1.awaitTermination()
+    assert(spark.read.parquet(extract).count() == 1L)
+    // tick 2: the write job itself hangs (a task that never returns)
+    // and the watchdog cancels it at the budget
+    Files.writeString(java.nio.file.Path.of(src, "e2.csv"), "id,name\n2,b\n")
+    val hangingWrite: DataFrame => DataFrame = df => {
+      import df.sparkSession.implicits._
+      df.select("id", "name").as[(Long, String)]
+        .mapPartitions { it => Thread.sleep(600000L); it }
+        .toDF("id", "name")
+    }
+    val q2 = syncTick(spark, src, "id LONG, name STRING", extract,
+      tmp("ckpt_wh2"), store, fileId = 1L, at = t0,
+      prepare = hangingWrite, tickBudgetMs = 1500L)
+    assert(q2.awaitTermination(60000L), "tick did not finish within 60 s")
+    val f = store.readHyperFiles().collect().head
+    assert(f.fileStatus == FileStatus.LatestSyncFailed)
+    assert(f.metaData(MetaKeys.SyncFailures) == "1")
+    // the PREVIOUS extract survives the cancelled mid-write tick
+    assert(spark.read.parquet(extract).as[(Long, String)].collect().toSet
+      == Set((1L, "a")))
+  }
+
   test("annIndexStream upserts into the IVF index: insert, re-embed cell move, emptied cell dropped") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("ann_index_stream") + "/idx"
