@@ -45,7 +45,70 @@ object Bench {
     * comparison record (reclaiming a stale record a smoke run at another
     * SF may have seeded when no record existed yet).
     */
-  private val DefaultSfDir = "/root/testdata/sf0.1"
+  private[graft] val DefaultSfDir = "/root/testdata/sf0.1"
+
+  /** Sampling policy stamp carried in every record, so a comparator can
+    * tell whether two records were measured under the same policy (the
+    * r10 best-of-2 → best-of-3 change biased one round of deltas toward
+    * "improvement" invisibly).
+    */
+  private[graft] val SamplingPolicy = "best-of-2; +1 sample when min >= 0.5 s"
+
+  /** Canary drift above which a run may NOT become the comparison
+    * record. Stricter than the 3.0 "contaminated" verdict: r10's run had
+    * drift 1.81× and a broad 1.14× slowdown on untouched queries — not
+    * contaminated enough to flag, but adopting it as `bench_prev` made
+    * the next round's deltas compare against an inflated base. A record
+    * is a BASELINE; it must be measured on a quiet box.
+    */
+  private[graft] val RecordAcceptDrift = 1.5
+
+  /** Outlier-tolerant canary drift (2nd slowest / 2nd fastest when ≥4
+    * samples — one transient GC/writeback hiccup must not taint the run)
+    * plus the raw max/min alongside. Returns (drift, driftRaw).
+    */
+  private[graft] def driftOf(times: Seq[Double]): (Double, Double) = {
+    val s = times.sorted
+    val drift =
+      if (s.size >= 4) s(s.size - 2) / s(1)
+      else if (s.size >= 2) s.last / s.head
+      else 1.0
+    val raw = if (s.size >= 2) s.last / s.head else 1.0
+    (drift, raw)
+  }
+
+  /** Whether this run's figures may replace the comparison record
+    * (`bench_prev`): no error on ANY run (a flaky query's surviving
+    * sample is unrepresentative), canary drift within
+    * [[RecordAcceptDrift]] (a contended run must not become the baseline
+    * the next round flatters itself against), and the sf-dir rule — a
+    * run at a different sf than the stored record leaves it alone,
+    * except at the canonical sf (which may reclaim a stale record a
+    * smoke run seeded when none existed).
+    */
+  private[graft] def acceptAsRecord(anyError: Boolean, canaryDrift: Double,
+                                    prevSfMatches: Option[Boolean],
+                                    sfDir: String): Boolean =
+    !anyError && canaryDrift <= RecordAcceptDrift &&
+      (prevSfMatches != Some(false) || sfDir == DefaultSfDir)
+
+  /** The compact last-line summary the driver's tail parser reads: same
+    * schema head as the full record (metric/value/unit/queries/sf) with
+    * `queries` truncated to the slowest 10 so the object stays well
+    * under a bounded tail window. Kept as a pure function so a spec can
+    * pin that it parses as JSON with the expected keys — the emitter
+    * half of the guard; the build-flag half (StdoutOutput/showSuccess)
+    * is pinned by the same spec against build.sbt.
+    */
+  private[graft] def compactLine(total: Double, slow10: Seq[(String, Double)],
+                                 sfDir: String, n: Int, nFailed: Int,
+                                 outPath: String): String = {
+    val qs = slow10.map { case (k, t) => jsonStr(k) + ":" + f"$t%.3f" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":${jsonStr(sfDir)},"n":$n,"n_failed":$nFailed,""" +
+      s""""queries_truncated_to_slowest":10,"full_record":${jsonStr(outPath)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     // the record line is machine-parsed: f"" interpolators format via
@@ -76,26 +139,8 @@ object Bench {
     val canaryQuery = "q_token_count"
     val canaryEvery = 5
     val canarySf = "/root/testdata/sf0.001"
-    val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
-    def runCanary(): Unit =
-      if (SparkEntry.queries.contains(canaryQuery)) {
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(canaryQuery)(spark, canarySf).count()
-          canaryTimes += (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => () }
-        clearAll(spark)
-      }
 
-    // Prime the canary once untimed: its first post-clearCache call pays
-    // re-read + re-JIT (~2-3x steady state), which would inflate max/min
-    // drift toward the 3x contamination threshold on a healthy box.
-    if (SparkEntry.queries.contains(canaryQuery)) {
-      try { SparkEntry.queries(canaryQuery)(spark, canarySf).count(); () }
-      catch { case _: Throwable => () }
-      clearAll(spark)
-    }
-
+    // ONE full timed pass over the headliners, canary interleaved.
     // best-of-2 at the target SF: the first run can still absorb SF-
     // specific JIT/codegen; the min is the steady-state figure and is
     // stable round over round. Cache cleared between runs (see above).
@@ -105,23 +150,64 @@ object Bench {
     // single contended sample dominates a 2-sample min, and those are
     // exactly the queries the round-over-round gate is judged on.
     val heavyThreshold = 0.5
-    val results = names.zipWithIndex.map { case (name, i) =>
-      if (i % canaryEvery == 0) runCanary()
-      var err: Option[Throwable] = None
-      def sample(): Option[Double] = {
-        val t0 = System.nanoTime()
-        val t =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => err = Some(e); None }
+    def measureOnce(): (Seq[(String, Seq[Double], Option[Throwable])], Seq[Double]) = {
+      val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      def runCanary(): Unit =
+        if (SparkEntry.queries.contains(canaryQuery)) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(canaryQuery)(spark, canarySf).count()
+            canaryTimes += (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => () }
+          clearAll(spark)
+        }
+      // Prime the canary once untimed: its first post-clearCache call
+      // pays re-read + re-JIT (~2-3x steady state), which would inflate
+      // max/min drift toward the contamination threshold on a healthy box.
+      if (SparkEntry.queries.contains(canaryQuery)) {
+        try { SparkEntry.queries(canaryQuery)(spark, canarySf).count(); () }
+        catch { case _: Throwable => () }
         clearAll(spark)
-        t
       }
-      var times = (1 to 2).flatMap(_ => sample())
-      if (times.nonEmpty && times.min >= heavyThreshold && err.isEmpty)
-        times = times ++ sample()
-      (name, times, err)
+      val results = names.zipWithIndex.map { case (name, i) =>
+        if (i % canaryEvery == 0) runCanary()
+        var err: Option[Throwable] = None
+        def sample(): Option[Double] = {
+          val t0 = System.nanoTime()
+          val t =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable => err = Some(e); None }
+          clearAll(spark)
+          t
+        }
+        var times = (1 to 2).flatMap(_ => sample())
+        if (times.nonEmpty && times.min >= heavyThreshold && err.isEmpty)
+          times = times ++ sample()
+        (name, times, err)
+      }
+      runCanary()
+      (results, canaryTimes.toSeq)
     }
-    runCanary()
+
+    var (results, canaryTimes) = measureOnce()
+    var (canaryDrift, canaryDriftRaw) = driftOf(canaryTimes)
+    // a run too contended to become the comparison record retries the
+    // timed loop ONCE (unless disabled): transient contention (a build,
+    // a backup) usually clears within the few minutes the first pass
+    // took, and a quiet second pass keeps the round's record adoptable
+    // instead of freezing the baseline a round behind. The LOWER-drift
+    // pass wins wholesale — figures and canary together, never mixed.
+    val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    if (retryEnabled && canaryDrift > RecordAcceptDrift && results.forall(_._3.isEmpty)) {
+      System.err.println(
+        f"[bench] WARN canary drift $canaryDrift%.2fx > $RecordAcceptDrift%.1fx — " +
+          "contended first pass; retrying the timed loop once")
+      val (r2, c2) = measureOnce()
+      val (d2, raw2) = driftOf(c2)
+      if (d2 < canaryDrift) {
+        results = r2; canaryTimes = c2; canaryDrift = d2; canaryDriftRaw = raw2
+      }
+    }
 
     // ---- scale-proof: re-time the heaviest headliners at ×F ----------
     // Every figure above is one point at one SF; the 100 TB question is
@@ -267,32 +353,27 @@ object Bench {
         jsonStr(p) + s""":{"dropped_buckets":${r.droppedBuckets},"dropped_rows":${r.droppedRows}}"""
       }.mkString("{", ",", "}")
 
-    // canary drift: a clean box sits near 1.0; >3x means some window of
-    // the run competed for the machine and figures from it are suspect.
-    // The CONTAMINATION verdict uses an outlier-tolerant ratio (2nd
-    // slowest / 2nd fastest): one transient hiccup in ~17 samples (GC,
-    // page cache writeback) must not taint a quarter-hour run, while
-    // SUSTAINED competition still shows as >=2 slow samples. The raw
-    // max/min ratio is kept alongside so the single-sample story stays
-    // visible in the record.
-    val sortedCanary = canaryTimes.sorted
-    val canaryDrift =
-      if (sortedCanary.size >= 4)
-        sortedCanary(sortedCanary.size - 2) / sortedCanary(1)
-      else if (sortedCanary.size >= 2) sortedCanary.last / sortedCanary.head
-      else 1.0
-    val canaryDriftRaw =
-      if (sortedCanary.size >= 2) sortedCanary.last / sortedCanary.head else 1.0
+    // canary drift (computed by driftOf at measure time): a clean box
+    // sits near 1.0; >3x means some window of the run competed for the
+    // machine and figures from it are suspect. The CONTAMINATION verdict
+    // uses an outlier-tolerant ratio (2nd slowest / 2nd fastest): one
+    // transient hiccup in ~17 samples (GC, page cache writeback) must
+    // not taint a quarter-hour run, while SUSTAINED competition still
+    // shows as >=2 slow samples. The raw max/min ratio is kept alongside
+    // so the single-sample story stays visible in the record.
     val canaryJson =
       s"""{"query":${jsonStr(canaryQuery)},"n":${canaryTimes.size},""" +
         s""""times":${canaryTimes.map(t => f"$t%.4f").mkString("[", ",", "]")},""" +
         s""""drift":$canaryDrift,"drift_raw":$canaryDriftRaw,""" +
         s""""contaminated":${canaryDrift > 3.0}}"""
 
+    val accepted = acceptAsRecord(results.exists(_._3.nonEmpty), canaryDrift,
+      prevSfMatches, sfDir)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
         s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson,""" +
+        s""""sampling":${jsonStr(SamplingPolicy)},"accepted_as_record":$accepted,""" +
         s""""scaling":${scaling.getOrElse("null")}}"""
 
     // grep-stable tagged copy FIRST (r7 driver records had "parsed": null
@@ -302,20 +383,19 @@ object Bench {
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    // a clean run (no failures, canary uncontaminated) becomes the next
-    // round's comparison record, so delta_vs_prev always tracks the latest
-    // accepted figures instead of drifting rounds behind. A run at a
-    // DIFFERENT sf than the stored record (a sf0.01 smoke while the record
-    // is the canonical sf0.1 round) leaves the record alone — EXCEPT when
-    // this run IS the canonical sf (then it may reclaim a stale record a
-    // smoke run seeded while no record existed; without this exception the
-    // sf-mismatch gate would lock the stale record in forever).
-    // "clean" means NO error on ANY run — a FLAKY query (threw once,
-    // timed once) keeps the old record: its surviving sample may be
-    // unrepresentative and must not become the delta baseline
-    if (results.forall(_._3.isEmpty) && canaryDrift <= 3.0 &&
-        (prevSfMatches != Some(false) || sfDir == DefaultSfDir))
+    // a clean run (no failures, canary drift within RecordAcceptDrift)
+    // becomes the next round's comparison record, so delta_vs_prev always
+    // tracks the latest accepted figures instead of drifting rounds
+    // behind — see acceptAsRecord for the full rule. A rejected run still
+    // wrote bench_out.json above (the round's figures stay visible); it
+    // just doesn't become the baseline.
+    if (accepted)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
+    else if (results.forall(_._3.isEmpty) && canaryDrift > RecordAcceptDrift)
+      System.err.println(
+        f"[bench] WARN run NOT adopted as comparison record: canary drift " +
+          f"$canaryDrift%.2fx > $RecordAcceptDrift%.1fx — a contended run must " +
+          "not become the baseline next round's deltas flatter themselves against")
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"
       System.err.println(s"[bench] $kind $k: ${e.map(_.toString).getOrElse("?")}")
@@ -338,15 +418,11 @@ object Bench {
     // fix too: run/outputStrategy=StdoutOutput (no "[info] " prefix) and
     // showSuccess=false (no trailing "[success] Total time" line) in
     // build.sbt.
-    val slow10 = results
-      .flatMap { case (k, ts, _) => ts.minOption.map(k -> _) }
-      .sortBy(-_._2).take(10)
-      .map { case (k, t) => jsonStr(k) + ":" + f"$t%.3f" }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow10,""" +
-        s""""sf":${jsonStr(sfDir)},"n":${results.size},"n_failed":${failed.size},""" +
-        s""""queries_truncated_to_slowest":10,"full_record":${jsonStr(outPath)}}"""
+    val compact = compactLine(
+      total,
+      results.flatMap { case (k, ts, _) => ts.minOption.map(k -> _) }
+        .sortBy(-_._2).take(10),
+      sfDir, results.size, failed.size, outPath)
     System.err.println(compact)
     println(compact)
     System.out.flush()

@@ -366,9 +366,13 @@ object TextAnalysis {
     * Scale posture: the bigram vocabulary is one keyed shuffle of the
     * bigram stream with full map-side combine; prefix counts derive from
     * the VOCABULARY (bigram-types-sized, not corpus-sized) by a second
-    * tiny agg; the score join keys bigram occurrences back by bigram.
-    * Hot function-word prefixes are bounded per-key groups; AQE splits
-    * residual skew. Nothing corpus-sized reaches the driver.
+    * tiny agg, and the prefix join happens VOCAB-side — per-type
+    * conditional log-prob is computed once per bigram type, so the
+    * occurrence stream is shuffled exactly ONCE (by full bigram, a
+    * near-uniform key) instead of a second pass keyed by prefix, whose
+    * hot function-word keys ("the …", "of …") skew catastrophically at
+    * corpus scale. AQE splits residual skew. Nothing corpus-sized
+    * reaches the driver.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docs.select(col(idCol).as("id"),
@@ -377,12 +381,16 @@ object TextAnalysis {
     val prefCnt = bgCnt
       .groupBy(substring_index(col("bg"), " ", 1).as("pref"))
       .agg(sum(col("cb")).as("cp"))
-    bg.join(bgCnt, Seq("bg"))
+    // per-TYPE log2 P(w2|w1): identical doubles to computing it per
+    // occurrence (same cb, cp inputs), at vocabulary cost
+    val vocab = bgCnt
       .join(prefCnt, substring_index(col("bg"), " ", 1) === col("pref"))
+      .select(col("bg"),
+        log2(col("cb").cast(DoubleType) / col("cp").cast(DoubleType)).as("lp"))
+    bg.join(vocab, Seq("bg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
-        avg(log2(col("cb").cast(DoubleType) / col("cp").cast(DoubleType)))
-          .as("mean_log2p"))
+        avg(col("lp")).as("mean_log2p"))
   }
 
   /** Per-document lexical-diversity stats: token count, distinct-token

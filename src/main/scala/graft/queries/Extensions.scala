@@ -493,39 +493,58 @@ object Extensions {
     // out-of-domain document by the log-ratio of two hashed-ngram
     // unigram LMs — p_target (trusted source) over p_raw (whole corpus) —
     // and keep the top-50. Features are md5-hashed token buckets (B=512),
-    // so both LMs are FIXED-SIZE tables regardless of corpus vocabulary:
-    // train = two bucket-sized aggregates, score = one broadcast join +
-    // per-doc partial-agg reduce. Every eval bucket exists in the raw LM
-    // (eval ⊂ corpus), so the scoring join is inner; the target side
-    // add-one smooths. Log-ratios are quantized to 8 dp and DECIMAL-
-    // summed → order-independent, hash-stable across engines.
+    // so both LMs are FIXED-SIZE tables regardless of corpus vocabulary.
+    // Train: ONE corpus scan builds both LMs (the target count is a
+    // conditional sum inside the same 512-key aggregate — the target
+    // tokens are a subset of the corpus tokens, so a second scan would
+    // re-tokenize the same text). Score: the ≤512-row log-ratio table is
+    // collected (codebook-sized, the same driver-side pattern as the IVF
+    // centroids) and baked into a 512-slot array literal, so each doc is
+    // scored in ONE narrow projection — a per-token bucket lookup folded
+    // with `aggregate` — with NO explode, NO join, and NO per-doc
+    // shuffle; the top-50 is a TakeOrdered over doc-sized rows. Every
+    // eval bucket exists in the raw LM (eval ⊂ corpus), so the lookup
+    // never misses; the target side add-one smooths. Log-ratios are
+    // quantized to 8 dp and DECIMAL-folded → order-independent,
+    // hash-stable across engines.
     Q("q_dsir_weights",
       (s, d) => {
         val B = 512
         val docs = Tables.documents(s, d)
-        def toks(f: org.apache.spark.sql.DataFrame) =
-          f.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val bucket = graft.ops.Sampling.hashBucket(col("tok"), B).as("b")
-        val tgtCounts = toks(docs.filter(col("source") === "src0"))
-          .select(bucket).groupBy("b").agg(count(lit(1)).as("ct"))
-        val rawCounts = toks(docs)
-          .select(bucket).groupBy("b").agg(count(lit(1)).as("cr"))
-        val tgtTot = tgtCounts.agg(sum("ct").as("nt"))
-        val rawTot = rawCounts.agg(sum("cr").as("nr"))
-        val lm = rawCounts.join(tgtCounts, Seq("b"), "left")
-          .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+        def bucketOf(tok: org.apache.spark.sql.Column) =
+          graft.ops.Sampling.hashBucket(tok, B)
+        val counts = docs
+          .select((col("source") === "src0").as("t"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(bucketOf(col("tok")).as("b"), col("t"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("cr"),
+            sum(when(col("t"), 1L).otherwise(0L)).as("ct"))
+        val tots = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val lm = counts.crossJoin(broadcast(tots))
           .select(col("b"),
-            round(log2((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+            round(log2((col("ct") + 1).cast(DoubleType) /
                        (col("nt") + B).cast(DoubleType)) -
                   log2((col("cr") + 1).cast(DoubleType) /
                        (col("nr") + B).cast(DoubleType)), 8)
               .cast("decimal(18,8)").as("lr"))
-        toks(docs.filter(col("source") =!= "src0"))
-          .select(col("doc_id"), bucket)
-          .join(broadcast(lm), Seq("b"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast(LongType).as("n_tok"),
-            round(sum(col("lr")), 6).cast(DoubleType).as("log_w"))
+        val lrByBucket = new Array[java.math.BigDecimal](B)
+        lm.collect().foreach(r => lrByBucket(r.getLong(0).toInt) = r.getDecimal(1))
+        val lrArr = array(lrByBucket.toSeq.map(v =>
+          lit(v).cast("decimal(18,8)")): _*)
+        docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            size(col("__toks")).cast(LongType).as("n_tok"),
+            round(aggregate(col("__toks"),
+                // the fold accumulator must keep ONE fixed decimal type
+                // (decimal + widens precision per step), so each merge
+                // casts back — exact, |sum| << 10^20
+                lit(java.math.BigDecimal.ZERO).cast("decimal(28,8)"),
+                (acc, tok) => (acc +
+                  element_at(lrArr, (bucketOf(tok) + 1).cast("int")))
+                  .cast("decimal(28,8)")),
+              6).cast(DoubleType).as("log_w"))
           .orderBy(desc("log_w"), col("doc_id"))
           .limit(50)
       },

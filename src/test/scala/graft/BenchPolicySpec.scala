@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-record integrity rules without running a bench:
+  *
+  *  - canary drift (outlier-tolerant + raw) — the contention signal;
+  *  - record acceptance — a contended or flaky run must never become
+  *    `bench_prev`, the baseline the next round's deltas compare against
+  *    (r10's 1.81×-drift run was adopted and inflated the base);
+  *  - the compact last-stdout-line summary parses as JSON with the keys
+  *    the driver's tail parser expects, and the two build.sbt flags that
+  *    keep it the LAST stdout line (forked StdoutOutput, no [success]
+  *    footer) are still present — the ten-round "parsed: null" saga
+  *    ended with exactly those two flags and nothing else guarded them.
+  */
+class BenchPolicySpec extends AnyFunSuite {
+
+  // ---- driftOf -------------------------------------------------------
+
+  test("driftOf tolerates one outlier but flags sustained competition") {
+    // one transient hiccup in many samples: 2nd-slowest/2nd-fastest ~1.0
+    val (d1, raw1) = Bench.driftOf(Seq(0.1, 0.1, 0.1, 0.5))
+    assert(d1 == 1.0 && raw1 == 5.0)
+    // >=2 slow samples: the tolerant ratio sees it too
+    val (d2, _) = Bench.driftOf(Seq(0.1, 0.1, 0.3, 0.3))
+    assert(math.abs(d2 - 3.0) < 1e-9)
+    // small sample counts fall back to max/min; empty/singleton are 1.0
+    assert(Bench.driftOf(Seq(0.1, 0.2)) == ((2.0, 2.0)))
+    assert(Bench.driftOf(Seq(0.1)) == ((1.0, 1.0)))
+    assert(Bench.driftOf(Nil) == ((1.0, 1.0)))
+  }
+
+  // ---- acceptAsRecord -------------------------------------------------
+
+  test("acceptAsRecord: clean quiet runs pass; contention/flake/sf-mismatch refuse") {
+    val sf = Bench.DefaultSfDir
+    // clean + quiet -> accepted (prev missing, matching, at canonical sf)
+    assert(Bench.acceptAsRecord(anyError = false, 1.0, None, sf))
+    assert(Bench.acceptAsRecord(anyError = false, 1.49, Some(true), sf))
+    // exactly at the threshold is still quiet
+    assert(Bench.acceptAsRecord(anyError = false, Bench.RecordAcceptDrift, None, sf))
+    // contended run: refused even with zero errors (the r10 case: 1.81)
+    assert(!Bench.acceptAsRecord(anyError = false, 1.81, Some(true), sf))
+    // any error (even a flaky one-of-two) keeps the old record
+    assert(!Bench.acceptAsRecord(anyError = true, 1.0, Some(true), sf))
+    // sf mismatch: a smoke run at another sf leaves the record alone...
+    assert(!Bench.acceptAsRecord(anyError = false, 1.0, Some(false), "/tmp/sf0.01"))
+    // ...but the canonical sf may reclaim a stale record
+    assert(Bench.acceptAsRecord(anyError = false, 1.0, Some(false), sf))
+  }
+
+  // ---- compact summary line guard -------------------------------------
+
+  test("compact bench line parses as JSON with the driver's expected keys") {
+    val line = Bench.compactLine(12.345,
+      Seq("q_heavy" -> 3.0, "q_next" -> 1.5), "/root/testdata/sf0.1",
+      n = 87, nFailed = 0, outPath = "bench_out.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line) // throws on malformed JSON
+    for (k <- Seq("metric", "value", "unit", "queries", "sf", "n",
+        "n_failed", "queries_truncated_to_slowest", "full_record"))
+      assert(node.has(k), s"compact line missing key $k")
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").asDouble == 12.345)
+    assert(node.get("queries").get("q_heavy").asDouble == 3.0)
+    // the line must be ONE line (a tail parser reads exactly one)
+    assert(!line.contains("\n"))
+  }
+
+  test("build.sbt keeps the flags that make the bench line the last stdout line") {
+    // walk up from the test cwd to find build.sbt (forked tests run at
+    // the repo root, but don't depend on it)
+    val start = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+    val buildSbt = Iterator.iterate(start)(_.getParentFile)
+      .takeWhile(_ != null).take(4)
+      .map(d => new java.io.File(d, "build.sbt")).find(_.isFile)
+    assert(buildSbt.isDefined, "build.sbt not found near test cwd")
+    val txt = java.nio.file.Files.readString(buildSbt.get.toPath)
+    assert(txt.contains("StdoutOutput"),
+      "run/outputStrategy := StdoutOutput is gone — forked main output " +
+        "gets [info] prefixes and the driver's bench-line parse breaks")
+    assert(txt.replaceAll("\\s+", " ").contains("showSuccess := false"),
+      "Global / showSuccess := false is gone — sbt appends a [success] " +
+        "footer after the bench line and the last-line parse breaks")
+  }
+}
