@@ -56,12 +56,18 @@ class MetaStore(spark: SparkSession, root: String) {
   // Every mutator is a read-modify-WRITE over a whole registry table;
   // two interleaved mutators would lose one of the updates (the
   // reference delegates this to Postgres row transactions). One
-  // store-level mutex makes the single-writer model an ENFORCED
-  // property instead of a calling convention — writes are rare (sync
-  // outcomes, PATCH/DELETE, registry upserts) and each already costs a
-  // parquet commit, so a coarse lock is the honest price; reads and
-  // snapshot serving never take it. MetaStoreSpec pins lost-update
-  // freedom under concurrent writers.
+  // store-level mutex enforces single-writer WITHIN this MetaStore
+  // instance — writes are rare (sync outcomes, PATCH/DELETE, registry
+  // upserts) and each already costs a parquet commit, so a coarse lock
+  // is the honest price; reads and snapshot serving never take it.
+  // SCOPE: the lock is per-instance and JVM-local. Two MetaStore
+  // instances over the same root (or two processes) can still interleave
+  // read-modify-write and lose an update — the deployment contract is
+  // ONE store instance per catalog root (the serving layer already
+  // routes every mutation through its single store); cross-process
+  // safety would need a filesystem lock or conditional-rename commit.
+  // MetaStoreSpec pins lost-update freedom under concurrent writers on
+  // one instance.
   private val writeLock = new Object
   private def mutate[T](body: => T): T = writeLock.synchronized(body)
 

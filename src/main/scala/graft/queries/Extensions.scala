@@ -1562,9 +1562,10 @@ object Extensions {
     // identical candidate/verify cascade; at sf0.01 blocking cuts
     // 400×134 potential pairs to ~1.8k candidates. ORACLE DOMAIN NOTE
     // (r10 sweep): DuckDB's levenshtein counts BYTES, Spark's counts
-    // CODEPOINTS — identical on this ASCII fixture corpus; the library's
-    // codepoint semantics are pinned engine-side (ExtensionsSpec
-    // "fuzzy join edit distance counts codepoints").
+    // CODEPOINTS — identical on this ASCII fixture corpus; the Unicode
+    // contract is oracle-checked by q_fuzzy_join_unicode below (and
+    // spec-pinned in ExtensionsSpec "fuzzy join edit distance counts
+    // codepoints").
     Q("q_fuzzy_join",
       (s, d) => {
         val a = Tables.documents(s, d).filter(col("doc_id") < 400)
@@ -1588,6 +1589,49 @@ object Extensions {
              |AND abs(length(s_a) - length(s_b)) <= 2
              |WHERE levenshtein(s_a, s_b) <= 2
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // The fuzzy join's UNICODE contract, oracle-checked (closing the r10
+    // domain note that left q_fuzzy_join oracle-valid only on ASCII):
+    // every string is wrapped in multibyte codepoints (é=2 bytes,
+    // ß=2, ü=2), and the typo corpus deletes a codepoint AND appends a
+    // multibyte one, so byte-counting and codepoint-counting levenshtein
+    // genuinely DISAGREE on these pairs (3 vs 2 on the seed pair).
+    // Spark computes codepoint distance natively; the oracle recovers
+    // codepoint semantics from DuckDB's byte-counting levenshtein by
+    // bijectively remapping the three multibyte chars onto single-byte
+    // control sentinels (chr(1..3), absent from any corpus string) —
+    // translate/substr/length are already character-based in both
+    // engines, so only the distance needed the remap. A byte-counting
+    // regression on the Spark side hash-mismatches immediately.
+    Q("q_fuzzy_join_unicode",
+      (s, d) => {
+        val a = Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id").as("id_a"),
+            concat(lit("é"), lower(substring(col("text"), 1, 20)),
+              lit("ß")).as("s_a"))
+        val b = a.filter(col("id_a") % 3 === 0)
+          .select((col("id_a") + 30000).as("id_b"),
+            concat(substring(col("s_a"), 1, 5), expr("substring(s_a, 7)"),
+              lit("ü")).as("s_b"))
+        graft.ops.Linkage.fuzzyJoin(a, b, "s_a", "s_b",
+            maxDist = 3, prefixLen = 3)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(("""WITH a AS (SELECT doc_id AS id_a,
+             |'é' || lower(substr(text, 1, 20)) || 'ß' AS s_a
+             |FROM documents WHERE doc_id < 200),
+             |b AS (SELECT id_a + 30000 AS id_b,
+             |substr(s_a, 1, 5) || substr(s_a, 7) || 'ü' AS s_b
+             |FROM a WHERE id_a % 3 = 0),
+             |cand AS (SELECT id_a, id_b,
+             |levenshtein(translate(s_a, 'éßü', chr(1)||chr(2)||chr(3)),
+             |translate(s_b, 'éßü', chr(1)||chr(2)||chr(3))) AS cp_dist
+             |FROM a JOIN b ON lower(substr(s_a, 1, 3)) = lower(substr(s_b, 1, 3))
+             |AND abs(length(s_a) - length(s_b)) <= 3)
+             |SELECT id_a, id_b, CAST(cp_dist AS INTEGER) AS dist
+             |FROM cand WHERE cp_dist <= 3
+             |ORDER BY id_a, id_b""").stripMargin.replace("\n", " "))),
 
     // CDC over the snapshot store (etl.Versioned.diff): the row-level
     // change feed between two committed versions — keyed full-outer

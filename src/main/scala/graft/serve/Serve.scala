@@ -87,8 +87,12 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
-  /** Start on an ephemeral (or given) port; returns the bound port. */
+  /** Start on an ephemeral (or given) port; returns the bound port.
+    * A second start() without a stop() is refused — it would silently
+    * orphan the running server and leak its 8-thread pool.
+    */
   def start(port: Int = 0): Int = {
+    require(server == null, "server already running — stop() it first")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1/files", (ex: HttpExchange) => handle(ex))
     server.createContext("/api/v1/servers",
@@ -115,8 +119,11 @@ class Serve(spark: SparkSession, store: MetaStore, token: String,
   }
 
   def stop(): Unit = {
-    if (server != null) server.stop(0)
-    if (pool != null) { pool.shutdown(); () }
+    // stop(1): give in-flight handlers up to a second to drain instead
+    // of abandoning them mid-response (stop(0) kills the dispatcher with
+    // exchanges half-written)
+    if (server != null) { server.stop(1); server = null }
+    if (pool != null) { pool.shutdown(); pool = null }
   }
 
   // ---- routing ----------------------------------------------------------

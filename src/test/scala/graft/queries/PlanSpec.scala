@@ -408,11 +408,19 @@ class PlanSpec extends SparkSpec {
 
   // ---- round-6 additions -------------------------------------------------
 
-  test("DSIR scoring joins the corpus against a BROADCAST LM (never sort-merge)") {
+  test("DSIR scoring is ONE narrow scan — no join, no explode, no shuffle (r11)") {
+    // the 512-bucket log-ratio table is collected and baked into an
+    // array literal, so the scoring side is a single projection over the
+    // eval corpus; the only distribution step left is the top-50
     val p = plan("q_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"), "bucket LM should broadcast")
-    assert(!p.contains("SortMergeJoin"),
-      "corpus-side sort-merge join — the fixed-size LM must broadcast instead")
+    assert(!p.contains("Join"),
+      "scoring joined something — the fixed-size LM must be an array-literal lookup")
+    assert(!p.contains("Generate") && !p.contains("Exchange"),
+      "scoring exploded or shuffled the corpus — must be one narrow projection")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must short-circuit as TakeOrderedAndProject, not a global sort")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "scoring must read the corpus exactly once")
   }
 
   test("cross-source dup matrix broadcasts the pair side into both label joins") {
