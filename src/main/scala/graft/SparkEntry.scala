@@ -73,6 +73,9 @@ object SparkEntry {
     // SCALING_NGRAM_CMS.json: ratio 49.0 vs hashed 21.6), kept as
     // the recorded experiment + the high-minCount tool it remains
     "q_ivf_pq", "q_drift_mix", "q_ngram_spans", "q_ngram_spans_hashed",
-    "q_ngram_scrub"
+    "q_ngram_scrub",
+    // r11: the bigram LM's 8-byte-BIGINT-key scale variant, benched
+    // beside the exact form like the ngram_spans pair above
+    "q_bigram_lm_hashed"
   ).filter(queries.contains)
 }

@@ -393,6 +393,44 @@ object TextAnalysis {
         avg(col("lp")).as("mean_log2p"))
   }
 
+  /** [[bigramLogProb]]'s 100 TB shuffle variant (the shape of the
+    * hashed-gram substring dedup, Dedup `hashGrams`): every shuffle and
+    * join keys on a fixed 8-byte BIGINT hash of the bigram — and of its
+    * prefix word for the conditional denominator — instead of the
+    * variable-length bigram STRING, so the occurrence shuffle carries
+    * 16 bytes/row of key material and the sort-merge comparisons are
+    * single long compares, not string compares. The hash is codegen'd
+    * `xxhash64`, NOT the gram pipeline's md5 prefix: this variant shares
+    * the exact form's oracle (answers are identical absent collisions —
+    * the oracle never replays the hash), so engine portability buys
+    * nothing and md5+conv would cost 4 hash evaluations per occurrence
+    * across the plan's two uses of the stream (measured 2.3× slower at
+    * ×64). A 64-bit collision (~2⁻⁶⁴ per pair) merges two bigram types'
+    * counts — deterministic and vanishing at any real vocabulary; the
+    * exact-string form stays the oracle anchor and a spec pins
+    * hashed == exact on real data. `max("hp")` is safe: hp is
+    * functionally dependent on hb up to the same collision odds.
+    */
+  def bigramLogProbHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the bigram string exists only inside this narrow projection —
+    // nothing variable-length reaches a shuffle
+    val bg = docs.select(col(idCol).as("id"),
+        explode(bigramArray(col(textCol))).as("bgs"))
+      .select(col("id"),
+        xxhash64(col("bgs")).as("hb"),
+        xxhash64(substring_index(col("bgs"), " ", 1)).as("hp"))
+    val bgCnt = bg.groupBy(col("hb"))
+      .agg(count(lit(1)).as("cb"), max(col("hp")).as("hp"))
+    val prefCnt = bgCnt.groupBy(col("hp")).agg(sum(col("cb")).as("cp"))
+    val vocab = bgCnt.join(prefCnt, Seq("hp"))
+      .select(col("hb"),
+        log2(col("cb").cast(DoubleType) / col("cp").cast(DoubleType)).as("lp"))
+    bg.select(col("id"), col("hb")).join(vocab, Seq("hb"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        avg(col("lp")).as("mean_log2p"))
+  }
+
   /** Per-document lexical-diversity stats: token count, distinct-token
     * count, type-token ratio, and Shannon entropy (bits) of the
     * document's own token distribution — the vocabulary-richness /

@@ -2659,6 +2659,29 @@ object Extensions {
              |FROM bg JOIN bgc USING (bg) JOIN pc ON string_split(bg, ' ')[1] = pref
              |GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // q_bigram_lm's 8-byte-BIGINT-key scale variant (the hashed-gram
+    // shape of q_ngram_spans_hashed, applied to the LM family's worst
+    // scaler): every shuffle/join keys on a codegen'd xxhash64 BIGINT of
+    // the bigram (and of its prefix word) instead of the bigram string —
+    // fixed-width shuffle rows, long-compare sorts (259 MB vs 323 MB
+    // shuffled, 18.9 s vs 26.2 s at ×64). Answer-identical to the exact
+    // form absent ~2⁻⁶⁴ collisions, so it shares q_bigram_lm's oracle;
+    // BehaviorSpec pins hashed == exact row-for-row on real data.
+    Q("q_bigram_lm_hashed",
+      (s, d) => TextAnalysis.bigramLogProbHashed(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id"), col("n_bigrams"),
+          round(col("mean_log2p"), 3).as("mean_log2p"))
+        .orderBy("id"),
+      Some("""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT id, w[i] || ' ' || w[i+1] AS bg FROM w,
+             |LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+             |bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+             |pc AS (SELECT string_split(bg, ' ')[1] AS pref, sum(cb) AS cp FROM bgc GROUP BY 1)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |round(avg(log2(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))), 3) AS mean_log2p
+             |FROM bg JOIN bgc USING (bg) JOIN pc ON string_split(bg, ' ')[1] = pref
+             |GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
     // Lexical diversity: type-token ratio + per-document token-entropy —
     // the vocabulary-richness/degeneracy quality signals (template and
     // spam pages collapse toward 0 bits). Entropy folds in ONE pass via

@@ -85,6 +85,22 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(scored(1).getDouble(2) - exp2) < 1e-9)
   }
 
+  test("bigramLogProbHashed reproduces the exact-string form on real data") {
+    // the 8-byte-BIGINT-key scale variant must be answer-identical to
+    // the exact form absent 2^-60 hash collisions — checked row-for-row
+    // on the real corpus, not a fixture, so prefix-hash grouping and the
+    // max(hp) dependency assumption are exercised at genuine vocabulary
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .select(col("id"), col("n_bigrams"),
+        org.apache.spark.sql.functions.round(col("mean_log2p"), 9).as("m"))
+    val hashed = TextAnalysis.bigramLogProbHashed(docs, "doc_id", "text")
+      .select(col("id"), col("n_bigrams"),
+        org.apache.spark.sql.functions.round(col("mean_log2p"), 9).as("m"))
+    assert(exact.count() > 0)
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
   // ---- TextAnalysis.lexicalStats -----------------------------------------
 
   test("lexicalStats: uniform tokens give log2(n) entropy, repeats give 0") {
