@@ -61,6 +61,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // length or reading a null slot as 0.0 (a confident wrong similarity).
   // The per-element null probe is generated ONLY when the schema says
   // elements may be null, so containsNull=false columns pay nothing.
+  //
+  // NULL also on a ZERO-NORM side (r11 sweep): cosine is undefined
+  // there, and the raw 0/0 = NaN is a silent top-k catastrophe — Spark
+  // orders NaN ABOVE every real double, so one all-zero embedding (a
+  // failed embedding job, a padding row) would outrank every sim=1.0
+  // match in ORDER BY sim DESC. NULL sorts last under desc and fails
+  // every >= threshold, which is what "incomparable" should do.
+  // Engines genuinely disagree here (DuckDB's list_cosine_similarity
+  // returns -1.0 on a zero vector), so the contract must be pinned
+  // OURS: the oracle corpora carry no zero vectors by construction.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
@@ -81,7 +91,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -114,7 +125,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    }
          |  }
          |}
        """.stripMargin

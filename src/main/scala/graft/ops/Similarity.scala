@@ -37,7 +37,10 @@ object Similarity {
     val dot = fold(zip_with(ad, bd, (x, y) => x * y))
     val na = fold(transform(ad, x => x * x))
     val nb = fold(transform(bd, x => x * x))
-    dot / sqrt(na * nb)
+    // zero-norm → NULL, mirroring the native expression: the raw 0/0
+    // NaN would outrank every real match in a descending top-k
+    when(na === 0.0d || nb === 0.0d, lit(null).cast(DoubleType))
+      .otherwise(dot / sqrt(na * nb))
   }
 
   /** Brute-force exact top-k by cosine to a single query vector, which is

@@ -139,6 +139,30 @@ class NativeExprSpec extends SparkSpec {
     assert(native == hof && math.abs(native - 1.0) < 1e-12)
   }
 
+  test("cosine_sim: a zero-norm vector yields NULL, never the NaN that wins top-k") {
+    // 0/0 = NaN and Spark orders NaN ABOVE every real double — one
+    // all-zero embedding (failed embedding job, padding row) would
+    // outrank every sim=1.0 match in ORDER BY sim DESC. Both forms must
+    // return NULL (sorts last under desc, fails every >= threshold).
+    // DuckDB returns -1.0 here — the contract is pinned engine-side; the
+    // oracle corpora carry no zero vectors.
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(CosineSimilarity($"a", $"b")).head().isNullAt(0),
+      "native kernel must NULL a zero-norm side")
+    assert(z.select(graft.ops.Similarity.cosineHof($"a", $"b")).head().isNullAt(0),
+      "HOF form must NULL a zero-norm side")
+    // a zero vector never displaces a real match from a descending top-k
+    val ranked = Seq(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("id", "v")
+      .select($"id", CosineSimilarity($"v",
+        expr("array(cast(1.0 as float), cast(0.0 as float))")).as("sim"))
+      .orderBy($"sim".desc, $"id")
+      .select("id").as[Long].collect().toSeq
+    assert(ranked.take(2) == Seq(1L, 3L),
+      s"zero vector must rank LAST, got order $ranked")
+  }
+
   test("decryptToken is null-safe on corrupt tokens (no job-killing throw)") {
     GraftFunctions.register(spark)
     val df = Seq(("ok", "0123456789abcdef"), ("bad", "0123456789abcdef"))
