@@ -2721,21 +2721,36 @@ object Extensions {
         val base = pairsE.groupBy(col("prev").as("src"), col("event_type").as("dst"))
           .agg(count(lit(1)).as("c"))
         val outw = base.groupBy("src").agg(sum("c").as("w"))
-        val edges = base.join(outw, Seq("src"))
-          .select(col("src"), col("dst"),
-            round(col("c").cast(DoubleType) / col("w").cast(DoubleType), 12).as("p"))
-        val nodes = edges.select(col("src").as("t"))
-          .union(edges.select(col("dst").as("t"))).distinct()
+        // the rank/edge tables are VOCABULARY-sized; LEAF-materialize
+        // them once (the Dedup.clusters lever) so no iteration's plan
+        // embeds the corpus-scale lag window + edge aggregation.
+        // Lazily, each of the 5 iterations re-embeds that subtree;
+        // ReuseExchange MAY dedupe the identical exchanges, but that is
+        // a fragile optimizer artifact (AQE replanning can break the
+        // match) — the leaf makes compute-once DETERMINISTIC and keeps
+        // each iteration's analyzed plan O(1). A bare persist still
+        // re-analyzes the embedded corpus subtree per iteration
+        // (measurably slower even at 5 iterations).
+        val (edges, _) = graft.ops.Dedup.materializeLeaf(
+          base.join(outw, Seq("src"))
+            .select(col("src"), col("dst"),
+              round(col("c").cast(DoubleType) / col("w").cast(DoubleType), 12).as("p")))
+        val (nodes, _) = graft.ops.Dedup.materializeLeaf(
+          edges.select(col("src").as("t"))
+            .union(edges.select(col("dst").as("t"))).distinct())
         val nn = nodes.agg(count(lit(1)).as("cnt"))
         val r0 = nodes.crossJoin(broadcast(nn))
           .select(col("t"), round(lit(1.0) / col("cnt"), 12).as("r"))
         val ranks = (1 to 5).foldLeft(r0) { (r, _) =>
-          val s2 = edges.join(r.select(col("t").as("src"), col("r")), Seq("src"))
+          // both per-iteration join sides are |types|-sized — broadcast
+          // them so no iteration plans a shuffle join over tiny tables
+          val s2 = edges.join(
+              broadcast(r.select(col("t").as("src"), col("r"))), Seq("src"))
             .select(col("dst").as("t"),
               round(col("p") * col("r"), 12).cast("decimal(20,12)").as("contrib"))
             .groupBy("t").agg(sum("contrib").as("s"))
           nodes.crossJoin(broadcast(nn))
-            .join(s2, Seq("t"), "left")
+            .join(broadcast(s2), Seq("t"), "left")
             .select(col("t"),
               round(lit(0.15) / col("cnt") +
                 lit(0.85) * coalesce(col("s").cast(DoubleType), lit(0.0)), 12).as("r"))
