@@ -24,6 +24,54 @@ object Scale {
     pmod(xxhash64(entropy), lit(n.toLong))
   }
 
+  /** DISTRIBUTED global running sum — the scale-safe replacement for
+    * `sum(v) OVER (ORDER BY ...)`, which Spark plans as a SINGLE-
+    * partition window (every row through one task: the straggler that
+    * kills a global sweep at 100 TB). The Pack prefix-sum recipe,
+    * generalized: range-partition on the order columns (each partition
+    * holds a contiguous key range; equal keys co-locate), aggregate one
+    * per-partition total (numPartitions longs to the driver), turn those
+    * into exclusive offsets, and compute the within-partition running
+    * sum with a window partitioned BY partition — every partition sorts
+    * and scans in parallel. Equal-key ties contribute in arbitrary
+    * relative order — exactly like the single-partition window, whose
+    * tie order is equally arbitrary; reads at run boundaries are
+    * identical either way.
+    *
+    * Returns the input columns plus `outCol` (LongType running sum,
+    * ties resolved by the given order). The returned frame is
+    * MATERIALIZED (the offsets job and the final pass must see the same
+    * sampled range boundaries) and stays persisted; callers running many
+    * pipelines should unpersist it when done.
+    */
+  def rangedRunningSum(df: DataFrame, orderCols: Seq[String],
+                       value: Column, outCol: String): DataFrame = {
+    val inCols = df.columns.toSeq
+    val ranged = df
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(col("__part"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+      (p, acc + t)
+    }.tail.zip(totals).map { case ((p, end), (_, t)) => (p, end - t) }
+    import df.sparkSession.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__part", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__part")).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val result = ranged.join(offDf, Seq("__part"))
+      .select(inCols.map(col) :+
+        (sum(col("__v")).over(w) + col("__off")).as(outCol): _*)
+    Dedup.eagerly(result, ranged)
+  }
+
   /** Two-stage salted aggregation: partial-aggregate on (keys, salt) —
     * splitting each hot key across `n` reducers — then final-aggregate on
     * keys. `partialAggs` and `finalAggs` must compose (sum/sum,

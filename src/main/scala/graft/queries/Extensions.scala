@@ -775,7 +775,12 @@ object Extensions {
     // explode: the sweep frame is 2x sessions, orders of magnitude
     // smaller than events, and peaks are order-stable under ties because
     // tied +1 rows form a contiguous ramp whose max doesn't depend on
-    // their relative order.
+    // their relative order. The sweep itself is Scale.rangedRunningSum
+    // (r11) — a DISTRIBUTED prefix sum over range partitions, not the
+    // single-partition `sum OVER (ORDER BY)` window: sessions are
+    // smaller than events but still corpus-∝ at 100 TB, and one task
+    // sweeping billions of boundaries is exactly the straggler the
+    // WindowExec single-partition warning names.
     Q("q_concurrency",
       (s, d) => {
         val sess = Tables.events(s, d)
@@ -784,9 +789,8 @@ object Extensions {
           .select(col("sw.start").as("st"), col("sw.end").as("en"))
         val deltas = sess.select(col("st").as("t"), lit(1).as("delta"))
           .unionAll(sess.select(col("en").as("t"), lit(-1).as("delta")))
-        val w = Window.orderBy(col("t"), col("delta"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        deltas.withColumn("cur", sum(col("delta")).over(w))
+        graft.ops.Scale.rangedRunningSum(deltas, Seq("t", "delta"),
+            col("delta"), "cur")
           .groupBy(to_date(col("t")).as("day"))
           .agg(max(col("cur")).as("peak_concurrent"))
           .orderBy("day")

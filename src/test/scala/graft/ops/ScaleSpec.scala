@@ -104,6 +104,64 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("rangedRunningSum equals the single-partition global window, without one") {
+    // the distributed prefix sum must reproduce sum(v) OVER (ORDER BY ...)
+    // exactly at every run boundary — checked on real event data with
+    // duplicate keys — while planning NO partition-less window (the
+    // single-task straggler it exists to remove)
+    val ev = Tables.events(spark, sf)
+      .select(to_date($"ts").as("day"), lit(1).as("one"))
+      .groupBy("day").agg(count(lit(1)).cast("int").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = ev.withColumn("cum", sum($"v").over(w))
+      .select("day", "cum").as[(java.sql.Date, Long)].collect().toMap
+    val dist = Scale.rangedRunningSum(ev, Seq("day"), $"v", "cum")
+    try {
+      val got = dist.select("day", "cum").as[(java.sql.Date, Long)].collect().toMap
+      assert(got == expect)
+      // plan property: every window in the distributed form is keyed
+      val plan = dist.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window [") ||
+        "windowspecdefinition\\(\\s*(day|__part)".r.findFirstIn(plan).isDefined)
+      assert(plan.contains("__part") || plan.contains("InMemory"),
+        "distributed form must window per range partition")
+    } finally dist.unpersist(blocking = false)
+  }
+
+  test("rangedRunningSum resolves equal-key ties identically to the global window at run boundaries") {
+    // duplicate (t, delta) rows: per-row sums within a tied run are
+    // order-arbitrary in BOTH forms; the value at the END of each tied
+    // run (what max-over-group consumers read) must be identical
+    val deltas = Seq(("a", 1), ("a", 1), ("a", -1), ("b", 1), ("b", -1), ("b", -1))
+      .toDF("t", "delta")
+    val dist = Scale.rangedRunningSum(deltas, Seq("t", "delta"), $"delta", "cur")
+    try {
+      // end-of-run value per (t, delta) run: the run adds delta per row,
+      // so the end is max(cur) for ascending (+1) runs and min(cur) for
+      // descending (-1) runs
+      val ends = dist.groupBy("t", "delta")
+        .agg(when(first($"delta") > 0, max($"cur")).otherwise(min($"cur")).as("m"))
+        .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      // global truth by hand: order (a,-1),(a,1),(a,1),(b,-1),(b,-1),(b,1)
+      // → sums -1, 0, 1, 0, -1, 0; run ends: -1, 1, -1, 0
+      assert(ends(("a", -1)) == -1L && ends(("a", 1)) == 1L)
+      assert(ends(("b", -1)) == -1L && ends(("b", 1)) == 0L)
+      // and the per-day peak (what q_concurrency consumes) matches the
+      // global-window formulation exactly
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"t", $"delta")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val peaksGlobal = deltas.withColumn("cur", sum($"delta").over(w))
+        .groupBy("t").agg(max($"cur").as("p"))
+        .as[(String, Long)].collect().toMap
+      val peaksDist = dist.groupBy("t").agg(max($"cur").as("p"))
+        .as[(String, Long)].collect().toMap
+      assert(peaksDist == peaksGlobal)
+    } finally dist.unpersist(blocking = false)
+  }
+
   test("count-min sketch bounds heavy-hitter counts (mergeable sketch surface)") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()

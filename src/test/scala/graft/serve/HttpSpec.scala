@@ -81,6 +81,31 @@ class HttpSpec extends SparkSpec {
 
   private val deleted = collection.mutable.Buffer.empty[Long]
 
+  test("start() refuses a double start; stop() then start() rebinds cleanly") {
+    // a second start() without stop() would silently orphan the running
+    // server and leak its 8-thread pool — it must throw instead; after a
+    // stop() the same instance may start again on a fresh port
+    val root = java.nio.file.Files.createTempDirectory("serve_restart").toString
+    val store = new MetaStore(spark, root)
+    store.initHyperFiles(Seq.empty)
+    val serve = new Serve(spark, store, Token,
+      sync = _ => (), downloadPath = _ => "/x", onDelete = _ => (),
+      clock = () => ts("2024-06-01 00:00:00"))
+    val p1 = serve.start()
+    try {
+      val e = intercept[IllegalArgumentException](serve.start())
+      assert(e.getMessage.contains("already running"))
+      // the original server is still serving after the refused start
+      val (s, _, _) = request(p1, "/health", token = "")
+      assert(s == 200)
+    } finally serve.stop()
+    val p2 = serve.start()
+    try {
+      val (s, _, _) = request(p2, "/health", token = "")
+      assert(s == 200)
+    } finally serve.stop()
+  }
+
   test("auth: missing or wrong bearer token is 403 Not authenticated") {
     withServer { (port, _, _) =>
       val (s1, b1, _) = request(port, "/api/v1/files", token = "")
