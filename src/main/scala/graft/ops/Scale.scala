@@ -39,13 +39,35 @@ object Scale {
     * identical either way.
     *
     * Returns the input columns plus `outCol` (LongType running sum,
-    * ties resolved by the given order). The returned frame is
+    * ties resolved by the given order). The distributed form is
     * MATERIALIZED (the offsets job and the final pass must see the same
     * sampled range boundaries) and stays persisted; callers running many
     * pipelines should unpersist it when done.
+    *
+    * ADAPTIVE like [[saltedJoin]]: when the input's optimizer estimate
+    * fits the session's broadcast threshold, a single-partition window
+    * over a frame that small is harmless and the distributed machinery
+    * (a range shuffle + a totals job + an eager materialization) would
+    * cost more than it saves — so the plain global window is planned,
+    * row-identical by construction. The distributed path engages exactly
+    * when one task could NOT hold the stream. `forceDistributed = true`
+    * exercises the distributed plan regardless (tests, known-bad
+    * estimates).
     */
   def rangedRunningSum(df: DataFrame, orderCols: Seq[String],
-                       value: Column, outCol: String): DataFrame = {
+                       value: Column, outCol: String,
+                       forceDistributed: Boolean = false): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.graftshim.Shim.autoBroadcastThreshold(df.sparkSession)
+    val inBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!forceDistributed && threshold > 0 && inBytes <= threshold) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      return df.withColumn(outCol,
+        sum(coalesce(value.cast("long"), lit(0L))).over(w))
+    }
     val inCols = df.columns.toSeq
     val ranged = df
       .withColumn("__v", coalesce(value.cast("long"), lit(0L)))

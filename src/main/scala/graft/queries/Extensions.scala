@@ -780,7 +780,10 @@ object Extensions {
     // single-partition `sum OVER (ORDER BY)` window: sessions are
     // smaller than events but still corpus-∝ at 100 TB, and one task
     // sweeping billions of boundaries is exactly the straggler the
-    // WindowExec single-partition warning names.
+    // WindowExec single-partition warning names. Adaptive like
+    // saltedJoin: a boundary stream under the broadcast threshold keeps
+    // the harmless global window; the distributed plan engages exactly
+    // when one task could not hold the stream.
     Q("q_concurrency",
       (s, d) => {
         val sess = Tables.events(s, d)

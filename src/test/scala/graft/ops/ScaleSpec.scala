@@ -117,7 +117,15 @@ class ScaleSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.currentRow)
     val expect = ev.withColumn("cum", sum($"v").over(w))
       .select("day", "cum").as[(java.sql.Date, Long)].collect().toMap
-    val dist = Scale.rangedRunningSum(ev, Seq("day"), $"v", "cum")
+    // forceDistributed: the test frame is tiny, so the adaptive switch
+    // would otherwise plan the (trivially equal) global window and the
+    // distributed path would go unexercised
+    val dist = Scale.rangedRunningSum(ev, Seq("day"), $"v", "cum",
+      forceDistributed = true)
+    // the adaptive small path must agree too
+    val small = Scale.rangedRunningSum(ev, Seq("day"), $"v", "cum")
+      .select("day", "cum").as[(java.sql.Date, Long)].collect().toMap
+    assert(small == expect)
     try {
       val got = dist.select("day", "cum").as[(java.sql.Date, Long)].collect().toMap
       assert(got == expect)
@@ -136,7 +144,8 @@ class ScaleSpec extends SparkSpec {
     // run (what max-over-group consumers read) must be identical
     val deltas = Seq(("a", 1), ("a", 1), ("a", -1), ("b", 1), ("b", -1), ("b", -1))
       .toDF("t", "delta")
-    val dist = Scale.rangedRunningSum(deltas, Seq("t", "delta"), $"delta", "cur")
+    val dist = Scale.rangedRunningSum(deltas, Seq("t", "delta"), $"delta", "cur",
+      forceDistributed = true)
     try {
       // end-of-run value per (t, delta) run: the run adds delta per row,
       // so the end is max(cur) for ascending (+1) runs and min(cur) for
