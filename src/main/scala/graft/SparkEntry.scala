@@ -76,6 +76,9 @@ object SparkEntry {
     "q_ngram_scrub",
     // r11: the bigram LM's 8-byte-BIGINT-key scale variant, benched
     // beside the exact form like the ngram_spans pair above
-    "q_bigram_lm_hashed"
+    "q_bigram_lm_hashed",
+    // r11: skew diagnostic, embedding-tier decontamination, composed
+    // entity resolution
+    "q_skew_audit", "q_semantic_decontaminate", "q_entity_resolution"
   ).filter(queries.contains)
 }

@@ -3278,6 +3278,138 @@ object Extensions {
              |(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0)
              |UNION ALL SELECT 'v2_rows',
              |(SELECT CAST(count(*) AS BIGINT) FROM documents)
-             |ORDER BY metric""".stripMargin.replace("\n", " ")))
+             |ORDER BY metric""".stripMargin.replace("\n", " "))),
+
+    // Join-key skew audit (X137): the PRE-join diagnostic that decides
+    // whether a key needs q_salted_join's remedy — top-20 heaviest keys
+    // with absolute count, corpus share, and the recommended salt
+    // factor ceil(count·n_keys/total) (how many subkeys spread this
+    // key's rows back to the mean partition load). One map-side-combined
+    // groupBy on the key is the only data-scale shuffle; the totals row
+    // is a 1-row broadcast; top-20 plans as TakeOrderedAndProject. The
+    // salt factor divides EXACT integers by an exactly-representable
+    // total, so one IEEE division gives both engines the same double →
+    // the same ceil (no avg() round-trip, whose accumulation order is
+    // engine-private).
+    Q("q_skew_audit",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"))
+        val tot = counts.agg(
+          sum(col("n_rows")).cast(DoubleType).as("__total"),
+          count(lit(1)).cast(LongType).as("__nk"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("l_suppkey"), col("n_rows"),
+            round(col("n_rows") / col("__total"), 6).as("share"),
+            ceil((col("n_rows") * col("__nk")) / col("__total"))
+              .cast(LongType).as("salt_factor"))
+          .orderBy(col("n_rows").desc, col("l_suppkey"))
+          .limit(20)
+      },
+      Some("""WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+             |CAST(count(*) AS BIGINT) AS nk FROM c)
+             |SELECT l_suppkey, n_rows, round(n_rows / total, 6) AS share,
+             |CAST(ceil((n_rows * nk) / total) AS BIGINT) AS salt_factor
+             |FROM c, t ORDER BY n_rows DESC, l_suppkey
+             |LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // Semantic benchmark decontamination (X138): the embedding-space
+    // tier of X34/X59's n-gram decontamination — flag TRAIN vectors
+    // whose cosine against ANY eval-suite vector reaches τ (paraphrased
+    // leakage that shares no n-grams). The eval suite is BOUNDED by
+    // construction (a benchmark, not a corpus), so it broadcasts and
+    // the join is a nested-loop scan of train with the codegen'd
+    // cosine_sim in the condition — train is scanned once, never
+    // shuffled; the only shuffle is the vec_id-keyed partial agg over
+    // the O(hits) matches. Zero-norm vectors drop on BOTH engines
+    // (Spark cosine_sim → NULL predicate, DuckDB → −1 < τ).
+    Q("q_semantic_decontaminate",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val eval = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+        val sim = Similarity.cosine(col("embedding"), col("__ev"))
+        emb.filter(col("vec_id") >= 20)
+          .join(broadcast(eval), sim >= 0.3)
+          .select(col("vec_id"), sim.as("__sim"))
+          .groupBy("vec_id")
+          .agg(count(lit(1)).cast(LongType).as("n_hits"),
+            round(max(col("__sim")), 6).as("max_sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id < 20),
+             |tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id >= 20),
+             |hits AS (SELECT tr.vec_id, list_cosine_similarity(tr.v, ev.v) AS sim
+             |FROM tr JOIN ev ON list_cosine_similarity(tr.v, ev.v) >= 0.3)
+             |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+             |round(max(sim), 6) AS max_sim
+             |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    // Entity resolution end to end (X139): the record-linkage user
+    // story COMPOSED — messy records (two deterministic typo tiers over
+    // the same heads: 5th char deleted on every 3rd id, 10th on every
+    // 4th) → blocked fuzzy self-join (q_fuzzy_join's cascade, id_a <
+    // id_b) → pointer-doubling cluster closure (q_dedup_clusters'
+    // kernel) → survivorship: one entity row per cluster with its
+    // record count and the canonical (min-id, i.e. original-tier)
+    // record's length. Candidate generation shuffles only on the
+    // 3-char blocking key; the closure is O(α·E) on the O(dups) pair
+    // set; survivorship is one keyed groupBy + one equi-join back to
+    // the records. ORACLE DOMAIN NOTE: levenshtein byte-vs-codepoint
+    // divergence is moot on this ASCII fixture (same note as
+    // q_fuzzy_join; the Unicode contract is q_fuzzy_join_unicode's).
+    Q("q_entity_resolution",
+      (s, d) => {
+        val a = Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("doc_id").as("rid"),
+            lower(substring(col("text"), 1, 40)).as("rs"))
+        val b = a.filter(col("rid") % 3 === 0)
+          .select((col("rid") + 20000).as("rid"),
+            concat(substring(col("rs"), 1, 4), expr("substring(rs, 6)")).as("rs"))
+        val c = a.filter(col("rid") % 4 === 0)
+          .select((col("rid") + 40000).as("rid"),
+            concat(substring(col("rs"), 1, 9), expr("substring(rs, 11)")).as("rs"))
+        val recs = a.union(b).union(c)
+        val pairs = graft.ops.Linkage.fuzzyJoin(
+            recs.select(col("rid").as("id_a"), col("rs").as("s_a")),
+            recs.select(col("rid").as("id_b"), col("rs").as("s_b")),
+            "s_a", "s_b", maxDist = 2, prefixLen = 3)
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        Dedup.clusters(pairs)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_records"))
+          .join(recs.withColumnRenamed("rid", "cluster_id"), Seq("cluster_id"))
+          .select(col("cluster_id"), col("n_records"),
+            length(col("rs")).as("canon_len"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE a AS (SELECT doc_id AS rid, lower(substr(text, 1, 40)) AS rs
+             |FROM documents WHERE doc_id < 400),
+             |b AS (SELECT rid + 20000 AS rid, substr(rs, 1, 4) || substr(rs, 6) AS rs
+             |FROM a WHERE rid % 3 = 0),
+             |c AS (SELECT rid + 40000 AS rid, substr(rs, 1, 9) || substr(rs, 11) AS rs
+             |FROM a WHERE rid % 4 = 0),
+             |recs AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c),
+             |cand AS (SELECT x.rid AS id_a, y.rid AS id_b FROM recs x JOIN recs y
+             |ON lower(substr(x.rs, 1, 3)) = lower(substr(y.rs, 1, 3))
+             |AND abs(length(x.rs) - length(y.rs)) <= 2 AND x.rid < y.rid
+             |WHERE levenshtein(x.rs, y.rs) <= 2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+             |UNION SELECT id_b, id_a FROM cand),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |lab AS (SELECT src AS rid, least(src, min(dst)) AS cluster_id
+             |FROM reach GROUP BY src),
+             |ent AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+             |FROM lab GROUP BY cluster_id)
+             |SELECT e.cluster_id, e.n_records, CAST(length(r.rs) AS INTEGER) AS canon_len
+             |FROM ent e JOIN recs r ON r.rid = e.cluster_id
+             |ORDER BY cluster_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -651,4 +651,48 @@ class PlanSpec extends SparkSpec {
     // the only join is the feature build (lexical stats × n_chars)
     assert(joins <= 1, s"unexpected joins in the fit:\n${p.take(1000)}")
   }
+
+  test("skew audit: one map-side-combined shuffle, top-20 short-circuits") {
+    val df = SparkEntry.queries("q_skew_audit")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its short-circuit")
+    assert(p.contains("partial_count"), "key counting lost map-side combine")
+    // the counts subtree appears in BOTH branches (top-20 and the
+    // broadcast totals row), but the key shuffle must run ONCE — the
+    // totals branch rides ReuseExchange over the same exchange, so the
+    // fact is scanned and shuffled a single time
+    assert(p.contains("ReusedExchange") || p.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) <= 1,
+      s"totals branch re-shuffled the key counts:\n${p.take(1500)}")
+  }
+
+  test("semantic decontamination: eval broadcasts, train is never shuffled pre-join") {
+    val p = plan("q_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded eval suite must broadcast under the cosine-threshold condition")
+    assert(p.contains("cosine_sim"), "native codegen cosine lost from the join condition")
+    // the only hash exchange is the O(hits) vec_id partial agg AFTER the
+    // join — the train scan itself must reach the join unshuffled
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    val preJoin = p.substring(joinIdx)
+    assert(!preJoin.contains("Exchange hashpartitioning"),
+      "train side shuffled before the broadcast join")
+  }
+
+  test("entity resolution: survivorship reads the closure's O(1) RDD leaf, no cartesian") {
+    // the candidate cascade's plan shape (equi-join on the blocking key,
+    // codegen levenshtein verify, no nested loop) is pinned by the
+    // fuzzy-join test above; by survivorship time the closure labels are
+    // an RDD LEAF (Dedup.clusters materializes per-round), so the final
+    // plan must be leaf-scan + one keyed agg + one equi-join — not a
+    // re-derivation of the whole linkage pipeline
+    val p = plan("q_entity_resolution")
+    assert(!p.contains("CartesianProduct"),
+      "fuzzy self-join degenerated to a cartesian")
+    assert(p.contains("Scan ExistingRDD"),
+      "closure labels lost their materialized leaf (plan re-derives the pipeline)")
+    assert(!p.contains("levenshtein"),
+      "survivorship re-ran the verify stage instead of reading the leaf")
+  }
 }
