@@ -41,12 +41,28 @@ object Linkage {
     * two definitions coincide; the codepoint behavior itself is pinned
     * engine-side by ExtensionsSpec ("fuzzy join edit distance counts
     * codepoints").
+    *
+    * SCALE KNOB — `lengthBand`: a `prefixLen`-char prefix alone carries
+    * fixed entropy, so at corpus scale each block grows ∝ corpus and
+    * candidate pairs ∝ block² — the quadratic the blocking was meant to
+    * kill sneaks back through block growth. `lengthBand = w` (require
+    * w > maxDist) folds the length band INTO the shuffle key:
+    * candidates must share (prefix, length-band), where the right side
+    * emits its own band plus both neighbors (|len_a − len_b| ≤ maxDist
+    * < w ⟹ the bands differ by at most 1, so every surviving pair
+    * still shares a key — zero recall change, same final rows). Cost:
+    * 3× the small side's shuffle volume buys blocks cut to their band
+    * slice; the exact length filter and the levenshtein verify are
+    * unchanged. 0 (default) = prefix-only blocking.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftText: String, rightText: String,
-                maxDist: Int, prefixLen: Int = 3): DataFrame = {
+                maxDist: Int, prefixLen: Int = 3,
+                lengthBand: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    require(lengthBand == 0 || lengthBand > maxDist,
+      s"lengthBand must be 0 (off) or > maxDist: $lengthBand vs $maxDist")
     // DATAFRAME-qualified references, not bare col(): when both sides
     // share the text column name — the normal linkage case (two
     // customer tables, self-linkage) — bare names are AMBIGUOUS after
@@ -57,15 +73,29 @@ object Linkage {
     // share one lineage and either throw AMBIGUOUS_SELF_JOIN or both
     // resolve to the left side (levenshtein(x, x) = 0 for every
     // candidate pair) — the standard a/b alias pattern disambiguates
-    val l = left.withColumn("__bk", blockKey(col(leftText), prefixLen)).alias("__fzl")
-    val r = right.withColumn("__bk2", blockKey(col(rightText), prefixLen)).alias("__fzr")
+    val lBase = left.withColumn("__bk", blockKey(col(leftText), prefixLen))
+    val rBase = right.withColumn("__bk2", blockKey(col(rightText), prefixLen))
+    val (l, r, keyCond) =
+      if (lengthBand == 0)
+        (lBase.alias("__fzl"), rBase.alias("__fzr"),
+          col("__fzl.__bk") === col("__fzr.__bk2"))
+      else {
+        val band = (c: Column) => floor(length(c) / lengthBand)
+        val lb = lBase.withColumn("__band", band(col(leftText))).alias("__fzl")
+        val rb = rBase
+          .withColumn("__band2", explode(array(
+            band(col(rightText)) - 1, band(col(rightText)),
+            band(col(rightText)) + 1)))
+          .alias("__fzr")
+        (lb, rb, col("__fzl.__bk") === col("__fzr.__bk2") &&
+          col("__fzl.__band") === col("__fzr.__band2"))
+      }
     val lt = col(s"__fzl.$leftText")
     val rt = col(s"__fzr.$rightText")
-    l.join(r, col("__fzl.__bk") === col("__fzr.__bk2") &&
-        abs(length(lt) - length(rt)) <= maxDist)
+    l.join(r, keyCond && abs(length(lt) - length(rt)) <= maxDist)
       .withColumn("dist", levenshtein(lt, rt))
       .filter(col("dist") <= maxDist)
-      .drop("__bk", "__bk2")
+      .drop("__bk", "__bk2", "__band", "__band2")
   }
 
   /** The blocking key: lowercased first `prefixLen` characters. A pure

@@ -762,6 +762,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1), (2L, 20L, 2)), s"got $got")
   }
 
+  test("length-banded fuzzy join blocking returns exactly the prefix-only rows") {
+    // the scale knob folds the length band into the shuffle key (blocks
+    // stop growing ∝ corpus); the contract is ZERO recall change — the
+    // right side's ±1 band emission must cover every pair the exact
+    // length filter admits, including pairs straddling a band boundary
+    val a = Tables.documents(spark, sf).filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id_a"),
+        lower(substring(col("text"), 1, 40)).as("s_a"))
+    val b = a.filter(col("id_a") % 3 === 0)
+      .select((col("id_a") + 20000).as("id_b"),
+        concat(substring(col("s_a"), 1, 4), expr("substring(s_a, 6)")).as("s_b"))
+    def run(band: Int) = graft.ops.Linkage.fuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, prefixLen = 3, lengthBand = band)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val plain = run(0)
+    assert(plain.nonEmpty, "fixture sanity: the typo corpus must match")
+    for (w <- Seq(3, 5, 40)) assert(run(w) == plain, s"band=$w diverged")
+    // hand case pinning the boundary: lengths 9 and 10 straddle the
+    // w=5 band edge (bands 1 vs 2) yet sit 1 edit apart — only the
+    // neighbor-band emission finds them
+    val x = Seq((1L, "abcdefghi")).toDF("id", "s")
+      .select(col("id").as("id_a"), col("s").as("s_a"))
+    val y = Seq((2L, "abcdefghij")).toDF("id", "s")
+      .select(col("id").as("id_b"), col("s").as("s_b"))
+    val boundary = graft.ops.Linkage.fuzzyJoin(x, y, "s_a", "s_b",
+        maxDist = 2, prefixLen = 3, lengthBand = 5)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(boundary == Set((1L, 2L, 1)), s"boundary pair lost: $boundary")
+  }
+
   test("CMS-prefiltered coverage and scrub equal exact for ANY sketch width") {
     // CMS error is one-sided (est >= truth): no width can unflag a real
     // repeat, and false keeps die at the exact count that follows — so
