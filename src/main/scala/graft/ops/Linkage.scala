@@ -92,9 +92,16 @@ object Linkage {
       }
     val lt = col(s"__fzl.$leftText")
     val rt = col(s"__fzr.$rightText")
+    // THRESHOLDED verify: levenshtein(l, r, k) early-exits the moment
+    // the distance must exceed k — O(len·k) per pair instead of the
+    // unbounded form's O(len²). On long linkage strings (full
+    // addresses, document heads) the verify is the per-candidate cost,
+    // and k is small by construction; survivors' distances are the true
+    // distances (the -1 overflow sentinel only marks rejected pairs),
+    // so results are bit-identical to the unbounded form
     l.join(r, keyCond && abs(length(lt) - length(rt)) <= maxDist)
-      .withColumn("dist", levenshtein(lt, rt))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(lt, rt, maxDist))
+      .filter(col("dist") >= 0)
       .drop("__bk", "__bk2", "__band", "__band2")
   }
 
