@@ -63,6 +63,16 @@ object Bench {
     */
   private[graft] val RecordAcceptDrift = 1.5
 
+  /** Canary drift above which the timed loop RETRIES once even when the
+    * run would still pass the accept gate: r11's record was adopted at
+    * drift 1.40 (≤ 1.5) while a clean measurement of the same code in git
+    * history sat ~1.1× lower — mild contention inflates the baseline
+    * without tripping the accept gate. A retry in the (1.25, 1.5] band
+    * costs one extra loop only on a noisy box, and the lower-drift pass
+    * wins; the ACCEPT threshold stays [[RecordAcceptDrift]].
+    */
+  private[graft] val RetryDrift = 1.25
+
   /** Outlier-tolerant canary drift (2nd slowest / 2nd fastest when ≥4
     * samples — one transient GC/writeback hiccup must not taint the run)
     * plus the raw max/min alongside. Returns (drift, driftRaw).
@@ -76,6 +86,15 @@ object Bench {
     val raw = if (s.size >= 2) s.last / s.head else 1.0
     (drift, raw)
   }
+
+  /** Whether a retry pass replaces the first pass: strictly lower canary
+    * drift AND itself error-free. A quieter-but-errored second pass must
+    * never displace a clean first pass — `anyError` would then reject the
+    * record outright, discarding the clean figures already in hand.
+    */
+  private[graft] def adoptRetry(firstDrift: Double, retryDrift: Double,
+                                retryErrorFree: Boolean): Boolean =
+    retryDrift < firstDrift && retryErrorFree
 
   /** Whether this run's figures may replace the comparison record
     * (`bench_prev`): no error on ANY run (a flaky query's surviving
@@ -191,20 +210,24 @@ object Bench {
 
     var (results, canaryTimes) = measureOnce()
     var (canaryDrift, canaryDriftRaw) = driftOf(canaryTimes)
-    // a run too contended to become the comparison record retries the
-    // timed loop ONCE (unless disabled): transient contention (a build,
-    // a backup) usually clears within the few minutes the first pass
-    // took, and a quiet second pass keeps the round's record adoptable
-    // instead of freezing the baseline a round behind. The LOWER-drift
-    // pass wins wholesale — figures and canary together, never mixed.
+    // a contended first pass retries the timed loop ONCE (unless
+    // disabled): transient contention (a build, a backup) usually clears
+    // within the few minutes the first pass took. The trigger is the
+    // RETRY band (> RetryDrift), not the accept gate — a 1.4-drift run
+    // would be ACCEPTED as the record yet still carries ~1.1× inflated
+    // figures (r11), so it deserves a second chance too. The LOWER-drift
+    // pass wins wholesale — figures and canary together, never mixed —
+    // and ONLY if it is itself error-free: a quieter-but-errored retry
+    // must never displace a clean first pass (anyError would then reject
+    // the record outright, discarding clean figures).
     val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
-    if (retryEnabled && canaryDrift > RecordAcceptDrift && results.forall(_._3.isEmpty)) {
+    if (retryEnabled && canaryDrift > RetryDrift && results.forall(_._3.isEmpty)) {
       System.err.println(
-        f"[bench] WARN canary drift $canaryDrift%.2fx > $RecordAcceptDrift%.1fx — " +
+        f"[bench] WARN canary drift $canaryDrift%.2fx > retry band $RetryDrift%.2fx — " +
           "contended first pass; retrying the timed loop once")
       val (r2, c2) = measureOnce()
       val (d2, raw2) = driftOf(c2)
-      if (d2 < canaryDrift) {
+      if (adoptRetry(canaryDrift, d2, r2.forall(_._3.isEmpty))) {
         results = r2; canaryTimes = c2; canaryDrift = d2; canaryDriftRaw = raw2
       }
     }

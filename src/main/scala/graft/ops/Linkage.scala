@@ -47,13 +47,16 @@ object Linkage {
     * candidate pairs ∝ block² — the quadratic the blocking was meant to
     * kill sneaks back through block growth. `lengthBand = w` (require
     * w > maxDist) folds the length band INTO the shuffle key:
-    * candidates must share (prefix, length-band), where the right side
-    * emits its own band plus both neighbors (|len_a − len_b| ≤ maxDist
+    * candidates must share (prefix, length-band), where ONE side emits
+    * its own band plus both neighbors (|len_a − len_b| ≤ maxDist
     * < w ⟹ the bands differ by at most 1, so every surviving pair
-    * still shares a key — zero recall change, same final rows). Cost:
-    * 3× the small side's shuffle volume buys blocks cut to their band
-    * slice; the exact length filter and the levenshtein verify are
-    * unchanged. 0 (default) = prefix-only blocking.
+    * still shares a key — zero recall change, same final rows). The
+    * neighbor expansion is side-symmetric, so it lands on whichever
+    * input the optimizer estimates SMALLER — the 3× shuffle-volume cost
+    * buys blocks cut to their band slice without ever tripling the big
+    * side (callers need not order their arguments). The exact length
+    * filter and the levenshtein verify are unchanged. 0 (default) =
+    * prefix-only blocking.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftText: String, rightText: String,
@@ -81,11 +84,20 @@ object Linkage {
           col("__fzl.__bk") === col("__fzr.__bk2"))
       else {
         val band = (c: Column) => floor(length(c) / lengthBand)
-        val lb = lBase.withColumn("__band", band(col(leftText))).alias("__fzl")
-        val rb = rBase
-          .withColumn("__band2", explode(array(
-            band(col(rightText)) - 1, band(col(rightText)),
-            band(col(rightText)) + 1)))
+        val neighbors = (c: Column) =>
+          explode(array(band(c) - 1, band(c), band(c) + 1))
+        // the ±1 expansion is side-symmetric (each pair still meets on
+        // the un-exploded side's single band value — also why no pair
+        // can match twice), so explode whichever input the optimizer
+        // estimates smaller; ties (both unknown) keep the right side
+        val explodeLeft =
+          left.queryExecution.optimizedPlan.stats.sizeInBytes <
+            right.queryExecution.optimizedPlan.stats.sizeInBytes
+        val lb = lBase.withColumn("__band",
+          if (explodeLeft) neighbors(col(leftText)) else band(col(leftText)))
+          .alias("__fzl")
+        val rb = rBase.withColumn("__band2",
+          if (explodeLeft) band(col(rightText)) else neighbors(col(rightText)))
           .alias("__fzr")
         (lb, rb, col("__fzl.__bk") === col("__fzr.__bk2") &&
           col("__fzl.__band") === col("__fzr.__band2"))

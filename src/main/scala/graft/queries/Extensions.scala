@@ -534,6 +534,11 @@ object Extensions {
           lit(v).cast("decimal(18,8)")): _*)
         docs.filter(col("source") =!= "src0")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+          // inner-join semantics (and the oracle's etoks JOIN lm): a doc
+          // with NULL text or zero tokens contributes NO scored row — it
+          // must not surface with log_w=0/NULL and displace negative-weight
+          // docs from the top-50 on a degenerate corpus
+          .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
           .select(col("doc_id"),
             size(col("__toks")).cast(LongType).as("n_tok"),
             round(aggregate(col("__toks"),
@@ -3357,10 +3362,14 @@ object Extensions {
     // id_b) → pointer-doubling cluster closure (q_dedup_clusters'
     // kernel) → survivorship: one entity row per cluster with its
     // record count and the canonical (min-id, i.e. original-tier)
-    // record's length. Candidate generation shuffles only on the
-    // 3-char blocking key; the closure is O(α·E) on the O(dups) pair
-    // set; survivorship is one keyed groupBy + one equi-join back to
-    // the records. ORACLE DOMAIN NOTE: levenshtein byte-vs-codepoint
+    // record's length. Candidate generation shuffles on the scale
+    // default (3-char prefix, length-band) composite key — the banded
+    // key BANDPROOF measured at 25.6× fewer candidate pairs; rows are
+    // band-invariant by the ±1-emission recall argument ExtensionsSpec
+    // pins, so the prefix-only oracle below is unchanged. The closure
+    // is O(α·E) on the O(dups) pair set; survivorship is one keyed
+    // groupBy + one equi-join back to the records. ORACLE DOMAIN
+    // NOTE: levenshtein byte-vs-codepoint
     // divergence is moot on this ASCII fixture (same note as
     // q_fuzzy_join; the Unicode contract is q_fuzzy_join_unicode's).
     Q("q_entity_resolution",
@@ -3378,7 +3387,7 @@ object Extensions {
         val pairs = graft.ops.Linkage.fuzzyJoin(
             recs.select(col("rid").as("id_a"), col("rs").as("s_a")),
             recs.select(col("rid").as("id_b"), col("rs").as("s_b")),
-            "s_a", "s_b", maxDist = 2, prefixLen = 3)
+            "s_a", "s_b", maxDist = 2, prefixLen = 3, lengthBand = 8)
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
         Dedup.clusters(pairs)

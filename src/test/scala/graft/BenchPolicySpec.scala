@@ -50,6 +50,26 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.acceptAsRecord(anyError = false, 1.0, Some(false), sf))
   }
 
+  // ---- retry band + swap gate ------------------------------------------
+
+  test("retry band sits below the accept gate; errored retries never displace clean passes") {
+    // the r11 lesson: a 1.40-drift run passes the 1.5 accept gate yet
+    // still carries ~1.1x inflated figures — the retry TRIGGER must fire
+    // inside the (1.25, 1.5] band, not only above the accept gate
+    assert(Bench.RetryDrift < Bench.RecordAcceptDrift,
+      "retry band must start below the accept gate or mildly-contended " +
+        "runs are adopted without a second chance")
+    assert(Bench.RetryDrift == 1.25)
+    // swap gate: lower drift AND error-free retry wins...
+    assert(Bench.adoptRetry(1.4, 1.05, retryErrorFree = true))
+    // ...a quieter-but-errored retry must never displace a clean pass
+    // (anyError would then reject the record, discarding clean figures)
+    assert(!Bench.adoptRetry(1.4, 1.05, retryErrorFree = false))
+    // ...and a noisier retry never wins regardless
+    assert(!Bench.adoptRetry(1.4, 1.6, retryErrorFree = true))
+    assert(!Bench.adoptRetry(1.4, 1.4, retryErrorFree = true))
+  }
+
   // ---- compact summary line guard -------------------------------------
 
   test("compact bench line parses as JSON with the driver's expected keys") {

@@ -779,6 +779,13 @@ class ExtensionsSpec extends SparkSpec {
     val plain = run(0)
     assert(plain.nonEmpty, "fixture sanity: the typo corpus must match")
     for (w <- Seq(3, 5, 40)) assert(run(w) == plain, s"band=$w diverged")
+    // side symmetry: passing the BIG table as `right` must yield the
+    // mirrored matches — the ±1 neighbor explode lands on whichever
+    // side the optimizer estimates smaller, never blindly on `right`
+    val swapped = graft.ops.Linkage.fuzzyJoin(b, a, "s_b", "s_a",
+        maxDist = 2, prefixLen = 3, lengthBand = 5)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(swapped == plain, "argument order changed the banded matches")
     // hand case pinning the boundary: lengths 9 and 10 straddle the
     // w=5 band edge (bands 1 vs 2) yet sit 1 edit apart — only the
     // neighbor-band emission finds them
@@ -815,5 +822,27 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(cmsClean == exactClean)
     assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
+  }
+
+  test("q_dsir_weights drops NULL-text / zero-token eval docs (inner-join membership)") {
+    // The oracle scores docs via `etoks JOIN lm`: a doc whose unnest yields
+    // no tokens (NULL text) contributes NO row. The array-fold rewrite must
+    // preserve that membership — a NULL/0 log_w row would displace
+    // negative-weight docs from the top-50 on a degenerate corpus. Fixture:
+    // target docs + a tiny eval side (< 50 docs, so every surviving eval
+    // doc reaches the limit) + one NULL-text eval doc.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dsir_degenerate"
+    val base = graft.Tables.documents(spark, sf)
+    val target = base.filter($"source" === "src0")
+    val eval10 = base.filter($"source" === "src1").limit(10)
+    val nullDoc = Seq((999999L, null: String, "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    target.unionByName(eval10).unionByName(nullDoc)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .select("doc_id", "log_w").as[(Long, Option[Double])].collect().toSeq
+    assert(out.length == 10, s"expected the 10 scoreable eval docs, got ${out.length}")
+    assert(!out.exists(_._1 == 999999L), "NULL-text doc must not surface")
+    assert(out.forall(_._2.isDefined), "no NULL log_w rows may be emitted")
   }
 }
