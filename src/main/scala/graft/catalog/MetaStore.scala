@@ -40,9 +40,11 @@ class MetaStore(spark: SparkSession, root: String) {
   // job per request, so collected snapshots are cached here and
   // invalidated by every write — all writes flow through `overwrite` or
   // an `init*`, making those the two invalidation choke points. The
-  // cache is per-process, matching the single-writer serving model (an
-  // out-of-band writer to the same catalog root needs its own process's
-  // store, exactly as the reference's app holds its own DB session).
+  // cache is per-process: another process's write (safe under
+  // CatalogLock) shows up here on the next post-local-write refresh,
+  // the usual read-your-own-writes serving model (the reference's app
+  // likewise serves from its own DB session). Mutations never read the
+  // cache — every RMW re-reads parquet under the lock.
 
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
 
@@ -55,21 +57,23 @@ class MetaStore(spark: SparkSession, root: String) {
   // ---- write serialization ----------------------------------------------
   // Every mutator is a read-modify-WRITE over a whole registry table;
   // two interleaved mutators would lose one of the updates (the
-  // reference delegates this to Postgres row transactions). One
-  // store-level mutex enforces single-writer WITHIN this MetaStore
-  // instance — writes are rare (sync outcomes, PATCH/DELETE, registry
+  // reference delegates this to Postgres row transactions). Mutations
+  // run under [[CatalogLock]] — a filesystem lock under the catalog
+  // root, so single-writer holds across THREADS, across MetaStore
+  // INSTANCES, and across PROCESSES sharing one root (the lock's JVM
+  // tier serializes in-process contenders before any of them reach the
+  // filesystem). Writes are rare (sync outcomes, PATCH/DELETE, registry
   // upserts) and each already costs a parquet commit, so a coarse lock
   // is the honest price; reads and snapshot serving never take it.
-  // SCOPE: the lock is per-instance and JVM-local. Two MetaStore
-  // instances over the same root (or two processes) can still interleave
-  // read-modify-write and lose an update — the deployment contract is
-  // ONE store instance per catalog root (the serving layer already
-  // routes every mutation through its single store); cross-process
-  // safety would need a filesystem lock or conditional-rename commit.
-  // MetaStoreSpec pins lost-update freedom under concurrent writers on
-  // one instance.
-  private val writeLock = new Object
-  private def mutate[T](body: => T): T = writeLock.synchronized(body)
+  // Every RMW body re-READS its registry from parquet while holding the
+  // lock, so it always extends the latest committed state — the
+  // driver-side snapshot cache below never feeds a mutation.
+  // MetaStoreSpec pins lost-update freedom for racing threads on one
+  // instance AND for racing DISTINCT instances over one root.
+  private def mutate[T](body: => T): T = {
+    val (fs, rootPath) = graft.etl.Refresh.hfs(spark, root)
+    CatalogLock.withLock(fs, rootPath)(body)
+  }
 
   /** Cached driver-side rows, refreshed lazily after any write through
     * this store. Total order by id, so pagination over the snapshot is
@@ -97,7 +101,11 @@ class MetaStore(spark: SparkSession, root: String) {
     * single-writer like every catalog commit); `currentMax` folds in
     * pre-sequence catalogs on first use.
     */
-  def nextId(table: String, currentMax: Long): Long = synchronized {
+  def nextId(table: String, currentMax: Long): Long = mutate {
+    // under the same catalog lock as every registry RMW (reentrant when
+    // called mid-mutation, e.g. createOrGetUser): the high-water-mark
+    // read-modify-rename must not interleave across processes either,
+    // or two drivers mint the same id
     val (fs, _) = graft.etl.Refresh.hfs(spark, root)
     val p = new org.apache.hadoop.fs.Path(root, s"_seq_$table")
     val prev =

@@ -148,4 +148,90 @@ class MetaStoreSpec extends SparkSpec {
     assert(rows(2L).filename == "renamed-by-racer.parquet",
       "the cross-row PATCH was erased by a concurrent writer")
   }
+
+  test("two DISTINCT store instances over one root never lose an update") {
+    // the r11 gap: the old write mutex was per-instance and JVM-local,
+    // so two MetaStore instances (the two-driver deployment the
+    // reference handles with Postgres transactions) could interleave
+    // read-modify-write. CatalogLock must serialize them: 2 instances
+    // × 2 threads × 5 counter increments + a create-or-get through
+    // EACH instance and a recordSyncResult through each — all visible
+    // in the final committed registry.
+    val root = java.nio.file.Files.createTempDirectory("metastore2i").toString
+    val a = new MetaStore(spark, root)
+    val b = new MetaStore(spark, root)
+    val t0 = ts("2024-03-01 00:00:00")
+    a.initHyperFiles(Seq(
+      HyperFileMeta(1L, 10L, 100L, "a.parquet", FileStatus.FileAvailable,
+        isActive = true, Map("ctr" -> "0", MetaKeys.SyncFailures -> "0"), t0),
+      HyperFileMeta(2L, 10L, 200L, "b.parquet", FileStatus.FileAvailable,
+        isActive = true, Map(MetaKeys.SyncFailures -> "0"), t0)))
+    val writers = Seq(a, b, a, b).map { store =>
+      new Thread(() =>
+        (1 to 5).foreach { _ =>
+          store.update(1L, t0) { f =>
+            val n = f.metaData("ctr").toInt + 1
+            f.copy(metaData = f.metaData + ("ctr" -> n.toString))
+          }
+        })
+    }
+    val creators = Seq(a, b).zipWithIndex.map { case (store, i) =>
+      new Thread(() => {
+        store.createOrGet(Seq(HyperFileMeta(10L + i, 20L + i, 300L,
+          s"new$i.parquet", FileStatus.Queued, isActive = true,
+          Map.empty, t0)).toDS()); ()
+      })
+    }
+    val syncers = Seq(a, b).map { store =>
+      new Thread(() => store.recordSyncResult(2L, success = false, t0, "boom"))
+    }
+    val all = writers ++ creators ++ syncers
+    all.foreach(_.start())
+    all.foreach(_.join(240000))
+    assert(all.forall(!_.isAlive), "a racing writer deadlocked")
+    // read through a THIRD instance so no snapshot cache flatters us
+    val rows = new MetaStore(spark, root).readHyperFiles()
+      .collect().map(f => f.id -> f).toMap
+    assert(rows(1L).metaData("ctr") == "20",
+      s"lost updates across instances: ctr=${rows(1L).metaData("ctr")}, want 20")
+    assert(rows.keySet == Set(1L, 2L, 10L, 11L),
+      s"a create-or-get was erased: ${rows.keySet}")
+    assert(rows(2L).metaData(MetaKeys.SyncFailures) == "2",
+      s"a sync-failure bump was lost: ${rows(2L).metaData(MetaKeys.SyncFailures)}")
+  }
+
+  test("CatalogLock: stale locks are evicted, fresh locks block, reentry passes through") {
+    val dir = java.nio.file.Files.createTempDirectory("catlock").toString
+    val (fs, root) = graft.etl.Refresh.hfs(spark, dir)
+    val lockPath = new org.apache.hadoop.fs.Path(root, "_catalog.lock")
+    // stale takeover: a lock whose holder died (mtime far in the past)
+    // must not stall writers — acquisition evicts it and proceeds
+    val out = fs.create(lockPath, false)
+    out.write("dead-holder:0".getBytes("UTF-8")); out.close()
+    fs.setTimes(lockPath, System.currentTimeMillis() - 3600000L, -1)
+    val got = CatalogLock.withLock(fs, root, staleMs = 1000L) { 42 }
+    assert(got == 42)
+    assert(!fs.exists(lockPath), "lock not released after eviction+hold")
+    // reentrancy: a mutator allocating an id mid-mutation (nextId inside
+    // createOrGetUser) must pass straight through, not self-deadlock
+    val nested = CatalogLock.withLock(fs, root) {
+      CatalogLock.withLock(fs, root) { "inner" }
+    }
+    assert(nested == "inner")
+    // a FRESH lock blocks a second acquirer until released
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      CatalogLock.withLock(fs, root) {
+        gate.countDown(); Thread.sleep(300); order.add("holder-done"); ()
+      })
+    holder.start()
+    gate.await()
+    val waiter = new Thread(() =>
+      CatalogLock.withLock(fs, root) { order.add("waiter-ran"); () })
+    waiter.start()
+    holder.join(60000); waiter.join(60000)
+    assert(order.toArray.toSeq == Seq("holder-done", "waiter-ran"),
+      s"waiter entered while the lock was held: ${order.toArray.toSeq}")
+  }
 }
