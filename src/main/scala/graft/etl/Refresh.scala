@@ -96,9 +96,16 @@ object Refresh {
     * extract survives. A crash BETWEEN the two swap renames is healed by
     * [[recoverHalfSwap]] on the next write or catalog read. Same
     * single-write cost as [[overwrite]] (the swap is metadata renames).
+    *
+    * `beforeSwap` runs against the STAGING directory after the data is
+    * fully written and before the swap — the hook for sidecar files
+    * (e.g. the PQ codebooks) that must land ATOMICALLY with the data:
+    * written into staging, they ride the same rename, so no crash can
+    * commit data without its sidecar or vice versa.
     */
   def overwriteStaged(df: DataFrame, path: String,
-                      partitionByCols: Seq[String] = Nil): Long = {
+                      partitionByCols: Seq[String] = Nil,
+                      beforeSwap: Path => Unit = _ => ()): Long = {
     val spark = df.sparkSession
     val (fs, target) = hfs(spark, path)
     // a crashed prior swap may have left the extract at __old only —
@@ -108,6 +115,7 @@ object Refresh {
     val w = df.write.mode("overwrite")
     val w2 = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
     w2.parquet(staging.toString)
+    beforeSwap(staging)
     swapInto(fs, staging, target)
     spark.read.parquet(path).count()
   }

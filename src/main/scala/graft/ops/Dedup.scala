@@ -399,12 +399,17 @@ object Dedup {
     * signed exactly once, and each increment costs one narrow signature
     * pass over the batch plus a band-keyed join against index rows.
     * Storage through the Hadoop FS API (`s3a://`-capable) like every
-    * extract ([[graft.etl.Refresh]]).
+    * extract ([[graft.etl.Refresh]]). Rebuilds over a live index path
+    * stage-and-swap ([[graft.etl.Refresh.overwriteStaged]]): the old
+    * index keeps serving incremental dedup until the new one commits.
     */
   def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
-                     path: String, k: Int = 6, bandRows: Int = 2): Unit =
-    lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows)
-      .write.mode("overwrite").parquet(path)
+                     path: String, k: Int = 6, bandRows: Int = 2): Unit = {
+    graft.etl.Refresh.overwriteStaged(
+      lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows),
+      path)
+    ()
+  }
 
   /** Append a new batch's bands to an existing index (after the batch is
     * accepted into the corpus, so the NEXT increment dedups against it).

@@ -166,11 +166,17 @@ object Similarity {
     * (PartitionFilters), so non-probed data is never read — the property
     * PlanSpec pins. Bucket count 2^nPlanes sizes partition granularity;
     * keep it well below the store's file-listing comfort zone.
+    *
+    * REBUILD over a live path goes through the staged swap: the old
+    * index stays probe-able until the new one is completely written — a
+    * plain overwrite would delete it first, and a crashed rebuild would
+    * take the serving index down with it (the same hazard class the
+    * extract refreshes closed in r11).
     */
   def writeLshIndex(vectors: DataFrame, vecCol: String, path: String,
                     nPlanes: Int, dim: Int): Long = {
     val planes = hyperplanes(nPlanes, dim)
-    graft.etl.Refresh.overwrite(
+    graft.etl.Refresh.overwriteStaged(
       vectors.withColumn("bucket", lshBucket(col(vecCol), planes)),
       path, partitionByCols = Seq("bucket"))
   }
@@ -316,6 +322,9 @@ object Similarity {
     * built once and probed forever, so the refinement's extra build
     * scans are amortized where they pay most — `kmeansIters = 0` keeps
     * the deterministic id-rank seed for oracle-anchored replays.
+    *
+    * Rebuilds stage-and-swap like [[writeLshIndex]]: the live index
+    * survives a crashed or cancelled rebuild.
     */
   def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
                     path: String, m: Int = 16,
@@ -323,7 +332,7 @@ object Similarity {
     val centroids =
       if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
       else ivfCentroids(vectors, idCol, vecCol, m)
-    graft.etl.Refresh.overwrite(
+    graft.etl.Refresh.overwriteStaged(
       ivfAssign(vectors, idCol, vecCol, centroids)
         .withColumnRenamed("__cell", "cell").drop("__sim"),
       path, partitionByCols = Seq("cell"))
@@ -357,9 +366,12 @@ object Similarity {
     * index, the standard billion-scale serving layout. Doubles
     * round-trip the sidecar exactly (`Double.toString`/`parseDouble`),
     * so a probe's ADC arithmetic is bit-identical to an in-memory run.
-    * The sidecar lands after the data overwrite; a crash between the
-    * two leaves an index [[probePqIndex]] rejects loudly (missing
-    * sidecar), never one it misreads.
+    * The sidecar is written INTO the staging directory before the
+    * atomic swap (the `beforeSwap` hook of
+    * [[graft.etl.Refresh.overwriteStaged]]), so codes and codebooks
+    * commit together: no crash can publish data without its quantizer
+    * or a new quantizer over old codes — and a crashed rebuild leaves
+    * the previous index (data AND sidecar) fully probe-able.
     */
   def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
                    path: String, pqM: Int = 4, pqKs: Int = 8,
@@ -377,14 +389,16 @@ object Similarity {
         ivfCentroidsKMeans(vectors, idCol, vecCol, ivfCells, kmeansIters)
       else if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
       else Array.empty[(Long, Array[Double])]
+    val sidecarIntoStaging = (staging: org.apache.hadoop.fs.Path) =>
+      writePqSidecar(spark, staging.toString, pqM, pqKs, cb, cents)
     if (ivfCells > 0)
-      graft.etl.Refresh.overwrite(
+      graft.etl.Refresh.overwriteStaged(
         ivfAssign(vectors, idCol, vecCol, cents)
           .select(col(idCol), codes, col("__cell").as("cell")),
-        path, partitionByCols = Seq("cell"))
+        path, partitionByCols = Seq("cell"), beforeSwap = sidecarIntoStaging)
     else
-      graft.etl.Refresh.overwrite(vectors.select(col(idCol), codes), path)
-    writePqSidecar(spark, path, pqM, pqKs, cb, cents)
+      graft.etl.Refresh.overwriteStaged(vectors.select(col(idCol), codes),
+        path, beforeSwap = sidecarIntoStaging)
     cb
   }
 

@@ -77,4 +77,67 @@ class PqIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sidecar"))
   }
+
+  // ---- staged rebuilds (shared by LSH / IVF / PQ / band writers) --------
+
+  test("a rebuild KILLED mid-write leaves the live index fully probe-able") {
+    // r11 closed this hazard class for extracts; r12 routes the index
+    // writers through the same staged swap. A plain mode("overwrite")
+    // deletes the serving index before the new files commit — a crashed
+    // rebuild would take ANN serving down until the next success.
+    val path = tmp("lsh_kill")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeLshIndex(vecs, "embedding", path, nPlanes = 4, dim = 64)
+    val query = emb.orderBy("vec_id").limit(1)
+      .select("v").as[Seq[Double]].head().toArray
+    def probe() = Similarity.probeLshIndex(spark, path, "vec_id",
+        "embedding", query, k = 5, nPlanes = 4)
+      .as[(Long, Double)].collect().toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // rebuild whose write tasks hang; killed via its job group
+    val hanging = vecs.as[(Long, Array[Float])]
+      .mapPartitions { it => Thread.sleep(600000L); it }
+      .toDF("vec_id", "embedding")
+    val t = new Thread(() => {
+      spark.sparkContext.setJobGroup("lsh-rebuild-kill", "killed rebuild", true)
+      try {
+        Similarity.writeLshIndex(hanging, "embedding", path, nPlanes = 4, dim = 64)
+        ()
+      } catch { case _: Throwable => () }
+      finally spark.sparkContext.clearJobGroup()
+    })
+    t.start()
+    Thread.sleep(3000) // let the staging write job start its (hung) tasks
+    spark.sparkContext.cancelJobGroup("lsh-rebuild-kill")
+    t.join(120000)
+    assert(!t.isAlive, "killed rebuild did not unwind")
+    // the committed index survives: identical probe, identical rows
+    assert(probe() == before, "the live index was damaged by a killed rebuild")
+    // and a SUBSEQUENT rebuild over the staging debris succeeds cleanly
+    Similarity.writeLshIndex(vecs, "embedding", path, nPlanes = 4, dim = 64)
+    assert(probe() == before)
+    assert(!new java.io.File(path + "__staging").exists(),
+      "staging dir must be consumed by the successful swap")
+  }
+
+  test("a PQ rebuild swaps data and sidecar together (atomic geometry change)") {
+    val path = tmp("pq_swap")
+    Similarity.writePqIndex(emb, "vec_id", "v", path, pqM = 4, pqKs = 8)
+    val (m1, _, _, _) = Similarity.readPqSidecar(spark, path)
+    assert(m1 == 4)
+    // rebuild with a DIFFERENT quantizer geometry: data and sidecar must
+    // flip in one rename — a new quantizer over old codes (or vice
+    // versa) would silently corrupt every ADC distance
+    Similarity.writePqIndex(emb, "vec_id", "v", path, pqM = 2, pqKs = 4)
+    val (m2, ks2, cb2, _) = Similarity.readPqSidecar(spark, path)
+    assert(m2 == 2 && ks2 == 4 && cb2.length == 2)
+    val query = emb.orderBy("vec_id").limit(1)
+      .select("v").as[Seq[Double]].head().toArray
+    val got = Similarity.probePqIndex(spark, path, "vec_id", query, k = 3)
+      .as[(Long, Double)].collect()
+    assert(got.length == 3, "post-rebuild probe must serve from the new geometry")
+    assert(!new java.io.File(path + "__staging").exists())
+  }
 }
