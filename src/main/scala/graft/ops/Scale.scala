@@ -109,6 +109,44 @@ object Scale {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
 
+  /** The diagnose half of the diagnose→treat loop with [[saltedJoin]]:
+    * one skew-audit scan of `df` on the join keys, returning the salt
+    * fan-out the HOTTEST key needs — `ceil(maxKeyCount · nKeys / total)`,
+    * i.e. how many subkeys spread that key's rows back to the mean key
+    * load (the per-key `salt_factor` the q_skew_audit query reports,
+    * taken at its max). Uniform keys audit to 1 (salting would buy
+    * nothing); a key holding half the corpus audits to ~nKeys/2.
+    *
+    * Cost: one map-side-combined groupBy on the keys and a 1-row
+    * aggregate — the same shape as the audit query, safe to run ahead
+    * of any 100 TB join. The result is driver-sized (one Int).
+    */
+  def saltFactorFor(df: DataFrame, keys: Seq[String]): Int = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val row = counts.agg(max(col("__n")).as("__mx"),
+      sum(col("__n")).as("__tot"), count(lit(1)).as("__nk")).head()
+    if (row.isNullAt(0)) 1 // empty input: any fan-out is a no-op; keep 1
+    else math.max(1L, math.ceil(
+      row.getLong(0).toDouble * row.getLong(2) / row.getLong(1)).toLong).toInt
+  }
+
+  /** [[saltedJoin]] with the fan-out chosen BY the audit instead of a
+    * caller guess: `n = saltFactorFor(large, keys)`. The audit scan only
+    * runs when the join would actually shuffle (a broadcast-size small
+    * side skips straight to the broadcast plan, where salting is moot).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 entropy: Column, joinType: String): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.graftshim.Shim.autoBroadcastThreshold(large.sparkSession)
+    val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && smallBytes <= threshold)
+      saltedJoin(large, small, keys, entropy, n = 1, joinType)
+    else
+      saltedJoin(large, small, keys, entropy,
+        n = saltFactorFor(large, keys), joinType, forceSalt = true)
+  }
+
   /** Skew-safe equi-join of a large skewed side against a small side:
     * the large side gets a deterministic salt, the small side is
     * replicated once per salt value, and the join key becomes

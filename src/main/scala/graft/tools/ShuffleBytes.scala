@@ -29,14 +29,24 @@ object ShuffleBytes {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_SHUFFLE_STAGES=1 adds a per-stage breakdown (bytes,
+    // records, task time per completed stage) — the attribution a
+    // "which shuffle dominates" floor analysis needs
+    val perStage = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_STAGES", "0") == "1"
     names.foreach { name =>
       val bytes = new AtomicLong
       val records = new AtomicLong
+      val stages =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long, Long, Int)]()
       val listener = new SparkListener {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics.shuffleWriteMetrics
           bytes.addAndGet(m.bytesWritten)
           records.addAndGet(m.recordsWritten)
+          stages.add((sc.stageInfo.stageId, m.bytesWritten, m.recordsWritten,
+            sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            sc.stageInfo.taskMetrics.executorRunTime,
+            sc.stageInfo.numTasks))
           ()
         }
       }
@@ -50,6 +60,12 @@ object ShuffleBytes {
       spark.catalog.clearCache()
       println(f"[shuffle] $name rows=$n shuffle_bytes=${bytes.get} " +
         f"shuffle_records=${records.get} sec=$sec%.2f")
+      if (perStage)
+        stages.toArray(Array.empty[(Int, Long, Long, Long, Long, Int)])
+          .sortBy(_._1).foreach { case (id, b, r, rd, rt, nt) =>
+            println(s"[stage] $name stage=$id write_bytes=$b write_records=$r " +
+              s"read_bytes=$rd task_ms=$rt tasks=$nt")
+          }
     }
     spark.stop()
   }

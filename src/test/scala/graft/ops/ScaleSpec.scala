@@ -70,6 +70,37 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("salt"))
   }
 
+  test("saltFactorFor audits the hot key; the audited join treats it and stays row-identical") {
+    // diagnose → treat: the audit scan recommends the fan-out the
+    // hottest key needs; the n-less saltedJoin overload applies it.
+    // Hot-key fixture: one key holds half the rows across 10 keys, so
+    // its salt_factor is ceil(500 * 10 / ~1000) ≈ 5.
+    val large = spark.range(1000).select(
+      when($"id" < 500, lit(0L)).otherwise($"id" % 9 + 1).as("k"),
+      $"id".as("payload"))
+    val audited = Scale.saltFactorFor(large, Seq("k"))
+    assert(audited >= 5, s"hot key must audit to >= 5 subkeys, got $audited")
+    // uniform keys audit to 1 — salting a healthy join buys nothing
+    val uniform = spark.range(1000).select(($"id" % 10).as("k"))
+    assert(Scale.saltFactorFor(uniform, Seq("k")) == 1)
+    // the audited overload picks n >= the recommendation internally and
+    // the result is row-identical to the plain join
+    val small = spark.range(10).select($"id".as("k"), concat(lit("v"), $"id").as("name"))
+    val plain = large.join(small, Seq("k"))
+      .select("payload", "name").as[(Long, String)].collect().sorted.toSeq
+    // shrink the broadcast threshold so the audited path actually engages
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val treated = Scale.saltedJoin(large, small, Seq("k"),
+        entropy = $"payload", joinType = "inner")
+      assert(treated.queryExecution.executedPlan.toString.contains("Generate"),
+        "the audited join must have engaged the salted path")
+      assert(treated.select("payload", "name")
+        .as[(Long, String)].collect().sorted.toSeq == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft"), s"warehouse must be a scratch dir, got $wh")
