@@ -68,6 +68,38 @@ object Refresh {
     fs.delete(old, true)
   }
 
+  /** Keep an extract directory READABLE even when a write emitted zero
+    * rows: a parquet write of an empty frame leaves only _SUCCESS (and
+    * a partitioned one not even a single partition directory), so the
+    * next schemaless read throws UNABLE_TO_INFER_SCHEMA — the first
+    * dead tenant or freshly-truncated source would break every
+    * downstream reader of that extract. When (and only when) the
+    * freshly-written directory holds no data file, append ONE empty
+    * parquet file carrying `schema`, so the extract reads as an empty
+    * table of the right shape. Partition columns ride INSIDE the
+    * marker file; with zero partition directories present there is
+    * nothing to overlap with. No-op whenever any data file exists
+    * (the first real data file of a later append supersedes nothing —
+    * the marker holds zero rows; a later OVERWRITE clears it).
+    */
+  def ensureReadable(spark: SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, target) = hfs(spark, path)
+    def hasDataFile(p: Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        if (st.isDirectory) hasDataFile(st.getPath)
+        else {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+    if (fs.exists(target) && !hasDataFile(target)) {
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+  }
+
   /** Overwrite `path` with `df` as parquet and return the row count of the
     * written extract (read back, as the reference's COPY count does).
     *
@@ -82,6 +114,7 @@ object Refresh {
     val w = df.write.mode("overwrite")
     val w2 = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
     w2.parquet(path)
+    ensureReadable(df.sparkSession, path, df.schema)
     // count() over freshly-written parquet is served from footer row-group
     // metadata (no column data is scanned).
     df.sparkSession.read.parquet(path).count()
@@ -115,6 +148,7 @@ object Refresh {
     val w = df.write.mode("overwrite")
     val w2 = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
     w2.parquet(staging.toString)
+    ensureReadable(spark, staging.toString, df.schema)
     beforeSwap(staging)
     swapInto(fs, staging, target)
     spark.read.parquet(path).count()
@@ -146,6 +180,7 @@ object Refresh {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionByCols: _*)
         .parquet(path)
+      ensureReadable(df.sparkSession, path, df.schema)
       cached.count()
     } finally cached.unpersist(blocking = false)
   }
@@ -364,6 +399,7 @@ object Refresh {
       else df.repartitionByRange(cols: _*)
     ranged.sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
+    ensureReadable(df.sparkSession, path, df.schema)
     df.sparkSession.read.parquet(path).count()
   }
 
@@ -418,6 +454,7 @@ object Refresh {
       else withZ.repartitionByRange(col("__z"))
     ranged.sortWithinPartitions("__z").drop("__z")
       .write.mode("overwrite").parquet(path)
+    ensureReadable(df.sparkSession, path, df.schema)
     df.sparkSession.read.parquet(path).count()
   }
 }

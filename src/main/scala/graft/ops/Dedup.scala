@@ -715,6 +715,16 @@ object Dedup {
     try {
       val hashed = benchShingles.select(xxhash64(col("shingle")).as("h"))
       val items = if (expectedItems >= 0) expectedItems else hashed.count()
+      if (items == 0L) {
+        // an EMPTY benchmark contaminates nothing — and Spark's
+        // bloomFilter aggregate over zero rows returns a null buffer
+        // that NPEs downstream (a truncated bench table would kill the
+        // whole decontamination job instead of passing everything)
+        val hits = docs.select(col(idCol).as("id")).limit(0)
+          .withColumn("n_overlap", lit(0L))
+        return eagerly(contaminationReport(docs, idCol, textCol, n, hits),
+          benchShingles)
+      }
       val bf = hashed.stat.bloomFilter("h", math.max(items, 1L), fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

@@ -78,12 +78,16 @@ object Layout {
     // silently, only failing when the first box query runs
     require(k >= 1 && k <= bits, s"need 1 <= k <= bits, got k=$k bits=$bits")
     val s = bits - k
-    df.withColumn("zbucket",
-        zorder2(shiftright(col(xCol).cast("long"), s),
-          shiftright(col(yCol).cast("long"), s), k))
+    val withBucket = df.withColumn("zbucket",
+      zorder2(shiftright(col(xCol).cast("long"), s),
+        shiftright(col(yCol).cast("long"), s), k))
+    withBucket
       .repartition(col("zbucket"))
       .sortWithinPartitions(zorder2(col(xCol), col(yCol), bits))
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    // an empty corpus writes zero partition dirs — leave the layout
+    // readable as an empty table (see Refresh.ensureReadable)
+    graft.etl.Refresh.ensureReadable(df.sparkSession, path, withBucket.schema)
   }
 
   /** Incremental upsert into a [[writeZClustered]] layout, keyed on

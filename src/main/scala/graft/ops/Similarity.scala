@@ -208,13 +208,24 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[(Long, Array[Double])]): DataFrame = {
+    // ZERO centroids (an empty corpus seeds none): there is no cell to
+    // assign — NULL cell/sim, never a planner throw (greatest() needs
+    // >= 1 arg). On the empty corpus that built them this is zero rows;
+    // a caller passing empty centroids over live data sees NULL-cell
+    // rows it can observe, not a silent drop.
+    if (centroids.isEmpty)
+      return vectors.withColumn("__cell", lit(null).cast("bigint"))
+        .withColumn("__sim", lit(null).cast("double"))
     // argmax over m centroid similarities, computed as a greatest() over
     // struct(sim, cell) pairs — single scan, no shuffle, codegen'd
     val cells = centroids.map { case (cellId, c) =>
       struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
         lit(cellId).as("cell"))
     }
-    vectors.withColumn("__best", greatest(cells: _*))
+    // greatest() requires >= 2 args; one centroid (a 1-row corpus) is
+    // trivially its own argmax
+    val best = if (cells.length == 1) cells.head else greatest(cells: _*)
+    vectors.withColumn("__best", best)
       .withColumn("__cell", col("__best.cell"))
       .withColumn("__sim", col("__best.sim")) // winning similarity — free
       // here, and cell-quality diagnostics need it (q_ivf_stats)
@@ -805,6 +816,18 @@ object Similarity {
                                 centroids: Array[(Long, Array[Double])],
                                 nProbe: Int,
                                 corpusCols: Seq[Column]): DataFrame = {
+    // zero centroids ⟺ the corpus that seeded them is empty (both
+    // callers derive centroids FROM the corpus): no cells to probe, no
+    // candidates — and an empty struct-array literal would not even
+    // analyze (VOID element type). Same-schema empty frame out.
+    if (centroids.isEmpty) {
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__cell", lit(null).cast("bigint")).filter(lit(false))
+      val c = corpus.select(col(idCol).as("match_id") +: corpusCols :+
+          lit(null).cast("bigint").as("__cell"): _*)
+        .filter(lit(false))
+      return q.join(c, Seq("__cell"))
+    }
     // (−sim, −cell) ascending == sim desc with the LARGER cell winning
     // ties — the same side [[ivfAssign]]'s greatest(struct(sim, cell))
     // and nearestCells (ivfTopK / probeIvfIndex / probePqIndex) take, so

@@ -268,7 +268,11 @@ object Extensions {
           (size(filter(TextAnalysis.tokens(col("text")),
             t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast("double") /
             size(TextAnalysis.tokens(col("text"))).cast("double")).as("swr"))
-        val thr = feats.agg(expr("percentile(swr, 0.25)")).head().getDouble(0)
+        // percentile over an EMPTY corpus is NULL (a dead tenant must
+        // yield 0 rows, not a ROW_VALUE_IS_NULL throw); swr >= NULL is
+        // never true, matching the oracle's NULL-subquery comparison
+        val thrRow = feats.agg(expr("percentile(swr, 0.25)")).head()
+        val thr: Any = if (thrRow.isNullAt(0)) null else thrRow.getDouble(0)
         feats.filter(col("swr") >= thr)
           .select(col("doc_id"), round(col("swr"), 5).as("swr"))
           .orderBy("doc_id")
@@ -1083,9 +1087,11 @@ object Extensions {
     Q("q_ann_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // headOption: an empty corpus has no query vector and must yield
+        // 0 rows (corpus side is empty too), never head-of-empty throw
         val query = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>")).head()
-          .getSeq[Double](0).toArray
+          .select(col("embedding").cast("array<double>")).collect().headOption
+          .map(_.getSeq[Double](0).toArray).getOrElse(Array.fill(64)(0.0))
         Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
             "vec_id", "embedding", query, k = 10)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -1319,9 +1325,11 @@ object Extensions {
     Q("q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // headOption: empty corpus → 0 rows, never head-of-empty (the
+        // q_ann_bruteforce note)
         val query = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>")).head()
-          .getSeq[Double](0).toArray
+          .select(col("embedding").cast("array<double>")).collect().headOption
+          .map(_.getSeq[Double](0).toArray).getOrElse(Array.fill(64)(0.0))
         Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
             "vec_id", "embedding", query, k = 10, nPlanes = 4, probeRadius = 2)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -1701,7 +1709,15 @@ object Extensions {
     Q("q_binary_files",
       (s, d) => {
         val dir = Fixtures.ensureBlobs(s, d)
-        s.read.format("binaryFile").load(s"$dir/*.bin")
+        // an EMPTY landing directory (no crawl output yet) is 0 rows,
+        // not a PATH_NOT_FOUND throw from the unmatched glob
+        val any = new java.io.File(dir).listFiles()
+        val hasBlobs = any != null && any.exists(_.getName.endsWith(".bin"))
+        val files =
+          if (hasBlobs) s.read.format("binaryFile").load(s"$dir/*.bin")
+          else s.read.format("binaryFile")
+            .load(dir).filter(lit(false)) // schema-stable empty frame
+        files
           .select(element_at(split(col("path"), "/"), -1).as("fname"),
             col("length"), md5(col("content")).as("digest"))
           .orderBy("fname")

@@ -8,6 +8,34 @@ import graft.SparkSpec
 class EtlSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
+  test("an empty write leaves a READABLE empty extract, partitioned or not") {
+    // a parquet write of zero rows emits no data files — a schemaless
+    // reader of the extract then dies with UNABLE_TO_INFER_SCHEMA. The
+    // first dead tenant / truncated source must read as an EMPTY TABLE
+    // of the right shape (DegenerateSweep's empty mode found this on
+    // every write-then-read query). ensureReadable backs every Refresh
+    // writer.
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "payload", "part")
+    for ((name, write) <- Seq[(String, (org.apache.spark.sql.DataFrame, String) => Any)](
+        "overwrite" -> ((df, p) => Refresh.overwrite(df, p)),
+        "overwrite_partitioned" -> ((df, p) => Refresh.overwrite(df, p, Seq("part"))),
+        "overwriteStaged" -> ((df, p) => Refresh.overwriteStaged(df, p)),
+        "overwritePartitions" -> ((df, p) => Refresh.overwritePartitions(df, p, Seq("part"))),
+        "overwriteSorted" -> ((df, p) => Refresh.overwriteSorted(df, p, Seq("id"))))) {
+      val path = java.nio.file.Files.createTempDirectory(s"empty_$name").toString + "/extract"
+      write(empty, path)
+      val back = spark.read.parquet(path) // schemaless — must infer
+      assert(back.count() == 0, s"$name: expected empty extract")
+      assert(back.columns.toSeq == Seq("id", "payload", "part"),
+        s"$name: schema lost on empty write: ${back.columns.toSeq}")
+    }
+    // and a NON-empty write stays marker-free (no extra empty file)
+    val path2 = java.nio.file.Files.createTempDirectory("nonempty").toString + "/e"
+    Refresh.overwrite(Seq((1L, "a", "x")).toDF("id", "payload", "part"), path2, Seq("part"))
+    assert(spark.read.parquet(path2).count() == 1)
+  }
+
   test("incremental refresh merges delta by key: updates win, inserts append") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("incr").toString + "/extract"

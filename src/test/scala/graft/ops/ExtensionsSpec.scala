@@ -824,6 +824,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
   }
 
+  test("ANN/decontamination paths survive degenerate corpora (zero/one centroid, empty bench)") {
+    // DegenerateSweep findings, pinned as units: an empty corpus seeds
+    // zero IVF centroids (greatest() with 0 args won't even analyze), a
+    // 1-row corpus seeds one (greatest() needs >= 2), and an empty
+    // benchmark NPEs Spark's bloom aggregate. Each must degrade to the
+    // right EMPTY/identity answer, never a throw.
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val a0 = Similarity.ivfAssign(emptyVecs, "vec_id", "embedding", Array.empty)
+    assert(a0.count() == 0 && a0.columns.contains("__cell"))
+    val one = Seq((7L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val a1 = Similarity.ivfAssign(one, "vec_id", "embedding",
+        Array(0L -> Array(1.0, 0.0)))
+      .select("vec_id", "__cell").as[(Long, Long)].collect().toSeq
+    assert(a1 == Seq((7L, 0L)))
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfJoin(q, emptyVecs, "vec_id", "embedding",
+      k = 3, m = 8).count() == 0)
+    // empty benchmark: bloom path must equal the exact path (everything
+    // uncontaminated), not NPE on the null bloom buffer
+    val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val exact = Dedup.contamination(docs, bench, "doc_id", "text", n = 2)
+      .orderBy("id").collect().toSeq
+    val bloom = Dedup.bloomContamination(docs, bench, "doc_id", "text", n = 2)
+      .orderBy("id").collect().toSeq
+    assert(bloom == exact && exact.length == 2)
+    assert(exact.forall(_.getLong(2) == 0L), "empty bench must contaminate nothing")
+  }
+
   test("q_dsir_weights drops NULL-text / zero-token eval docs (inner-join membership)") {
     // The oracle scores docs via `etoks JOIN lm`: a doc whose unnest yields
     // no tokens (NULL text) contributes NO row. The array-fold rewrite must
