@@ -79,6 +79,9 @@ object SparkEntry {
     "q_bigram_lm_hashed",
     // r11: skew diagnostic, embedding-tier decontamination, composed
     // entity resolution
-    "q_skew_audit", "q_semantic_decontaminate", "q_entity_resolution"
+    "q_skew_audit", "q_semantic_decontaminate", "q_entity_resolution",
+    // r12: hybrid retrieval — BM25 lexical ranking + reciprocal-rank
+    // fusion with the unigram-LM fluency leg
+    "q_bm25", "q_rrf_fusion"
   ).filter(queries.contains)
 }

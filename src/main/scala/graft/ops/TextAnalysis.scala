@@ -291,6 +291,57 @@ object TextAnalysis {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** BM25 relevance of every document to a bag of query terms — the
+    * standard lexical-retrieval score (Robertson/Spärck Jones; the
+    * ranking half of every hybrid retrieval stack a training-data
+    * pipeline uses to mine topical subsets):
+    * score(D,Q) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)),
+    * IDF(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale posture: the ONLY data-scale shuffle is the query-term-
+    * filtered token stream keyed by (doc, term) — cost ∝ occurrences of
+    * the query's terms, not the corpus (the isin filter runs inside the
+    * explode's projection, so non-matching tokens never leave the map
+    * side). Doc length rides the surviving rows (no corpus-sized length
+    * join); df is |Q|-sized and broadcast; N and Σdl are one 1-row
+    * broadcast aggregate. avgdl is computed as Σdl/N — an integer sum
+    * and one IEEE division, bit-identical on any engine (avg()'s
+    * accumulation order is engine-private). Per-term scores are
+    * quantized to 9 dp and DECIMAL-summed per doc, so the per-doc total
+    * is order-independent and hash-stable cross-engine (the q_pagerank
+    * recipe). Output: (id, score DOUBLE) for every doc containing at
+    * least one query term.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val stats = docs.agg(
+      sum(tokenCount(col(textCol))).cast(DoubleType).as("__sumdl"),
+      count(lit(1)).cast(DoubleType).as("__n"))
+    val tok = docs.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("__sumdl") / col("__n")
+    // (1 − b) folds in SCALA (exact for b=0.75); oracle SQL must write
+    // the same folded literal, and every multiply in the same order —
+    // one ulp of reassociation would diverge the hash
+    val norm = lit(1 - b) + col("dl") * b / avgdl
+    val idf = log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        round(idf * (col("tf") * (k1 + 1)) / (col("tf") + norm * k1), 9)
+          .cast("decimal(28,9)").as("__ts"))
+      .groupBy(col("id"))
+      .agg(sum(col("__ts")).as("__sd"))
+      .select(col("id"), col("__sd").cast(DoubleType).as("score"))
+  }
+
   /** Rolling polynomial fingerprint over token hashes, mod a 31-bit prime
     * (h_i = (h_{i-1} * 131 + hash(tok_i)) mod p). Order-sensitive — unlike
     * a bag-of-words hash it distinguishes permutations — and overflow-free

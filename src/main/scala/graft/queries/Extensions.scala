@@ -235,6 +235,102 @@ object Extensions {
              |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
              |ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
 
+    // BM25 lexical retrieval (X140): top-20 documents for a 4-term query
+    // under the standard Robertson BM25 (k1=1.2, b=0.75) — the ranking
+    // half of hybrid retrieval / topical-subset mining. The ONLY
+    // data-scale shuffle is the query-term-filtered token stream (cost ∝
+    // query-term occurrences, not corpus); df is |Q|-sized broadcast;
+    // avgdl is an exact integer-sum ratio; per-term scores quantize to
+    // 9 dp and DECIMAL-sum, so the hash matches DuckDB exactly. Every
+    // float literal/fold appears in the SAME shape on both sides
+    // ((1.2 + 1), 0.25, term order) — see TextAnalysis.bm25.
+    Q("q_bm25",
+      (s, d) => TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("hash", "join", "merge", "vector"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some("""WITH st AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sumdl,
+             |CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+             |WHERE term IN ('hash', 'join', 'merge', 'vector') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, CAST(round(
+             |ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1)) /
+             |(tf.tf + (0.25 + tf.dl * 0.75 / (st.sumdl / st.n)) * 1.2), 9)
+             |AS DECIMAL(28,9)) AS ts
+             |FROM tf JOIN df USING (term) CROSS JOIN st)
+             |SELECT doc_id, CAST(round(CAST(sum(ts) AS DOUBLE), 6) AS DOUBLE) AS score
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // Reciprocal-rank fusion (X141): fuse the BM25 lexical ranking with
+    // the unigram-LM fluency ranking — RRF(d) = Σ 1/(60 + rank_i(d)),
+    // the standard score-free hybrid-retrieval combiner (ranks are
+    // comparable when scores are not). SCALE SHAPE: each leg is a
+    // distributed TakeOrdered top-100 (never a global row_number over
+    // the corpus — the rank windows run over the BOUNDED 100-row
+    // candidate lists), fused with one tiny full-outer join. Leg scores
+    // are quantized before ranking (BM25 6 dp decimal-exact; LM 3 dp,
+    // the q_unigram_lm-proven precision) with id tiebreaks, so ranks
+    // are engine-reproducible; 1/(60+r) divides exact ints as DOUBLE on
+    // both sides.
+    Q("q_rrf_fusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = Window.orderBy(col("s").desc, col("id"))
+        val bm = TextAnalysis.bm25(docs, "doc_id", "text",
+            Seq("hash", "join", "merge", "vector"))
+          .select(col("id"), round(col("score"), 6).as("s"))
+          .orderBy(col("s").desc, col("id")).limit(100)
+          .withColumn("r", row_number().over(w))
+          .select(col("id"), (lit(1.0) / (col("r") + 60)).as("c1"))
+        val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+          .select(col("id"), round(col("mean_log2p"), 3).as("s"))
+          .orderBy(col("s").desc, col("id")).limit(100)
+          .withColumn("r", row_number().over(w))
+          .select(col("id"), (lit(1.0) / (col("r") + 60)).as("c2"))
+        bm.join(lm, Seq("id"), "full_outer")
+          .select(col("id").as("doc_id"),
+            round(coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0)), 8)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH st AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sumdl,
+             |CAST(count(*) AS DOUBLE) AS n FROM documents),
+             |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+             |WHERE term IN ('hash', 'join', 'merge', 'vector') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, CAST(round(
+             |ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1)) /
+             |(tf.tf + (0.25 + tf.dl * 0.75 / (st.sumdl / st.n)) * 1.2), 9)
+             |AS DECIMAL(28,9)) AS ts
+             |FROM tf JOIN df USING (term) CROSS JOIN st),
+             |bmtop AS (SELECT doc_id AS id,
+             |CAST(round(CAST(sum(ts) AS DOUBLE), 6) AS DOUBLE) AS s
+             |FROM sc GROUP BY doc_id ORDER BY s DESC, id LIMIT 100),
+             |bm AS (SELECT id, CAST(1.0 AS DOUBLE) / (row_number() OVER
+             |(ORDER BY s DESC, id) + 60) AS c1 FROM bmtop),
+             |tok2 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+             |FROM documents),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM tok2 GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS total FROM vocab),
+             |lmtop AS (SELECT id,
+             |round(avg(log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 3) AS s
+             |FROM tok2 JOIN vocab USING (tok) CROSS JOIN tot
+             |GROUP BY id ORDER BY s DESC, id LIMIT 100),
+             |lm AS (SELECT id, CAST(1.0 AS DOUBLE) / (row_number() OVER
+             |(ORDER BY s DESC, id) + 60) AS c2 FROM lmtop)
+             |SELECT coalesce(bm.id, lm.id) AS doc_id,
+             |round(coalesce(c1, 0.0) + coalesce(c2, 0.0), 8) AS rrf
+             |FROM bm FULL OUTER JOIN lm ON bm.id = lm.id
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "))),
+
     // PII scrubbing (emails/URLs injected deterministically so the redact
     // path is actually exercised by the synthetic corpus).
     Q("q_pii_scrub",

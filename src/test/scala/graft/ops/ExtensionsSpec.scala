@@ -824,6 +824,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.exists(_._3 > 0), "fixture sanity: some coverage exists")
   }
 
+  test("bm25 matches the hand formula; only query-term hits surface") {
+    // 3-doc micro corpus, query {cat}: doc1 one hit (len 4), doc2 two
+    // hits (len 4), doc3 none (len 2). N=3, df=2, sumdl=10.
+    val docs = Seq(
+      (1L, "cat dog bird fish"),
+      (2L, "cat cat dog fish"),
+      (3L, "dog fish")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .select($"id", round($"score", 6).as("score"))
+      .as[(Long, Double)].collect().toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 10.0 / 3.0
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Long, dl: Long): Double = {
+      val ts = BigDecimal(idf * (tf * (k1 + 1)) /
+        (tf + ((1 - b) + dl * b / avgdl) * k1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      ts.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 2L), "doc without query terms must not surface")
+    assert(got(1L) == s(1, 4) && got(2L) == s(2, 4), s"got $got")
+    assert(got(2L) > got(1L), "higher tf must outrank at equal length")
+    // multi-term: scores add per term (decimal-summed)
+    val two = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "bird"))
+      .select($"id", round($"score", 6).as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(two(1L) > got(1L), "second matching term must add score")
+  }
+
   test("ANN/decontamination paths survive degenerate corpora (zero/one centroid, empty bench)") {
     // DegenerateSweep findings, pinned as units: an empty corpus seeds
     // zero IVF centroids (greatest() with 0 args won't even analyze), a
