@@ -695,4 +695,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("levenshtein"),
       "survivorship re-ran the verify stage instead of reading the leaf")
   }
+
+  test("bm25: df and corpus stats broadcast; top-k short-circuits; no corpus-wide join") {
+    val p = plan("q_bm25")
+    // the |Q|-sized df table and the 1-row stats aggregate must never
+    // shuffle-join against the hit stream
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"df/stats not broadcast:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 planned as a full sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rrf fusion: rank windows run over BOUNDED candidate lists, never the corpus") {
+    // each leg is TakeOrdered top-100 FIRST; the single-partition rank
+    // window is fine over 100 rows and fatal over a corpus — the pin is
+    // that every Window sits ABOVE a TakeOrderedAndProject/GlobalLimit
+    // barrier, i.e. no Sort+Window pair consumes an Exchange directly
+    val p = plan("q_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "candidate legs must be distributed top-k")
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows >= 2, s"expected the two rank windows, got $windows")
+    // a corpus-wide global window would plan Exchange SinglePartition
+    // below a Sort+Window with no limit barrier in between
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window ")).map(_._2)
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1).take(8).mkString("\n")
+      assert(below.contains("TakeOrderedAndProject") || below.contains("GlobalLimit"),
+        s"rank window at line $i is not fed by a bounded top-k:\n$below")
+    }
+  }
 }
