@@ -111,6 +111,35 @@ object Bench {
     !anyError && canaryDrift <= RecordAcceptDrift &&
       (prevSfMatches != Some(false) || sfDir == DefaultSfDir)
 
+  /** Quarantine for the scaling section's superlinear flags (pure, so
+    * BenchPolicySpec pins the policy): a flag measured in an ACCEPTED
+    * session stands as-is; a flag from a session the canary rejected as
+    * the comparison record must REPRODUCE in a fresh context before it
+    * may be published — two rounds running, the in-session flag list
+    * named different innocent queries each time (r11: q_ngram_spans
+    * 42.5× flagged vs sublinear-through-×256 idle-box ledger; r12:
+    * q_tpch_q21 21.9× flagged vs 3.56 in the same build's adopted clean
+    * record), because both best-of-2 samples run inside the very
+    * contended session the acceptance gate refused. Returns
+    * `(upheld, suspectContention, freshRatios)`: `reproduceFresh` is
+    * called once per flag ONLY on the unaccepted path; a flag whose
+    * fresh ratio clears `threshold` is upheld, one that doesn't — or
+    * whose reproduction errored (None) — is published under
+    * `suspect_contention` instead (an unreproducible flag must not name
+    * an innocent query).
+    */
+  private[graft] def quarantineFlags(
+      flagged: Seq[String], sessionAccepted: Boolean, threshold: Double,
+      reproduceFresh: String => Option[Double])
+    : (Seq[String], Seq[String], Map[String, Option[Double]]) =
+    if (sessionAccepted || flagged.isEmpty) (flagged, Nil, Map.empty)
+    else {
+      val fresh = flagged.map(n => n -> reproduceFresh(n)).toMap
+      val (upheld, suspect) =
+        flagged.partition(n => fresh(n).exists(_ > threshold))
+      (upheld, suspect, fresh)
+    }
+
   /** The compact last-line summary the driver's tail parser reads: same
     * schema head as the full record (metric/value/unit/queries/sf) with
     * `queries` truncated to the slowest 10 so the object stays well

@@ -16,37 +16,51 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * update. This lock closes that: one `_catalog.lock` file under the
   * root, taken around every mutation, on any Hadoop filesystem.
   *
-  * Protocol (create-exclusive + stale takeover):
+  * Protocol (atomic create-exclusive + heartbeat + stale takeover):
   *  1. JVM tier: one monitor per qualified lock path serializes threads
   *     and store instances within this process, so the filesystem only
   *     ever sees ONE contender per process. Reentrant per thread (a
   *     mutator that allocates an id mid-mutation must not deadlock on
   *     its own lock).
-  *  2. FS tier: `create(path, overwrite=false)` of the lock file with a
-  *     unique holder token. Local filesystems implement non-overwrite
-  *     create as exists-then-create (a TOCTOU window two processes can
-  *     both pass), so acquisition is CONFIRMED by reading the file back
-  *     after a short settle: only the contender whose token survived
+  *  2. FS tier: exclusive create of the lock file with a unique holder
+  *     token. On LOCAL filesystems Hadoop's `create(overwrite=false)`
+  *     is exists-then-create (a TOCTOU window two processes can both
+  *     pass) and `rename` onto an existing destination silently
+  *     REPLACES it (`rename(2)` semantics — a rename-based acquire
+  *     would lose exclusion the same way), so the local path goes
+  *     through `O_CREAT|O_EXCL` (java.nio `CREATE_NEW`), which the
+  *     kernel arbitrates atomically. HDFS `create(overwrite=false)` is
+  *     already atomic at the NameNode. A settle + read-back of the
+  *     token stays as a SECONDARY check for filesystems where neither
+  *     holds (object stores): only the contender whose token survived
   *     proceeds; the loser loops.
-  *  3. Stale takeover: a holder that died without releasing would stall
-  *     writers forever, so a lock older than `staleMs` is evicted — by
-  *     RENAME to a unique grave (at most one evictor wins the rename;
+  *  3. Heartbeat lease: while the critical section runs, a daemon
+  *     thread re-touches the lock's mtime every `staleMs/4` (only while
+  *     the file still carries our token), so a long-but-alive commit is
+  *     never mistaken for a dead holder — staleness below always keys
+  *     off the LAST TOUCH, not acquisition time.
+  *  4. Stale takeover: a holder that died without releasing would stall
+  *     writers forever, so a lock untouched for `staleMs` is evicted —
+  *     by RENAME to a unique grave (at most one evictor wins the rename;
   *     losers loop to the create race), then a re-check of the moved
   *     file's age. A file that turned out FRESH (replaced between the
-  *     age check and the rename by another evictor's takeover+create —
-  *     a milliseconds window on a lock that was already minutes old) is
-  *     renamed straight back.
-  *  4. Release: delete only if the file still carries OUR token — a
+  *     age check and the rename by another evictor's takeover+create, or
+  *     touched by its holder's heartbeat in that window) is renamed
+  *     straight back.
+  *  5. Release: delete only if the file still carries OUR token — a
   *     holder whose lock was evicted (a >staleMs GC pause) must not
   *     release the NEXT holder's lock.
   *
-  * Honest residual: like every lease-less lock file, a holder paused
-  * longer than `staleMs` loses mutual exclusion for the remainder of
-  * its critical section (the evictor can't tell a dead holder from a
-  * stalled one). Catalog commits are sub-second parquet writes of
-  * driver-sized tables; the default window is two orders of magnitude
-  * above them. Deployments with minutes-long worst-case pauses should
-  * raise `staleMs` accordingly.
+  * Honest residual: like every lease-less-runtime lock file, a holder
+  * whose JVM pauses outright for longer than `staleMs` (stop-the-world
+  * GC also stops the heartbeat thread) loses mutual exclusion for the
+  * remainder of its critical section — the evictor can't tell a dead
+  * holder from a frozen one. The heartbeat shrinks what counts as
+  * "frozen" to a genuine whole-JVM stall: merely SLOW critical sections
+  * (a multi-second commit on a loaded cluster) keep their lease
+  * indefinitely, and the release-window race (read-token-then-delete)
+  * only opens after such a stall. Deployments with minutes-long
+  * worst-case pauses should raise `staleMs` accordingly.
   */
 object CatalogLock {
 
@@ -77,10 +91,12 @@ object CatalogLock {
     val monitor = jvmMonitors.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
       val mine = acquire(fs, lockPath, staleMs)
+      val hb = startHeartbeat(fs, lockPath, mine, staleMs)
       heldByThread.get += key
       try body
       finally {
         heldByThread.get -= key
+        hb.cancel(false)
         release(fs, lockPath, mine)
       }
     }
@@ -100,6 +116,32 @@ object CatalogLock {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** Exclusive create of the lock file carrying `content`. Local
+    * filesystems route through `O_CREAT|O_EXCL` (kernel-atomic — Hadoop's
+    * local `create(overwrite=false)` is exists-then-create and local
+    * `rename` replaces an existing destination, so neither can arbitrate
+    * the race); everything else uses `create(overwrite=false)`, atomic on
+    * HDFS at the NameNode. Returns false when the file already exists.
+    */
+  private def createExclusive(fs: FileSystem, lockPath: Path,
+                              content: Array[Byte]): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lockPath.toUri.getPath), content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    case _ =>
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
   /** Blocks until the lock is held; returns the holder token written. */
   private def acquire(fs: FileSystem, lockPath: Path, staleMs: Long): String = {
     val parent = lockPath.getParent
@@ -108,15 +150,11 @@ object CatalogLock {
     var held = false
     var backoffMs = 20L
     while (!held) {
-      val created =
-        try {
-          val out = fs.create(lockPath, false)
-          try out.write(mine.getBytes(UTF_8)) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      val created = createExclusive(fs, lockPath, mine.getBytes(UTF_8))
       if (created) {
-        // settle + read-back confirms the create was genuinely exclusive
-        // (see protocol step 2): only the surviving token's owner holds
+        // settle + read-back: SECONDARY confirmation for filesystems
+        // whose create is not atomic (see protocol step 2) — on local
+        // FS the O_EXCL create above already arbitrated
         Thread.sleep(10)
         held = readToken(fs, lockPath).contains(mine)
       }
@@ -136,10 +174,42 @@ object CatalogLock {
     mine
   }
 
+  // one shared daemon for all heartbeats: touches are sub-millisecond
+  // FS metadata ops and held locks are rare (catalog mutations), so one
+  // thread never falls behind
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-catalog-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Re-touch the lock's mtime every `staleMs/4` while it still carries
+    * our token (protocol step 3): staleness keys off the last touch, so
+    * a slow-but-alive critical section is never evicted — only a holder
+    * whose whole JVM froze past `staleMs` (which also freezes this
+    * thread) can lose the lease. A touch that finds someone else's token
+    * (we WERE evicted) or no file stops touching — it must not extend a
+    * successor's lease.
+    */
+  private def startHeartbeat(fs: FileSystem, lockPath: Path, mine: String,
+                             staleMs: Long): java.util.concurrent.ScheduledFuture[_] = {
+    val period = math.max(1L, staleMs / 4)
+    heartbeats.scheduleAtFixedRate(() => {
+      try {
+        if (readToken(fs, lockPath).contains(mine))
+          fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+      } catch { case _: java.io.IOException => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
   /** Evict a stale lock by renaming it to a unique grave (one winner),
     * re-verifying age on the moved file, restoring it if it was fresh.
+    * `private[catalog]` so the spec can drive an eviction attempt
+    * against a live heartbeating holder directly (the JVM monitor tier
+    * keeps in-process contenders from ever reaching this code).
     */
-  private def evictStale(fs: FileSystem, lockPath: Path, staleMs: Long): Unit = {
+  private[catalog] def evictStale(fs: FileSystem, lockPath: Path, staleMs: Long): Unit = {
     val grave = new Path(lockPath.getParent,
       s".${lockPath.getName}.stale.${java.util.UUID.randomUUID()}")
     val renamed =
@@ -157,7 +227,7 @@ object CatalogLock {
     }
   }
 
-  /** Delete the lock only while it still carries OUR token (step 4). */
+  /** Delete the lock only while it still carries OUR token (step 5). */
   private def release(fs: FileSystem, lockPath: Path, mine: String): Unit =
     try {
       if (readToken(fs, lockPath).contains(mine)) { fs.delete(lockPath, false); () }

@@ -714,7 +714,14 @@ object Dedup {
       .persist(Disk)
     try {
       val hashed = benchShingles.select(xxhash64(col("shingle")).as("h"))
-      val items = if (expectedItems >= 0) expectedItems else hashed.count()
+      // gate the empty path on ACTUAL emptiness, never the caller's
+      // estimate alone: a truncated bench table with a stale positive
+      // size estimate must still take it (take(1) over the persisted
+      // shingle set — stops at the first row, no full count)
+      val items =
+        if (expectedItems > 0) { if (hashed.isEmpty) 0L else expectedItems }
+        else if (expectedItems == 0) 0L
+        else hashed.count()
       if (items == 0L) {
         // an EMPTY benchmark contaminates nothing — and Spark's
         // bloomFilter aggregate over zero rows returns a null buffer

@@ -120,14 +120,28 @@ object Scale {
     * Cost: one map-side-combined groupBy on the keys and a 1-row
     * aggregate — the same shape as the audit query, safe to run ahead
     * of any 100 TB join. The result is driver-sized (one Int).
+    *
+    * The fan-out is CAPPED at the cluster's task parallelism: on a
+    * heavy-tailed distribution (one key far above the mean across
+    * millions of distinct keys) the back-to-mean formula can recommend
+    * 10^4–10^5 subkeys, and [[saltedJoin]] replicates the whole small
+    * side once per subkey — spreading one key's rows over more tasks
+    * than the cluster can run concurrently buys nothing while the
+    * replication cost keeps growing. Parallelism-many subkeys already
+    * let the hot key occupy every task slot.
     */
   def saltFactorFor(df: DataFrame, keys: Seq[String]): Int = {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
     val row = counts.agg(max(col("__n")).as("__mx"),
       sum(col("__n")).as("__tot"), count(lit(1)).as("__nk")).head()
     if (row.isNullAt(0)) 1 // empty input: any fan-out is a no-op; keep 1
-    else math.max(1L, math.ceil(
-      row.getLong(0).toDouble * row.getLong(2) / row.getLong(1)).toLong).toInt
+    else {
+      val wanted = math.max(1L, math.ceil(
+        row.getLong(0).toDouble * row.getLong(2) / row.getLong(1)).toLong)
+      val cap =
+        math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      math.min(wanted, cap.toLong).toInt
+    }
   }
 
   /** [[saltedJoin]] with the fan-out chosen BY the audit instead of a

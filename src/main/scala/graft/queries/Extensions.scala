@@ -1183,15 +1183,21 @@ object Extensions {
     Q("q_ann_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // headOption: an empty corpus has no query vector and must yield
-        // 0 rows (corpus side is empty too), never head-of-empty throw
-        val query = emb.filter(col("vec_id") === 0)
+        // headOption: an ABSENT query vector (empty corpus, or rows but
+        // no vec_id 0) answers an EMPTY frame with the declared schema —
+        // never head-of-empty throw, and never a synthetic zero-vector
+        // probe (zero-norm cosine is engine-divergent and Spark would
+        // still emit top-k rows where the oracle answers none). The
+        // placeholder below only shapes the limit(0) plan.
+        val queryOpt = emb.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).collect().headOption
-          .map(_.getSeq[Double](0).toArray).getOrElse(Array.fill(64)(0.0))
-        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
-            "vec_id", "embedding", query, k = 10)
+          .map(_.getSeq[Double](0).toArray)
+        val plan = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", queryOpt.getOrElse(Array.fill(64)(0.0)),
+            k = 10)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
+        if (queryOpt.isDefined) plan else plan.limit(0)
       },
       Some("""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
              |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
@@ -1421,15 +1427,17 @@ object Extensions {
     Q("q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // headOption: empty corpus → 0 rows, never head-of-empty (the
-        // q_ann_bruteforce note)
-        val query = emb.filter(col("vec_id") === 0)
+        // headOption: an absent query vector answers an empty frame, not
+        // a synthetic zero-vector probe (the q_ann_bruteforce note)
+        val queryOpt = emb.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).collect().headOption
-          .map(_.getSeq[Double](0).toArray).getOrElse(Array.fill(64)(0.0))
-        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
-            "vec_id", "embedding", query, k = 10, nPlanes = 4, probeRadius = 2)
+          .map(_.getSeq[Double](0).toArray)
+        val plan = Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", queryOpt.getOrElse(Array.fill(64)(0.0)),
+            k = 10, nPlanes = 4, probeRadius = 2)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
+        if (queryOpt.isDefined) plan else plan.limit(0)
       },
       Some {
         val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)

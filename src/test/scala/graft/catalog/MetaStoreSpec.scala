@@ -234,4 +234,42 @@ class MetaStoreSpec extends SparkSpec {
     assert(order.toArray.toSeq == Seq("holder-done", "waiter-ran"),
       s"waiter entered while the lock was held: ${order.toArray.toSeq}")
   }
+
+  test("CatalogLock heartbeat: a slow-but-alive holder past the stale window is NOT evicted") {
+    val dir = java.nio.file.Files.createTempDirectory("catlockhb").toString
+    val (fs, root) = graft.etl.Refresh.hfs(spark, dir)
+    val lockPath = new org.apache.hadoop.fs.Path(root, "_catalog.lock")
+    def tokenNow(): String = {
+      val in = fs.open(lockPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val staleMs = 600L
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() =>
+      CatalogLock.withLock(fs, root, staleMs) {
+        entered.countDown()
+        Thread.sleep(3 * staleMs) // critical section far past the window
+        done.set(true); ()
+      })
+    holder.start()
+    entered.await()
+    Thread.sleep(2 * staleMs) // deep past the pre-heartbeat eviction window
+    // the heartbeat must have kept the lease fresh the whole time...
+    val age = System.currentTimeMillis() -
+      fs.getFileStatus(lockPath).getModificationTime
+    assert(age <= staleMs,
+      s"heartbeat stopped touching: lock untouched for ${age}ms > ${staleMs}ms")
+    // ...so an out-of-process evictor (driven directly — the JVM monitor
+    // tier keeps in-process contenders from ever reaching eviction)
+    // attempts the takeover and must put the live holder's lock back
+    val before = tokenNow()
+    CatalogLock.evictStale(fs, lockPath, staleMs)
+    assert(fs.exists(lockPath), "a heartbeating holder was evicted")
+    assert(tokenNow() == before, "eviction replaced a live holder's token")
+    holder.join(60000)
+    assert(done.get, "holder did not finish its critical section")
+    assert(!fs.exists(lockPath), "lock not released after the long hold")
+  }
 }

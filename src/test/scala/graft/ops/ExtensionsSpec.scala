@@ -880,6 +880,30 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(bloom == exact && exact.length == 2)
     assert(exact.forall(_.getLong(2) == 0L), "empty bench must contaminate nothing")
+    // a STALE caller estimate over an actually-empty bench (truncated
+    // bench table, size estimate from before the truncation) must take
+    // the same empty path — the guard keys off actual emptiness, not
+    // the estimate — never reach the null-buffer bloom aggregate
+    val bloomStale = Dedup.bloomContamination(docs, bench, "doc_id", "text",
+        n = 2, expectedItems = 1000L)
+      .orderBy("id").collect().toSeq
+    assert(bloomStale == exact,
+      "stale positive estimate over an empty bench must still answer empty")
+  }
+
+  test("ANN probes answer EMPTY when the query vector is absent (rows but no vec_id 0)") {
+    // the fixture the degenerate sweep can't produce: a NON-empty corpus
+    // that lacks the query vector's id. A synthetic zero-vector probe
+    // would return top-k rows with engine-divergent zero-norm cosines;
+    // the contract is an empty frame with the declared schema.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ann_noquery"
+    graft.Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (q <- Seq("q_ann_bruteforce", "q_ann_lsh")) {
+      val out = graft.SparkEntry.queries(q)(spark, dir)
+      assert(out.columns.toSeq == Seq("vec_id", "sim"), s"$q schema drifted")
+      assert(out.count() == 0, s"$q probed with a synthetic query vector")
+    }
   }
 
   test("q_dsir_weights drops NULL-text / zero-token eval docs (inner-join membership)") {

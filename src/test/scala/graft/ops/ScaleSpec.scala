@@ -78,11 +78,24 @@ class ScaleSpec extends SparkSpec {
     val large = spark.range(1000).select(
       when($"id" < 500, lit(0L)).otherwise($"id" % 9 + 1).as("k"),
       $"id".as("payload"))
+    // the back-to-mean recommendation is 5 here, but the fan-out is
+    // CAPPED at task parallelism (4 in this suite's local[4] session):
+    // spreading a hot key over more subkeys than the cluster has task
+    // slots buys nothing while the small side replicates per subkey
+    val par = spark.sparkContext.defaultParallelism
     val audited = Scale.saltFactorFor(large, Seq("k"))
-    assert(audited >= 5, s"hot key must audit to >= 5 subkeys, got $audited")
+    assert(audited == math.min(5, par),
+      s"hot key must audit to min(5, parallelism=$par) subkeys, got $audited")
     // uniform keys audit to 1 — salting a healthy join buys nothing
     val uniform = spark.range(1000).select(($"id" % 10).as("k"))
     assert(Scale.saltFactorFor(uniform, Seq("k")) == 1)
+    // heavy tail: one key holds half the corpus across ~1000 distinct
+    // keys — the raw back-to-mean formula says ~500 subkeys, which would
+    // replicate the small side 500×; the cap holds it at parallelism
+    val heavyTail = spark.range(2000).select(
+      when($"id" < 1000, lit(0L)).otherwise($"id").as("k"))
+    assert(Scale.saltFactorFor(heavyTail, Seq("k")) == par,
+      "heavy-tail fan-out must cap at task parallelism")
     // the audited overload picks n >= the recommendation internally and
     // the result is row-identical to the plain join
     val small = spark.range(10).select($"id".as("k"), concat(lit("v"), $"id").as("name"))
