@@ -39,18 +39,102 @@ class MetaStore(spark: SparkSession, root: String) {
   // design. Serving paths (one HTTP GET each) should not launch a Spark
   // job per request, so collected snapshots are cached here and
   // invalidated by every write — all writes flow through `overwrite` or
-  // an `init*`, making those the two invalidation choke points. The
-  // cache is per-process: another process's write (safe under
-  // CatalogLock) shows up here on the next post-local-write refresh,
-  // the usual read-your-own-writes serving model (the reference's app
-  // likewise serves from its own DB session). Mutations never read the
-  // cache — every RMW re-reads parquet under the lock.
+  // an `init*`, making those the two invalidation choke points. Local
+  // writes invalidate directly; OTHER processes' writes (safe under
+  // CatalogLock) surface through the `_catalog_version` stamp every
+  // write bumps under the lock: `snapshot()` revalidates against it
+  // with one tiny FS read per request — still ZERO Spark jobs on the
+  // cached path — and clears the cache when the stamp moved, so a
+  // long-lived Serve process sees another driver's committed registry
+  // write on its next request. Mutations never read the cache — every
+  // RMW re-reads parquet under the lock. (A catalog mutated only by
+  // pre-stamp builds carries no version file; such writes stay on the
+  // old read-your-own-writes visibility until a new-build write stamps
+  // it.)
 
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
 
-  private def snapshot[T](table: String)(load: => Seq[T]): Seq[T] =
-    snapshots.computeIfAbsent(table, _ => load.asInstanceOf[Seq[Any]])
+  // the per-table stamps the cached snapshots were loaded under; empty =
+  // never observed a stamp file (fresh catalog or pre-stamp writers only)
+  @volatile private var cachedVersion: Map[String, String] = Map.empty
+
+  private val versionPath = new org.apache.hadoop.fs.Path(root, "_catalog_version")
+
+  /** One `<table> <uuid>` line per registry — PER-TABLE stamps, so a
+    * busy hyperfiles writer never evicts the servers/users/configs
+    * snapshots of every serving process (a catalog-global stamp would
+    * 4× the reload traffic of each commit).
+    */
+  private def readVersion(): Map[String, String] = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, root)
+    try {
+      val in = fs.open(versionPath)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      txt.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        val sp = l.indexOf(' ')
+        if (sp <= 0) None else Some(l.take(sp) -> l.drop(sp + 1))
+      }.toMap
+    } catch { case _: java.io.IOException => Map.empty }
+  }
+
+  /** Bump `table`'s cross-process invalidation stamp (called under the
+    * catalog lock at both write choke points, so the read-modify-write
+    * of the stamp file never interleaves). tmp + rename-overwrite, the
+    * same commit shape as the id sequence. The local cache marker
+    * advances too, so the writing process never re-clears its own
+    * just-refreshed snapshot.
+    */
+  private def bumpVersion(table: String): Unit = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, root)
+    val next = readVersion() + (table -> java.util.UUID.randomUUID().toString)
+    val body = next.toSeq.sorted.map { case (t, v) => s"$t $v" }.mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(root, "._catalog_version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, versionPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    cachedVersion = next
+  }
+
+  /** Drop exactly the cached snapshots whose stamp moved (another
+    * process committed that table). Benign races only: a concurrent
+    * writer can at worst cause one extra invalidate-and-reload (loads
+    * always re-read parquet, so nothing stale is ever reinstated).
+    */
+  private def revalidateSnapshots(): Unit = {
+    val v = readVersion()
+    if (v != cachedVersion) {
+      v.foreach { case (t, stamp) =>
+        if (!cachedVersion.get(t).contains(stamp)) { snapshots.remove(t); () }
+      }
+      cachedVersion = v
+    }
+  }
+
+  private def snapshot[T](table: String)(load: => Seq[T]): Seq[T] = {
+    revalidateSnapshots()
+    snapshots.computeIfAbsent(table, _ => loadSettled(load).asInstanceOf[Seq[Any]])
       .asInstanceOf[Seq[T]]
+  }
+
+  /** One bounded retry around a snapshot load: a load racing a
+    * concurrent commit's rename swap can see the table directory
+    * mid-move (listed files relocated under it). The swap is two
+    * metadata renames, so a short settle + one retry covers the window;
+    * a second failure is a real error and propagates.
+    */
+  private def loadSettled[T](load: => Seq[T]): Seq[T] =
+    try load
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        Thread.sleep(50)
+        load
+    }
 
   private def invalidateSnapshot(table: String): Unit = { snapshots.remove(table); () }
 
@@ -128,11 +212,12 @@ class MetaStore(spark: SparkSession, root: String) {
   }
 
   def readHyperFiles(): Dataset[HyperFileMeta] = {
-    // half-swap recovery before the read: a missing table with a __old
+    // half-swap handling before the read: a missing table with a __old
     // sibling is a crashed overwrite's only copy, not an error to throw
-    // on (see Refresh.recoverHalfSwap)
+    // on — or a LIVE writer mid-swap, which the settle distinguishes
+    // without taking the lock (see Refresh.settleHalfSwap)
     val (fs, target) = graft.etl.Refresh.hfs(spark, path("hyperfiles"))
-    graft.etl.Refresh.recoverHalfSwap(fs, target)
+    graft.etl.Refresh.settleHalfSwap(fs, target)
     evolve[HyperFileMeta](spark.read.parquet(path("hyperfiles")))
   }
 
@@ -180,6 +265,7 @@ class MetaStore(spark: SparkSession, root: String) {
   def initHyperFiles(rows: Seq[HyperFileMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("hyperfiles"))
     invalidateSnapshot("hyperfiles")
+    bumpVersion("hyperfiles")
   }
 
   /** Create-or-get: insert only rows whose (userId, formId) is absent;
@@ -276,8 +362,9 @@ class MetaStore(spark: SparkSession, root: String) {
     val (fs, target) = graft.etl.Refresh.hfs(spark, path(table))
     // a crashed overwrite may have left the registry at __old only — a
     // half-swapped table must READ as its recovered contents, not as an
-    // empty registry a later create-or-get would then overwrite
-    graft.etl.Refresh.recoverHalfSwap(fs, target)
+    // empty registry a later create-or-get would then overwrite; the
+    // settle variant first lets a LIVE writer's swap finish
+    graft.etl.Refresh.settleHalfSwap(fs, target)
     if (!fs.exists(target)) spark.emptyDataset[T]
     else evolve[T](spark.read.parquet(path(table))) // see evolve: alembic analog
   }
@@ -289,6 +376,7 @@ class MetaStore(spark: SparkSession, root: String) {
   def initServers(rows: Seq[ServerMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("servers"))
     invalidateSnapshot("servers")
+    bumpVersion("servers")
   }
 
   /** Create-or-get under the unique `url` key (server.py:14-37: the
@@ -312,6 +400,7 @@ class MetaStore(spark: SparkSession, root: String) {
   def initUsers(rows: Seq[UserMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("users"))
     invalidateSnapshot("users")
+    bumpVersion("users")
   }
 
   /** Create-or-get under the unique (serverId, username) key — the OAuth
@@ -343,6 +432,7 @@ class MetaStore(spark: SparkSession, root: String) {
   def initConfigs(rows: Seq[ConfigMeta]): Unit = mutate {
     rows.toDS().coalesce(1).write.mode("overwrite").parquet(path("configurations"))
     invalidateSnapshot("configurations")
+    bumpVersion("configurations")
   }
 
   /** Create-or-get under the composite unique key
@@ -377,5 +467,6 @@ class MetaStore(spark: SparkSession, root: String) {
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     graft.etl.Refresh.swapInto(fs, staging, target)
     invalidateSnapshot(table)
+    bumpVersion(table) // cross-process visibility (see the cache note)
   }
 }

@@ -54,6 +54,30 @@ object Refresh {
       require(fs.rename(old, target), s"half-swap recovery $old -> $target failed")
   }
 
+  /** Read-path half-swap handling. A missing target with an `__old`
+    * sibling is EITHER a crashed writer's only copy (recover it) OR a
+    * LIVE writer mid-swap — the microseconds between [[swapInto]]'s two
+    * renames — and recovering a live swap collides with the writer's
+    * second rename, failing BOTH sides. Reads never take the writer's
+    * lock (serving latency), so disambiguate by SETTLING: a live swap
+    * completes within the ~200 ms re-check window and the reader
+    * proceeds against the fresh target; only a target still missing
+    * after the window is treated as crashed and recovered. Residual: a
+    * writer frozen mid-swap longer than the window is indistinguishable
+    * from a crashed one — recovery then makes the thawed writer's second
+    * rename fail LOUDLY (its require), never silently lose data.
+    */
+  private[graft] def settleHalfSwap(fs: FileSystem, target: Path): Unit = {
+    if (fs.exists(target)) return
+    val old = new Path(target.toString + "__old")
+    var tries = 0
+    while (!fs.exists(target) && fs.exists(old) && tries < 8) {
+      Thread.sleep(25)
+      tries += 1
+    }
+    recoverHalfSwap(fs, target) // no-op when the live swap completed
+  }
+
   private[graft] def swapInto(fs: FileSystem, staging: Path, target: Path): Unit = {
     val old = new Path(target.toString + "__old")
     // a leftover __old with NO target is the previous tick's only data —

@@ -389,7 +389,23 @@ object Similarity {
                    ivfCells: Int = 0,
                    kmeansIters: Int = 5): Array[Array[Array[Double]]] = {
     val spark = vectors.sparkSession
-    val cb = pqCodebooks(vectors, idCol, vecCol, pqM, pqKs)
+    val cbOpt = pqCodebooksOpt(vectors, idCol, vecCol, pqM, pqKs)
+    if (cbOpt.isEmpty) {
+      // corpus < ks (dead tenant, truncated source): a scheduled rebuild
+      // records ONE clean skip — an empty-but-readable code table plus an
+      // `absent empty-corpus` sidecar — instead of failing every tick.
+      // Probes on the skip artifact serve empty candidates; direct
+      // pqCodebooks/readPqSidecar calls still refuse loudly. Committed
+      // through the same staged swap, so a crash here also leaves any
+      // previous index fully probe-able.
+      val emptyCodes = vectors
+        .select(col(idCol), typedLit(Seq.empty[Int]).as("codes")).limit(0)
+      graft.etl.Refresh.overwriteStaged(emptyCodes, path,
+        beforeSwap = staging =>
+          writePqAbsentSidecar(spark, staging.toString, pqM, pqKs))
+      return Array.empty
+    }
+    val cb = cbOpt.get
     val cbLit = pqCodebooksLit(cb)
     val codes = graft.functions.PqEncode(
       col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
@@ -414,6 +430,38 @@ object Similarity {
   }
 
   private val PqSidecar = "_PQ_CODEBOOKS"
+
+  /** The skip-with-status marker [[writePqIndex]] commits for a corpus
+    * too small to seed the codebooks — a first line `absent` instead of
+    * `pq`, geometry kept for the record.
+    */
+  private def writePqAbsentSidecar(spark: SparkSession, path: String,
+                                   pqM: Int, pqKs: Int): Unit = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, PqSidecar), true)
+    try out.write(s"absent empty-corpus $pqM $pqKs\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whether a committed PQ index at `path` is [[writePqIndex]]'s
+    * skip-with-status artifact (built from a corpus smaller than its
+    * codebook): probes serve empty candidates on it; [[readPqSidecar]]
+    * refuses it loudly for direct quantizer reads.
+    */
+  def pqIndexAbsent(spark: SparkSession, path: String): Boolean = {
+    val (fs, _) = graft.etl.Refresh.hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, PqSidecar)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val head =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .take(1).mkString
+        finally in.close()
+      head.startsWith("absent")
+    }
+  }
 
   private def writePqSidecar(spark: SparkSession, path: String, pqM: Int,
                              pqKs: Int, cb: Array[Array[Array[Double]]],
@@ -442,6 +490,11 @@ object Similarity {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     val lines = txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    // a direct quantizer read of the skip artifact is a caller error —
+    // probes route around it via pqIndexAbsent
+    require(!lines.head.startsWith("absent"),
+      s"$path is an absent-empty-corpus PQ index (skip-with-status): it has " +
+        "no quantizer; probePqIndex serves empty candidates on it")
     val Array(_, mS, ksS, _) = lines.head.split(' ')
     val (m, ks) = (mS.toInt, ksS.toInt)
     val words = lines.tail.filter(_.startsWith("cw "))
@@ -466,6 +519,11 @@ object Similarity {
   def probePqIndex(spark: SparkSession, path: String, idCol: String,
                    query: Array[Double], k: Int,
                    nProbe: Int = 4): DataFrame = {
+    if (pqIndexAbsent(spark, path))
+      // the skip-with-status artifact has no quantizer and no codes —
+      // serve empty candidates (typed from the committed empty table)
+      return spark.read.parquet(path)
+        .select(col(idCol), lit(0.0).as("adc")).limit(0)
     val (_, ks, cb, cents) = readPqSidecar(spark, path)
     val cbLit = pqCodebooksLit(cb)
     val q = typedLit(query.toSeq)
@@ -532,11 +590,47 @@ object Similarity {
                   m: Int, ks: Int, iters: Int = 0,
                   sampleThresholdCells: Int = 4096,
                   sampleN: Int = 1 << 14): Array[Array[Array[Double]]] = {
-    val seeds = vectors.orderBy(col(idCol)).limit(ks)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val seeds = pqSeeds(vectors, idCol, vecCol, ks)
+    // DIRECT calls stay loud: asking for a ks-word codebook from a
+    // corpus that can't seed it is a caller error. Composed flows
+    // (scheduled rebuilds, oracle queries) use [[pqCodebooksOpt]].
     require(seeds.length == ks,
       s"pqCodebooks needs >= ks=$ks vectors to seed, corpus has ${seeds.length}")
+    pqCodebooksFromSeeds(vectors, idCol, vecCol, seeds, m, ks, iters,
+      sampleThresholdCells, sampleN)
+  }
+
+  /** [[pqCodebooks]] for COMPOSED flows: answers None instead of
+    * refusing when the corpus holds fewer than `ks` vectors (a dead
+    * tenant's emptied table, a freshly-truncated source), so a scheduled
+    * index rebuild or a declared query records one clean skip instead of
+    * failing every tick. Same single TakeOrdered seed probe — no extra
+    * job on the populated path.
+    */
+  def pqCodebooksOpt(vectors: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ks: Int, iters: Int = 0,
+                     sampleThresholdCells: Int = 4096,
+                     sampleN: Int = 1 << 14): Option[Array[Array[Array[Double]]]] = {
+    val seeds = pqSeeds(vectors, idCol, vecCol, ks)
+    if (seeds.length < ks) None
+    else Some(pqCodebooksFromSeeds(vectors, idCol, vecCol, seeds, m, ks,
+      iters, sampleThresholdCells, sampleN))
+  }
+
+  /** The `c`-th lowest-id vectors that seed codeword `c` (≤ ks rows to
+    * the driver; the one probe both codebook entry points share).
+    */
+  private def pqSeeds(vectors: DataFrame, idCol: String, vecCol: String,
+                      ks: Int): Array[Array[Double]] =
+    vectors.orderBy(col(idCol)).limit(ks)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  private def pqCodebooksFromSeeds(vectors: DataFrame, idCol: String,
+                                   vecCol: String, seeds: Array[Array[Double]],
+                                   m: Int, ks: Int, iters: Int,
+                                   sampleThresholdCells: Int,
+                                   sampleN: Int): Array[Array[Array[Double]]] = {
     val d = seeds(0).length
     require(m > 0 && d % m == 0, s"dim $d not a multiple of m=$m subspaces")
     val dsub = d / m
@@ -877,17 +971,25 @@ object Similarity {
                 vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
                 pqM: Int = 4, pqKs: Int = 8): DataFrame = {
     require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
-    val centroids = ivfCentroids(corpus, idCol, vecCol, m)
-    val cbLit = pqCodebooksLit(
-      pqCodebooks(corpus, idCol, vecCol, pqM, pqKs))
-    rankTopK(
-      ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
-        Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
-          pqKs).as("__codes")))
-        .select(col("query_id"), col("match_id"),
-          (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
-            col("__codes"), cbLit, pqKs)).as("sim")),
-      k)
+    pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs) match {
+      case None =>
+        // corpus < pqKs (dead tenant, truncated source): no quantizer to
+        // build — empty candidates with the join's schema, so a composed
+        // flow records a clean zero-row tick instead of a failed round
+        corpus.select(col(idCol).as("query_id"), col(idCol).as("match_id"),
+          lit(0.0).as("sim")).limit(0)
+      case Some(cb) =>
+        val centroids = ivfCentroids(corpus, idCol, vecCol, m)
+        val cbLit = pqCodebooksLit(cb)
+        rankTopK(
+          ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+            Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
+              pqKs).as("__codes")))
+            .select(col("query_id"), col("match_id"),
+              (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
+                col("__codes"), cbLit, pqKs)).as("sim")),
+          k)
+    }
   }
 
   /** kNN label classification over ANY neighbor stage: majority vote of

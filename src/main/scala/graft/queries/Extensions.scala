@@ -2189,8 +2189,12 @@ object Extensions {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // composed-flow guard: a corpus smaller than the ks=8 codebook
+        // (degenerate tenant) answers an EMPTY frame with the declared
+        // schema — the dummy codebooks below only shape the limit(0) plan
+        val cbOpt = Similarity.pqCodebooksOpt(emb, "vec_id", "v", m = 4, ks = 8)
         val cbLit = Similarity.pqCodebooksLit(
-          Similarity.pqCodebooks(emb, "vec_id", "v", m = 4, ks = 8))
+          cbOpt.getOrElse(Array.fill(4, 8, 16)(0.0)))
         val codes = emb.select(col("vec_id").as("match_id"),
           graft.functions.PqEncode(col("v"), cbLit, ks = 8).as("codes"))
         val probes = emb.filter(col("vec_id") < 5)
@@ -2201,11 +2205,12 @@ object Extensions {
             graft.functions.PqAdc(col("q"), col("codes"), cbLit, ks = 8).as("adc"))
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("match_id"))
-        cands.withColumn("rank", row_number().over(w).cast(LongType))
+        val out = cands.withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select(col("probe_id"), col("rank"), col("match_id"),
             round(col("adc"), 4).as("adc"))
           .orderBy("probe_id", "rank")
+        if (cbOpt.isDefined) out else out.limit(0)
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
              |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c

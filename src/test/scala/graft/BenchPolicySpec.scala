@@ -88,6 +88,43 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  // ---- quarantineFlags -------------------------------------------------
+
+  test("quarantineFlags: accepted sessions publish flags as-is, never reproducing") {
+    var calls = 0
+    val (upheld, suspect, fresh) = Bench.quarantineFlags(
+      Seq("q_a", "q_b"), sessionAccepted = true, threshold = 10.4,
+      reproduceFresh = { _ => calls += 1; Some(99.0) })
+    assert(upheld == Seq("q_a", "q_b") && suspect.isEmpty && fresh.isEmpty)
+    assert(calls == 0, "an accepted session must not pay the fresh reruns")
+    // no flags: nothing to do on either verdict
+    assert(Bench.quarantineFlags(Nil, sessionAccepted = false, 10.4,
+      _ => fail("reproduce called with no flags")) == ((Nil, Nil, Map.empty)))
+  }
+
+  test("quarantineFlags: rejected sessions publish only fresh-reproduced flags") {
+    // the r11/r12 failure mode: a drift-rejected session flagged
+    // queries whose clean-context ratios were sublinear — each flag
+    // must reproduce fresh or move to suspect_contention
+    val freshRatios = Map(
+      "q_real" -> Some(15.0), // reproduces past the 10.4 threshold
+      "q_noise" -> Some(3.5), // clean context says sublinear
+      "q_broken" -> None) // reproduction errored: cannot confirm
+    var calls = List.empty[String]
+    val (upheld, suspect, fresh) = Bench.quarantineFlags(
+      Seq("q_real", "q_noise", "q_broken"), sessionAccepted = false,
+      threshold = 10.4,
+      reproduceFresh = { n => calls = n :: calls; freshRatios(n) })
+    assert(calls.toSet == Set("q_real", "q_noise", "q_broken"),
+      "every flag gets exactly one fresh reproduction")
+    assert(upheld == Seq("q_real"),
+      s"only the fresh-reproduced flag may be published: $upheld")
+    assert(suspect == Seq("q_noise", "q_broken"),
+      "unreproduced + unconfirmable flags are suspect_contention, " +
+        s"never superlinear: $suspect")
+    assert(fresh("q_noise").contains(3.5) && fresh("q_broken").isEmpty)
+  }
+
   test("build.sbt keeps the flags that make the bench line the last stdout line") {
     // walk up from the test cwd to find build.sbt (forked tests run at
     // the repo root, but don't depend on it)

@@ -200,6 +200,40 @@ class MetaStoreSpec extends SparkSpec {
       s"a sync-failure bump was lost: ${rows(2L).metaData(MetaKeys.SyncFailures)}")
   }
 
+  test("cross-process snapshot revalidation: another store's commit reaches cached reads job-free") {
+    // the r12 residual: write SAFETY across processes was real
+    // (CatalogLock) but a long-lived Serve process's snapshot cache only
+    // invalidated on local writes. The _catalog_version stamp closes it:
+    // every write bumps the stamp under the lock, every snapshot read
+    // revalidates against it with one FS read — zero Spark jobs.
+    val root = java.nio.file.Files.createTempDirectory("metastorexp").toString
+    val a = new MetaStore(spark, root) // the long-lived serving store
+    val b = new MetaStore(spark, root) // another driver over the same root
+    a.initServers(Seq(ServerMeta(1L, "https://one.example")))
+    assert(a.serversSnapshot().map(_.id) == Seq(1L)) // warm A's cache
+    // B commits; A performs NO local write and must still see the row
+    b.createOrGetServer(ServerMeta(2L, "https://two.example"))
+    assert(a.serversSnapshot().map(_.id) == Seq(1L, 2L),
+      "a cached reader never saw another driver's committed write")
+    // steady state: stamp unchanged → repeat reads are cache hits with
+    // ZERO Spark jobs (revalidation is an FS read, not a job)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(a.serversSnapshot().map(_.id) == Seq(1L, 2L))
+      assert(a.serversSnapshot().nonEmpty)
+      org.apache.spark.sql.graftshim.Shim.waitForListenerBus(spark)
+      assert(jobs.get == 0,
+        s"revalidated cached reads launched ${jobs.get} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CatalogLock: stale locks are evicted, fresh locks block, reentry passes through") {
     val dir = java.nio.file.Files.createTempDirectory("catlock").toString
     val (fs, root) = graft.etl.Refresh.hfs(spark, dir)

@@ -69,6 +69,35 @@ class PqIndexSpec extends SparkSpec {
     assert(probedCells.size <= 2, s"results span cells $probedCells")
   }
 
+  test("a too-small corpus commits a clean skip artifact; probes serve empty; direct calls stay loud") {
+    // the composed-flow policy for corpus < ks: a dead tenant's scheduled
+    // rebuild records ONE clean no-op (absent-empty-corpus sidecar +
+    // empty-but-readable code table) instead of failing every tick
+    val small = emb.filter($"vec_id" < 3) // 3 < ks=8
+    val path = tmp("pq_absent")
+    val cb = Similarity.writePqIndex(small, "vec_id", "v", path,
+      pqM = 4, pqKs = 8)
+    assert(cb.isEmpty, "the skip path must not fabricate codebooks")
+    assert(Similarity.pqIndexAbsent(spark, path), "skip artifact not marked")
+    // probes serve empty candidates with the (id, adc) schema
+    val probe = Similarity.probePqIndex(spark, path, "vec_id",
+      Array.fill(64)(1.0), k = 5)
+    assert(probe.columns.toSeq == Seq("vec_id", "adc") && probe.count() == 0)
+    // the quantizer read and the direct codebook call both refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.readPqSidecar(spark, path)
+    }
+    assert(e1.getMessage.contains("absent-empty-corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(small, "vec_id", "v", m = 4, ks = 8)
+    }
+    assert(e2.getMessage.contains("needs >= ks"))
+    // a populated index at the same path is NOT marked absent
+    val path2 = tmp("pq_present")
+    Similarity.writePqIndex(emb, "vec_id", "v", path2, pqM = 4, pqKs = 8)
+    assert(!Similarity.pqIndexAbsent(spark, path2))
+  }
+
   test("a missing sidecar is rejected loudly") {
     val path = tmp("pq_bare")
     emb.select("vec_id").write.parquet(path)
