@@ -189,6 +189,42 @@ object Extensions {
              |len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.MarkersEs)}))) AS n_es
              |FROM documents) v ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Tokenizer fertility — the multilingual-pretraining diagnostic
+    // (subword tokens per whitespace word), by (source, predicted
+    // language): high-fertility slices pay more sequence length per
+    // word, so per-language/per-domain token budgets (q_token_budget)
+    // and mixture weights are sized off exactly this table.
+    // corpus_fertility is the token-weighted ratio (exact: long sums
+    // divided once); mean_doc_fertility the per-doc mean. One scan,
+    // map-side-combined, (sources × languages)-sized output.
+    Q("q_tokenizer_fertility",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("w"),
+          TextAnalysis.subwordCount(col("text")).as("sw"))
+        .groupBy("source", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("sw")).cast(DoubleType) / sum(col("w")).cast(DoubleType), 5)
+            .as("corpus_fertility"),
+          round(avg(col("sw").cast(DoubleType) / col("w").cast(DoubleType)), 5)
+            .as("mean_doc_fertility"))
+        .orderBy("source", "lang_pred"),
+      Some(s"""WITH t AS (SELECT source,
+             |len(string_split(text, ' ')) AS w,
+             |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS sw,
+             |len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextAnalysis.StopwordsEn)}))) AS n_en,
+             |len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextAnalysis.MarkersDe)}))) AS n_de,
+             |len(list_filter(string_split(text, ' '), x -> x IN (${inList(TextAnalysis.MarkersEs)}))) AS n_es
+             |FROM documents),
+             |l AS (SELECT source, CASE WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+             |WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS lang_pred, w, sw FROM t)
+             |SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+             |round(CAST(sum(sw) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 5) AS corpus_fertility,
+             |round(avg(CAST(sw AS DOUBLE) / CAST(w AS DOUBLE)), 5) AS mean_doc_fertility
+             |FROM l GROUP BY source, lang_pred ORDER BY source, lang_pred"""
+        .stripMargin.replace("\n", " "))),
+
     Q("q_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
@@ -982,6 +1018,41 @@ object Extensions {
              |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // LSH index health — the q_ivf_stats analog for the MinHash band
+    // family: per-band bucket population, hottest bucket, docs in
+    // colliding buckets, and Σ C(size,2) candidate pairs. candidate_pairs
+    // IS the band self-join's output volume, so this one cheap scan
+    // (signature pass + two keyed aggregations, output = bands-sized)
+    // predicts the cost of the 100 TB near-dup join BEFORE running it —
+    // and max_bucket says whether the super-bucket cap will engage.
+    Q("q_minhash_band_stats",
+      (s, d) => Dedup.lshBands(
+          Dedup.minhashSignatureNarrow(Tables.documents(s, d), "doc_id", "text"))
+        .groupBy(col("band_id"), col("band_key")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("sz")).as("max_bucket"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L))).as("colliding_docs"),
+          // integer DIV: sz·(sz−1) is even, and a double division would
+          // lose exactness once a hot bucket pushes the sum past 2^53
+          expr("sum(sz * (sz - 1)) div 2").as("candidate_pairs"))
+        .withColumn("band_id", col("band_id").cast(LongType))
+        .orderBy("band_id"),
+      Some(s"""WITH $ShinglesCte,
+             |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
+             |bands AS (
+             |SELECT CAST(0 AS BIGINT) AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
+             |UNION ALL SELECT 1, s2 || '|' || s3, id FROM sig
+             |UNION ALL SELECT 2, s4 || '|' || s5, id FROM sig),
+             |buckets AS (SELECT band_id, band_key, count(*) AS sz
+             |FROM bands GROUP BY band_id, band_key)
+             |SELECT band_id, CAST(count(*) AS BIGINT) AS n_buckets,
+             |CAST(max(sz) AS BIGINT) AS max_bucket,
+             |CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS colliding_docs,
+             |CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS candidate_pairs
+             |FROM buckets GROUP BY band_id ORDER BY band_id"""
+        .stripMargin.replace("\n", " "))),
 
     // Dedup clusters: connected components over the verified near-dup
     // pairs — a~b, b~c collapse to one cluster even without an a~c pair.

@@ -726,4 +726,29 @@ class PlanSpec extends SparkSpec {
         s"rank window at line $i is not fed by a bounded top-k:\n$below")
     }
   }
+
+  test("band stats: native signature pass, two map-side-combined keyed aggs, no window") {
+    // the LSH index-health audit must stay cheaper than the join it
+    // predicts: one corpus scan through the native signature expression
+    // (no shingle explode), the band explode, then count-combine per
+    // (band_id, band_key) and per band_id — nothing else
+    val p = plan("q_minhash_band_stats")
+    assert(p.contains("minhash_signature"), p.take(400))
+    assert(!p.contains("UDF"), "signature fell back to a UDF")
+    assert(p.contains("partial_count"), "bucket sizing lost map-side combine")
+    assert(!p.contains("row_number"), "stats must not rank anything")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"band stats shuffles $shuffles times:\n${p.take(600)}")
+  }
+
+  test("tokenizer fertility: one scan, one keyed shuffle, partial aggregation") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("UDF"), "token/lang expressions fell back to a UDF")
+    assert(p.contains("partial_"), "fertility aggregation lost map-side combine")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"fertility shuffles $shuffles times:\n${p.take(600)}")
+    // exactly one scan of documents: every stat rides the same pass
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "fertility re-scanned the corpus")
+  }
 }
