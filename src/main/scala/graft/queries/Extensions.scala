@@ -1397,6 +1397,78 @@ object Extensions {
              |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
              |WHERE rk <= 3 ORDER BY query_id, match_id""".stripMargin.replace("\n", " "))),
 
+    // ANN index recall audit — the end-metric companion of the geometry
+    // audits (q_minhash_band_stats for LSH banding, q_ivf_stats for IVF,
+    // q_minhash_estimate for sketch accuracy): per probe, recall@10 of
+    // the sign-LSH multi-probe tier against the exact top-10. The exact
+    // leg is the oracle-scale ground truth a 100 TB deployment runs on a
+    // SAMPLED probe set only; the approximate leg is the serving path —
+    // the audit is what licenses (or vetoes) swapping the exact stage
+    // out. Fully oracle-checked: the hyperplanes are deterministic md5
+    // math, so the SQL inlines them and replays bucket membership, the
+    // radius-2 probe set, both rank windows, and the hit intersection.
+    Q("q_ann_recall_audit",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val k = 10
+        // empty-corpus guard (degenerate tenant): there is nothing to
+        // recall against and the LSH leg cannot even derive its plane
+        // dimension — answer the empty audit (take(1) stops at the
+        // first row, trivial at any scale)
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(col("vec_id").as("query_id"),
+            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+        else {
+          val exact = Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+            .select(col("query_id"), col("match_id"))
+          val approx = Similarity.annJoin(probes, corpus, "vec_id", "embedding", k,
+              nPlanes = 4, probeRadius = 2)
+            .select(col("query_id"), col("match_id"))
+          val hits = exact.join(approx, Seq("query_id", "match_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          exact.select("query_id").distinct()
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
+                .as("recall_at_10"))
+            .orderBy("query_id")
+        }
+      },
+      Some {
+        val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+        def arr(p: Array[Double]) = p.map(_.toString).mkString("[", ",", "]")
+        def bucketOf(v: String) = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+           |${bucketOf("CAST(embedding AS DOUBLE[])")} AS bucket
+           |FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS v,
+           |${bucketOf("CAST(embedding AS DOUBLE[])")} AS bucket
+           |FROM embeddings WHERE vec_id >= 5),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT p.query_id, c.match_id,
+           |row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |list_cosine_similarity(p.v, c.v) DESC, c.match_id) AS rk
+           |FROM p CROSS JOIN c) t WHERE rk <= 10),
+           |ap AS (SELECT query_id, match_id FROM (
+           |SELECT p.query_id, c.match_id,
+           |row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |list_cosine_similarity(p.v, c.v) DESC, c.match_id) AS rk
+           |FROM p JOIN c ON bit_count(xor(p.bucket, c.bucket)) <= 2) t
+           |WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+           |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id)
+           |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+           |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Hard-negative mining for contrastive training: per query, the 5
     // most-similar corpus vectors with a DIFFERENT label — the mismatch
     // predicate restricts candidates BEFORE the top-k window so every
