@@ -1074,6 +1074,40 @@ object Extensions {
              |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Dedup cluster-size histogram — the duplicate-family report every
+    // data card and dedup review carries: how many families of each
+    // size the near-dup closure found, and how many docs collapsing
+    // each size bucket removes (Σ(size−1)). Rides the verified
+    // pairs→closure pipeline; the two extra aggregations are
+    // cluster-vocabulary-sized, so the report costs nothing beyond the
+    // closure itself at any corpus scale.
+    Q("q_dedup_cluster_stats",
+      (s, d) => Dedup.clusters(
+          Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.8).select("id_a", "id_b"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("docs_removed"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("docs_removed"))
+        .orderBy("cluster_size"),
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+             |vpairs AS (SELECT id_a, id_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |FROM reach GROUP BY src),
+             |cs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+             |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             |CAST(sum(sz - 1) AS BIGINT) AS docs_removed
+             |FROM cs GROUP BY sz ORDER BY cluster_size"""
+        .stripMargin.replace("\n", " "))),
+
     // Data-card summary: the release-note stat block for a corpus drop —
     // doc/token/char totals, source+language breadth, English share, and
     // the exact normalization-level dup rate — as (metric, value) rows
@@ -1421,8 +1455,13 @@ object Extensions {
           probes.select(col("vec_id").as("query_id"),
             lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
         else {
-          val exact = Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-            .select(col("query_id"), col("match_id"))
+          // the exact leg feeds TWO consumers (denominator key set +
+          // hit intersection): leaf-materialize its probes×k rows once
+          // so the all-pairs rank never computes twice — at 100 TB the
+          // exact leg is the expensive sampled ground truth
+          val (exact, _) = Dedup.materializeLeaf(
+            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+              .select(col("query_id"), col("match_id")))
           val approx = Similarity.annJoin(probes, corpus, "vec_id", "embedding", k,
               nPlanes = 4, probeRadius = 2)
             .select(col("query_id"), col("match_id"))
