@@ -225,6 +225,40 @@ object Extensions {
              |FROM l GROUP BY source, lang_pred ORDER BY source, lang_pred"""
         .stripMargin.replace("\n", " "))),
 
+    // Zipf fit — the corpus-naturalness diagnostic: natural text's
+    // rank-frequency curve is near power-law (slope ≈ −1 on log-log);
+    // machine-generated spam, boilerplate floods, and template corpora
+    // bend it, so the (slope, R²) pair is a one-row health gate a
+    // curation pipeline checks per source/snapshot. One map-side-
+    // combined word count, a distributed top-500 (TakeOrdered), a rank
+    // window over the BOUNDED 500-row frame (the rrf-fusion precedent:
+    // window above a limit barrier, never over the corpus), and a
+    // 1-row regression aggregate.
+    Q("q_zipf_fit",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val top = words.orderBy(col("freq").desc, col("word")).limit(500)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+          .agg(
+            round(regr_slope(log(col("freq")), log(col("rank"))), 5).as("zipf_slope"),
+            round(regr_r2(log(col("freq")), log(col("rank"))), 5).as("fit_r2"),
+            count(lit(1)).as("n_ranks"))
+      },
+      Some("""WITH w AS (SELECT word, count(*) AS freq FROM (
+             |SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+             |WHERE word <> '' GROUP BY word),
+             |top AS (SELECT word, freq FROM w ORDER BY freq DESC, word LIMIT 500),
+             |ranked AS (SELECT freq,
+             |row_number() OVER (ORDER BY freq DESC, word) AS rank FROM top)
+             |SELECT round(regr_slope(ln(freq), ln(rank)), 5) AS zipf_slope,
+             |round(regr_r2(ln(freq), ln(rank)), 5) AS fit_r2,
+             |CAST(count(*) AS BIGINT) AS n_ranks FROM ranked"""
+        .stripMargin.replace("\n", " "))),
+
     Q("q_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
