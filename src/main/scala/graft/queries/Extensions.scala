@@ -1542,6 +1542,79 @@ object Extensions {
            |ORDER BY query_id""".stripMargin.replace("\n", " ")
       }),
 
+    // The IVF tier's recall audit — q_ann_recall_audit's pattern applied
+    // to the second approximate neighbor stage: per probe, recall@10 of
+    // the nProbe=2-of-8-cells IVF join against the exact top-10. An IVF
+    // deployment's recall is governed by nProbe/m; this is the query
+    // that tells you whether the chosen probe budget holds the recall
+    // bar BEFORE the exact stage is switched off. Oracle replays the
+    // id-rank centroids, the cell assignment, the probe sets, both rank
+    // windows, and the hit intersection — every stage from relational
+    // state alone.
+    Q("q_ivf_recall_audit",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val k = 10
+        // empty-corpus guard: the q_ann_recall_audit note
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(col("vec_id").as("query_id"),
+            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+        else {
+          // exact leg leaf-materialized once — two consumers below
+          val (exact, _) = Dedup.materializeLeaf(
+            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+              .select(col("query_id"), col("match_id")))
+          val approx = Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
+              k, m = 8, nProbe = 2)
+            .select(col("query_id"), col("match_id"))
+          val hits = exact.join(approx, Seq("query_id", "match_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          exact.select("query_id").distinct()
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
+                .as("recall_at_10"))
+            .orderBy("query_id")
+        }
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+             |FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8),
+             |qsims AS (SELECT q.vec_id AS query_id, cents.cell, q.embedding,
+             |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings q CROSS JOIN cents WHERE q.vec_id < 5),
+             |probes AS (SELECT query_id, cell, embedding FROM (SELECT query_id, cell, embedding,
+             |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM qsims) t WHERE rn <= 2),
+             |csims AS (SELECT e.vec_id, cents.cell, e.embedding,
+             |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cents.c) AS sim
+             |FROM embeddings e CROSS JOIN cents WHERE e.vec_id >= 5),
+             |assigned AS (SELECT vec_id, cell, embedding FROM (SELECT vec_id, cell, embedding,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM csims) t WHERE rn = 1),
+             |ap AS (SELECT query_id, match_id FROM (
+             |SELECT p.query_id, a.vec_id AS match_id,
+             |row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+             |CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rk
+             |FROM probes p JOIN assigned a ON a.cell = p.cell) t WHERE rk <= 10),
+             |ex AS (SELECT query_id, match_id FROM (
+             |SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             |row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+             |FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5) t
+             |WHERE rk <= 10),
+             |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+             |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+             |GROUP BY ex.query_id)
+             |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+             |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+             |ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
     // Hard-negative mining for contrastive training: per query, the 5
     // most-similar corpus vectors with a DIFFERENT label — the mismatch
     // predicate restricts candidates BEFORE the top-k window so every
