@@ -1142,6 +1142,54 @@ object Extensions {
              |FROM cs GROUP BY sz ORDER BY cluster_size"""
         .stripMargin.replace("\n", " "))),
 
+    // The dedup report's HEADLINE number: what share of the corpus's
+    // tokens sits inside near-dup families, and what share collapsing
+    // each family to its canonical (min-id) member would remove — the
+    // "N% of our tokens are duplicates" line every data card and dedup
+    // review leads with, token-weighted rather than doc-counted (one
+    // duplicated book outweighs a thousand duplicated tweets). One
+    // token-count scan + a broadcast-sized join against the (tiny)
+    // closure + a 1-row aggregate.
+    Q("q_dup_token_share",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cl = Dedup.clusters(Dedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.8).select("id_a", "id_b"))
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
+          .join(cl, Seq("doc_id"), "left")
+          .agg(
+            sum(col("w")).as("total_tokens"),
+            sum(when(col("cluster_id").isNotNull, col("w")).otherwise(lit(0L)))
+              .as("dup_family_tokens"),
+            sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+              col("w")).otherwise(lit(0L))).as("removable_tokens"))
+          .select(col("total_tokens"), col("dup_family_tokens"),
+            col("removable_tokens"),
+            round(col("removable_tokens").cast(DoubleType) /
+              col("total_tokens").cast(DoubleType), 5).as("removable_share"))
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+             |vpairs AS (SELECT id_a, id_b
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+             |UNION SELECT id_b, id_a FROM vpairs),
+             |reach(src, dst) AS (SELECT src, dst FROM edges
+             |UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |FROM reach GROUP BY src),
+             |t AS (SELECT d.doc_id, len(string_split(d.text, ' ')) AS w,
+             |cl.cluster_id FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+             |SELECT CAST(sum(w) AS BIGINT) AS total_tokens,
+             |CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN w ELSE 0 END) AS BIGINT)
+             |AS dup_family_tokens,
+             |CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+             |THEN w ELSE 0 END) AS BIGINT) AS removable_tokens,
+             |round(CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+             |THEN w ELSE 0 END) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 5)
+             |AS removable_share FROM t"""
+        .stripMargin.replace("\n", " "))),
+
     // Data-card summary: the release-note stat block for a corpus drop —
     // doc/token/char totals, source+language breadth, English share, and
     // the exact normalization-level dup rate — as (metric, value) rows
