@@ -26,8 +26,8 @@ package graft
   *    "contaminated": true — machine contention self-identifies instead
   *    of masquerading as a per-query regression;
   *  - the scaling section carries the record-acceptance verdict
-  *    ("session_accepted") and QUARANTINES its superlinear flags when
-  *    the verdict is false: each flag must reproduce in a fresh Spark
+  *    ("session_accepted") and QUARANTINES its superlinear flags
+  *    unconditionally: each flag must reproduce in a fresh Spark
   *    session or it is published under "suspect_contention" with its
   *    fresh ratio, never under "superlinear" (see [[quarantineFlags]]).
   */
@@ -117,27 +117,30 @@ object Bench {
       (prevSfMatches != Some(false) || sfDir == DefaultSfDir)
 
   /** Quarantine for the scaling section's superlinear flags (pure, so
-    * BenchPolicySpec pins the policy): a flag measured in an ACCEPTED
-    * session stands as-is; a flag from a session the canary rejected as
-    * the comparison record must REPRODUCE in a fresh context before it
-    * may be published — two rounds running, the in-session flag list
-    * named different innocent queries each time (r11: q_ngram_spans
-    * 42.5× flagged vs sublinear-through-×256 idle-box ledger; r12:
-    * q_tpch_q21 21.9× flagged vs 3.56 in the same build's adopted clean
-    * record), because both best-of-2 samples run inside the very
-    * contended session the acceptance gate refused. Returns
-    * `(upheld, suspectContention, freshRatios)`: `reproduceFresh` is
-    * called once per flag ONLY on the unaccepted path; a flag whose
-    * fresh ratio clears `threshold` is upheld, one that doesn't — or
-    * whose reproduction errored (None) — is published under
-    * `suspect_contention` instead (an unreproducible flag must not name
-    * an innocent query).
+    * BenchPolicySpec pins the policy): EVERY flag must REPRODUCE in a
+    * fresh Spark session before it may be published under
+    * "superlinear" — session acceptance no longer exempts it. Three
+    * rounds running, in-session flag lists named likely-innocent
+    * queries (r11: q_ngram_spans 42.5× flagged vs
+    * sublinear-through-×256 idle-box ledger; r12: q_tpch_q21 21.9×
+    * flagged vs 3.56 in the same build's adopted clean record; r13:
+    * q_bigram_lm 17.4× at ×8 from an ACCEPTED session vs the same
+    * unchanged code's ×64 idle-box ledger at 21.2 — 8× more data for
+    * ~1.2× more time is not an operator profile), because the canary's
+    * accept verdict measures record-comparison trustworthiness, not
+    * freedom from end-of-session heap/contention history on one
+    * sample. Returns `(upheld, suspectContention, freshRatios)`:
+    * `reproduceFresh` is called once per flag; a flag whose fresh
+    * ratio clears `threshold` is upheld, one that doesn't — or whose
+    * reproduction errored (None) — is published under
+    * `suspect_contention` instead (an unreproducible flag must not
+    * name an innocent query).
     */
   private[graft] def quarantineFlags(
-      flagged: Seq[String], sessionAccepted: Boolean, threshold: Double,
+      flagged: Seq[String], threshold: Double,
       reproduceFresh: String => Option[Double])
     : (Seq[String], Seq[String], Map[String, Option[Double]]) =
-    if (sessionAccepted || flagged.isEmpty) (flagged, Nil, Map.empty)
+    if (flagged.isEmpty) (flagged, Nil, Map.empty)
     else {
       val fresh = flagged.map(n => n -> reproduceFresh(n)).toMap
       val (upheld, suspect) =
@@ -398,19 +401,21 @@ object Bench {
         }.mkString("{", ",", "}")
         val flagged = entries.collect {
           case (n, t1, Some(tF)) if tF / t1 > 1.3 * scaleFactor => n }
-        // fresh-context reproduction, engaged by quarantineFlags ONLY
-        // when this session was rejected as the comparison record: the
-        // in-session best-of-2 shares the rejected session's contention/
-        // heap history, so each flag re-times both sides in a restarted
-        // session (the SpillProof pattern, in-process). Restart happens
-        // lazily once — the common case (accepted session) never pays it.
+        // fresh-context reproduction, engaged by quarantineFlags for
+        // EVERY flag (accepted sessions included since r14 — the r13
+        // accepted session published ×8 flags physically inconsistent
+        // with the same code's committed ×64 ledger): the in-session
+        // best-of-2 shares hours of session heap/contention history, so
+        // each flag re-times both sides in a restarted session (the
+        // SpillProof pattern, in-process). Restart happens lazily once —
+        // the common case (no flags) never pays it.
         var freshStarted = false
         def reproduceFresh(name: String): Option[Double] =
           try {
             if (!freshStarted) {
               System.err.println(
                 s"[bench] reproducing ${flagged.size} scale flag(s) in a fresh session " +
-                  f"(canary drift $canaryDrift%.2fx rejected this session as the record)")
+                  f"(canary drift $canaryDrift%.2fx; session accepted=$accepted)")
               spark.stop()
               spark = Sessions.local(cpus.toInt, "graft-bench-fresh")
               freshStarted = true
@@ -433,7 +438,7 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] fresh repro $name failed: $e"); None }
         val (upheld, suspect, freshRatios) =
-          quarantineFlags(flagged, accepted, 1.3 * scaleFactor, reproduceFresh)
+          quarantineFlags(flagged, 1.3 * scaleFactor, reproduceFresh)
         val freshJson =
           if (freshRatios.isEmpty) ""
           else {

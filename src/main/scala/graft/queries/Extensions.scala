@@ -1386,9 +1386,13 @@ object Extensions {
           .orderBy(col("sim").desc, col("vec_id"))
         if (queryOpt.isDefined) plan else plan.limit(0)
       },
-      Some("""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-             |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
-             |FROM embeddings WHERE vec_id <> 0
+      // q is a CTE cross-joined (not a scalar subquery): an absent query
+      // vector makes q empty and the join yields ZERO rows, matching the
+      // engine's empty-frame contract — a scalar subquery would instead
+      // yield NULL sims and still emit k rows.
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6) AS sim
+             |FROM embeddings e, q WHERE e.vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
     // Embedding near-dup pairs, exact all-pairs at oracle scale (the

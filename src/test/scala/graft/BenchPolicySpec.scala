@@ -90,29 +90,38 @@ class BenchPolicySpec extends AnyFunSuite {
 
   // ---- quarantineFlags -------------------------------------------------
 
-  test("quarantineFlags: accepted sessions publish flags as-is, never reproducing") {
+  test("quarantineFlags: every flag pays a fresh reproduction, accepted or not") {
+    // the r13 failure mode the r14 policy closes: an ACCEPTED session
+    // (canary drift 1.41 <= 1.5) published q_bigram_lm 17.4x at x8 —
+    // physically inconsistent with the same unchanged code's committed
+    // x64 idle-box ledger (21.2) — through the old sessionAccepted
+    // short-circuit. Acceptance measures record-comparison
+    // trustworthiness, not per-sample freedom from end-of-session
+    // contention, so it must not exempt a flag from reproduction.
     var calls = 0
     val (upheld, suspect, fresh) = Bench.quarantineFlags(
-      Seq("q_a", "q_b"), sessionAccepted = true, threshold = 10.4,
+      Seq("q_a", "q_b"), threshold = 10.4,
       reproduceFresh = { _ => calls += 1; Some(99.0) })
-    assert(upheld == Seq("q_a", "q_b") && suspect.isEmpty && fresh.isEmpty)
-    assert(calls == 0, "an accepted session must not pay the fresh reruns")
-    // no flags: nothing to do on either verdict
-    assert(Bench.quarantineFlags(Nil, sessionAccepted = false, 10.4,
+    assert(calls == 2, "each flag reproduces exactly once, even accepted")
+    assert(upheld == Seq("q_a", "q_b") && suspect.isEmpty)
+    assert(fresh("q_a").contains(99.0) && fresh("q_b").contains(99.0),
+      "published records carry the fresh ratios that upheld the flags")
+    // no flags: nothing to do, no session restart
+    assert(Bench.quarantineFlags(Nil, 10.4,
       _ => fail("reproduce called with no flags")) == ((Nil, Nil, Map.empty)))
   }
 
-  test("quarantineFlags: rejected sessions publish only fresh-reproduced flags") {
-    // the r11/r12 failure mode: a drift-rejected session flagged
-    // queries whose clean-context ratios were sublinear — each flag
-    // must reproduce fresh or move to suspect_contention
+  test("quarantineFlags: only fresh-reproduced flags publish as superlinear") {
+    // the r11/r12 failure mode: a contended session flagged queries
+    // whose clean-context ratios were sublinear — each flag must
+    // reproduce fresh or move to suspect_contention
     val freshRatios = Map(
       "q_real" -> Some(15.0), // reproduces past the 10.4 threshold
       "q_noise" -> Some(3.5), // clean context says sublinear
       "q_broken" -> None) // reproduction errored: cannot confirm
     var calls = List.empty[String]
     val (upheld, suspect, fresh) = Bench.quarantineFlags(
-      Seq("q_real", "q_noise", "q_broken"), sessionAccepted = false,
+      Seq("q_real", "q_noise", "q_broken"),
       threshold = 10.4,
       reproduceFresh = { n => calls = n :: calls; freshRatios(n) })
     assert(calls.toSet == Set("q_real", "q_noise", "q_broken"),
