@@ -191,6 +191,19 @@ object CatalogLock {
     * thread) can lose the lease. A touch that finds someone else's token
     * (we WERE evicted) or no file stops touching — it must not extend a
     * successor's lease.
+    *
+    * ACCEPTED RESIDUAL (liveness-only): readToken-then-setTimes is not
+    * atomic, so a heartbeat frozen in that window past eviction +
+    * re-acquisition refreshes the SUCCESSOR's mtime once, delaying that
+    * successor's own legitimate stale eviction by up to `staleMs`.
+    * Mutual exclusion is unaffected (the touch changes no token). The
+    * obvious repair — re-read the token after setTimes and restore the
+    * prior mtime on mismatch — is REJECTED as strictly worse: the
+    * restore path can stamp our PRE-FREEZE (stale) mtime onto the live
+    * successor's lock, making it evictable mid-critical-section, which
+    * trades a bounded liveness delay for an exclusion violation. With
+    * no compare-and-swap on FS metadata every variant keeps some
+    * window; this protocol confines the damage to liveness.
     */
   private def startHeartbeat(fs: FileSystem, lockPath: Path, mine: String,
                              staleMs: Long): java.util.concurrent.ScheduledFuture[_] = {

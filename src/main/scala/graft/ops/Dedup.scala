@@ -563,7 +563,17 @@ object Dedup {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, acc.value)
   }
 
-  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    clustersWithRounds(pairs, maxIters)._1
+
+  /** [[clusters]] exposing the converged round count — the observability
+    * hook the giant-component stress proof pins: pointer doubling must
+    * close a diameter-d component in O(log d) rounds, and a regression
+    * to linear propagation would show up as rounds ≈ d long before it
+    * shows up as wall-clock on a ledger (GIANTPROOF.json, OpsSpec).
+    */
+  private[graft] def clustersWithRounds(pairs: DataFrame,
+                                        maxIters: Int = 50): (DataFrame, Int) = {
     // ids keep their natural type (long, string, ...) — min/least give
     // the component's smallest id under that type's ordering
     // edges is also a LEAF, not just persisted: the caller's `pairs`
@@ -627,7 +637,7 @@ object Dedup {
     // the returned frame is a narrow projection over the last round's
     // materialized leaf; callers running many clusterings can release
     // the blocks by letting the frame go unreferenced (ContextCleaner)
-    labels.withColumnRenamed("id", "doc_id")
+    (labels.withColumnRenamed("id", "doc_id"), iters)
   }
 
   /** Canonical survivors after clustering: every unpaired document plus

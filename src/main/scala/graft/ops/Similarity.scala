@@ -366,6 +366,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF probe-budget curve: mean recall@k of the IVF join against the
+    * exact top-k, for EVERY probe budget `nProbe ∈ 1..m` in one pass —
+    * the query that prices the nProbe dial before a deployment trusts
+    * it (a single-point audit says whether 2-of-8 holds the bar; the
+    * curve says what budget WOULD). One row per budget:
+    * `(n_probe, n_queries, mean_recall_at_k)`.
+    *
+    * Shape: the exact leg (the sampled ground truth a 100 TB
+    * deployment computes on a probe SAMPLE only) is leaf-materialized
+    * once — it feeds both the per-budget hit intersection and the
+    * denominator grid. The approximate leg ranks each query's cells
+    * once (O(m log m) codegen'd per row, the [[ivfCellCandidates]]
+    * sort), joins candidates with their cell's RANK in the query's
+    * probe order, and explodes each candidate to the budgets that
+    * would read it (`sequence(cellrank, m)`) — so all m budgets share
+    * ONE cell equi-join instead of m separate probe joins; the blowup
+    * is bounded by m × candidates, probe-sample-sized by construction.
+    * Mean recall divides exact long hit counts once at the end — no
+    * per-row float accumulation order to diverge on.
+    *
+    * The result is eagerly materialized so the exact leg's backing RDD
+    * is released before return (audit queries run in long-lived
+    * sessions; a leaked disk-persisted leaf per audit would accrete).
+    */
+  def ivfProbeCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, m: Int = 16,
+                    kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    // zero centroids ⟺ empty corpus: nothing to recall against
+    if (centroids.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("n_probe", lit(1))
+        .withColumn("n_queries", lit(0L))
+        .withColumn(s"mean_recall_at_$k", lit(0.0))
+        .limit(0)
+    val (exact, exactRdd) = Dedup.materializeLeaf(
+      annJoinExact(queries, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("match_id")))
+    // ranked cells per query — the ivfCellCandidates (−sim, −cell) sort,
+    // kept with its position so rank 1..m is the probe order
+    val cellSims = centroids.map { case (cellId, c) =>
+      struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("ns"),
+        lit(-cellId).as("negcell"))
+    }
+    val ranked = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        posexplode(array_sort(array(cellSims: _*))))
+      .select(col("query_id"), col("__qv"),
+        (col("pos") + 1).as("__cellrank"),
+        (-col("col.negcell")).as("__cell"))
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("match_id"), col(vecCol).as("__cv"), col("__cell"))
+    val cands = ranked.join(assigned, Seq("__cell"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"), col("__cellrank"))
+      .withColumn("n_probe", explode(sequence(col("__cellrank"), lit(m))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("n_probe"))
+      .orderBy(col("sim").desc, col("match_id"))
+    val approx = cands.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("query_id", "n_probe", "match_id")
+    val hits = exact.join(approx, Seq("query_id", "match_id"))
+      .groupBy("query_id", "n_probe").agg(count(lit(1)).as("n_hits"))
+    val grid = exact.select("query_id").distinct()
+      .withColumn("n_probe", explode(sequence(lit(1), lit(m))))
+    val result = grid.join(hits, Seq("query_id", "n_probe"), "left")
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(coalesce(col("n_hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * k).cast(DoubleType), 4).as(s"mean_recall_at_$k"))
+      .orderBy("n_probe")
+    Dedup.eagerlyWith(result, () => { exactRdd.unpersist(blocking = false); () })
+  }
+
   /** Materialized PQ index: the corpus persisted as `(id, codes)` —
     * `pqM` small codes of payload per vector instead of the raw floats
     * (~100–1000× smaller) — with the codebooks (and, when `ivfCells >

@@ -134,6 +134,38 @@ object TextAnalysis {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
+  /** The remaining standard PII classes a production corpus pipeline
+    * (CCNet/Dolma-style) redacts beyond email+URL, all RE2-safe (no
+    * lookaround, no backrefs) so the DuckDB oracle replays them
+    * verbatim. IPv4 only: dotted-quad with word boundaries. Phone:
+    * optional +country code, then 2–4 / 3–4 / 3–4 digit groups with
+    * MANDATORY `[-. ]` separators between groups (parens allowed on the
+    * middle group) — the separators are what keep dates ("2024-08-15":
+    * the 2-digit groups can't fill the 3–4 slots) and plain numbers out.
+    * Long digit runs (9+): account numbers, SSNs-without-dashes,
+    * unformatted cards — and the fallback for separator-less phones.
+    */
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe =
+    "(\\+\\d{1,3}[-. ]?)?(\\(\\d{2,4}\\)|\\d{2,4})[-. ]\\d{3,4}[-. ]\\d{3,4}\\b"
+  val LongDigitRe = "\\b\\d{9,}\\b"
+
+  /** [[scrubPii]] extended to the full standard class set. ORDER is the
+    * overlap-resolution policy and is load-bearing: email and URL first
+    * (an email's digits or a URL's path-embedded phone/IP must redact as
+    * part of the containing token, never shredded into `<PHONE>`
+    * fragments inside a live URL), then IP before phone (a dotted quad's
+    * octet pairs can otherwise half-match the phone groups), then phone
+    * before the long-digit fallback (a separated phone is more specific
+    * than "9+ digits"). One codegen'd regexp chain, single scan.
+    */
+  def scrubPiiV2(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(scrubPii(text), IpRe, "<IP>"),
+        PhoneRe, "<PHONE>"),
+      LongDigitRe, "<ID>")
+
   /** Word n-gram shingles of one document as an ARRAY column (with
     * multiplicity) — the narrow, per-row form of Dedup's shingle stream:
     * no explode, no shuffle, usable inside any projection. Documents with

@@ -259,6 +259,65 @@ object Extensions {
              |CAST(count(*) AS BIGINT) AS n_ranks FROM ranked"""
         .stripMargin.replace("\n", " "))),
 
+    // The Zipf gate's DISCRIMINATING POWER, pinned (r14): q_zipf_fit
+    // honestly reads the synthetic fixture as non-Zipfian (slope −0.18,
+    // R² 0.06) — which means the committed evidence never showed the
+    // gate PASSING natural text. This runs the identical fit on two
+    // halves side by side: a deterministically GENERATED Zipf(≈1)
+    // word stream (inverse-CDF sampling with md5 uniforms — rank =
+    // 1+⌊V^u⌋ gives P(rank=r) = ln(1+1/r)/ln V ∝ 1/r, the md5-rank
+    // analog of q_weighted_sample's A-ES trick, replayable in SQL) and
+    // the template fixture text. Natural half: slope ≈ −1, high R²;
+    // template half: the flat slope — one query, both sides of the gate.
+    Q("q_zipf_fit_gate",
+      (s, d) => {
+        def fit(words: org.apache.spark.sql.DataFrame, half: String) = {
+          val freqs = words.filter(col("word") =!= "")
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+          val top = freqs.orderBy(col("freq").desc, col("word")).limit(500)
+          top.withColumn("rank",
+              row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+            .agg(
+              round(regr_slope(log(col("freq")), log(col("rank"))), 5).as("zipf_slope"),
+              round(regr_r2(log(col("freq")), log(col("rank"))), 5).as("fit_r2"),
+              count(lit(1)).as("n_ranks"))
+            .select(lit(half).as("half"), col("zipf_slope"), col("fit_r2"),
+              col("n_ranks"))
+        }
+        val docs = Tables.documents(s, d)
+        // u ∈ [0,1) from the md5 prefix of (doc_id:i); 20 draws per doc
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("i").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        val natural = docs
+          .select(col("doc_id"), explode(sequence(lit(1), lit(20))).as("i"))
+          .select(concat(lit("w"),
+            floor(pow(lit(1000.0), u)).cast("long").cast("string")).as("word"))
+        val template = docs.select(explode(split(col("text"), " ")).as("word"))
+        fit(template, "template").unionAll(fit(natural, "zipfian"))
+          .orderBy("half")
+      },
+      Some("""WITH nat AS (SELECT 'w' || CAST(CAST(floor(power(1000.0,
+             |CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+             |':', CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+             |/ 4294967296.0)) AS BIGINT) AS VARCHAR) AS word
+             |FROM documents, range(1, 21) i(i)),
+             |tmpl AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |natw AS (SELECT word, count(*) AS freq FROM nat WHERE word <> '' GROUP BY word),
+             |tmplw AS (SELECT word, count(*) AS freq FROM tmpl WHERE word <> '' GROUP BY word),
+             |natr AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+             |FROM (SELECT word, freq FROM natw ORDER BY freq DESC, word LIMIT 500) t),
+             |tmplr AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+             |FROM (SELECT word, freq FROM tmplw ORDER BY freq DESC, word LIMIT 500) t),
+             |natf AS (SELECT 'zipfian' AS half, round(regr_slope(ln(freq), ln(rank)), 5) AS zipf_slope,
+             |round(regr_r2(ln(freq), ln(rank)), 5) AS fit_r2,
+             |CAST(count(*) AS BIGINT) AS n_ranks FROM natr),
+             |tmplf AS (SELECT 'template' AS half, round(regr_slope(ln(freq), ln(rank)), 5) AS zipf_slope,
+             |round(regr_r2(ln(freq), ln(rank)), 5) AS fit_r2,
+             |CAST(count(*) AS BIGINT) AS n_ranks FROM tmplr)
+             |SELECT * FROM tmplf UNION ALL SELECT * FROM natf ORDER BY half"""
+        .stripMargin.replace("\n", " "))),
+
     Q("q_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
@@ -414,6 +473,38 @@ object Extensions {
              |concat(source, '@example.com http://x.io/', CAST(doc_id AS VARCHAR), ' ', text),
              |'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
              |'${TextAnalysis.UrlRe}', '<URL>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // PII scrubbing, full standard class set (r14): email, URL, IPv4,
+    // phone, long digit runs — the CCNet/Dolma-style redaction pass.
+    // Every class is injected deterministically from doc_id so the
+    // corpus genuinely exercises each pattern; overlap policy (email/URL
+    // swallow embedded digits, IP beats phone, phone beats the 9+-digit
+    // fallback) is pinned in TextAnalysis.scrubPiiV2's scaladoc and
+    // spec-cased on the literal boundary strings.
+    Q("q_pii_scrub_v2",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPiiV2(concat(
+            col("source"), lit("@mail.example.com call +1 (212) 555-0"),
+            (col("doc_id") % 900 + 100).cast("string"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" acct "), (col("doc_id") + 100000000L).cast("string"),
+            lit(" "), col("text"))).as("clean"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |regexp_replace(regexp_replace(
+             |concat(source, '@mail.example.com call +1 (212) 555-0',
+             |CAST(doc_id % 900 + 100 AS VARCHAR),
+             |' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+             |CAST((doc_id * 7) % 256 AS VARCHAR),
+             |' acct ', CAST(doc_id + 100000000 AS VARCHAR), ' ', text),
+             |'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+             |'${TextAnalysis.UrlRe}', '<URL>', 'g'),
+             |'${TextAnalysis.IpRe}', '<IP>', 'g'),
+             |'${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+             |'${TextAnalysis.LongDigitRe}', '<ID>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Document-length histogram (100-char buckets).
@@ -1544,8 +1635,11 @@ object Extensions {
           // the exact leg feeds TWO consumers (denominator key set +
           // hit intersection): leaf-materialize its probes×k rows once
           // so the all-pairs rank never computes twice — at 100 TB the
-          // exact leg is the expensive sampled ground truth
-          val (exact, _) = Dedup.materializeLeaf(
+          // exact leg is the expensive sampled ground truth. The audit
+          // materializes eagerly so the leaf's backing RDD is released
+          // before return — long-lived sessions run many audits and a
+          // leaked disk-persisted leaf per call would accrete (r14).
+          val (exact, exactRdd) = Dedup.materializeLeaf(
             Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
               .select(col("query_id"), col("match_id")))
           val approx = Similarity.annJoin(probes, corpus, "vec_id", "embedding", k,
@@ -1553,13 +1647,14 @@ object Extensions {
             .select(col("query_id"), col("match_id"))
           val hits = exact.join(approx, Seq("query_id", "match_id"))
             .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          exact.select("query_id").distinct()
+          val out = exact.select("query_id").distinct()
             .join(hits, Seq("query_id"), "left")
             .select(col("query_id"),
               coalesce(col("n_hits"), lit(0L)).as("n_hits"),
               round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
                 .as("recall_at_10"))
             .orderBy("query_id")
+          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
         }
       },
       Some {
@@ -1614,8 +1709,9 @@ object Extensions {
           probes.select(col("vec_id").as("query_id"),
             lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
         else {
-          // exact leg leaf-materialized once — two consumers below
-          val (exact, _) = Dedup.materializeLeaf(
+          // exact leg leaf-materialized once — two consumers below;
+          // eager + RDD release, the q_ann_recall_audit note (r14)
+          val (exact, exactRdd) = Dedup.materializeLeaf(
             Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
               .select(col("query_id"), col("match_id")))
           val approx = Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
@@ -1623,13 +1719,14 @@ object Extensions {
             .select(col("query_id"), col("match_id"))
           val hits = exact.join(approx, Seq("query_id", "match_id"))
             .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          exact.select("query_id").distinct()
+          val out = exact.select("query_id").distinct()
             .join(hits, Seq("query_id"), "left")
             .select(col("query_id"),
               coalesce(col("n_hits"), lit(0L)).as("n_hits"),
               round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
                 .as("recall_at_10"))
             .orderBy("query_id")
+          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
         }
       },
       Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
@@ -1666,6 +1763,157 @@ object Extensions {
              |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
              |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
              |ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
+    // The recall audit of the IVF tier a deployment actually SHIPS:
+    // q_ivf_recall_audit measures the id-rank-seeded centroids
+    // (kmeansIters = 0), but writeIvfIndex builds with Lloyd-refined
+    // centroids by default — the number that licenses switching the
+    // exact stage off is the refined tier's. Lloyd's is deterministic
+    // given the id-rank seeds and a fixed iteration count, so the
+    // oracle replays the iterations relationally the way q_pagerank
+    // unrolls its CTE: per round, assign every corpus vector to its
+    // nearest centroid (tie → larger cell, the ivfAssign side), average
+    // each cell's members element-wise (sum/count — the
+    // ivfCentroidsKMeans formulation), emptied cells keep their
+    // previous centroid. Two rounds: measured on this fixture the
+    // refined tier's recall@10 strictly dominates the id-rank tier's
+    // per probe (and further iterations overfit an unclustered corpus —
+    // k-means converges to a partition whose 2-of-8 probe geometry is
+    // no better; the audit is exactly the query that would catch that).
+    Q("q_ivf_recall_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val k = 10
+        // empty-corpus guard: the q_ann_recall_audit note
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(col("vec_id").as("query_id"),
+            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+        else {
+          // exact leg leaf-materialized once — two consumers below;
+          // eager + RDD release, the q_ann_recall_audit note (r14)
+          val (exact, exactRdd) = Dedup.materializeLeaf(
+            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+              .select(col("query_id"), col("match_id")))
+          val approx = Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
+              k, m = 8, nProbe = 2, kmeansIters = 2)
+            .select(col("query_id"), col("match_id"))
+          val hits = exact.join(approx, Seq("query_id", "match_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          val out = exact.select("query_id").distinct()
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
+                .as("recall_at_10"))
+            .orderBy("query_id")
+          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
+        }
+      },
+      Some {
+        // one Lloyd round as CTEs: assign vs `prev`, element-wise member
+        // means, emptied cells carry `prev` forward into `next`
+        def lloydRound(prev: String, next: String, a: String, m: String) =
+          s"""$a AS (SELECT vec_id, v, cell FROM (SELECT corp.vec_id, corp.v, $prev.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.v, $prev.c) DESC, $prev.cell DESC) AS rn
+             |FROM corp CROSS JOIN $prev) t WHERE rn = 1),
+             |$m AS (SELECT cell, list(x ORDER BY i) AS c FROM
+             |(SELECT cell, t.i AS i, sum(v[t.i]) / count(*) AS x
+             |FROM $a, range(1, 65) t(i) GROUP BY cell, t.i) s GROUP BY cell),
+             |$next AS (SELECT $prev.cell, coalesce($m.c, $prev.c) AS c
+             |FROM $prev LEFT JOIN $m ON $m.cell = $prev.cell)""".stripMargin
+        s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |FROM embeddings WHERE vec_id >= 5),
+           |cents0 AS (SELECT vec_id AS cell, v AS c FROM corp ORDER BY vec_id LIMIT 8),
+           |${lloydRound("cents0", "cents1", "a0", "m0")},
+           |${lloydRound("cents1", "cents2", "a1", "m1")},
+           |qsims AS (SELECT q.vec_id AS query_id, cents2.cell, q.embedding,
+           |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cents2.c) AS sim
+           |FROM embeddings q CROSS JOIN cents2 WHERE q.vec_id < 5),
+           |probes AS (SELECT query_id, cell, embedding FROM (SELECT query_id, cell, embedding,
+           |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM qsims) t WHERE rn <= 2),
+           |csims AS (SELECT corp.vec_id, cents2.cell, corp.v,
+           |list_cosine_similarity(corp.v, cents2.c) AS sim FROM corp CROSS JOIN cents2),
+           |assigned AS (SELECT vec_id, cell, v FROM (SELECT vec_id, cell, v,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM csims) t WHERE rn = 1),
+           |ap AS (SELECT query_id, match_id FROM (
+           |SELECT p.query_id, a.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), a.v) DESC, a.vec_id) AS rk
+           |FROM probes p JOIN assigned a ON a.cell = p.cell) t WHERE rk <= 10),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT q.vec_id AS query_id, corp.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), corp.v) DESC, corp.vec_id) AS rk
+           |FROM embeddings q CROSS JOIN corp WHERE q.vec_id < 5) t
+           |WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+           |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id)
+           |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+           |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // The nProbe dial priced as a CURVE: mean recall@10 of the IVF
+    // join per probe budget nProbe ∈ 1..8, one row per budget, in ONE
+    // pass (Similarity.ivfProbeCurve — all budgets share one cell
+    // equi-join; each candidate explodes to the budgets that would
+    // read it). A single-point audit (q_ivf_recall_audit) says whether
+    // 2-of-8 holds the recall bar; the curve says what budget WOULD —
+    // the number an IVF deployment tunes against. Monotone by
+    // construction and saturating at recall 1.0 when the budget reads
+    // every cell (the built-in sanity anchor).
+    Q("q_ivf_probe_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfProbeCurve(emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding", k = 10, m = 8)
+      },
+      Some("""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id >= 5),
+             |cents AS (SELECT vec_id AS cell, v AS c FROM corp ORDER BY vec_id LIMIT 8),
+             |qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id < 5),
+             |qranks AS (SELECT query_id, v, cell,
+             |row_number() OVER (PARTITION BY query_id ORDER BY
+             |list_cosine_similarity(v, cents.c) DESC, cell DESC) AS cellrank
+             |FROM qs CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, v, cell FROM (SELECT corp.vec_id, corp.v, cents.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.v, cents.c) DESC, cents.cell DESC) AS rn
+             |FROM corp CROSS JOIN cents) t WHERE rn = 1),
+             |cands AS (SELECT r.query_id, a.vec_id AS match_id,
+             |list_cosine_similarity(r.v, a.v) AS sim, r.cellrank
+             |FROM qranks r JOIN assigned a ON a.cell = r.cell),
+             |expl AS (SELECT c.query_id, c.match_id, c.sim, p.i AS n_probe
+             |FROM cands c JOIN range(1, 9) p(i) ON c.cellrank <= p.i),
+             |ap AS (SELECT query_id, n_probe, match_id FROM (
+             |SELECT query_id, n_probe, match_id,
+             |row_number() OVER (PARTITION BY query_id, n_probe
+             |ORDER BY sim DESC, match_id) AS rk FROM expl) t WHERE rk <= 10),
+             |ex AS (SELECT query_id, match_id FROM (
+             |SELECT q.query_id, corp.vec_id AS match_id,
+             |row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |list_cosine_similarity(q.v, corp.v) DESC, corp.vec_id) AS rk
+             |FROM qs q CROSS JOIN corp) t WHERE rk <= 10),
+             |hits AS (SELECT ex.query_id, ap.n_probe, count(*) AS n_hits
+             |FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+             |GROUP BY ex.query_id, ap.n_probe),
+             |grid AS (SELECT q.query_id, p.i AS n_probe
+             |FROM (SELECT DISTINCT query_id FROM ex) q CROSS JOIN range(1, 9) p(i))
+             |SELECT CAST(g.n_probe AS INTEGER) AS n_probe,
+             |CAST(count(*) AS BIGINT) AS n_queries,
+             |round(CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE) /
+             |CAST(count(*) * 10 AS DOUBLE), 4) AS mean_recall_at_10
+             |FROM grid g LEFT JOIN hits h
+             |ON h.query_id = g.query_id AND h.n_probe = g.n_probe
+             |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin.replace("\n", " "))),
 
     // Hard-negative mining for contrastive training: per query, the 5
     // most-similar corpus vectors with a DIFFERENT label — the mismatch

@@ -66,17 +66,25 @@ object TimingSmoke {
     val errors = timed.collect { case (n, Left(m)) => n -> m }
 
     // previous committed ledger (same sf only — a re-scaled run resets
-    // the comparison instead of flagging everything)
+    // the comparison instead of flagging everything). Whitespace-tolerant
+    // like Bench's prev parse (the r4 lesson: a pretty-printed ledger
+    // must not silently reset the comparison and disable the gate), and
+    // the queries-object extraction is a guarded regex match, never an
+    // indexOf(-1) slice.
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
-        if (!txt.contains("\"sf\":" + graft.Json.str(sfDir))) Map.empty
+        val sfOk = ("\"sf\"\\s*:\\s*" +
+          java.util.regex.Pattern.quote(graft.Json.str(sfDir)))
+          .r.findFirstIn(txt).isDefined
+        if (!sfOk) Map.empty
         else {
           // the queries object is flat: parse exactly it, nothing after
-          val from = txt.indexOf("\"queries\":{") + "\"queries\":{".length
-          val qTxt = txt.substring(from, txt.indexOf("}", from))
-          "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
+            val qTxt = txt.substring(m.end, txt.indexOf("}", m.end))
+            "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
         }
       } catch { case NonFatal(_) => Map.empty }
     val sus = suspects(times.toMap, prev)

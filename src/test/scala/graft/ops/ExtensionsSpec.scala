@@ -89,6 +89,28 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "mail <EMAIL>\tnow")), out.toString)
   }
 
+  test("scrubPiiV2: class overlaps resolve by the documented order") {
+    val cases = Seq(
+      // email containing digits: one <EMAIL>, digits never shredded
+      (1L, "user123@x.com has digits", "<EMAIL> has digits"),
+      // URL containing a phone: URL redaction owns the whole token
+      (2L, "http://x.io/555-123-4567 path", "<URL> path"),
+      (3L, "call +1 (212) 555-0198 now", "call <PHONE> now"),
+      // dotted quad is <IP>, never half-matched as phone groups
+      (4L, "ip 10.0.3.21 here", "ip <IP> here"),
+      (5L, "acct 123456789 done", "acct <ID> done"),
+      // separator-less phone falls to the long-digit class
+      (6L, "+12125550198 no seps", "+<ID> no seps"),
+      // dates/times/versions/decimals stay: the separators can't fill
+      // the phone's 3-4 digit group slots, \b guards the rest
+      (7L, "date 2024-08-15 12:34 v1.2.3.4 pi 3.14159",
+        "date 2024-08-15 12:34 v1.2.3.4 pi 3.14159"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select($"id", TextAnalysis.scrubPiiV2($"text").as("t"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == cases.map(c => (c._1, c._3)), out.toString)
+  }
+
   test("fingerprintMd5 is whitespace/case insensitive; rolling is order sensitive") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"),   // same md5 fingerprint
@@ -218,6 +240,34 @@ class ExtensionsSpec extends SparkSpec {
       .groupBy("__cell").count()
     assert(cells.count() > 8)
     assert(cells.agg(sum("count")).as[Long].head() == base.count())
+  }
+
+  test("ivfProbeCurve: monotone recall, saturates at 1.0, leaks no RDD") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rows = Similarity.ivfProbeCurve(probes, corpus, "vec_id", "embedding",
+        k = 10, m = 8)
+      .select($"n_probe", $"n_queries".as[Long], $"mean_recall_at_10".as[Double])
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8),
+      "one row per probe budget, in order")
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "every budget audits the same probe sample")
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in the probe budget: ${recalls.mkString(",")}")
+    assert(recalls.last == 1.0,
+      "reading every cell IS the exact join — the curve's sanity anchor")
+    // the exact leg's leaf is released after the eager materialization
+    // (the r14 audit-leak fix): clearCache drops the persisted result
+    // frame (CacheManager-tracked), but a leaked raw-RDD leaf would
+    // survive it — exactly the accretion the fix closes
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "ivfProbeCurve must unpersist its ground-truth leaf")
   }
 
   test("k-means refinement improves IVF probe recall at fixed nProbe") {

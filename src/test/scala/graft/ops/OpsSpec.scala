@@ -174,6 +174,27 @@ class OpsSpec extends SparkSpec {
     assert(secs < 60.0, f"chain clustering took $secs%.1f s — plan growth regression")
   }
 
+  test("clusters: giant single component closes in O(log diameter) rounds") {
+    // the adversarial 100 TB case: one boilerplate/template family
+    // collapsing into ONE giant component — here a 1024-node chain
+    // (diameter 1023, the worst shape for label propagation). Pointer
+    // doubling must converge within a small constant of log2(1023) ≈ 10
+    // rounds; a regression to linear propagation would need ~1023 and
+    // trip the bound (and Dedup.clusters' own maxIters=50 guard) long
+    // before any wall-clock ledger moves. GIANTPROOF.json carries the
+    // ×64 timing of the same shape; SkewCapSpec pins the cap-engaged
+    // reporting of the identical-text variant of this family.
+    val n = 1024L
+    val edges = spark.range(0, n - 1)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val (labels, rounds) = Dedup.clustersWithRounds(edges)
+    assert(labels.count() == n)
+    assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L),
+      "the chain must resolve to ONE component labeled by its min id")
+    assert(rounds <= 14,
+      s"pointer doubling regressed: $rounds rounds for diameter ${n - 1}")
+  }
+
   test("clusters works over string ids (no silent numeric cast)") {
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
     val labels = Dedup.clusters(pairs).as[(String, String)].collect().toMap
