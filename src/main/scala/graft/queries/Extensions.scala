@@ -25,10 +25,11 @@ object Extensions {
   /** DuckDB shingle CTE shared by the MinHash/Jaccard oracles (3-word
     * shingles, distinct per doc; 1-based list indexing, range is [a, b)).
     */
-  private val ShinglesCte =
-    """sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
-      |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)""".stripMargin
+  private def shinglesCteOver(table: String) =
+    s"""sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $table) words,
+       |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)""".stripMargin
+  private val ShinglesCte = shinglesCteOver("documents")
 
   // one md5 per shingle, component i = hex chunk [i*5, i*5+5) (Dedup.sigWidth(6)=5)
   private val SigCols = (0 until 6)
@@ -131,8 +132,8 @@ object Extensions {
     * 5k-copy stress plus the CapMetrics drop ledger the bench records,
     * NOT by this oracle.
     */
-  private val LshPairsCtes =
-    s"""$ShinglesCte,
+  private def lshPairsCtesOver(table: String) =
+    s"""${shinglesCteOver(table)},
        |sig AS (SELECT id, $SigCols FROM sh GROUP BY id),
        |bands AS (
        |SELECT 0 AS band_id, s0 || '|' || s1 AS band_key, id FROM sig
@@ -144,6 +145,7 @@ object Extensions {
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c
        |JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
        |GROUP BY c.id_a, c.id_b)""".stripMargin
+  private val LshPairsCtes = lshPairsCtesOver("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -506,6 +508,77 @@ object Extensions {
              |'${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
              |'${TextAnalysis.LongDigitRe}', '<ID>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // PII density per source (r14) — the AUDIT companion of the scrub:
+    // before a pipeline redacts, it needs to know how much of each class
+    // each source carries (a source at 10× the corpus PII rate is a
+    // leak, a scraper bug, or a list dump — reviewed, not just
+    // scrubbed). Counts are taken on PROGRESSIVELY scrubbed text, in
+    // scrubPiiV2's exact class order, so every occurrence is counted
+    // once under the same overlap policy the redaction applies (an
+    // email's digits never double-count as an ID; a URL-embedded phone
+    // counts as URL). Single scan, map-side-combined; output is
+    // source-sized.
+    Q("q_pii_density",
+      (s, d) => {
+        val injected = concat(
+          col("source"), lit("@mail.example.com see http://x.io/d"),
+          col("doc_id").cast("string"),
+          lit(" call +1 (212) 555-0"), (col("doc_id") % 900 + 100).cast("string"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" acct "), (col("doc_id") + 100000000L).cast("string"),
+          lit(" "), col("text"))
+        val staged = Tables.documents(s, d)
+          .select(col("source"), injected.as("t"),
+            TextAnalysis.tokenCount(injected).as("toks"))
+          .withColumn("n_email", regexp_count(col("t"), lit(TextAnalysis.EmailRe)))
+          .withColumn("t", regexp_replace(col("t"), TextAnalysis.EmailRe, "<EMAIL>"))
+          .withColumn("n_url", regexp_count(col("t"), lit(TextAnalysis.UrlRe)))
+          .withColumn("t", regexp_replace(col("t"), TextAnalysis.UrlRe, "<URL>"))
+          .withColumn("n_ip", regexp_count(col("t"), lit(TextAnalysis.IpRe)))
+          .withColumn("t", regexp_replace(col("t"), TextAnalysis.IpRe, "<IP>"))
+          .withColumn("n_phone", regexp_count(col("t"), lit(TextAnalysis.PhoneRe)))
+          .withColumn("t", regexp_replace(col("t"), TextAnalysis.PhoneRe, "<PHONE>"))
+          .withColumn("n_id", regexp_count(col("t"), lit(TextAnalysis.LongDigitRe)))
+        staged.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_email")).as("emails"), sum(col("n_url")).as("urls"),
+            sum(col("n_ip")).as("ips"), sum(col("n_phone")).as("phones"),
+            sum(col("n_id")).as("long_ids"),
+            round(sum(col("n_email") + col("n_url") + col("n_ip") +
+                col("n_phone") + col("n_id")).cast(DoubleType) * 1000.0 /
+              sum(col("toks")).cast(DoubleType), 4).as("pii_per_kilotoken"))
+          .orderBy("source")
+      },
+      Some(s"""WITH inj AS (SELECT source,
+             |concat(source, '@mail.example.com see http://x.io/d', CAST(doc_id AS VARCHAR),
+             |' call +1 (212) 555-0', CAST(doc_id % 900 + 100 AS VARCHAR),
+             |' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+             |CAST((doc_id * 7) % 256 AS VARCHAR),
+             |' acct ', CAST(doc_id + 100000000 AS VARCHAR), ' ', text) AS t
+             |FROM documents),
+             |s1 AS (SELECT source, len(string_split(t, ' ')) AS toks,
+             |len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS n_email,
+             |regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1 FROM inj),
+             |s2 AS (SELECT source, toks, n_email,
+             |len(regexp_extract_all(t1, '${TextAnalysis.UrlRe}')) AS n_url,
+             |regexp_replace(t1, '${TextAnalysis.UrlRe}', '<URL>', 'g') AS t2 FROM s1),
+             |s3 AS (SELECT source, toks, n_email, n_url,
+             |len(regexp_extract_all(t2, '${TextAnalysis.IpRe}')) AS n_ip,
+             |regexp_replace(t2, '${TextAnalysis.IpRe}', '<IP>', 'g') AS t3 FROM s2),
+             |s4 AS (SELECT source, toks, n_email, n_url, n_ip,
+             |len(regexp_extract_all(t3, '${TextAnalysis.PhoneRe}')) AS n_phone,
+             |regexp_replace(t3, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS t4 FROM s3),
+             |s5 AS (SELECT source, toks, n_email, n_url, n_ip, n_phone,
+             |len(regexp_extract_all(t4, '${TextAnalysis.LongDigitRe}')) AS n_id FROM s4)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_email) AS BIGINT) AS emails, CAST(sum(n_url) AS BIGINT) AS urls,
+             |CAST(sum(n_ip) AS BIGINT) AS ips, CAST(sum(n_phone) AS BIGINT) AS phones,
+             |CAST(sum(n_id) AS BIGINT) AS long_ids,
+             |round(CAST(sum(n_email + n_url + n_ip + n_phone + n_id) AS DOUBLE) * 1000.0
+             |/ CAST(sum(toks) AS DOUBLE), 4) AS pii_per_kilotoken
+             |FROM s5 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
 
     // Document-length histogram (100-char buckets).
     Q("q_len_histogram",
@@ -1232,6 +1305,80 @@ object Extensions {
              |CAST(sum(sz - 1) AS BIGINT) AS docs_removed
              |FROM cs GROUP BY sz ORDER BY cluster_size"""
         .stripMargin.replace("\n", " "))),
+
+    // The dedup THRESHOLD dial priced as a sweep (r14) — the
+    // q_ivf_probe_curve pattern applied to near-dup verification: pair
+    // and doc counts at jaccard ≥ 0.7 / 0.8 / 0.9 from ONE
+    // candidate+verify pass (each verified pair explodes to the
+    // thresholds it clears; the expensive stages — banding, the bucket
+    // join, per-pair ShingleJaccard — run once). The number a curation
+    // review reads before moving the dedup bar: how many more docs does
+    // 0.7 pull in, how many does 0.9 release. The fixture's own
+    // near-dups all sit at j ≥ 0.9 (the sweep would read flat), so the
+    // corpus is augmented with a deterministic TWIN per doc — the
+    // prefix keeping 50–95% of the words by doc_id — whose pair
+    // similarities span the swept range (the q_zipf_fit_gate move:
+    // make the fixture exercise both sides of the dial). Candidates
+    // are banding-driven (geometry fixed), so the sweep prices the
+    // threshold GIVEN the deployed LSH geometry — exactly what
+    // flipping the production knob would do; the oracle replays the
+    // same candidate set over the same twin-injected corpus.
+    Q("q_dedup_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val thresholds = Seq(0.7, 0.8, 0.9)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + (col("doc_id") % 10).cast("double") * lit(0.05)))
+          .cast("int"), lit(3))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(words, lit(1), keep), " ").as("text"))
+        val corpus = docs.unionAll(twins)
+        val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+          threshold = thresholds.min)
+        val sweep = pairs.withColumn("threshold",
+            explode(array(thresholds.map(lit): _*)))
+          .filter(col("jaccard") >= col("threshold"))
+        val nPairs = sweep.groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = sweep
+          .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct()
+          .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+        thresholds.toDF("threshold")
+          .join(nPairs, Seq("threshold"), "left")
+          .join(nDocs, Seq("threshold"), "left")
+          .select(col("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH twins AS (SELECT doc_id + 10000000 AS doc_id,
+             |array_to_string(list_slice(string_split(text, ' '), 1,
+             |greatest(CAST(ceil(len(string_split(text, ' ')) *
+             |(0.5 + (doc_id % 10) * 0.05)) AS INTEGER), 3)), ' ') AS text
+             |FROM documents),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |UNION ALL SELECT doc_id, text FROM twins),
+             |${lshPairsCtesOver("corpus")},
+             |vj AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id),
+             |thr AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+             |FROM (VALUES (0.7), (0.8), (0.9)) t(threshold)),
+             |tp AS (SELECT thr.threshold, vj.id_a, vj.id_b
+             |FROM thr JOIN vj ON vj.j >= thr.threshold),
+             |np AS (SELECT threshold, count(*) AS n_pairs FROM tp GROUP BY threshold),
+             |nd AS (SELECT threshold, count(*) AS n_docs FROM (
+             |SELECT DISTINCT threshold, id FROM (
+             |SELECT threshold, id_a AS id FROM tp
+             |UNION ALL SELECT threshold, id_b FROM tp) u) v GROUP BY threshold)
+             |SELECT thr.threshold,
+             |CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             |CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+             |FROM thr LEFT JOIN np ON np.threshold = thr.threshold
+             |LEFT JOIN nd ON nd.threshold = thr.threshold
+             |ORDER BY thr.threshold""".stripMargin.replace("\n", " "))),
 
     // The dedup report's HEADLINE number: what share of the corpus's
     // tokens sits inside near-dup families, and what share collapsing

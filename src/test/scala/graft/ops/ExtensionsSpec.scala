@@ -247,7 +247,7 @@ class ExtensionsSpec extends SparkSpec {
     val probes = emb.filter($"vec_id" < 5)
     val corpus = emb.filter($"vec_id" >= 5)
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val rows = Similarity.ivfProbeCurve(probes, corpus, "vec_id", "embedding",
         k = 10, m = 8)
       .select($"n_probe", $"n_queries".as[Long], $"mean_recall_at_10".as[Double])
@@ -264,10 +264,14 @@ class ExtensionsSpec extends SparkSpec {
     // the exact leg's leaf is released after the eager materialization
     // (the r14 audit-leak fix): clearCache drops the persisted result
     // frame (CacheManager-tracked), but a leaked raw-RDD leaf would
-    // survive it — exactly the accretion the fix closes
+    // survive it — exactly the accretion the fix closes. Compare ID
+    // SETS, not sizes: the async ContextCleaner may concurrently drop a
+    // PRE-EXISTING entry (measured flake), but only a NEW surviving id
+    // can be our leak
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "ivfProbeCurve must unpersist its ground-truth leaf")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"ivfProbeCurve must unpersist its ground-truth leaf: leaked RDDs $leaked")
   }
 
   test("k-means refinement improves IVF probe recall at fixed nProbe") {
