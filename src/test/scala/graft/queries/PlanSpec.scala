@@ -751,4 +751,62 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 1,
       "fertility re-scanned the corpus")
   }
+
+  test("pii density: one corpus scan, staged regexps codegen'd, one keyed shuffle") {
+    // the pre-redaction audit must cost one pass: the 5-class staged
+    // count/replace chain is a per-row projection (whole-stage codegen,
+    // no UDF), and the per-source stats combine map-side
+    val p = plan("q_pii_density")
+    assert(!p.contains("UDF"), "regexp staging fell back to a UDF")
+    assert(p.contains("partial_"), "density aggregation lost map-side combine")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "pii density re-scanned the corpus")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"pii density shuffles $shuffles times:\n${p.take(600)}")
+  }
+
+  test("threshold sweep: verified pairs computed ONCE, both consumers read the cache") {
+    // the sweep's whole point is pricing three thresholds for the cost
+    // of one candidate+verify pass: nearDupPairs' result is persisted
+    // (eagerlyWith), so the final plan's pair-count and doc-count legs
+    // must BOTH read InMemoryTableScan — and no parquet scan may appear
+    // above it (the banding/verify work happened exactly once, inside
+    // the materialization; re-deriving pairs per threshold would
+    // resurface the corpus scans here)
+    // leaf inspection, not string surgery: an InMemoryRelation RENDERS
+    // its defining plan (with its FileScans) inside toString, but those
+    // scans already ran once at materialization — in the executed tree
+    // the cache is a LEAF (InMemoryTableScanExec), so collectLeaves
+    // sees only what this plan would actually execute
+    val df = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the whole tree into one
+    // opaque AdaptiveSparkPlan leaf
+    val leaves = df.queryExecution.sparkPlan.collectLeaves().map(_.nodeName)
+    assert(leaves.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both sweep consumers must read the cached verified pairs: $leaves")
+    assert(!leaves.exists(_.contains("FileSourceScan")),
+      s"sweep re-scans the corpus above the verified-pair cache: $leaves")
+    assert(!plan("q_dedup_threshold_sweep").contains("row_number"),
+      "the sweep must not rank anything")
+  }
+
+  test("zipf gate: both fits run over LIMIT-bounded frames, two corpus scans total") {
+    // the rrf-fusion precedent applied to the gate's two halves: each
+    // rank window must sit above a top-500 barrier (a corpus-wide
+    // global window is the scale-killer this pin guards), and the
+    // generated zipfian half costs one documents scan like the
+    // template half — never a second pass per half
+    val p = plan("q_zipf_fit_gate")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window ")).map(_._2)
+    assert(winIdx.size >= 2, s"expected both halves' rank windows, got ${winIdx.size}")
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1).take(8).mkString("\n")
+      assert(below.contains("TakeOrderedAndProject") || below.contains("GlobalLimit"),
+        s"rank window at line $i is not fed by a bounded top-k:\n$below")
+    }
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "each gate half costs one corpus scan")
+    assert(!p.contains("UDF"), "md5 inverse-CDF sampling fell back to a UDF")
+  }
 }
