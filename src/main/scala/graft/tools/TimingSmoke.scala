@@ -35,6 +35,32 @@ object TimingSmoke {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Parse the previous committed ledger's per-query times, pure so a
+    * spec can pin it. Whitespace-tolerant like Bench's prev parse (the
+    * r4 lesson: a pretty-printed ledger must not silently reset the
+    * comparison and disable the gate); a ledger recorded at another sf
+    * resets the comparison deliberately; the queries-object extraction
+    * is a guarded regex match, never an indexOf(-1) slice.
+    */
+  private[tools] def parsePrev(txt: String, sfDir: String): Map[String, Double] = {
+    val sfOk = ("\"sf\"\\s*:\\s*" +
+      java.util.regex.Pattern.quote(graft.Json.str(sfDir)))
+      .r.findFirstIn(txt).isDefined
+    if (!sfOk) Map.empty
+    else {
+      // the queries object is flat: parse exactly it, nothing after
+      "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
+        txt.indexOf("}", m.end) match {
+          case -1 => Map.empty[String, Double]
+          case close =>
+            val qTxt = txt.substring(m.end, close)
+            "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
+      }.getOrElse(Map.empty)
+    }
+  }
+
   /** The suspect gate, pure so a spec can pin it. */
   private[tools] def suspects(cur: Map[String, Double], prev: Map[String, Double])
       : Map[String, (Double, Double)] =
@@ -66,27 +92,11 @@ object TimingSmoke {
     val errors = timed.collect { case (n, Left(m)) => n -> m }
 
     // previous committed ledger (same sf only — a re-scaled run resets
-    // the comparison instead of flagging everything). Whitespace-tolerant
-    // like Bench's prev parse (the r4 lesson: a pretty-printed ledger
-    // must not silently reset the comparison and disable the gate), and
-    // the queries-object extraction is a guarded regex match, never an
-    // indexOf(-1) slice.
+    // the comparison instead of flagging everything); see [[parsePrev]]
     val prev: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
-        val sfOk = ("\"sf\"\\s*:\\s*" +
-          java.util.regex.Pattern.quote(graft.Json.str(sfDir)))
-          .r.findFirstIn(txt).isDefined
-        if (!sfOk) Map.empty
-        else {
-          // the queries object is flat: parse exactly it, nothing after
-          "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
-            val qTxt = txt.substring(m.end, txt.indexOf("}", m.end))
-            "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-          }.getOrElse(Map.empty)
-        }
-      } catch { case NonFatal(_) => Map.empty }
+      try parsePrev(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)), sfDir)
+      catch { case NonFatal(_) => Map.empty }
     val sus = suspects(times.toMap, prev)
 
     val qs = times.map { case (n, t) => graft.Json.str(n) + ":" + f"$t%.3f" }
