@@ -444,6 +444,57 @@ object Similarity {
     Dedup.eagerlyWith(result, () => { exactRdd.unpersist(blocking = false); () })
   }
 
+  /** Sign-LSH probe-RADIUS curve — [[ivfProbeCurve]]'s pattern on the
+    * multi-probe dial: mean recall@k of the LSH join per probe radius
+    * r ∈ 0..nPlanes, one row per radius, in ONE pass. Radius nPlanes
+    * admits every bucket, so the curve saturates at recall 1.0 (the
+    * built-in sanity anchor) and the ALL-PAIRS frame it implies is the
+    * exact ground truth — one leaf-materialized pair table (probe-
+    * sample-sized: the audit runs on a SAMPLED probe set, the same
+    * posture as the recall audits) serves the exact leg, every radius
+    * tier (each pair explodes to the radii that would read it,
+    * `sequence(dist, nPlanes)`), and the denominator grid. Unlike the
+    * production path ([[annJoin]]'s flip enumeration, which never
+    * materializes pair distances), the audit WANTS the distance per
+    * pair — that is the curve's x-axis.
+    */
+  def lshRadiusCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), planes).as("__qb"))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__cb"))
+    val (pairs, pairsRdd) = Dedup.materializeLeaf(
+      q.crossJoin(c).select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"),
+        bit_count(col("__qb").bitwiseXOR(col("__cb"))).as("__dist")))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("match_id"))
+    val exact = pairs.withColumn("__rk", row_number().over(wAll))
+      .filter(col("__rk") <= k).select("query_id", "match_id")
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("radius"))
+      .orderBy(col("sim").desc, col("match_id"))
+    val approx = pairs
+      .withColumn("radius", explode(sequence(col("__dist"), lit(nPlanes))))
+      .withColumn("__rk", row_number().over(wR))
+      .filter(col("__rk") <= k)
+      .select("query_id", "radius", "match_id")
+    val hits = exact.join(approx, Seq("query_id", "match_id"))
+      .groupBy("query_id", "radius").agg(count(lit(1)).as("n_hits"))
+    val grid = exact.select("query_id").distinct()
+      .withColumn("radius", explode(sequence(lit(0), lit(nPlanes))))
+    val result = grid.join(hits, Seq("query_id", "radius"), "left")
+      .groupBy("radius")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(coalesce(col("n_hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * k).cast(DoubleType), 4).as(s"mean_recall_at_$k"))
+      .orderBy("radius")
+    Dedup.eagerlyWith(result, () => { pairsRdd.unpersist(blocking = false); () })
+  }
+
   /** Materialized PQ index: the corpus persisted as `(id, codes)` —
     * `pqM` small codes of payload per vector instead of the raw floats
     * (~100–1000× smaller) — with the codebooks (and, when `ivfCells >

@@ -2062,6 +2062,67 @@ object Extensions {
              |ON h.query_id = g.query_id AND h.n_probe = g.n_probe
              |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin.replace("\n", " "))),
 
+    // The LSH multi-probe RADIUS dial priced as a curve (r14) —
+    // q_ivf_probe_curve's pattern on the third dial: mean recall@10 of
+    // the sign-LSH join per probe radius 0..nPlanes in ONE pass (one
+    // leaf-materialized pair table serves the exact leg, every radius
+    // tier via `sequence(dist, nPlanes)`, and the denominator grid;
+    // radius nPlanes admits every bucket, so the curve saturates at
+    // 1.0). Together with X147 (band geometry), X149 (the deployed
+    // radius-2 point) and X155/X159, every approximate-stage dial the
+    // engine ships is priced by a committed curve, not a single point.
+    Q("q_lsh_radius_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        // empty-corpus guard: the q_ann_recall_audit note (and dimOf
+        // cannot derive the plane dimension from an empty corpus)
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(lit(0).as("radius"), lit(0L).as("n_queries"),
+            lit(0.0).as("mean_recall_at_10")).limit(0)
+        else
+          Similarity.lshRadiusCurve(probes, corpus, "vec_id", "embedding",
+            k = 10, nPlanes = 4)
+      },
+      Some {
+        val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+        def arr(p: Array[Double]) = p.map(_.toString).mkString("[", ",", "]")
+        def bucketOf(v: String) = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+           |${bucketOf("CAST(embedding AS DOUBLE[])")} AS bucket
+           |FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS v,
+           |${bucketOf("CAST(embedding AS DOUBLE[])")} AS bucket
+           |FROM embeddings WHERE vec_id >= 5),
+           |pairs AS (SELECT p.query_id, c.match_id,
+           |list_cosine_similarity(p.v, c.v) AS sim,
+           |bit_count(xor(p.bucket, c.bucket)) AS dist FROM p CROSS JOIN c),
+           |ex AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
+           |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rk
+           |FROM pairs) t WHERE rk <= 10),
+           |expl AS (SELECT query_id, match_id, sim, r.i AS radius
+           |FROM pairs JOIN range(0, 5) r(i) ON pairs.dist <= r.i),
+           |ap AS (SELECT query_id, radius, match_id FROM (
+           |SELECT query_id, radius, match_id,
+           |row_number() OVER (PARTITION BY query_id, radius
+           |ORDER BY sim DESC, match_id) AS rk FROM expl) t WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, ap.radius, count(*) AS n_hits
+           |FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id, ap.radius),
+           |grid AS (SELECT q.query_id, r.i AS radius
+           |FROM (SELECT DISTINCT query_id FROM ex) q CROSS JOIN range(0, 5) r(i))
+           |SELECT CAST(g.radius AS INTEGER) AS radius,
+           |CAST(count(*) AS BIGINT) AS n_queries,
+           |round(CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE) /
+           |CAST(count(*) * 10 AS DOUBLE), 4) AS mean_recall_at_10
+           |FROM grid g LEFT JOIN hits h
+           |ON h.query_id = g.query_id AND h.radius = g.radius
+           |GROUP BY g.radius ORDER BY radius""".stripMargin.replace("\n", " ")
+      }),
+
     // Hard-negative mining for contrastive training: per query, the 5
     // most-similar corpus vectors with a DIFFERENT label — the mismatch
     // predicate restricts candidates BEFORE the top-k window so every
