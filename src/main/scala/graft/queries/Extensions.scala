@@ -2062,6 +2062,107 @@ object Extensions {
              |ON h.query_id = g.query_id AND h.n_probe = g.n_probe
              |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin.replace("\n", " "))),
 
+    // The IVF-PQ tier's recall audit (r14) — the LAST unaudited
+    // approximate stage: LSH (X149) and IVF (X152/X154) have recall
+    // audits, but the tier a billion-scale deployment actually serves
+    // from is IVF-PQ (cells + ADC over codes), whose loss has TWO
+    // sources the single-tier audits can't see together: the probe
+    // budget (cells not read) and the quantization error (ADC
+    // misranking within read cells). Per probe, recall@10 of
+    // Similarity.ivfPqJoin (m=8, nProbe=2, pqM=4, ks=8) vs the exact
+    // top-10. The oracle replays the full composition — id-rank
+    // codebook seeds, per-subvector code assignment, centroid
+    // assignment, probe sets, the ordered ADC fold, both rank windows,
+    // the hit intersection — from relational state alone (the q_ivf_pq
+    // CTEs + the audit tail). Sub-ks corpora follow ivfPqJoin's
+    // skip-with-empty contract (the q_pq_adc posture: the oracle
+    // agrees on the driver's full/empty/one-row fixtures).
+    Q("q_pq_recall_audit",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val k = 10
+        // empty-corpus guard: the q_ann_recall_audit note
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(col("vec_id").as("query_id"),
+            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+        else {
+          // exact leg leaf-materialized once — two consumers below;
+          // eager + RDD release, the q_ann_recall_audit note (r14)
+          val (exact, exactRdd) = Dedup.materializeLeaf(
+            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+              .select(col("query_id"), col("match_id")))
+          val approx = Similarity.ivfPqJoin(probes, corpus, "vec_id", "embedding",
+              k, m = 8, nProbe = 2, pqM = 4, pqKs = 8)
+            .select(col("query_id"), col("match_id"))
+          val hits = exact.join(approx, Seq("query_id", "match_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          val out = exact.select("query_id").distinct()
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
+                .as("recall_at_10"))
+            .orderBy("query_id")
+          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
+        }
+      },
+      Some("""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+             |FROM embeddings WHERE vec_id >= 5),
+             |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+             |FROM embeddings WHERE vec_id < 5),
+             |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |FROM (SELECT vec_id, l FROM corp ORDER BY vec_id LIMIT 8) s),
+             |ms AS (SELECT unnest(range(0, 4)) AS mi),
+             |cb AS (SELECT ms.mi, seeds.c,
+             |list_slice(seeds.l, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+             |FROM seeds CROSS JOIN ms),
+             |dist AS (SELECT corp.vec_id, cb.mi, cb.c,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (corp.l[cb.mi*16 + i] - cb.w[i]) * (corp.l[cb.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM corp CROSS JOIN cb),
+             |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+             |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+             |FROM dist) t WHERE rn = 1),
+             |cents AS (SELECT vec_id AS cell, l AS cl FROM corp ORDER BY vec_id LIMIT 8),
+             |asim AS (SELECT corp.vec_id, cents.cell,
+             |list_cosine_similarity(corp.l, cents.cl) AS sim FROM corp CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM asim) t WHERE rn = 1),
+             |qsim AS (SELECT qs.vec_id, cents.cell,
+             |list_cosine_similarity(qs.l, cents.cl) AS sim FROM qs CROSS JOIN cents),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM qsim) t WHERE rn <= 2),
+             |cand AS (SELECT p.query_id, a.vec_id AS match_id
+             |FROM probes p JOIN assigned a ON a.cell = p.cell),
+             |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (q.l[co.mi*16 + i] - cb.w[i]) * (q.l[co.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+             |JOIN codes co ON co.vec_id = cand.match_id
+             |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+             |adc AS (SELECT query_id, match_id,
+             |list_sum(list(dd ORDER BY mi)) AS adc
+             |FROM sub GROUP BY query_id, match_id),
+             |ap AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
+             |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
+             |FROM adc) t WHERE rk <= 10),
+             |ex AS (SELECT query_id, match_id FROM (
+             |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+             |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+             |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+             |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+             |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+             |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+             |GROUP BY ex.query_id)
+             |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+             |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+             |ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
     // The LSH multi-probe RADIUS dial priced as a curve (r14) —
     // q_ivf_probe_curve's pattern on the third dial: mean recall@10 of
     // the sign-LSH join per probe radius 0..nPlanes in ONE pass (one
