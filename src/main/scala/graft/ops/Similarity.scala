@@ -334,6 +334,15 @@ object Similarity {
     * scans are amortized where they pay most — `kmeansIters = 0` keeps
     * the deterministic id-rank seed for oracle-anchored replays.
     *
+    * SIZE `kmeansIters` WITH THE AUDITS (q_ivf_recall_refined /
+    * q_ivf_probe_curve), not by habit: on clustered corpora refinement
+    * is a large recall win (the spec's fixture: 43/80 → 80/80), but on
+    * an unclustered corpus MORE rounds can REDUCE probe recall —
+    * measured r14 on the isotropic fixture at nProbe=2/m=8: id-rank
+    * 0.36, Lloyd-2 0.48, Lloyd-5 0.26 (k-means converges to a
+    * partition whose probe geometry is no better, and the audit is the
+    * query that catches it before the index ships).
+    *
     * Rebuilds stage-and-swap like [[writeLshIndex]]: the live index
     * survives a crashed or cancelled rebuild.
     */
