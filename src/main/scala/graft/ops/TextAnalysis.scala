@@ -138,16 +138,24 @@ object TextAnalysis {
     * (CCNet/Dolma-style) redacts beyond email+URL, all RE2-safe (no
     * lookaround, no backrefs) so the DuckDB oracle replays them
     * verbatim. IPv4 only: dotted-quad with word boundaries. Phone:
-    * optional +country code, then 2–4 / 3–4 / 3–4 digit groups with
-    * MANDATORY `[-. ]` separators between groups (parens allowed on the
-    * middle group) — the separators are what keep dates ("2024-08-15":
-    * the 2-digit groups can't fill the 3–4 slots) and plain numbers out.
-    * Long digit runs (9+): account numbers, SSNs-without-dashes,
-    * unformatted cards — and the fallback for separator-less phones.
+    * optional +country code, then area(2–4)/exchange(exactly 3)/
+    * line(exactly 4) digit groups with MANDATORY `[-. ]` separators
+    * between groups (parens allowed on the area) and a `\b` anchoring
+    * the bare-area form — the fixed group widths keep dates
+    * ("2024-08-15", "1914-1918 1939") and equal-width numeric triplets
+    * ("scores 100 200 300") out, and the leading `\b` keeps a match
+    * from starting MID-digit-run ("12345-678-9012" must fall through
+    * whole to the ID class, never shred to "1<PHONE>"). International
+    * formats that don't fit area/3/4 are deliberately out of scope:
+    * their separator-less forms fall to the 9+-digit class, their
+    * separated forms stay (precision over recall — a scrub pass must
+    * not corrupt ordinary numeric text). Long digit runs (9+): account
+    * numbers, SSNs-without-dashes, unformatted cards — and the
+    * fallback for separator-less phones.
     */
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe =
-    "(\\+\\d{1,3}[-. ]?)?(\\(\\d{2,4}\\)|\\d{2,4})[-. ]\\d{3,4}[-. ]\\d{3,4}\\b"
+    "(\\+\\d{1,3}[-. ]?)?(\\(\\d{2,4}\\)|\\b\\d{2,4})[-. ]\\d{3}[-. ]\\d{4}\\b"
   val LongDigitRe = "\\b\\d{9,}\\b"
 
   /** [[scrubPii]] extended to the full standard class set. ORDER is the

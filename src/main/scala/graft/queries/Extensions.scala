@@ -147,6 +147,49 @@ object Extensions {
        |GROUP BY c.id_a, c.id_b)""".stripMargin
   private val LshPairsCtes = lshPairsCtesOver("documents")
 
+  /** Shared recall-audit harness (X149/X152/X154/X161): per probe,
+    * recall@10 of `approxJoin`'s (query_id, match_id) pairs against the
+    * exact cosine top-10 over the fixed probe/corpus split. One place
+    * for the policy the four audits must never drift apart on: the
+    * empty-corpus guard (schema-exact empty frame), the exact leg
+    * leaf-materialized ONCE (it feeds the denominator key set AND the
+    * hit intersection — at 100 TB the sampled ground truth is the
+    * expensive leg), the /k denominator, and the eager materialization
+    * that releases the leaf's backing RDD before return (the r14
+    * audit-leak fix).
+    */
+  private def recallAudit(s: org.apache.spark.sql.SparkSession, d: String,
+      approxJoin: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val k = 10
+    // empty corpus (degenerate tenant): nothing to recall against, and
+    // the approximate legs cannot even derive their geometry — answer
+    // the empty audit (take(1) stops at the first row, trivial at scale)
+    if (corpus.select(col("vec_id")).take(1).isEmpty)
+      probes.select(col("vec_id").as("query_id"),
+        lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+    else {
+      val (exact, exactRdd) = Dedup.materializeLeaf(
+        Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+          .select(col("query_id"), col("match_id")))
+      val approx = approxJoin(probes, corpus)
+        .select(col("query_id"), col("match_id"))
+      val hits = exact.join(approx, Seq("query_id", "match_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val out = exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
+            .as("recall_at_10"))
+        .orderBy("query_id")
+      Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Text analysis ---------------------------------------------------
@@ -1354,10 +1397,16 @@ object Extensions {
             coalesce(col("n_docs"), lit(0L)).as("n_docs"))
           .orderBy("threshold")
       },
+      // the keep-fraction arithmetic must run in IEEE DOUBLE on BOTH
+      // engines: DuckDB types bare 0.5/0.05 as DECIMAL (exact), Spark
+      // lit(0.5) as double — at an exact-integer product (e.g. 100
+      // words × 0.55: double says 55.000000000000007, decimal says 55)
+      // ceil() diverges by one word and the twin texts differ, so the
+      // oracle CASTs both literals to DOUBLE before any arithmetic
       Some(s"""WITH twins AS (SELECT doc_id + 10000000 AS doc_id,
              |array_to_string(list_slice(string_split(text, ' '), 1,
              |greatest(CAST(ceil(len(string_split(text, ' ')) *
-             |(0.5 + (doc_id % 10) * 0.05)) AS INTEGER), 3)), ' ') AS text
+             |(CAST(0.5 AS DOUBLE) + (doc_id % 10) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
              |FROM documents),
              |corpus AS (SELECT doc_id, text FROM documents
              |UNION ALL SELECT doc_id, text FROM twins),
@@ -1766,44 +1815,9 @@ object Extensions {
     // math, so the SQL inlines them and replays bucket membership, the
     // radius-2 probe set, both rank windows, and the hit intersection.
     Q("q_ann_recall_audit",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val probes = emb.filter(col("vec_id") < 5)
-        val corpus = emb.filter(col("vec_id") >= 5)
-        val k = 10
-        // empty-corpus guard (degenerate tenant): there is nothing to
-        // recall against and the LSH leg cannot even derive its plane
-        // dimension — answer the empty audit (take(1) stops at the
-        // first row, trivial at any scale)
-        if (corpus.select(col("vec_id")).take(1).isEmpty)
-          probes.select(col("vec_id").as("query_id"),
-            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
-        else {
-          // the exact leg feeds TWO consumers (denominator key set +
-          // hit intersection): leaf-materialize its probes×k rows once
-          // so the all-pairs rank never computes twice — at 100 TB the
-          // exact leg is the expensive sampled ground truth. The audit
-          // materializes eagerly so the leaf's backing RDD is released
-          // before return — long-lived sessions run many audits and a
-          // leaked disk-persisted leaf per call would accrete (r14).
-          val (exact, exactRdd) = Dedup.materializeLeaf(
-            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-              .select(col("query_id"), col("match_id")))
-          val approx = Similarity.annJoin(probes, corpus, "vec_id", "embedding", k,
-              nPlanes = 4, probeRadius = 2)
-            .select(col("query_id"), col("match_id"))
-          val hits = exact.join(approx, Seq("query_id", "match_id"))
-            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          val out = exact.select("query_id").distinct()
-            .join(hits, Seq("query_id"), "left")
-            .select(col("query_id"),
-              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
-                .as("recall_at_10"))
-            .orderBy("query_id")
-          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
-        }
-      },
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.annJoin(probes, corpus, "vec_id", "embedding", 10,
+          nPlanes = 4, probeRadius = 2)),
       Some {
         val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
         def arr(p: Array[Double]) = p.map(_.toString).mkString("[", ",", "]")
@@ -1846,36 +1860,9 @@ object Extensions {
     // windows, and the hit intersection — every stage from relational
     // state alone.
     Q("q_ivf_recall_audit",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val probes = emb.filter(col("vec_id") < 5)
-        val corpus = emb.filter(col("vec_id") >= 5)
-        val k = 10
-        // empty-corpus guard: the q_ann_recall_audit note
-        if (corpus.select(col("vec_id")).take(1).isEmpty)
-          probes.select(col("vec_id").as("query_id"),
-            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
-        else {
-          // exact leg leaf-materialized once — two consumers below;
-          // eager + RDD release, the q_ann_recall_audit note (r14)
-          val (exact, exactRdd) = Dedup.materializeLeaf(
-            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-              .select(col("query_id"), col("match_id")))
-          val approx = Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
-              k, m = 8, nProbe = 2)
-            .select(col("query_id"), col("match_id"))
-          val hits = exact.join(approx, Seq("query_id", "match_id"))
-            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          val out = exact.select("query_id").distinct()
-            .join(hits, Seq("query_id"), "left")
-            .select(col("query_id"),
-              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
-                .as("recall_at_10"))
-            .orderBy("query_id")
-          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
-        }
-      },
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2)),
       Some("""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
              |FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8),
              |qsims AS (SELECT q.vec_id AS query_id, cents.cell, q.embedding,
@@ -1928,36 +1915,9 @@ object Extensions {
     // k-means converges to a partition whose 2-of-8 probe geometry is
     // no better; the audit is exactly the query that would catch that).
     Q("q_ivf_recall_refined",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val probes = emb.filter(col("vec_id") < 5)
-        val corpus = emb.filter(col("vec_id") >= 5)
-        val k = 10
-        // empty-corpus guard: the q_ann_recall_audit note
-        if (corpus.select(col("vec_id")).take(1).isEmpty)
-          probes.select(col("vec_id").as("query_id"),
-            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
-        else {
-          // exact leg leaf-materialized once — two consumers below;
-          // eager + RDD release, the q_ann_recall_audit note (r14)
-          val (exact, exactRdd) = Dedup.materializeLeaf(
-            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-              .select(col("query_id"), col("match_id")))
-          val approx = Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
-              k, m = 8, nProbe = 2, kmeansIters = 2)
-            .select(col("query_id"), col("match_id"))
-          val hits = exact.join(approx, Seq("query_id", "match_id"))
-            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          val out = exact.select("query_id").distinct()
-            .join(hits, Seq("query_id"), "left")
-            .select(col("query_id"),
-              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
-                .as("recall_at_10"))
-            .orderBy("query_id")
-          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
-        }
-      },
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2, kmeansIters = 2)),
       Some {
         // one Lloyd round as CTEs: assign vs `prev`, element-wise member
         // means, emptied cells carry `prev` forward into `next`
@@ -2074,40 +2034,17 @@ object Extensions {
     // codebook seeds, per-subvector code assignment, centroid
     // assignment, probe sets, the ordered ADC fold, both rank windows,
     // the hit intersection — from relational state alone (the q_ivf_pq
-    // CTEs + the audit tail). Sub-ks corpora follow ivfPqJoin's
-    // skip-with-empty contract (the q_pq_adc posture: the oracle
-    // agrees on the driver's full/empty/one-row fixtures).
+    // CTEs + the audit tail). Sub-ks corpora: ivfPqJoin skips (no
+    // quantizer to build → empty approx leg → all-zero n_hits rows),
+    // and the oracle's ap CTE gates on the same count(corp) >= ks
+    // predicate — BOTH sides answer the all-zero audit for a
+    // 1..ks−1-row corpus, closing the contract on every corpus size,
+    // not just the driver's full/empty/one-row fixtures (unlike
+    // q_pq_adc, whose limit(0)-frame contract has no SQL analog).
     Q("q_pq_recall_audit",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val probes = emb.filter(col("vec_id") < 5)
-        val corpus = emb.filter(col("vec_id") >= 5)
-        val k = 10
-        // empty-corpus guard: the q_ann_recall_audit note
-        if (corpus.select(col("vec_id")).take(1).isEmpty)
-          probes.select(col("vec_id").as("query_id"),
-            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
-        else {
-          // exact leg leaf-materialized once — two consumers below;
-          // eager + RDD release, the q_ann_recall_audit note (r14)
-          val (exact, exactRdd) = Dedup.materializeLeaf(
-            Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-              .select(col("query_id"), col("match_id")))
-          val approx = Similarity.ivfPqJoin(probes, corpus, "vec_id", "embedding",
-              k, m = 8, nProbe = 2, pqM = 4, pqKs = 8)
-            .select(col("query_id"), col("match_id"))
-          val hits = exact.join(approx, Seq("query_id", "match_id"))
-            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-          val out = exact.select("query_id").distinct()
-            .join(hits, Seq("query_id"), "left")
-            .select(col("query_id"),
-              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 4)
-                .as("recall_at_10"))
-            .orderBy("query_id")
-          Dedup.eagerlyWith(out, () => { exactRdd.unpersist(blocking = false); () })
-        }
-      },
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfPqJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2, pqM = 4, pqKs = 8)),
       Some("""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
              |FROM embeddings WHERE vec_id >= 5),
              |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
@@ -2149,7 +2086,8 @@ object Extensions {
              |FROM sub GROUP BY query_id, match_id),
              |ap AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
              |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
-             |FROM adc) t WHERE rk <= 10),
+             |FROM adc) t WHERE rk <= 10
+             |AND (SELECT count(*) FROM corp) >= 8),
              |ex AS (SELECT query_id, match_id FROM (
              |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
              |row_number() OVER (PARTITION BY qs.vec_id ORDER BY

@@ -21,9 +21,11 @@ import graft.ops.{CapMetrics, Dedup}
   *     before any wall-clock ledger moves.
   *
   *  2. **Giant FAMILY through the full pipeline** (cap + closure + stats):
-  *     a sliding-window template corpus (doc i = words i..i+39, so
-  *     consecutive docs sit at trigram-Jaccard ≈ 0.95 — one drifting
-  *     template family, the realistic shape) PLUS an identical-text
+  *     a sliding-window template corpus (doc i = words i..i+79, so
+  *     consecutive docs sit at trigram-Jaccard ≈ 0.975 — one drifting
+  *     template family, the realistic shape; see [[templateCorpus]] for
+  *     why 80-word windows and 4 bands, and what the rejected 40-word/
+  *     3-band geometry measurably did) PLUS an identical-text
   *     boilerplate block one past the super-bucket cap. The pipeline is
   *     exactly q_dedup_cluster_stats' (nearDupPairs → clusters → size
   *     histogram); recorded: elapsed, rounds, the largest family found,

@@ -102,9 +102,16 @@ class ExtensionsSpec extends SparkSpec {
       // separator-less phone falls to the long-digit class
       (6L, "+12125550198 no seps", "+<ID> no seps"),
       // dates/times/versions/decimals stay: the separators can't fill
-      // the phone's 3-4 digit group slots, \b guards the rest
+      // the phone's fixed 3/4 group slots, \b guards the rest
       (7L, "date 2024-08-15 12:34 v1.2.3.4 pi 3.14159",
-        "date 2024-08-15 12:34 v1.2.3.4 pi 3.14159"))
+        "date 2024-08-15 12:34 v1.2.3.4 pi 3.14159"),
+      // equal-width numeric triplets are NOT phones (the r14 review
+      // case the exact 3/4 widths exist for)
+      (8L, "scores 100 200 300 done", "scores 100 200 300 done"),
+      (9L, "born 1914-1918 1939 died", "born 1914-1918 1939 died"),
+      // a match must never start MID-digit-run and shred the token —
+      // the leading \b makes this fall through whole
+      (10L, "12345-678-9012 partial", "12345-678-9012 partial"))
     val out = cases.map(c => (c._1, c._2)).toDF("id", "text")
       .select($"id", TextAnalysis.scrubPiiV2($"text").as("t"))
       .orderBy("id").as[(Long, String)].collect().toSeq
