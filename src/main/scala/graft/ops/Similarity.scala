@@ -1130,6 +1130,73 @@ object Similarity {
     }
   }
 
+  /** [[ivfPqJoin]] with an exact re-rank stage — the standard refine
+    * recipe over an IVF-PQ index: the ADC pass over the probed cells'
+    * CODES shortlists `refine·k` candidates per query, and only that
+    * shortlist is joined back to the raw vectors for an exact-cosine
+    * top-k. The PQ recall audit (q_pq_recall_audit) measures why this
+    * stage exists: ADC alone misranks within the probed cells
+    * (recall@10 0.0–0.2 on the audit fixture — quantization error at
+    * pqM=4 crushes 64 dims into 4 bytes), so a deployment serving
+    * pure ADC returns junk neighbors. Re-ranking restores the IVF
+    * tier's recall at a bounded extra cost: `refine·k` id-keyed raw-
+    * vector reads per query instead of every probed cell's floats, so
+    * the codes-stay-memory-resident economics of [[ivfPqJoin]] survive
+    * at 100 TB (the refine reads are point lookups, not scans).
+    * Dominance over the pure-ADC tier is structural, not tuned: the
+    * exact top-k of an ADC shortlist contains every true top-k member
+    * the shortlist contains (if ten shortlist members beat x by exact
+    * cosine they beat x globally, contradicting x ∈ global top-k), and
+    * the ADC top-k ⊆ the ADC top-`refine·k`, so per-query recall@k ≥
+    * pure ADC's — q_pq_rerank pins the audit and PlanSpec pins that
+    * only the post-shortlist join touches raw vectors.
+    */
+  def ivfPqRerankJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
+                      pqM: Int = 4, pqKs: Int = 8,
+                      refine: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs) match {
+      case None =>
+        // same skip contract as [[ivfPqJoin]]: corpus < ks → no
+        // quantizer → clean empty frame with the join's schema
+        corpus.select(col(idCol).as("query_id"), col(idCol).as("match_id"),
+          lit(0.0).as("sim")).limit(0)
+      case Some(cb) =>
+        // kmeansIters > 0 rides the Lloyd-refined coarse quantizer the
+        // way [[ivfJoin]] does — cell selection is the recall term the
+        // re-rank stage CANNOT recover (unread cells stay unread), so
+        // the refined tier matters more here than anywhere
+        val centroids =
+          if (kmeansIters > 0)
+            ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+          else ivfCentroids(corpus, idCol, vecCol, m)
+        val cbLit = pqCodebooksLit(cb)
+        // stage 1 — ADC shortlist: codes only on the corpus side (the
+        // serving-index representation); sim = −adc so the shared rank
+        // stage's (sim DESC, match_id) order is (adc ASC, match_id)
+        val shortlist = rankTopK(
+          ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+            Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"),
+              cbLit, pqKs).as("__codes")))
+            .select(col("query_id"), col("__qv"), col("match_id"),
+              (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
+                col("__codes"), cbLit, pqKs)).as("sim")),
+          refine * k)
+        // stage 2 — exact re-rank: ONLY the shortlist ids read raw
+        // vectors (refine·k rows per query, id-equi-join)
+        val raws = corpus.select(col(idCol).as("match_id"),
+          col(vecCol).as("__cv"))
+        rankTopK(
+          shortlist.select(col("query_id"), col("__qv"), col("match_id"))
+            .join(raws, Seq("match_id"))
+            .select(col("query_id"), col("match_id"),
+              cosine(col("__qv"), col("__cv")).as("sim")),
+          k)
+    }
+  }
+
   /** kNN label classification over ANY neighbor stage: majority vote of
     * the k nearest labels (ties broken by smaller label), reduced to
     * per-class accuracy counts. `neighbors` supplies (query_id,

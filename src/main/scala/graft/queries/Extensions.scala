@@ -2101,6 +2101,187 @@ object Extensions {
              |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
              |ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
+    // The PQ re-rank tier (r15) — the fix for the loss X161 just
+    // priced: q_pq_recall_audit measures the pure-ADC tier at recall@10
+    // 0.0–0.2 (pqM=4 crushes 64 dims into 4 codes; ADC misranks within
+    // the probed cells), so a deployment serving raw IVF-PQ returns
+    // junk. The standard refine stage (ADC shortlist of refine·k=40 →
+    // exact-cosine re-rank of ONLY those ids) recovers the recall ADC
+    // threw away, at refine·k point reads per query — measured here
+    // 0.32 vs 0.10, sitting just under the id-rank IVF tier's 0.36
+    // ceiling (X152): what the re-rank CANNOT recover is cell
+    // selection, which is q_pq_rerank_refined's dial. Same fixture, same
+    // geometry (m=8, nProbe=2, pqM=4, ks=8, refine·k=80) as X161, so the two audits
+    // are the before/after pair of the same dial; dominance per query
+    // is structural (the exact top-10 of a shortlist contains every
+    // true top-10 member the shortlist contains, and ADC-top-10 ⊆
+    // ADC-top-40). Oracle = X161's CTE chain through `adc`, then the
+    // shortlist window and the exact re-rank window — all relational.
+    // Sub-ks corpora: ivfPqRerankJoin inherits ivfPqJoin's skip (empty
+    // approx leg), and the oracle's `short` CTE carries the same
+    // count(corp) >= ks gate, so both sides answer the all-zero audit
+    // on every corpus size.
+    Q("q_pq_rerank",
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfPqRerankJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2, pqM = 4, pqKs = 8, refine = 8)),
+      Some("""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+             |FROM embeddings WHERE vec_id >= 5),
+             |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+             |FROM embeddings WHERE vec_id < 5),
+             |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |FROM (SELECT vec_id, l FROM corp ORDER BY vec_id LIMIT 8) s),
+             |ms AS (SELECT unnest(range(0, 4)) AS mi),
+             |cb AS (SELECT ms.mi, seeds.c,
+             |list_slice(seeds.l, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+             |FROM seeds CROSS JOIN ms),
+             |dist AS (SELECT corp.vec_id, cb.mi, cb.c,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (corp.l[cb.mi*16 + i] - cb.w[i]) * (corp.l[cb.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM corp CROSS JOIN cb),
+             |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+             |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+             |FROM dist) t WHERE rn = 1),
+             |cents AS (SELECT vec_id AS cell, l AS cl FROM corp ORDER BY vec_id LIMIT 8),
+             |asim AS (SELECT corp.vec_id, cents.cell,
+             |list_cosine_similarity(corp.l, cents.cl) AS sim FROM corp CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM asim) t WHERE rn = 1),
+             |qsim AS (SELECT qs.vec_id, cents.cell,
+             |list_cosine_similarity(qs.l, cents.cl) AS sim FROM qs CROSS JOIN cents),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+             |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |FROM qsim) t WHERE rn <= 2),
+             |cand AS (SELECT p.query_id, a.vec_id AS match_id
+             |FROM probes p JOIN assigned a ON a.cell = p.cell),
+             |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+             |list_sum(list_transform(range(1, 17),
+             |i -> (q.l[co.mi*16 + i] - cb.w[i]) * (q.l[co.mi*16 + i] - cb.w[i]))) AS dd
+             |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+             |JOIN codes co ON co.vec_id = cand.match_id
+             |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+             |adc AS (SELECT query_id, match_id,
+             |list_sum(list(dd ORDER BY mi)) AS adc
+             |FROM sub GROUP BY query_id, match_id),
+             |short AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
+             |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
+             |FROM adc) t WHERE rk <= 80
+             |AND (SELECT count(*) FROM corp) >= 8),
+             |ap AS (SELECT query_id, match_id FROM (SELECT sh.query_id, sh.match_id,
+             |row_number() OVER (PARTITION BY sh.query_id ORDER BY
+             |list_cosine_similarity(q.l, c.l) DESC, sh.match_id) AS rk
+             |FROM short sh JOIN qs q ON q.vec_id = sh.query_id
+             |JOIN corp c ON c.vec_id = sh.match_id) t WHERE rk <= 10),
+             |ex AS (SELECT query_id, match_id FROM (
+             |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+             |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+             |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+             |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+             |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+             |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+             |GROUP BY ex.query_id)
+             |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+             |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+             |ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
+    // The full serving recipe the PQ stack would actually SHIP (r15):
+    // Lloyd-2-refined coarse quantizer (X154's tier — cell selection is
+    // the one loss a re-rank cannot recover, so the refined centroids
+    // matter most here) + ADC shortlist over codes + exact re-rank of
+    // the refine·k=80 shortlist. Measured recall@10 0.44 vs the exact
+    // IVF refined tier's 0.48 ceiling (X154) — the ADC+rerank stack
+    // gives back nearly the whole quantization loss while the serving
+    // index stays 64× smaller than the floats (4 one-byte codes vs 64
+    // doubles). The ladder the committed audits now price end-to-end:
+    // pure ADC 0.10 (X161) → +rerank 0.32 (X162) → +refined cells 0.44
+    // (this) vs exact-in-cell 0.36/0.48 (X152/X154). Oracle composes
+    // the two proven replays — X154's unrolled Lloyd rounds for cents2
+    // and X161's codebook/code/ADC chain — plus the two rank windows.
+    Q("q_pq_rerank_refined",
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfPqRerankJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2, pqM = 4, pqKs = 8, refine = 8,
+          kmeansIters = 2)),
+      Some {
+        // X154's one-Lloyd-round CTE over the `corp(vec_id, l)` leg:
+        // assign vs `prev` (tie → larger cell), element-wise member
+        // means, emptied cells carry `prev` forward
+        def lloydRound(prev: String, next: String, a: String, m: String) =
+          s"""$a AS (SELECT vec_id, l, cell FROM (SELECT corp.vec_id, corp.l, $prev.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.l, $prev.c) DESC, $prev.cell DESC) AS rn
+             |FROM corp CROSS JOIN $prev) t WHERE rn = 1),
+             |$m AS (SELECT cell, list(x ORDER BY i) AS c FROM
+             |(SELECT cell, t.i AS i, sum(l[t.i]) / count(*) AS x
+             |FROM $a, range(1, 65) t(i) GROUP BY cell, t.i) s GROUP BY cell),
+             |$next AS (SELECT $prev.cell, coalesce($m.c, $prev.c) AS c
+             |FROM $prev LEFT JOIN $m ON $m.cell = $prev.cell)""".stripMargin
+        s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id >= 5),
+           |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id < 5),
+           |seeds AS (SELECT l, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           |FROM (SELECT vec_id, l FROM corp ORDER BY vec_id LIMIT 8) s),
+           |ms AS (SELECT unnest(range(0, 4)) AS mi),
+           |cb AS (SELECT ms.mi, seeds.c,
+           |list_slice(seeds.l, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+           |FROM seeds CROSS JOIN ms),
+           |dist AS (SELECT corp.vec_id, cb.mi, cb.c,
+           |list_sum(list_transform(range(1, 17),
+           |i -> (corp.l[cb.mi*16 + i] - cb.w[i]) * (corp.l[cb.mi*16 + i] - cb.w[i]))) AS dd
+           |FROM corp CROSS JOIN cb),
+           |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+           |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+           |FROM dist) t WHERE rn = 1),
+           |cents0 AS (SELECT vec_id AS cell, l AS c FROM corp ORDER BY vec_id LIMIT 8),
+           |${lloydRound("cents0", "cents1", "a0", "m0")},
+           |${lloydRound("cents1", "cents2", "a1", "m1")},
+           |asim AS (SELECT corp.vec_id, cents2.cell,
+           |list_cosine_similarity(corp.l, cents2.c) AS sim FROM corp CROSS JOIN cents2),
+           |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM asim) t WHERE rn = 1),
+           |qsim AS (SELECT qs.vec_id, cents2.cell,
+           |list_cosine_similarity(qs.l, cents2.c) AS sim FROM qs CROSS JOIN cents2),
+           |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM qsim) t WHERE rn <= 2),
+           |cand AS (SELECT p.query_id, a.vec_id AS match_id
+           |FROM probes p JOIN assigned a ON a.cell = p.cell),
+           |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+           |list_sum(list_transform(range(1, 17),
+           |i -> (q.l[co.mi*16 + i] - cb.w[i]) * (q.l[co.mi*16 + i] - cb.w[i]))) AS dd
+           |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+           |JOIN codes co ON co.vec_id = cand.match_id
+           |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+           |adc AS (SELECT query_id, match_id,
+           |list_sum(list(dd ORDER BY mi)) AS adc
+           |FROM sub GROUP BY query_id, match_id),
+           |short AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
+           |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
+           |FROM adc) t WHERE rk <= 80
+           |AND (SELECT count(*) FROM corp) >= 8),
+           |ap AS (SELECT query_id, match_id FROM (SELECT sh.query_id, sh.match_id,
+           |row_number() OVER (PARTITION BY sh.query_id ORDER BY
+           |list_cosine_similarity(q.l, c.l) DESC, sh.match_id) AS rk
+           |FROM short sh JOIN qs q ON q.vec_id = sh.query_id
+           |JOIN corp c ON c.vec_id = sh.match_id) t WHERE rk <= 10),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+           |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+           |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+           |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id)
+           |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+           |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin.replace("\n", " ")
+      }),
+
     // The LSH multi-probe RADIUS dial priced as a curve (r14) —
     // q_ivf_probe_curve's pattern on the third dial: mean recall@10 of
     // the sign-LSH join per probe radius 0..nPlanes in ONE pass (one

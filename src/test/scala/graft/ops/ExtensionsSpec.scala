@@ -249,6 +249,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(cells.agg(sum("count")).as[Long].head() == base.count())
   }
 
+  test("PQ recall ladder: re-rank dominates pure ADC per query; refined cells raise the mean") {
+    def recalls(q: String): Map[Long, Double] =
+      graft.SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val adc = recalls("q_pq_recall_audit")
+    val rr = recalls("q_pq_rerank")
+    val rrf = recalls("q_pq_rerank_refined")
+    assert(adc.keySet == rr.keySet && rr.keySet == rrf.keySet)
+    // structural dominance: the exact top-10 of the ADC-top-80 shortlist
+    // contains every true hit the ADC top-10 contained (ten shortlist
+    // members beating x exactly would beat x globally) — per query, not
+    // just in aggregate
+    adc.foreach { case (q, r) =>
+      assert(rr(q) >= r, s"query $q: rerank recall ${rr(q)} < pure-ADC $r")
+    }
+    assert(rr.values.sum > adc.values.sum,
+      "re-rank bought nothing on the audit fixture")
+    // cell selection is the loss the re-rank cannot recover — the
+    // Lloyd-refined coarse quantizer must raise the audit's mean
+    assert(rrf.values.sum >= rr.values.sum,
+      s"refined-cell rerank ${rrf.values.sum} < id-rank rerank ${rr.values.sum}")
+  }
+
   test("ivfProbeCurve: monotone recall, saturates at 1.0, leaks no RDD") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter($"vec_id" < 5)

@@ -613,6 +613,37 @@ class PlanSpec extends SparkSpec {
       "per-probe top-k must prune before the rank window")
   }
 
+  test("PQ re-rank: ADC shortlist runs on codes; raw vectors enter ONLY above the shortlist gate") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val df = graft.ops.Similarity.ivfPqRerankJoin(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+      "vec_id", "embedding", 10, m = 8, nProbe = 2, pqM = 4, pqKs = 8,
+      refine = 8)
+    val p = df.queryExecution.executedPlan.toString
+    // both rank stages (shortlist + final) prune before their window
+    // exchange — the shuffle carries ~refine·k rows per query, not the
+    // whole probed-cell candidate set
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(1500))
+    // top-down: the exact-cosine re-rank join sits ABOVE the ADC
+    // shortlist window — raw corpus vectors meet a rank-gated frame,
+    // never the full candidate set (the first cosine_sim in the tree is
+    // the re-rank's; the centroid-probe cosines live further down on
+    // the query side)
+    val rerank = p.indexOf("cosine_sim")
+    val shortlist = p.indexOf("pq_adc")
+    assert(rerank >= 0 && shortlist >= 0, p.take(1500))
+    assert(rerank < shortlist,
+      "exact cosine computed below the ADC shortlist — raw vectors reached the candidate stage")
+    // the refine·k rank gate separates the two stages
+    val gate = p.indexOf("<= 80", rerank)
+    assert(gate >= 0 && gate < shortlist,
+      "shortlist rank gate missing between re-rank and ADC stages")
+    // the re-rank is an id equi-join (bounded point reads at scale)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "re-rank degenerated to a non-keyed join")
+  }
+
   test("BPE encode: merge table broadcasts; token counts combine map-side") {
     val p = plan("q_bpe_encode")
     // the 1-row merge table joins by broadcast — the vocabulary never
