@@ -524,10 +524,27 @@ object Similarity {
     */
   def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
                    path: String, pqM: Int = 4, pqKs: Int = 8,
-                   ivfCells: Int = 0,
-                   kmeansIters: Int = 5): Array[Array[Array[Double]]] = {
+                   ivfCells: Int = 0, kmeansIters: Int = 5,
+                   residual: Boolean = false): Array[Array[Array[Double]]] = {
+    // residual codes are relative to a cell centroid by construction —
+    // a flat (cell-less) residual index is not a thing
+    require(!residual || ivfCells > 0,
+      "residual PQ encodes v - centroid(cell(v)): it needs the IVF layout (ivfCells > 0)")
     val spark = vectors.sparkSession
-    val cbOpt = pqCodebooksOpt(vectors, idCol, vecCol, pqM, pqKs)
+    // refined cells by default, like writeIvfIndex: the sidecar carries
+    // whichever centroids the build used, so probes always agree
+    val cents =
+      if (ivfCells > 0 && kmeansIters > 0)
+        ivfCentroidsKMeans(vectors, idCol, vecCol, ivfCells, kmeansIters)
+      else if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
+      else Array.empty[(Long, Array[Double])]
+    val cbOpt =
+      if (residual)
+        pqCodebooksOpt(
+          ivfAssign(vectors, idCol, vecCol, cents).withColumn("__res",
+            residualOf(col(vecCol), centroidMapLit(cents), col("__cell"))),
+          idCol, "__res", pqM, pqKs)
+      else pqCodebooksOpt(vectors, idCol, vecCol, pqM, pqKs)
     if (cbOpt.isEmpty) {
       // corpus < ks (dead tenant, truncated source): a scheduled rebuild
       // records ONE clean skip — an empty-but-readable code table plus an
@@ -545,17 +562,15 @@ object Similarity {
     }
     val cb = cbOpt.get
     val cbLit = pqCodebooksLit(cb)
-    val codes = graft.functions.PqEncode(
-      col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
-    // refined cells by default, like writeIvfIndex: the sidecar carries
-    // whichever centroids the build used, so probes always agree
-    val cents =
-      if (ivfCells > 0 && kmeansIters > 0)
-        ivfCentroidsKMeans(vectors, idCol, vecCol, ivfCells, kmeansIters)
-      else if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
-      else Array.empty[(Long, Array[Double])]
+    val codes =
+      if (residual)
+        graft.functions.PqEncode(
+          residualOf(col(vecCol), centroidMapLit(cents), col("__cell")),
+          cbLit, pqKs).as("codes")
+      else graft.functions.PqEncode(
+        col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
     val sidecarIntoStaging = (staging: org.apache.hadoop.fs.Path) =>
-      writePqSidecar(spark, staging.toString, pqM, pqKs, cb, cents)
+      writePqSidecar(spark, staging.toString, pqM, pqKs, cb, cents, residual)
     if (ivfCells > 0)
       graft.etl.Refresh.overwriteStaged(
         ivfAssign(vectors, idCol, vecCol, cents)
@@ -603,9 +618,16 @@ object Similarity {
 
   private def writePqSidecar(spark: SparkSession, path: String, pqM: Int,
                              pqKs: Int, cb: Array[Array[Array[Double]]],
-                             cents: Array[(Long, Array[Double])]): Unit = {
+                             cents: Array[(Long, Array[Double])],
+                             residual: Boolean): Unit = {
     val (fs, _) = graft.etl.Refresh.hfs(spark, path)
-    val lines = Seq(s"pq $pqM $pqKs ${cb(0)(0).length}") ++
+    // header tag versions the code space: `pq` = codes over raw
+    // vectors (the v1 format, still written for raw builds so existing
+    // indexes and readers stay byte-compatible), `pqr` = codes over
+    // residuals v − centroid(cell) — a probe MUST residualize its query
+    // or every ADC is wrong, hence a format tag, not a convention
+    val tag = if (residual) "pqr" else "pq"
+    val lines = Seq(s"$tag $pqM $pqKs ${cb(0)(0).length}") ++
       cb.flatten.map(w => "cw " + w.mkString(",")) ++
       cents.map { case (id, c) => s"ct $id " + c.mkString(",") }
     val out = fs.create(new org.apache.hadoop.fs.Path(path, PqSidecar), true)
@@ -615,10 +637,12 @@ object Similarity {
   }
 
   /** The quantizer a [[writePqIndex]] extract was built with:
-    * `(pqM, pqKs, codebooks [m][ks][dsub], centroids)`.
+    * `(pqM, pqKs, residual, codebooks [m][ks][dsub], centroids)` —
+    * `residual` reports the sidecar's version tag (`pqr`: codes are
+    * over `v − centroid(cell)`, probes must residualize the query).
     */
   def readPqSidecar(spark: SparkSession, path: String)
-      : (Int, Int, Array[Array[Array[Double]]], Array[(Long, Array[Double])]) = {
+      : (Int, Int, Boolean, Array[Array[Array[Double]]], Array[(Long, Array[Double])]) = {
     val (fs, _) = graft.etl.Refresh.hfs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path, PqSidecar)
     require(fs.exists(p), s"$path has no $PqSidecar sidecar — not a committed PQ index")
@@ -633,8 +657,10 @@ object Similarity {
     require(!lines.head.startsWith("absent"),
       s"$path is an absent-empty-corpus PQ index (skip-with-status): it has " +
         "no quantizer; probePqIndex serves empty candidates on it")
-    val Array(_, mS, ksS, _) = lines.head.split(' ')
+    val Array(tag, mS, ksS, _) = lines.head.split(' ')
     val (m, ks) = (mS.toInt, ksS.toInt)
+    val residual = tag == "pqr"
+    require(residual || tag == "pq", s"$path sidecar has unknown format tag '$tag'")
     val words = lines.tail.filter(_.startsWith("cw "))
       .map(_.stripPrefix("cw ").split(',').map(java.lang.Double.parseDouble))
     require(words.length == m * ks, s"sidecar has ${words.length} codewords, expected ${m * ks}")
@@ -645,7 +671,7 @@ object Similarity {
       rest.take(sp).toLong -> rest.drop(sp + 1).split(',')
         .map(java.lang.Double.parseDouble)
     }.toArray
-    (m, ks, cb, cents)
+    (m, ks, residual, cb, cents)
   }
 
   /** Probe a [[writePqIndex]] extract: ADC top-k over the code files —
@@ -662,7 +688,7 @@ object Similarity {
       // serve empty candidates (typed from the committed empty table)
       return spark.read.parquet(path)
         .select(col(idCol), lit(0.0).as("adc")).limit(0)
-    val (_, ks, cb, cents) = readPqSidecar(spark, path)
+    val (_, ks, residual, cb, cents) = readPqSidecar(spark, path)
     val cbLit = pqCodebooksLit(cb)
     val q = typedLit(query.toSeq)
     val base = spark.read.parquet(path)
@@ -670,8 +696,15 @@ object Similarity {
       if (cents.isEmpty) base
       else base.filter(col("cell").isin(
         nearestCells(cents, query, nProbe): _*))
+    // a `pqr` index stores codes over v − centroid(cell): residualize
+    // the query against each row's cell centroid (m-entry map literal,
+    // codegen'd — the per-cell ADC table of the classic formulation)
+    val adcQuery =
+      if (residual)
+        residualOf(q, centroidMapLit(cents), col("cell").cast("bigint"))
+      else q
     scoped.select(col(idCol),
-        graft.functions.PqAdc(q, col("codes"), cbLit, ks).as("adc"))
+        graft.functions.PqAdc(adcQuery, col("codes"), cbLit, ks).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }
@@ -1105,28 +1138,91 @@ object Similarity {
     * swappable neighbor stage (exact / LSH multi-probe / IVF / IVF-PQ),
     * accuracy-pinned like the others on the clustered fixture.
     */
+  /** The per-cell centroid lookup the residual-PQ paths share: a map
+    * literal `cell → centroid` consumed via codegen'd `element_at` —
+    * m entries, index-build-sized, never a join.
+    */
+  private def centroidMapLit(centroids: Array[(Long, Array[Double])]): Column =
+    typedLit(centroids.map { case (id, c) => id -> c.toSeq }.toMap)
+
+  /** `vec − centroid(cellCol)`: the residual the IVF-PQ residual paths
+    * quantize and probe with (one zip_with, codegen'd).
+    */
+  private def residualOf(vec: Column, centMap: Column,
+                         cellCol: Column): Column =
+    zip_with(vec.cast("array<double>"), element_at(centMap, cellCol),
+      (a, b) => a - b)
+
+  /** Shared ADC candidate stage for [[ivfPqJoin]] and
+    * [[ivfPqRerankJoin]]: codebook training, code assignment, and the
+    * per-candidate ADC rank key, over either the raw vectors or —
+    * `residual = true`, the standard IVF-PQ construction — the residual
+    * `v − centroid(cell(v))`, which concentrates the codebook on
+    * within-cell variance. At probe time the query is residualized
+    * against EACH probed cell's centroid (the per-cell ADC table of the
+    * classic formulation); the candidate's `__cell` survives the cell
+    * equi-join, so both sides residualize against the same centroid and
+    * ADC still estimates ‖q − v‖². None when the corpus cannot seed a
+    * ks-word codebook (the skip contract both callers share).
+    *
+    * Regime note, measured on the audit fixture + PqSpec's clustered
+    * one: residual encoding helps exactly when the coarse quantizer
+    * captures real structure (clustered corpus, Lloyd-refined cells —
+    * quantization error drops ~100×); with id-rank cells on an
+    * isotropic corpus it actively HURTS (recall 0.02 vs raw 0.10 —
+    * the codebook seeds degrade and no variance is removed). Pair
+    * `residual = true` with `kmeansIters > 0`; q_pq_residual_audit
+    * prices the shipped combination.
+    */
+  private def pqAdcCandidates(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              centroids: Array[(Long, Array[Double])],
+                              nProbe: Int, pqM: Int, pqKs: Int,
+                              residual: Boolean): Option[DataFrame] = {
+    val centMap = centroidMapLit(centroids)
+    val cbOpt =
+      if (residual)
+        pqCodebooksOpt(
+          ivfAssign(corpus, idCol, vecCol, centroids)
+            .withColumn("__res",
+              residualOf(col(vecCol), centMap, col("__cell"))),
+          idCol, "__res", pqM, pqKs)
+      else pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs)
+    cbOpt.map { cb =>
+      val cbLit = pqCodebooksLit(cb)
+      val corpusVec =
+        if (residual) residualOf(col(vecCol), centMap, col("__cell"))
+        else col(vecCol).cast("array<double>")
+      val cands = ivfCellCandidates(queries, corpus, idCol, vecCol,
+        centroids, nProbe,
+        Seq(graft.functions.PqEncode(corpusVec, cbLit, pqKs).as("__codes")))
+      val queryVec =
+        if (residual) residualOf(col("__qv"), centMap, col("__cell"))
+        else col("__qv").cast("array<double>")
+      cands.select(col("query_id"), col("__qv"), col("match_id"),
+        (-graft.functions.PqAdc(queryVec, col("__codes"), cbLit, pqKs))
+          .as("sim"))
+    }
+  }
+
   def ivfPqJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
-                pqM: Int = 4, pqKs: Int = 8): DataFrame = {
+                pqM: Int = 4, pqKs: Int = 8, kmeansIters: Int = 0,
+                residual: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
-    pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs) match {
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    pqAdcCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+      pqM, pqKs, residual) match {
       case None =>
         // corpus < pqKs (dead tenant, truncated source): no quantizer to
         // build — empty candidates with the join's schema, so a composed
         // flow records a clean zero-row tick instead of a failed round
         corpus.select(col(idCol).as("query_id"), col(idCol).as("match_id"),
           lit(0.0).as("sim")).limit(0)
-      case Some(cb) =>
-        val centroids = ivfCentroids(corpus, idCol, vecCol, m)
-        val cbLit = pqCodebooksLit(cb)
-        rankTopK(
-          ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
-            Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"), cbLit,
-              pqKs).as("__codes")))
-            .select(col("query_id"), col("match_id"),
-              (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
-                col("__codes"), cbLit, pqKs)).as("sim")),
-          k)
+      case Some(cands) =>
+        rankTopK(cands.select(col("query_id"), col("match_id"), col("sim")), k)
     }
   }
 
@@ -1154,36 +1250,30 @@ object Similarity {
   def ivfPqRerankJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, k: Int, m: Int = 16, nProbe: Int = 4,
                       pqM: Int = 4, pqKs: Int = 8,
-                      refine: Int = 4, kmeansIters: Int = 0): DataFrame = {
+                      refine: Int = 4, kmeansIters: Int = 0,
+                      residual: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
     require(refine >= 1, s"refine must be >= 1, got $refine")
-    pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs) match {
+    // kmeansIters > 0 rides the Lloyd-refined coarse quantizer the way
+    // [[ivfJoin]] does — cell selection is the recall term the re-rank
+    // stage CANNOT recover (unread cells stay unread), so the refined
+    // tier matters more here than anywhere
+    val centroids =
+      if (kmeansIters > 0)
+        ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    pqAdcCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
+      pqM, pqKs, residual) match {
       case None =>
         // same skip contract as [[ivfPqJoin]]: corpus < ks → no
         // quantizer → clean empty frame with the join's schema
         corpus.select(col(idCol).as("query_id"), col(idCol).as("match_id"),
           lit(0.0).as("sim")).limit(0)
-      case Some(cb) =>
-        // kmeansIters > 0 rides the Lloyd-refined coarse quantizer the
-        // way [[ivfJoin]] does — cell selection is the recall term the
-        // re-rank stage CANNOT recover (unread cells stay unread), so
-        // the refined tier matters more here than anywhere
-        val centroids =
-          if (kmeansIters > 0)
-            ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
-          else ivfCentroids(corpus, idCol, vecCol, m)
-        val cbLit = pqCodebooksLit(cb)
+      case Some(adcCands) =>
         // stage 1 — ADC shortlist: codes only on the corpus side (the
         // serving-index representation); sim = −adc so the shared rank
         // stage's (sim DESC, match_id) order is (adc ASC, match_id)
-        val shortlist = rankTopK(
-          ivfCellCandidates(queries, corpus, idCol, vecCol, centroids, nProbe,
-            Seq(graft.functions.PqEncode(col(vecCol).cast("array<double>"),
-              cbLit, pqKs).as("__codes")))
-            .select(col("query_id"), col("__qv"), col("match_id"),
-              (-graft.functions.PqAdc(col("__qv").cast("array<double>"),
-                col("__codes"), cbLit, pqKs)).as("sim")),
-          refine * k)
+        val shortlist = rankTopK(adcCands, refine * k)
         // stage 2 — exact re-rank: ONLY the shortlist ids read raw
         // vectors (refine·k rows per query, id-equi-join)
         val raws = corpus.select(col(idCol).as("match_id"),

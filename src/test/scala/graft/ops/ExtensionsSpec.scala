@@ -373,7 +373,7 @@ class ExtensionsSpec extends SparkSpec {
     val embD = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
     Similarity.writePqIndex(embD, "vec_id", "v", pqPath,
       pqM = 4, pqKs = 8, ivfCells = 8)
-    val (_, _, _, sidecarCents) = Similarity.readPqSidecar(spark, pqPath)
+    val (_, _, _, _, sidecarCents) = Similarity.readPqSidecar(spark, pqPath)
     assert(sidecarCents.map(_._1).toSeq == refined.map(_._1).toSeq)
     assert(sidecarCents.flatMap(_._2).toSeq == refined.flatMap(_._2).toSeq,
       "PQ sidecar must carry the refined centroids the build assigned with")

@@ -23,8 +23,8 @@ class PqIndexSpec extends SparkSpec {
     val path = tmp("pq_rt")
     val cb = Similarity.writePqIndex(emb, "vec_id", "v", path,
       pqM = 4, pqKs = 8)
-    val (m, ks, cb2, cents) = Similarity.readPqSidecar(spark, path)
-    assert(m == 4 && ks == 8 && cents.isEmpty)
+    val (m, ks, residual, cb2, cents) = Similarity.readPqSidecar(spark, path)
+    assert(m == 4 && ks == 8 && !residual && cents.isEmpty)
     assert(cb2.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
   }
 
@@ -61,12 +61,130 @@ class PqIndexSpec extends SparkSpec {
     // of the 2 probed cells of the partitioned layout
     val cells = spark.read.parquet(path)
       .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
-    val (_, _, _, cents) = Similarity.readPqSidecar(spark, path)
+    val (_, _, _, _, cents) = Similarity.readPqSidecar(spark, path)
     assert(cents.length == 8)
     val got = probe.as[(Long, Double)].collect()
     assert(got.nonEmpty && got.length <= 5)
     val probedCells = got.map(r => cells(r._1)).toSet
     assert(probedCells.size <= 2, s"results span cells $probedCells")
+  }
+
+  test("residual IVF-PQ index: sidecar tags pqr; probe residualizes the query and matches in-memory ADC") {
+    val path = tmp("pq_resid")
+    val cb = Similarity.writePqIndex(emb, "vec_id", "v", path,
+      pqM = 4, pqKs = 8, ivfCells = 8, kmeansIters = 2, residual = true)
+    val (m, ks, residual, cb2, cents) = Similarity.readPqSidecar(spark, path)
+    assert(m == 4 && ks == 8 && residual && cents.length == 8)
+    assert(cb2.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+
+    val query = emb.orderBy("vec_id").limit(1)
+      .select("v").as[Seq[Double]].head().toArray
+    val nProbe = 2
+    val got = Similarity.probePqIndex(spark, path, "vec_id", query,
+      k = 5, nProbe).as[(Long, Double)].collect().toSeq
+
+    // in-memory reference: assign cells, residualize BOTH sides against
+    // the row's cell centroid, encode, ADC — restricted to the probed
+    // cells (top-nProbe by cosine, tie → larger cell, the nearestCells
+    // side)
+    val centMap = typedLit(cents.map { case (id, c) => id -> c.toSeq }.toMap)
+    def residOf(vec: org.apache.spark.sql.Column,
+                cell: org.apache.spark.sql.Column) =
+      zip_with(vec.cast("array<double>"), element_at(centMap, cell),
+        (a, b) => a - b)
+    val probed = cents.map { case (id, c) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      id -> dot / (math.sqrt(c.map(x => x * x).sum) *
+        math.sqrt(query.map(x => x * x).sum))
+    }.sortBy { case (id, s) => (-s, -id) }.take(nProbe).map(_._1).toSeq
+    val cbLit = Similarity.pqCodebooksLit(cb)
+    val q = typedLit(query.toSeq)
+    val want = Similarity.ivfAssign(emb, "vec_id", "v", cents)
+      .filter($"__cell".isin(probed: _*))
+      .select(col("vec_id"),
+        graft.functions.PqAdc(residOf(q, $"__cell"),
+          graft.functions.PqEncode(residOf($"v", $"__cell"), cbLit, 8),
+          cbLit, 8).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"probe $got vs in-memory $want")
+    // a raw build at the same geometry still tags pq (v1 stays v1)
+    val path2 = tmp("pq_rawtag")
+    Similarity.writePqIndex(emb, "vec_id", "v", path2,
+      pqM = 4, pqKs = 8, ivfCells = 8, kmeansIters = 2)
+    assert(!Similarity.readPqSidecar(spark, path2)._3)
+    // and a flat residual index is a caller error, loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writePqIndex(emb, "vec_id", "v", tmp("pq_flatres"),
+        pqM = 4, pqKs = 8, residual = true)
+    }
+    assert(e.getMessage.contains("ivfCells"))
+  }
+
+  test("residual encoding concentrates the codebook on a clustered corpus: quantization error drops, recall holds") {
+    // the k-means refinement spec's deterministic clustered fixture —
+    // the regime residual PQ exists for (with id-rank cells on the
+    // isotropic table it HURTS; q_pq_residual_audit prices that)
+    val dim = 16
+    val nClusters = 8
+    val perCluster = 40
+    def center(c: Int): Array[Double] =
+      Array.tabulate(dim)(i => math.sin(c * 31.0 + i * 7.0))
+    def point(c: Int, j: Int): Array[Double] = {
+      val ctr = center(c)
+      Array.tabulate(dim)(i =>
+        ctr(i) + 0.15 * math.sin((c * perCluster + j) * 13.0 + i * 5.0))
+    }
+    val rows = for (c <- 0 until nClusters; j <- 0 until perCluster)
+      yield ((c * perCluster + j).toLong, point(c, j))
+    val base = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsKMeans(base, "vec_id", "embedding",
+      nClusters, iters = 10)
+    val centMap = typedLit(cents.map { case (id, c) => id -> c.toSeq }.toMap)
+    def residOf(vec: org.apache.spark.sql.Column,
+                cell: org.apache.spark.sql.Column) =
+      zip_with(vec.cast("array<double>"), element_at(centMap, cell),
+        (a, b) => a - b)
+    val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+    // reconstruction error = ADC of a vector against its OWN code
+    def meanQerr(residual: Boolean): Double = {
+      val x =
+        if (residual) residOf($"embedding", $"__cell")
+        else $"embedding".cast("array<double>")
+      val cb =
+        if (residual)
+          Similarity.pqCodebooks(
+            assigned.withColumn("__res", x), "vec_id", "__res", 4, 8)
+        else Similarity.pqCodebooks(base, "vec_id", "embedding", 4, 8)
+      val cbLit = Similarity.pqCodebooksLit(cb)
+      assigned.select(graft.functions.PqAdc(x,
+          graft.functions.PqEncode(x, cbLit, 8), cbLit, 8).as("e"))
+        .agg(avg($"e")).as[Double].head()
+    }
+    val (qerrRaw, qerrRes) = (meanQerr(false), meanQerr(true))
+    info(f"mean quantization error: raw $qerrRaw%.4f residual $qerrRes%.4f")
+    assert(qerrRes * 5 < qerrRaw,
+      s"residual must concentrate the codebook: $qerrRes vs raw $qerrRaw")
+    // and end-to-end recall through ivfPqJoin does not regress
+    val queries = (0 until nClusters)
+      .map(c => ((10000 + c).toLong, point(c, perCluster + 1))).toDF("vec_id", "embedding")
+    def recallSum(residual: Boolean): Int = {
+      val nn = Similarity.ivfPqJoin(queries, base, "vec_id", "embedding",
+        10, m = nClusters, nProbe = 2, pqM = 4, pqKs = 8,
+        kmeansIters = 10, residual = residual)
+        .select($"query_id", $"match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = Similarity.annJoinExact(queries, base, "vec_id",
+        "embedding", 10)
+        .select($"query_id", $"match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, want) =>
+        (want intersect nn.getOrElse(qid, Set.empty)).size }.sum
+    }
+    val (rRaw, rRes) = (recallSum(false), recallSum(true))
+    info(s"recall@10 sum over $nClusters cluster queries: raw $rRaw residual $rRes of ${10 * nClusters}")
+    assert(rRes >= rRaw,
+      s"residual encoding regressed clustered recall: $rRes < $rRaw")
   }
 
   test("a too-small corpus commits a clean skip artifact; probes serve empty; direct calls stay loud") {
@@ -154,13 +272,13 @@ class PqIndexSpec extends SparkSpec {
   test("a PQ rebuild swaps data and sidecar together (atomic geometry change)") {
     val path = tmp("pq_swap")
     Similarity.writePqIndex(emb, "vec_id", "v", path, pqM = 4, pqKs = 8)
-    val (m1, _, _, _) = Similarity.readPqSidecar(spark, path)
+    val (m1, _, _, _, _) = Similarity.readPqSidecar(spark, path)
     assert(m1 == 4)
     // rebuild with a DIFFERENT quantizer geometry: data and sidecar must
     // flip in one rename — a new quantizer over old codes (or vice
     // versa) would silently corrupt every ADC distance
     Similarity.writePqIndex(emb, "vec_id", "v", path, pqM = 2, pqKs = 4)
-    val (m2, ks2, cb2, _) = Similarity.readPqSidecar(spark, path)
+    val (m2, ks2, _, cb2, _) = Similarity.readPqSidecar(spark, path)
     assert(m2 == 2 && ks2 == 4 && cb2.length == 2)
     val query = emb.orderBy("vec_id").limit(1)
       .select("v").as[Seq[Double]].head().toArray
