@@ -72,6 +72,30 @@ class BenchPolicySpec extends AnyFunSuite {
 
   // ---- compact summary line guard -------------------------------------
 
+  test("settleTargets: fires only past the band, only slow-direction, most-inflated first, capped") {
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)
+    // within band (shared 6.0 -> 6.3 = 1.05x): quiet session, no pass
+    assert(Bench.settleTargets(
+      Seq("a" -> 1.1, "b" -> 2.1, "c" -> 3.1), prev).isEmpty)
+    // past the band: targets ordered by inflation cur - prev, descending
+    val t = Bench.settleTargets(
+      Seq("a" -> 1.2, "b" -> 3.5, "c" -> 3.4), prev, n = 2)
+    assert(t == Seq("b", "c"), t.toString) // +1.5, +0.4, (a: +0.2 cut by n)
+    // FASTER than the record never fires (min-folding would only bias
+    // the published figure further down, not correct it)
+    assert(Bench.settleTargets(
+      Seq("a" -> 0.5, "b" -> 1.0, "c" -> 1.5), prev).isEmpty)
+    // a query absent from the record is surface growth, not inflation —
+    // it neither counts toward the shared total nor gets targeted
+    assert(Bench.settleTargets(
+      Seq("new" -> 100.0, "a" -> 1.0), prev).isEmpty)
+    // no record at all: nothing to converge toward
+    assert(Bench.settleTargets(Seq("a" -> 9.9), Map.empty[String, Double]).isEmpty)
+    // the published policy stamp names the settle rule (comparators must
+    // see the r15 policy change the way they saw r10's best-of change)
+    assert(Bench.SamplingPolicy.contains("settle"))
+  }
+
   test("compact bench line parses as JSON with the driver's expected keys") {
     val line = Bench.compactLine(12.345,
       Seq("q_heavy" -> 3.0, "q_next" -> 1.5), "/root/testdata/sf0.1",
