@@ -150,6 +150,82 @@ object Dedup {
     require(k >= 1 && k * sigWidth(k) <= 32,
       s"chunked-md5 minhash needs k*sigWidth(k) <= 32 (k <= 8); got k=$k")
 
+  /** Capture probability of the banded-minhash S-curve: the chance two
+    * documents at Jaccard `j` share at least one of `bands` band keys of
+    * `rows` signature components each — `1 − (1 − j^rows)^bands`. The
+    * curve every LSH geometry decision reads (X147's band stats, X159's
+    * threshold sweep, [[lshGeometryFor]]'s picker).
+    */
+  def lshCaptureProb(j: Double, rows: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+
+  /** Every geometry the chunked-md5 scheme can ship: k ∈ 2..8 signature
+    * components (k ≤ 8 is [[requireChunkableK]]'s digest bound) split
+    * into bands of `rows` each, `rows | k` ([[lshBands]]' divisibility
+    * rule). ~19 candidates — small enough to enumerate, which is what
+    * makes the picker exact rather than heuristic.
+    */
+  private[graft] def lshGeometries: Seq[(Int, Int)] =
+    for { k <- 2 to 8; rows <- 1 to k if k % rows == 0 } yield (k, rows)
+
+  /** Pick the LSH geometry `(k, bandRows)` for a target verification
+    * threshold: the STEEPEST shippable S-curve that still catches a
+    * threshold-level pair with probability ≥ `minRecall` — maximize
+    * `rows` (selectivity: candidate mass below the threshold falls as
+    * j^rows), then minimize `k` (fewer bands = fewer false-positive
+    * buckets and a cheaper signature). Deterministic enumeration of
+    * [[lshGeometries]], so the choice is DuckDB-replayable —
+    * q_lsh_geometry tabulates the full decision surface and pins the
+    * chosen row per threshold; an OpsSpec case pins table == picker.
+    * Refuses (loudly) when no k ≤ 8 geometry reaches `minRecall` —
+    * lowering the bar silently would ship invisible recall loss.
+    */
+  def lshGeometryFor(threshold: Double, minRecall: Double = 0.9): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(minRecall > 0.0 && minRecall < 1.0,
+      s"minRecall must be in (0, 1), got $minRecall")
+    val ok = lshGeometries.filter { case (k, rows) =>
+      lshCaptureProb(threshold, rows, k / rows) >= minRecall }
+    require(ok.nonEmpty,
+      s"no k<=8 LSH geometry reaches recall $minRecall at threshold " +
+        s"$threshold — lower minRecall or raise the threshold")
+    ok.maxBy { case (k, rows) => (rows, -k) }
+  }
+
+  /** The full LSH geometry decision surface as a table: capture
+    * probability of every shippable geometry ([[lshGeometries]]) at each
+    * swept threshold, with [[lshGeometryFor]]'s pick flagged per
+    * threshold (`chosen`) — the tuning table a dedup deployment reads
+    * before moving the jaccard bar, and the relational replay of the
+    * picker itself (rank qualifiers by rows desc, k asc — same rule,
+    * same arithmetic, so the DuckDB oracle reproduces the CHOICE, not
+    * just the curve). Pure arithmetic on a ~19-row literal frame:
+    * codegen'd pow over IEEE doubles, no corpus scan at any scale.
+    */
+  def lshGeometryTable(spark: org.apache.spark.sql.SparkSession,
+                       thresholds: Seq[Double],
+                       minRecall: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val g = lshGeometries.map { case (k, rows) => (k, rows, k / rows) }
+      .toDF("k", "band_rows", "bands")
+    val t = thresholds.toDF("threshold")
+    val cap = lit(1.0) -
+      pow(lit(1.0) - pow(col("threshold"), col("band_rows").cast("double")),
+        col("bands").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("threshold"))
+      .orderBy(col("__q").desc, col("band_rows").desc, col("k"))
+    g.crossJoin(t)
+      .withColumn("__cap", cap)
+      .withColumn("__q", col("__cap") >= minRecall)
+      .withColumn("__rk", row_number().over(w))
+      .select(col("threshold"), col("k"), col("band_rows"), col("bands"),
+        round(col("__cap"), 4).as("capture_at_t"),
+        (col("__q") && col("__rk") === 1).as("chosen"))
+      .orderBy(col("threshold"), col("k"), col("band_rows"))
+  }
+
   /** MinHash signature: k approximately-independent permutations derived
     * from ONE md5 per shingle (Broder's scheme with chunked hashes):
     * component i = min over shingles of hex digits [i*w, (i+1)*w) of
@@ -350,6 +426,33 @@ object Dedup {
 
   /** MinHash+LSH near-dup pipeline: shingle → signature → bands →
     * candidates → Jaccard-verified pairs at `threshold`.
+    *
+    * Geometry: the `(k, bandRows)` defaults (6 components in 3 bands of
+    * 2) are [[lshGeometryFor]]'s pick at the default threshold 0.8 —
+    * when moving the threshold, move the geometry with it
+    * (`lshGeometryFor(threshold)`) rather than keeping 3×2: capture is
+    * `1−(1−j^bandRows)^bands` and a mismatched curve either floods the
+    * bucket join with sub-threshold candidates or silently loses
+    * recall. q_lsh_geometry tabulates the full decision surface;
+    * X147/X159 price the default's bucket and candidate economics.
+    *
+    * DRIFT-family regime (measured: GIANTPROOF + the ExtensionsSpec
+    * reproduction): on sliding-window/template corpora — doc i ≈ doc
+    * i−1 with a few words shifted — band misses between neighbors are
+    * CORRELATED, not independent: the md5 min-shingle leaving the
+    * window flips every band it owns for (i,i+1), (i,i+2) AND (i−1,i+1)
+    * together, so bridge pairs don't rescue a break and the S-curve's
+    * independent-bands estimate (which would price a j≈0.95 edge at
+    * ~1e-3 miss for 3 bands) understates the break structure. Measured
+    * on 40-word drift docs: 3 bands miss ~7.5e-4 of chain edges vs
+    * ~1.25e-4 at 4 bands (6× fewer) — and because family CLOSURE
+    * compounds every break, the 40-word/3-band geometry fragmented a
+    * 128k-doc family into ~5k-doc segments while 80-word/4-band held
+    * all 128k in ONE component (GIANTPROOF.json). When the corpus is
+    * template-heavy and closure matters (cluster stats, canonical
+    * picks, dup-share accounting), prefer `k = 8, bandRows = 2` over
+    * the 3×2 default — 1.33× banding cost against a compounding
+    * fragmentation cliff.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 6, bandRows: Int = 2,

@@ -2437,6 +2437,43 @@ object Extensions {
            |GROUP BY g.radius ORDER BY radius""".stripMargin.replace("\n", " ")
       }),
 
+    // The LSH geometry PICKER, replayed relationally (r15): X147/X159/
+    // X160 price band stats, the jaccard dial, and the radius dial, but
+    // the geometry itself (k signature components in bands of
+    // band_rows) was a hardcoded 3×2 while the S-curve
+    // 1−(1−j^r)^b makes (b, r) computable from the target threshold.
+    // Dedup.lshGeometryFor picks the steepest shippable curve (max
+    // rows, then min k over the ~19 chunked-md5-legal geometries) that
+    // holds capture ≥ 0.9 at the threshold; this query tabulates the
+    // full decision surface — every geometry × every swept threshold,
+    // capture at 4dp, the picked row flagged — and the oracle
+    // reproduces the CHOICE (same rank rule over the same IEEE-double
+    // pow arithmetic), not just the curve. Pure literal-frame
+    // arithmetic: zero corpus reads at any scale.
+    Q("q_lsh_geometry",
+      (s, _) => Dedup.lshGeometryTable(s,
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95), minRecall = 0.9),
+      Some("""WITH geoms AS (SELECT k, r AS band_rows, k // r AS bands
+             |FROM range(2, 9) tk(k) JOIN range(1, 9) tr(r)
+             |ON r <= k AND k % r = 0),
+             |ts AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+             |CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE),
+             |CAST(0.95 AS DOUBLE)]) AS threshold),
+             |caps AS (SELECT ts.threshold, g.k, g.band_rows, g.bands,
+             |CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) -
+             |pow(ts.threshold, g.band_rows), g.bands) AS cap
+             |FROM geoms g CROSS JOIN ts),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY threshold
+             |ORDER BY (cap >= CAST(0.9 AS DOUBLE)) DESC, band_rows DESC, k) AS rk
+             |FROM caps)
+             |SELECT threshold, CAST(k AS INTEGER) AS k,
+             |CAST(band_rows AS INTEGER) AS band_rows,
+             |CAST(bands AS INTEGER) AS bands,
+             |round(cap, 4) AS capture_at_t,
+             |(cap >= CAST(0.9 AS DOUBLE) AND rk = 1) AS chosen
+             |FROM ranked ORDER BY threshold, k, band_rows""".stripMargin
+        .replace("\n", " "))),
+
     // Hard-negative mining for contrastive training: per query, the 5
     // most-similar corpus vectors with a DIFFERENT label — the mismatch
     // predicate restricts candidates BEFORE the top-k window so every

@@ -154,6 +154,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("lshGeometryFor: picker == tabulated decision surface; the deployed 3x2 default is the derived pick at 0.8") {
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    val chosen = Dedup.lshGeometryTable(spark, ts).filter($"chosen")
+      .select($"threshold", $"k", $"band_rows").as[(Double, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(chosen.size == ts.size, s"one pick per threshold: $chosen")
+    ts.foreach { t =>
+      assert(chosen(t) == Dedup.lshGeometryFor(t, 0.9),
+        s"table pick ${chosen(t)} != picker ${Dedup.lshGeometryFor(t, 0.9)} at $t")
+    }
+    // nearDupPairs' shipped default (k=6 in 3 bands x 2 rows) is exactly
+    // the pick at its default threshold 0.8 — derived, no longer a
+    // hardcoded coincidence (X147/X159 price this same geometry)
+    assert(Dedup.lshGeometryFor(0.8) == ((6, 2)))
+    // steeper (more selective) curves at higher thresholds
+    assert(Dedup.lshGeometryFor(0.95)._2 > Dedup.lshGeometryFor(0.7)._2)
+    // the pick honors the recall floor
+    val (k, r) = Dedup.lshGeometryFor(0.9)
+    assert(Dedup.lshCaptureProb(0.9, r, k / r) >= 0.9)
+    // an unreachable bar refuses loudly instead of shipping silent loss
+    intercept[IllegalArgumentException] { Dedup.lshGeometryFor(0.1, 0.999999) }
+  }
+
+  test("drift-family regime: correlated band misses fragment a 3-band chain; 4 bands hold it") {
+    // scaled-down GIANTPROOF corpus: doc i = words t{i}..t{i+39}, so
+    // every adjacent pair sits at trigram jaccard 37/39 ~ 0.949 — ABOVE
+    // the 0.8 verification bar. Any missed adjacent pair is therefore a
+    // BANDING miss, and on this sliding-window shape those misses are
+    // correlated (the min-shingle leaving the window flips every band
+    // it owns for (i,i+1), (i,i+2), (i-1,i+1) at once — bridges don't
+    // rescue a break). Measured rates: ~7.5e-4 misses/edge at 3 bands
+    // vs ~1.25e-4 at 4 (deterministic md5 → exact and stable), so the
+    // chain needs a few thousand edges to exhibit the regime
+    val n = 4000
+    val docs = spark.range(0, n).select($"id".as("doc_id"),
+      array_join(transform(sequence($"id", $"id" + 39),
+        j => concat(lit("t"), j)), " ").as("text"))
+    def adjacentCaptured(k: Int): Long =
+      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8,
+          k = k, bandRows = 2)
+        .filter($"id_b" - $"id_a" === 1).count()
+    val c3 = adjacentCaptured(6) // the 3x2 default
+    val c4 = adjacentCaptured(8) // the documented drift-regime geometry
+    info(s"adjacent edges captured of ${n - 1}: 3 bands $c3, 4 bands $c4")
+    assert(c3 < n - 1,
+      s"the 3-band correlated-miss regime should fragment this chain ($c3 of ${n - 1})")
+    assert(c4 > c3,
+      s"the 4th band should recover correlated misses: $c4 <= $c3")
+  }
+
   test("minhash LSH finds the planted near-dups that exact jaccard finds") {
     val docs = Tables.documents(spark, sf)
     val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.9)
