@@ -21,6 +21,15 @@ run / fork := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / excludeLintKeys += outputStrategy
+// A full `sbt test` starts from a CLEAN report directory: scratch
+// testOnly runs otherwise leave orphaned suite XMLs behind in
+// target/test-reports, so anyone aggregating the directory counts
+// suites that the run never executed (r14: a deleted scratch spec's
+// stale XML read as a 42nd suite). testOnly itself is untouched —
+// partial report sets are its normal output.
+Test / test := (Test / test)
+  .dependsOn(Def.task { IO.delete(target.value / "test-reports") })
+  .value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

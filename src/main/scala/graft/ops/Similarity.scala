@@ -469,6 +469,16 @@ object Similarity {
     */
   def lshRadiusCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+    // empty corpus (degenerate tenant): dimOf has no row to read the
+    // dimension from — answer the empty curve, mirroring ivfProbeCurve's
+    // zero-centroid early return. The guard lives in the OPERATOR so any
+    // composed caller degrades cleanly, not just the declared query.
+    if (corpus.select(col(vecCol)).take(1).isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("radius", lit(1))
+        .withColumn("n_queries", lit(0L))
+        .withColumn(s"mean_recall_at_$k", lit(0.0))
+        .limit(0)
     val dim = dimOf(corpus, vecCol)
     val planes = hyperplanes(nPlanes, dim)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),

@@ -144,8 +144,10 @@ object TextAnalysis {
     * the bare-area form — the fixed group widths keep dates
     * ("2024-08-15", "1914-1918 1939") and equal-width numeric triplets
     * ("scores 100 200 300") out, and the leading `\b` keeps a match
-    * from starting MID-digit-run ("12345-678-9012" must fall through
-    * whole to the ID class, never shred to "1<PHONE>"). International
+    * from starting MID-digit-run ("12345-678-9012" falls through WHOLE —
+    * unredacted, since its separated groups fit no class and the 9+-digit
+    * fallback cannot see across separators — never shred to
+    * "1<PHONE>"). International
     * formats that don't fit area/3/4 are deliberately out of scope:
     * their separator-less forms fall to the 9+-digit class, their
     * separated forms stay (precision over recall — a scrub pass must

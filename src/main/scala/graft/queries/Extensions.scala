@@ -337,7 +337,11 @@ object Extensions {
         val natural = docs
           .select(col("doc_id"), explode(sequence(lit(1), lit(20))).as("i"))
           .select(concat(lit("w"),
-            floor(pow(lit(1000.0), u)).cast("long").cast("string")).as("word"))
+            // the +1e-9 bias (on BOTH engines) keeps the word id off the
+            // floor boundary: 1000^u landing within an ulp of an integer
+            // could otherwise round differently between Java Math.pow
+            // and DuckDB's libm and flip one word across engines
+            floor(pow(lit(1000.0), u) + lit(1e-9)).cast("long").cast("string")).as("word"))
         val template = docs.select(explode(split(col("text"), " ")).as("word"))
         fit(template, "template").unionAll(fit(natural, "zipfian"))
           .orderBy("half")
@@ -345,7 +349,7 @@ object Extensions {
       Some("""WITH nat AS (SELECT 'w' || CAST(CAST(floor(power(1000.0,
              |CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
              |':', CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
-             |/ 4294967296.0)) AS BIGINT) AS VARCHAR) AS word
+             |/ 4294967296.0) + 1e-9) AS BIGINT) AS VARCHAR) AS word
              |FROM documents, range(1, 21) i(i)),
              |tmpl AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
              |natw AS (SELECT word, count(*) AS freq FROM nat WHERE word <> '' GROUP BY word),

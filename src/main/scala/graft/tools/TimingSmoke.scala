@@ -54,6 +54,12 @@ object TimingSmoke {
           case -1 => Map.empty[String, Double]
           case close =>
             val qTxt = txt.substring(m.end, close)
+            // the first-'}' slice is correct ONLY while the object stays
+            // flat — a nested value would truncate the map and silently
+            // half-disable the suspect gate; fail loudly instead
+            require(!qTxt.contains("{"),
+              "prev ledger's queries object is not flat — parsePrev's " +
+                "first-'}' extraction would truncate it; update the parser")
             "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
               .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }
