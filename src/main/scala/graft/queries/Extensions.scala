@@ -2286,6 +2286,104 @@ object Extensions {
            |ORDER BY query_id""".stripMargin.replace("\n", " ")
       }),
 
+    // The COMPLETE PQ serving stack (r15): Lloyd-2-refined coarse
+    // quantizer + RESIDUAL codes + ADC shortlist + exact re-rank — every
+    // increment the audits priced separately, composed. Measured
+    // recall@10: 0.48, per-query IDENTICAL to the exact-in-cell refined
+    // tier (X154's 0.5/0.5/0.4/0.6/0.4): the residual shortlist is
+    // tight enough that the top-80 ADC candidates contain every in-cell
+    // true hit, so the exact re-rank recovers the ENTIRE quantization
+    // loss — the 64×-smaller serving index gives up nothing vs reading
+    // raw floats in the probed cells. The full ladder the audit tier
+    // now prices: ADC 0.10 (X161) → +rerank 0.32 (X162) → +refined
+    // cells 0.44 (X163) → +residual codes 0.48 (this) == the X154
+    // ceiling; what remains is pure cell selection (nProbe, X155's
+    // curve). Oracle composes all three proven replays.
+    Q("q_pq_full_stack",
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.ivfPqRerankJoin(probes, corpus, "vec_id", "embedding", 10,
+          m = 8, nProbe = 2, pqM = 4, pqKs = 8, refine = 8,
+          kmeansIters = 2, residual = true)),
+      Some {
+        def lloydRound(prev: String, next: String, a: String, m: String) =
+          s"""$a AS (SELECT vec_id, l, cell FROM (SELECT corp.vec_id, corp.l, $prev.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.l, $prev.c) DESC, $prev.cell DESC) AS rn
+             |FROM corp CROSS JOIN $prev) t WHERE rn = 1),
+             |$m AS (SELECT cell, list(x ORDER BY i) AS c FROM
+             |(SELECT cell, t.i AS i, sum(l[t.i]) / count(*) AS x
+             |FROM $a, range(1, 65) t(i) GROUP BY cell, t.i) s GROUP BY cell),
+             |$next AS (SELECT $prev.cell, coalesce($m.c, $prev.c) AS c
+             |FROM $prev LEFT JOIN $m ON $m.cell = $prev.cell)""".stripMargin
+        s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id >= 5),
+           |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id < 5),
+           |cents0 AS (SELECT vec_id AS cell, l AS c FROM corp ORDER BY vec_id LIMIT 8),
+           |${lloydRound("cents0", "cents1", "a0", "m0")},
+           |${lloydRound("cents1", "cents2", "a1", "m1")},
+           |asim AS (SELECT corp.vec_id, cents2.cell,
+           |list_cosine_similarity(corp.l, cents2.c) AS sim FROM corp CROSS JOIN cents2),
+           |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM asim) t WHERE rn = 1),
+           |resi AS (SELECT corp.vec_id, a.cell,
+           |list_transform(range(1, 65), i -> corp.l[i] - ct.c[i]) AS rl
+           |FROM corp JOIN assigned a ON a.vec_id = corp.vec_id
+           |JOIN cents2 ct ON ct.cell = a.cell),
+           |seeds AS (SELECT rl, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           |FROM (SELECT vec_id, rl FROM resi ORDER BY vec_id LIMIT 8) s),
+           |ms AS (SELECT unnest(range(0, 4)) AS mi),
+           |cb AS (SELECT ms.mi, seeds.c,
+           |list_slice(seeds.rl, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+           |FROM seeds CROSS JOIN ms),
+           |dist AS (SELECT resi.vec_id, cb.mi, cb.c,
+           |list_sum(list_transform(range(1, 17),
+           |i -> (resi.rl[cb.mi*16 + i] - cb.w[i]) * (resi.rl[cb.mi*16 + i] - cb.w[i]))) AS dd
+           |FROM resi CROSS JOIN cb),
+           |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+           |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+           |FROM dist) t WHERE rn = 1),
+           |qsim AS (SELECT qs.vec_id, cents2.cell,
+           |list_cosine_similarity(qs.l, cents2.c) AS sim FROM qs CROSS JOIN cents2),
+           |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM qsim) t WHERE rn <= 2),
+           |cand AS (SELECT p.query_id, a.vec_id AS match_id, p.cell
+           |FROM probes p JOIN assigned a ON a.cell = p.cell),
+           |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+           |list_sum(list_transform(range(1, 17),
+           |i -> ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]) * ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]))) AS dd
+           |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+           |JOIN cents2 ct ON ct.cell = cand.cell
+           |JOIN codes co ON co.vec_id = cand.match_id
+           |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+           |adc AS (SELECT query_id, match_id,
+           |list_sum(list(dd ORDER BY mi)) AS adc
+           |FROM sub GROUP BY query_id, match_id),
+           |short AS (SELECT query_id, match_id FROM (SELECT query_id, match_id,
+           |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
+           |FROM adc) t WHERE rk <= 80
+           |AND (SELECT count(*) FROM corp) >= 8),
+           |ap AS (SELECT query_id, match_id FROM (SELECT sh.query_id, sh.match_id,
+           |row_number() OVER (PARTITION BY sh.query_id ORDER BY
+           |list_cosine_similarity(q.l, c.l) DESC, sh.match_id) AS rk
+           |FROM short sh JOIN qs q ON q.vec_id = sh.query_id
+           |JOIN corp c ON c.vec_id = sh.match_id) t WHERE rk <= 10),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+           |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+           |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+           |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id)
+           |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+           |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Residual PQ encoding's recall audit (r15) — the standard IVF-PQ
     // construction quantizes the RESIDUAL v − centroid(cell(v)) instead
     // of the raw vector, concentrating the ks-word budget on
