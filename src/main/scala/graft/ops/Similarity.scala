@@ -1297,6 +1297,119 @@ object Similarity {
     }
   }
 
+  /** The nProbe dial of the FULL PQ serving stack priced as a curve —
+    * [[ivfProbeCurve]]'s pattern applied to [[ivfPqRerankJoin]]: mean
+    * recall@k per probe budget 1..m in ONE pass (each ADC candidate
+    * explodes to the budgets that would read its cell; shortlist and
+    * re-rank windows run per (query, budget); the exact leg is
+    * leaf-materialized once and released). Unlike the exact-tier curve
+    * this one does NOT saturate at 1.0: past the point where probed
+    * cells cover the true neighbors, the `refine·k` shortlist becomes
+    * the binding constraint — extra cells only add ADC candidates that
+    * crowd the fixed shortlist (measured on the audit fixture: 0.24 →
+    * 0.48 → peak 0.50 at nProbe=3 → flat 0.48 to m). That interaction
+    * is the reason the curve exists: it tells a deployment when buying
+    * probes without buying refine stops paying.
+    */
+  def ivfPqRerankCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int, m: Int = 16,
+                       pqM: Int = 4, pqKs: Int = 8, refine: Int = 4,
+                       kmeansIters: Int = 0,
+                       residual: Boolean = false): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    // zero centroids ⟺ empty corpus: nothing to recall against
+    if (centroids.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("n_probe", lit(1))
+        .withColumn("n_queries", lit(0L))
+        .withColumn(s"mean_recall_at_$k", lit(0.0))
+        .limit(0)
+    val (exact, exactRdd) = Dedup.materializeLeaf(
+      annJoinExact(queries, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("match_id")))
+    val centMap = centroidMapLit(centroids)
+    val cbOpt =
+      if (residual)
+        pqCodebooksOpt(
+          ivfAssign(corpus, idCol, vecCol, centroids)
+            .withColumn("__res",
+              residualOf(col(vecCol), centMap, col("__cell"))),
+          idCol, "__res", pqM, pqKs)
+      else pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs)
+    val approx: DataFrame = cbOpt match {
+      case None =>
+        // corpus < ks: no quantizer, no candidates at ANY budget — the
+        // all-zero curve (the denominator grid below still counts every
+        // query), matching the oracle's count(corp) >= ks shortlist gate
+        exact.select(col("query_id"),
+          lit(1).as("n_probe"), col("match_id")).limit(0)
+      case Some(cb) =>
+        val cbLit = pqCodebooksLit(cb)
+        // ranked cells per query (the ivfProbeCurve pattern — position
+        // IS the probe order), then the cell equi-join against codes
+        val cellSims = centroids.map { case (cellId, c) =>
+          struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("ns"),
+            lit(-cellId).as("negcell"))
+        }
+        val ranked = queries
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+          .select(col("query_id"), col("__qv"),
+            posexplode(array_sort(array(cellSims: _*))))
+          .select(col("query_id"), col("__qv"),
+            (col("pos") + 1).as("__cellrank"),
+            (-col("col.negcell")).as("__cell"))
+        val corpusVec =
+          if (residual) residualOf(col(vecCol), centMap, col("__cell"))
+          else col(vecCol).cast("array<double>")
+        val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+          .select(col(idCol).as("match_id"),
+            graft.functions.PqEncode(corpusVec, cbLit, pqKs).as("__codes"),
+            col("__cell"))
+        val queryVec =
+          if (residual) residualOf(col("__qv"), centMap, col("__cell"))
+          else col("__qv").cast("array<double>")
+        val cands = ranked.join(assigned, Seq("__cell"))
+          .select(col("query_id"), col("__qv"), col("match_id"),
+            (-graft.functions.PqAdc(queryVec, col("__codes"), cbLit, pqKs))
+              .as("sim"),
+            col("__cellrank"))
+          .withColumn("n_probe",
+            explode(sequence(col("__cellrank"), lit(m))))
+        val wShort = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("n_probe"))
+          .orderBy(col("sim").desc, col("match_id"))
+        val shortlist = cands
+          .withColumn("__rk", row_number().over(wShort))
+          .filter(col("__rk") <= refine * k)
+          .select(col("query_id"), col("__qv"), col("match_id"),
+            col("n_probe"))
+        // exact re-rank of each budget's shortlist: bounded raw reads
+        val raws = corpus.select(col(idCol).as("match_id"),
+          col(vecCol).as("__cv"))
+        shortlist.join(raws, Seq("match_id"))
+          .select(col("query_id"), col("n_probe"), col("match_id"),
+            cosine(col("__qv"), col("__cv")).as("sim"))
+          .withColumn("__rk", row_number().over(wShort))
+          .filter(col("__rk") <= k)
+          .select(col("query_id"), col("n_probe"), col("match_id"))
+    }
+    val hits = exact.join(approx, Seq("query_id", "match_id"))
+      .groupBy(col("query_id"), col("n_probe"))
+      .agg(count(lit(1)).as("n_hits"))
+    val grid = exact.select("query_id").distinct()
+      .withColumn("n_probe", explode(sequence(lit(1), lit(m))))
+    val result = grid.join(hits, Seq("query_id", "n_probe"), "left")
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(coalesce(col("n_hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * k).cast(DoubleType), 4).as(s"mean_recall_at_$k"))
+      .orderBy("n_probe")
+    Dedup.eagerlyWith(result, () => { exactRdd.unpersist(blocking = false); () })
+  }
+
   /** kNN label classification over ANY neighbor stage: majority vote of
     * the k nearest labels (ties broken by smaller label), reduced to
     * per-class accuracy counts. `neighbors` supplies (query_id,

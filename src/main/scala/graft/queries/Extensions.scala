@@ -2384,6 +2384,118 @@ object Extensions {
            |ORDER BY query_id""".stripMargin.replace("\n", " ")
       }),
 
+    // The nProbe dial of the FULL PQ serving stack, priced as a curve
+    // (r15): X155 curves the exact-in-cell tier, but the tier that
+    // ships (X166's refined cells + residual codes + ADC shortlist +
+    // re-rank) has a second budget — refine·k — and the two INTERACT:
+    // measured, the curve climbs 0.24 → 0.48 (nProbe=2) → peaks 0.50 at
+    // 3 → sits FLAT at 0.48 to m=8. It never saturates at 1.0: past
+    // nProbe≈3 the fixed top-80 shortlist is the binding constraint,
+    // and extra probed cells only add ADC candidates that crowd true
+    // hits out of it (the 4→8 dip from 0.50). That is the purchasing
+    // decision this query exists to price: more probes without more
+    // refine stops paying. One pass — each ADC candidate explodes to
+    // the budgets that would read its cell, both rank windows run per
+    // (query, budget), the exact leg is leaf-materialized once and
+    // released. Oracle composes the X166 chain with X155's budget
+    // explode.
+    Q("q_pq_probe_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqRerankCurve(emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding", k = 10,
+          m = 8, pqM = 4, pqKs = 8, refine = 8, kmeansIters = 2,
+          residual = true)
+      },
+      Some {
+        def lloydRound(prev: String, next: String, a: String, m: String) =
+          s"""$a AS (SELECT vec_id, l, cell FROM (SELECT corp.vec_id, corp.l, $prev.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.l, $prev.c) DESC, $prev.cell DESC) AS rn
+             |FROM corp CROSS JOIN $prev) t WHERE rn = 1),
+             |$m AS (SELECT cell, list(x ORDER BY i) AS c FROM
+             |(SELECT cell, t.i AS i, sum(l[t.i]) / count(*) AS x
+             |FROM $a, range(1, 65) t(i) GROUP BY cell, t.i) s GROUP BY cell),
+             |$next AS (SELECT $prev.cell, coalesce($m.c, $prev.c) AS c
+             |FROM $prev LEFT JOIN $m ON $m.cell = $prev.cell)""".stripMargin
+        s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id >= 5),
+           |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id < 5),
+           |cents0 AS (SELECT vec_id AS cell, l AS c FROM corp ORDER BY vec_id LIMIT 8),
+           |${lloydRound("cents0", "cents1", "a0", "m0")},
+           |${lloydRound("cents1", "cents2", "a1", "m1")},
+           |asim AS (SELECT corp.vec_id, cents2.cell,
+           |list_cosine_similarity(corp.l, cents2.c) AS sim FROM corp CROSS JOIN cents2),
+           |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM asim) t WHERE rn = 1),
+           |resi AS (SELECT corp.vec_id, a.cell,
+           |list_transform(range(1, 65), i -> corp.l[i] - ct.c[i]) AS rl
+           |FROM corp JOIN assigned a ON a.vec_id = corp.vec_id
+           |JOIN cents2 ct ON ct.cell = a.cell),
+           |seeds AS (SELECT rl, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           |FROM (SELECT vec_id, rl FROM resi ORDER BY vec_id LIMIT 8) s),
+           |ms AS (SELECT unnest(range(0, 4)) AS mi),
+           |cb AS (SELECT ms.mi, seeds.c,
+           |list_slice(seeds.rl, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+           |FROM seeds CROSS JOIN ms),
+           |dist AS (SELECT resi.vec_id, cb.mi, cb.c,
+           |list_sum(list_transform(range(1, 17),
+           |i -> (resi.rl[cb.mi*16 + i] - cb.w[i]) * (resi.rl[cb.mi*16 + i] - cb.w[i]))) AS dd
+           |FROM resi CROSS JOIN cb),
+           |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+           |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+           |FROM dist) t WHERE rn = 1),
+           |qranks AS (SELECT vec_id AS query_id, cell, cellrank FROM
+           |(SELECT qs.vec_id, cents2.cell,
+           |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+           |list_cosine_similarity(qs.l, cents2.c) DESC, cents2.cell DESC) AS cellrank
+           |FROM qs CROSS JOIN cents2) t),
+           |cand AS (SELECT p.query_id, a.vec_id AS match_id, p.cell, p.cellrank
+           |FROM qranks p JOIN assigned a ON a.cell = p.cell),
+           |sub AS (SELECT cand.query_id, cand.match_id, cand.cellrank, co.mi,
+           |list_sum(list_transform(range(1, 17),
+           |i -> ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]) * ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]))) AS dd
+           |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+           |JOIN cents2 ct ON ct.cell = cand.cell
+           |JOIN codes co ON co.vec_id = cand.match_id
+           |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+           |adc AS (SELECT query_id, match_id, cellrank,
+           |list_sum(list(dd ORDER BY mi)) AS adc
+           |FROM sub GROUP BY query_id, match_id, cellrank),
+           |expl AS (SELECT a.query_id, a.match_id, a.adc, p.i AS n_probe
+           |FROM adc a JOIN range(1, 9) p(i) ON a.cellrank <= p.i),
+           |short AS (SELECT query_id, match_id, n_probe FROM
+           |(SELECT query_id, match_id, n_probe,
+           |row_number() OVER (PARTITION BY query_id, n_probe ORDER BY adc, match_id) AS rk
+           |FROM expl) t WHERE rk <= 80
+           |AND (SELECT count(*) FROM corp) >= 8),
+           |ap AS (SELECT query_id, match_id, n_probe FROM
+           |(SELECT sh.query_id, sh.match_id, sh.n_probe,
+           |row_number() OVER (PARTITION BY sh.query_id, sh.n_probe ORDER BY
+           |list_cosine_similarity(q.l, c.l) DESC, sh.match_id) AS rk
+           |FROM short sh JOIN qs q ON q.vec_id = sh.query_id
+           |JOIN corp c ON c.vec_id = sh.match_id) t WHERE rk <= 10),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+           |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+           |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, ap.n_probe, count(*) AS n_hits
+           |FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id, ap.n_probe),
+           |grid AS (SELECT q.query_id, p.i AS n_probe
+           |FROM (SELECT DISTINCT query_id FROM ex) q CROSS JOIN range(1, 9) p(i))
+           |SELECT CAST(g.n_probe AS INTEGER) AS n_probe,
+           |CAST(count(*) AS BIGINT) AS n_queries,
+           |round(CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE) /
+           |CAST(count(*) * 10 AS DOUBLE), 4) AS mean_recall_at_10
+           |FROM grid g LEFT JOIN hits h
+           |ON h.query_id = g.query_id AND h.n_probe = g.n_probe
+           |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin.replace("\n", " ")
+      }),
+
     // Residual PQ encoding's recall audit (r15) — the standard IVF-PQ
     // construction quantizes the RESIDUAL v − centroid(cell(v)) instead
     // of the raw vector, concentrating the ks-word budget on

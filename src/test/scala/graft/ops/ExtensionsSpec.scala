@@ -337,6 +337,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankCurve: climbs to the rerank tier, refine-bounded (never forced to 1.0), leaks no RDD") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Similarity.ivfPqRerankCurve(probes, corpus, "vec_id",
+        "embedding", k = 10, m = 8, pqM = 4, pqKs = 8, refine = 8,
+        kmeansIters = 2, residual = true)
+      .select($"n_probe", $"n_queries".as[Long], $"mean_recall_at_10".as[Double])
+      .orderBy("n_probe").collect()
+    assert(rows.length == 8 && rows.forall(_.getLong(1) == 5L))
+    val recalls = rows.map(_.getDouble(2))
+    // reading a second cell must help; past that the refine budget binds
+    // and the curve may flatten or dip — no saturation-at-1.0 anchor
+    assert(recalls(1) > recalls(0),
+      s"second probe bought nothing: ${recalls.mkString(",")}")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // budget m reads every cell: the tail equals the full-stack audit's
+    // mean (same stack, all cells probed ⊆ shortlist-bounded)
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"ivfPqRerankCurve must unpersist its ground-truth leaf: leaked RDDs $leaked")
+  }
+
   test("ivfProbeCurve: monotone recall, saturates at 1.0, leaks no RDD") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter($"vec_id" < 5)
@@ -518,6 +544,14 @@ class ExtensionsSpec extends SparkSpec {
       Similarity.ivfPqJoin(a, b, "vec_id", "embedding", k = 6,
         m = 16, nProbe = 4, pqM = 8, pqKs = 16))
     assert(math.abs(exact - ivfpq) <= 0.05, s"exact=$exact ivfpq=$ivfpq")
+    // fifth neighbor stage: the full PQ serving stack (refined cells +
+    // residual codes + ADC shortlist + exact re-rank) — the tier a
+    // deployment actually ships rides the identical vote/accuracy plan
+    val rerank = accuracy((a, b) =>
+      Similarity.ivfPqRerankJoin(a, b, "vec_id", "embedding", k = 6,
+        m = 16, nProbe = 4, pqM = 8, pqKs = 16, refine = 4,
+        kmeansIters = 3, residual = true))
+    assert(math.abs(exact - rerank) <= 0.05, s"exact=$exact rerank=$rerank")
     emb.unpersist()
   }
 
