@@ -719,6 +719,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** The refine stage over a MATERIALIZED index — [[probePqIndex]]'s
+    * ADC shortlist (codes only, cell-pruned at the source when the
+    * index is IVF-partitioned) followed by an exact-cosine re-rank
+    * that reads raw vectors for ONLY the shortlist ids. The shortlist
+    * (refine·k rows — probe-sized, this is the single-query serving
+    * path) is collected and pushed into the raw table's scan as an
+    * `isin` predicate, so the refine reads are SOURCE-PRUNED row-group
+    * lookups (PqIndexSpec pins `PushedFilters: In(id, …)` on the
+    * scan), never a corpus pass: at 100 TB the index serves from
+    * memory-resident codes and the refine stage touches only the row
+    * groups holding refine·k ids. Returns `(id, sim)` descending —
+    * k best by exact cosine. On the skip artifact (corpus < ks at
+    * build) the shortlist is empty and so is the answer.
+    */
+  def probePqIndexRerank(spark: SparkSession, path: String,
+                         raw: DataFrame, idCol: String, vecCol: String,
+                         query: Array[Double], k: Int, nProbe: Int = 4,
+                         refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlistIds = probePqIndex(spark, path, idCol, query,
+        refine * k, nProbe)
+      .select(col(idCol)).collect().map(_.getLong(0))
+    raw.filter(col(idCol).isin(shortlistIds.map(Long.box): _*))
+      .select(col(idCol),
+        cosine(col(vecCol), typedLit(query.toSeq)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** L2-normalize a vector column onto the unit sphere (double
     * precision, sequential fold — oracle-reproducible). Normalized
     * storage turns cosine into a pure dot product downstream.

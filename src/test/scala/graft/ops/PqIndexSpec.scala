@@ -187,6 +187,43 @@ class PqIndexSpec extends SparkSpec {
       s"residual encoding regressed clustered recall: $rRes < $rRaw")
   }
 
+  test("index-served re-rank: shortlist ids push into the raw scan; answer == exact top-k of the shortlist") {
+    val path = tmp("pq_rrk")
+    Similarity.writePqIndex(emb, "vec_id", "v", path,
+      pqM = 4, pqKs = 8, ivfCells = 8, kmeansIters = 2, residual = true)
+    val query = emb.orderBy("vec_id").limit(1)
+      .select("v").as[Seq[Double]].head().toArray
+    val got = Similarity.probePqIndexRerank(spark, path, emb, "vec_id", "v",
+      query, k = 5, nProbe = 2, refine = 4)
+    // the refine stage's raw reads are SOURCE-pruned: the shortlist-id
+    // predicate reaches the parquet scan, never a corpus pass
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"shortlist ids not pushed into the raw scan:\n${plan.take(800)}")
+    // reference: driver-side exact cosine over the same shortlist
+    val short = Similarity.probePqIndex(spark, path, "vec_id", query,
+      20, nProbe = 2).as[(Long, Double)].collect().map(_._1).toSet
+    def cos(a: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * query(i); na += a(i) * a(i)
+        nb += query(i) * query(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val want = emb.filter($"vec_id".isInCollection(short))
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(got.as[(Long, Double)].collect().map(_._1).toSeq == want)
+    // the skip artifact answers empty through the re-rank too
+    val p2 = tmp("pq_rrk_absent")
+    Similarity.writePqIndex(emb.filter($"vec_id" < 3), "vec_id", "v", p2,
+      pqM = 4, pqKs = 8, ivfCells = 2, kmeansIters = 2, residual = true)
+    assert(Similarity.probePqIndexRerank(spark, p2, emb, "vec_id", "v",
+      query, k = 5).count() == 0)
+  }
+
   test("a too-small corpus commits a clean skip artifact; probes serve empty; direct calls stay loud") {
     // the composed-flow policy for corpus < ks: a dead tenant's scheduled
     // rebuild records ONE clean no-op (absent-empty-corpus sidecar +
