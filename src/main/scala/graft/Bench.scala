@@ -89,7 +89,13 @@ object Bench {
     val prevSum = shared.map { case (k, _) => prev(k) }.sum
     if (shared.isEmpty || prevSum <= 0.0 ||
         shared.map(_._2).sum <= prevSum * band) Seq.empty
-    else shared.sortBy { case (k, t) => prev(k) - t }.take(n).map(_._1)
+    else shared
+      // only queries actually ABOVE their record figure: when one +6 s
+      // outlier alone trips the band, re-sampling at-or-below-record
+      // queries pays full timed runs that can only lower an already-
+      // clean min — the pass stays proportional to the real inflation
+      .filter { case (k, t) => t > prev(k) }
+      .sortBy { case (k, t) => prev(k) - t }.take(n).map(_._1)
   }
 
   /** Canary drift above which a run may NOT become the comparison
@@ -338,6 +344,14 @@ object Bench {
           val qm = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
           qm.map { m =>
             val qTxt = txt.substring(m.end, txt.indexOf("}", m.end))
+            // the first-'}' slice holds only while the object stays
+            // flat; a nested value would truncate the map and feed the
+            // settle pass partial data — throw instead (the enclosing
+            // catch degrades to Map.empty: no deltas, no settle — a
+            // VISIBLE degradation, same policy as TimingSmoke.parsePrev)
+            require(!qTxt.contains("{"),
+              "prev record's queries object is not flat — the first-'}' " +
+                "extraction would truncate it")
             "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(qTxt)
               .map(g => g.group(1) -> g.group(2).toDouble).toMap
           }.getOrElse(Map.empty)
@@ -357,23 +371,34 @@ object Bench {
       else {
         val cur = results.collect { case (k, ts, _) if ts.nonEmpty => k -> ts.min }
         val targets = settleTargets(cur, prev)
-        if (targets.nonEmpty) {
+        if (targets.isEmpty) targets
+        else {
           System.err.println(
             s"[bench] WARN shared-query total > ${SettleBand}x the record — " +
               s"settle pass (+1 sample) over ${targets.mkString(", ")}")
           val tset = targets.toSet
+          // the published "settled" list names only queries whose extra
+          // sample actually RAN — a swallowed failure must not read as
+          // a taken sample in the round record
+          val sampled = scala.collection.mutable.ArrayBuffer[String]()
           results = results.map {
             case (name, ts, err) if tset.contains(name) =>
               val t0 = System.nanoTime()
               val extra =
-                try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-                catch { case _: Throwable => None }
+                try {
+                  SparkEntry.queries(name)(spark, sfDir).count()
+                  sampled += name
+                  Some((System.nanoTime() - t0) / 1e9)
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] settle sample $name failed: $e")
+                  None
+                }
               clearAll(spark)
               (name, ts ++ extra, err)
             case r => r
           }
+          sampled.toSeq
         }
-        targets
       }
 
     // ---- scale-proof: re-time the heaviest headliners at ×F ----------

@@ -548,13 +548,8 @@ object Similarity {
         ivfCentroidsKMeans(vectors, idCol, vecCol, ivfCells, kmeansIters)
       else if (ivfCells > 0) ivfCentroids(vectors, idCol, vecCol, ivfCells)
       else Array.empty[(Long, Array[Double])]
-    val cbOpt =
-      if (residual)
-        pqCodebooksOpt(
-          ivfAssign(vectors, idCol, vecCol, cents).withColumn("__res",
-            residualOf(col(vecCol), centroidMapLit(cents), col("__cell"))),
-          idCol, "__res", pqM, pqKs)
-      else pqCodebooksOpt(vectors, idCol, vecCol, pqM, pqKs)
+    val cbOpt = pqQuantizerOpt(vectors, idCol, vecCol, cents, pqM, pqKs,
+      residual)
     if (cbOpt.isEmpty) {
       // corpus < ks (dead tenant, truncated source): a scheduled rebuild
       // records ONE clean skip — an empty-but-readable code table plus an
@@ -572,13 +567,9 @@ object Similarity {
     }
     val cb = cbOpt.get
     val cbLit = pqCodebooksLit(cb)
-    val codes =
-      if (residual)
-        graft.functions.PqEncode(
-          residualOf(col(vecCol), centroidMapLit(cents), col("__cell")),
-          cbLit, pqKs).as("codes")
-      else graft.functions.PqEncode(
-        col(vecCol).cast("array<double>"), cbLit, pqKs).as("codes")
+    val codes = graft.functions.PqEncode(
+      pqCorpusVec(vecCol, centroidMapLit(cents), residual),
+      cbLit, pqKs).as("codes")
     val sidecarIntoStaging = (staging: org.apache.hadoop.fs.Path) =>
       writePqSidecar(spark, staging.toString, pqM, pqKs, cb, cents, residual)
     if (ivfCells > 0)
@@ -1192,6 +1183,40 @@ object Similarity {
     zip_with(vec.cast("array<double>"), element_at(centMap, cellCol),
       (a, b) => a - b)
 
+  /** THE quantizer construction — one definition shared by the index
+    * build ([[writePqIndex]]), the join path ([[pqAdcCandidates]]), and
+    * the curve audits, so the codes a probe computes and the codes an
+    * index stores can never train on diverged seeds: codebooks over the
+    * raw vectors, or (`residual`) over each vector minus its assigned
+    * cell's centroid. None when the corpus cannot seed ks codewords.
+    */
+  private def pqQuantizerOpt(vectors: DataFrame, idCol: String,
+                             vecCol: String,
+                             centroids: Array[(Long, Array[Double])],
+                             pqM: Int, pqKs: Int, residual: Boolean)
+      : Option[Array[Array[Array[Double]]]] =
+    if (residual)
+      pqCodebooksOpt(
+        ivfAssign(vectors, idCol, vecCol, centroids).withColumn("__res",
+          residualOf(col(vecCol), centroidMapLit(centroids), col("__cell"))),
+        idCol, "__res", pqM, pqKs)
+    else pqCodebooksOpt(vectors, idCol, vecCol, pqM, pqKs)
+
+  /** The corpus-side vector the PQ stages encode (must evaluate against
+    * a frame carrying `__cell` when residual).
+    */
+  private def pqCorpusVec(vecCol: String, centMap: Column,
+                          residual: Boolean): Column =
+    if (residual) residualOf(col(vecCol), centMap, col("__cell"))
+    else col(vecCol).cast("array<double>")
+
+  /** The query-side vector PqAdc ranks with — residualized per probed
+    * cell when the codes are residual, so ADC still estimates ‖q−v‖².
+    */
+  private def pqQueryVec(centMap: Column, residual: Boolean): Column =
+    if (residual) residualOf(col("__qv"), centMap, col("__cell"))
+    else col("__qv").cast("array<double>")
+
   /** Shared ADC candidate stage for [[ivfPqJoin]] and
     * [[ivfPqRerankJoin]]: codebook training, code assignment, and the
     * per-candidate ADC rank key, over either the raw vectors or —
@@ -1219,29 +1244,17 @@ object Similarity {
                               nProbe: Int, pqM: Int, pqKs: Int,
                               residual: Boolean): Option[DataFrame] = {
     val centMap = centroidMapLit(centroids)
-    val cbOpt =
-      if (residual)
-        pqCodebooksOpt(
-          ivfAssign(corpus, idCol, vecCol, centroids)
-            .withColumn("__res",
-              residualOf(col(vecCol), centMap, col("__cell"))),
-          idCol, "__res", pqM, pqKs)
-      else pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs)
-    cbOpt.map { cb =>
-      val cbLit = pqCodebooksLit(cb)
-      val corpusVec =
-        if (residual) residualOf(col(vecCol), centMap, col("__cell"))
-        else col(vecCol).cast("array<double>")
-      val cands = ivfCellCandidates(queries, corpus, idCol, vecCol,
-        centroids, nProbe,
-        Seq(graft.functions.PqEncode(corpusVec, cbLit, pqKs).as("__codes")))
-      val queryVec =
-        if (residual) residualOf(col("__qv"), centMap, col("__cell"))
-        else col("__qv").cast("array<double>")
-      cands.select(col("query_id"), col("__qv"), col("match_id"),
-        (-graft.functions.PqAdc(queryVec, col("__codes"), cbLit, pqKs))
-          .as("sim"))
-    }
+    pqQuantizerOpt(corpus, idCol, vecCol, centroids, pqM, pqKs, residual)
+      .map { cb =>
+        val cbLit = pqCodebooksLit(cb)
+        val cands = ivfCellCandidates(queries, corpus, idCol, vecCol,
+          centroids, nProbe,
+          Seq(graft.functions.PqEncode(pqCorpusVec(vecCol, centMap, residual),
+            cbLit, pqKs).as("__codes")))
+        cands.select(col("query_id"), col("__qv"), col("match_id"),
+          (-graft.functions.PqAdc(pqQueryVec(centMap, residual),
+            col("__codes"), cbLit, pqKs)).as("sim"))
+      }
   }
 
   def ivfPqJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -1360,14 +1373,8 @@ object Similarity {
       annJoinExact(queries, corpus, idCol, vecCol, k)
         .select(col("query_id"), col("match_id")))
     val centMap = centroidMapLit(centroids)
-    val cbOpt =
-      if (residual)
-        pqCodebooksOpt(
-          ivfAssign(corpus, idCol, vecCol, centroids)
-            .withColumn("__res",
-              residualOf(col(vecCol), centMap, col("__cell"))),
-          idCol, "__res", pqM, pqKs)
-      else pqCodebooksOpt(corpus, idCol, vecCol, pqM, pqKs)
+    val cbOpt = pqQuantizerOpt(corpus, idCol, vecCol, centroids, pqM, pqKs,
+      residual)
     val approx: DataFrame = cbOpt match {
       case None =>
         // corpus < ks: no quantizer, no candidates at ANY budget — the
@@ -1390,20 +1397,15 @@ object Similarity {
           .select(col("query_id"), col("__qv"),
             (col("pos") + 1).as("__cellrank"),
             (-col("col.negcell")).as("__cell"))
-        val corpusVec =
-          if (residual) residualOf(col(vecCol), centMap, col("__cell"))
-          else col(vecCol).cast("array<double>")
         val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
           .select(col(idCol).as("match_id"),
-            graft.functions.PqEncode(corpusVec, cbLit, pqKs).as("__codes"),
+            graft.functions.PqEncode(pqCorpusVec(vecCol, centMap, residual),
+              cbLit, pqKs).as("__codes"),
             col("__cell"))
-        val queryVec =
-          if (residual) residualOf(col("__qv"), centMap, col("__cell"))
-          else col("__qv").cast("array<double>")
         val cands = ranked.join(assigned, Seq("__cell"))
           .select(col("query_id"), col("__qv"), col("match_id"),
-            (-graft.functions.PqAdc(queryVec, col("__codes"), cbLit, pqKs))
-              .as("sim"),
+            (-graft.functions.PqAdc(pqQueryVec(centMap, residual),
+              col("__codes"), cbLit, pqKs)).as("sim"),
             col("__cellrank"))
           .withColumn("n_probe",
             explode(sequence(col("__cellrank"), lit(m))))

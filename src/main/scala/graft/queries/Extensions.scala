@@ -2109,7 +2109,7 @@ object Extensions {
     // priced: q_pq_recall_audit measures the pure-ADC tier at recall@10
     // 0.0–0.2 (pqM=4 crushes 64 dims into 4 codes; ADC misranks within
     // the probed cells), so a deployment serving raw IVF-PQ returns
-    // junk. The standard refine stage (ADC shortlist of refine·k=40 →
+    // junk. The standard refine stage (ADC shortlist of refine·k=80 →
     // exact-cosine re-rank of ONLY those ids) recovers the recall ADC
     // threw away, at refine·k point reads per query — measured here
     // 0.32 vs 0.10, sitting just under the id-rank IVF tier's 0.36

@@ -85,6 +85,12 @@ class BenchPolicySpec extends AnyFunSuite {
     // the published figure further down, not correct it)
     assert(Bench.settleTargets(
       Seq("a" -> 0.5, "b" -> 1.0, "c" -> 1.5), prev).isEmpty)
+    // at-or-below-record queries are never re-sampled even when one
+    // outlier alone trips the band — the pass stays proportional to
+    // the actual inflation
+    val t2 = Bench.settleTargets(
+      Seq("a" -> 0.9, "b" -> 8.0, "c" -> 2.9), prev, n = 10)
+    assert(t2 == Seq("b"), t2.toString)
     // a query absent from the record is surface growth, not inflation —
     // it neither counts toward the shared total nor gets targeted
     assert(Bench.settleTargets(
