@@ -739,6 +739,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental maintenance of a [[writePqIndex]] extract — the
+    * standard IVF-PQ lifecycle split: the quantizer (codebooks, coarse
+    * centroids, residual flag) is TRAINED ONCE and committed in the
+    * sidecar; increments are ENCODED with it and merged into only the
+    * cells they touch ([[CellUpsert]] — rewrite ∝ touched cells' size,
+    * stale rows of re-embedded keys dropped from their old cells);
+    * retraining is a scheduled full [[writePqIndex]] rebuild through
+    * the same atomic swap. At 100 TB this is the difference between a
+    * daily corpus-sized rebuild and a batch-sized encode+merge — and
+    * because every increment is coded by the COMMITTED quantizer,
+    * probes stay bit-consistent with the index between retrains.
+    * Refuses loudly on the skip artifact (no quantizer to encode with —
+    * rebuild once the corpus reaches ks) and on a flat index (no cell
+    * layout to merge into).
+    */
+  def pqIndexUpsert(spark: SparkSession, delta: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    require(!pqIndexAbsent(spark, path),
+      s"$path is the absent-empty-corpus skip artifact: no quantizer to " +
+        "encode increments with — writePqIndex once the corpus reaches ks")
+    val (_, ks, residual, cb, cents) = readPqSidecar(spark, path)
+    require(cents.nonEmpty,
+      "pqIndexUpsert needs the IVF-partitioned layout (ivfCells > 0 at " +
+        "build) — a flat index has no cells to merge into")
+    // null rows would poison a replayed batch forever; duplicate ids
+    // within one delta keep a single arbitrary row (the annIndexUpsert
+    // contract — last-wins callers pre-reduce on a version column)
+    val cleaned = delta
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .dropDuplicates(idCol)
+    val centMap = centroidMapLit(cents)
+    val cbLit = pqCodebooksLit(cb)
+    val assigned = ivfAssign(cleaned, idCol, vecCol, cents)
+      .select(col(idCol),
+        graft.functions.PqEncode(pqCorpusVec(vecCol, centMap, residual),
+          cbLit, ks).as("codes"),
+        col("__cell").as("cell"))
+    CellUpsert.upsert(spark, assigned, idCol, "cell", path)
+  }
+
   /** L2-normalize a vector column onto the unit sphere (double
     * precision, sequential fold — oracle-reproducible). Normalized
     * storage turns cosine into a pure dot product downstream.

@@ -355,6 +355,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming PQ index maintenance — [[annIndexStream]]'s pattern on
+    * the code-sized serving tier: each drained micro-batch is ENCODED
+    * with the index's committed quantizer (train-once /
+    * encode-incrementally; scheduled retrain = a writePqIndex rebuild
+    * through the same atomic swap) and upserted into only the cells it
+    * touches via [[graft.ops.Similarity.pqIndexUpsert]] — exactly-once
+    * through the checkpoint, cost per batch ∝ touched cells, probes
+    * keep pruning at the source and stay bit-consistent with the
+    * committed quantizer between retrains.
+    */
+  def pqIndexStream(spark: SparkSession, vectors: DataFrame, path: String,
+                    checkpoint: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    trigger: Trigger = Trigger.AvailableNow()) =
+    vectors.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.pqIndexUpsert(spark, batch, path, idCol, vecCol)
+      }
+      .start()
+
   /** Streaming Z-order layout maintenance: each drained micro-batch of
     * keyed (key, x, y, …) rows upserts into the Z-clustered layout via
     * [[graft.ops.Layout.upsertZClustered]] — the layout twin of

@@ -224,6 +224,69 @@ class PqIndexSpec extends SparkSpec {
       query, k = 5).count() == 0)
   }
 
+  test("pqIndexUpsert: increments encode with the COMMITTED quantizer; merged probes match; moved keys leave their old cell") {
+    val path = tmp("pq_upsert")
+    val half = emb.filter($"vec_id" < 250)
+    val rest = emb.filter($"vec_id" >= 250)
+    val cb = Similarity.writePqIndex(half, "vec_id", "v", path,
+      pqM = 4, pqKs = 8, ivfCells = 8, kmeansIters = 2, residual = true)
+    Similarity.pqIndexUpsert(spark, rest, path, "vec_id", "v")
+    // the merge must not touch the sidecar: the quantizer stays the one
+    // TRAINED ON THE ORIGINAL HALF (train-once / encode-incrementally)
+    val (_, _, residual, cb2, cents) = Similarity.readPqSidecar(spark, path)
+    assert(residual && cb2.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    assert(spark.read.parquet(path).count() == 500)
+    // probing ALL cells == in-memory ADC over the whole corpus encoded
+    // with the half-trained quantizer
+    val query = emb.orderBy("vec_id").limit(1)
+      .select("v").as[Seq[Double]].head().toArray
+    val got = Similarity.probePqIndex(spark, path, "vec_id", query,
+      k = 5, nProbe = 8).as[(Long, Double)].collect().toSeq
+    val centMap = typedLit(cents.map { case (id, c) => id -> c.toSeq }.toMap)
+    def residOf(vec: org.apache.spark.sql.Column,
+                cell: org.apache.spark.sql.Column) =
+      zip_with(vec.cast("array<double>"), element_at(centMap, cell),
+        (a, b) => a - b)
+    val cbLit = Similarity.pqCodebooksLit(cb)
+    val q = typedLit(query.toSeq)
+    val want = Similarity.ivfAssign(emb, "vec_id", "v", cents)
+      .select(col("vec_id"),
+        graft.functions.PqAdc(residOf(q, $"__cell"),
+          graft.functions.PqEncode(residOf($"v", $"__cell"), cbLit, 8),
+          cbLit, 8).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"probe $got vs in-memory $want")
+    // a re-embedded key MOVES: give vec 7 the vector of vec 400 — it
+    // must end in 400's cell, with exactly one row, corpus size fixed
+    val v400 = emb.filter($"vec_id" === 400)
+      .select("v").as[Seq[Double]].head()
+    Similarity.pqIndexUpsert(spark,
+      Seq((7L, v400)).toDF("vec_id", "v"), path, "vec_id", "v")
+    val cellOf400 = Similarity.ivfAssign(
+        emb.filter($"vec_id" === 400), "vec_id", "v", cents)
+      .select($"__cell").as[Long].head()
+    val rows7 = spark.read.parquet(path).filter($"vec_id" === 7)
+      .select($"cell".cast("long")).as[Long].collect()
+    assert(rows7.toSeq == Seq(cellOf400))
+    assert(spark.read.parquet(path).count() == 500)
+    // a flat index refuses (no cell layout to merge into)
+    val flat = tmp("pq_upsert_flat")
+    Similarity.writePqIndex(emb, "vec_id", "v", flat, pqM = 4, pqKs = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqIndexUpsert(spark, rest, flat, "vec_id", "v")
+    }
+    assert(e1.getMessage.contains("IVF-partitioned"))
+    // the skip artifact refuses (no quantizer to encode with)
+    val absent = tmp("pq_upsert_absent")
+    Similarity.writePqIndex(emb.filter($"vec_id" < 3), "vec_id", "v",
+      absent, pqM = 4, pqKs = 8, ivfCells = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqIndexUpsert(spark, rest, absent, "vec_id", "v")
+    }
+    assert(e2.getMessage.contains("skip artifact"))
+  }
+
   test("a too-small corpus commits a clean skip artifact; probes serve empty; direct calls stay loud") {
     // the composed-flow policy for corpus < ks: a dead tenant's scheduled
     // rebuild records ONE clean no-op (absent-empty-corpus sidecar +

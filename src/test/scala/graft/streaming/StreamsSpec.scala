@@ -603,6 +603,45 @@ class StreamsSpec extends SparkSpec {
     assert(probed.subsetOf(Set(1L, 2L, 3L, 4L)) && probed.size == 2)
   }
 
+  test("pqIndexStream encodes micro-batches with the committed quantizer and upserts touched cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val path = tmp("pq_index_stream") + "/idx"
+    // seed index: 4 vectors near the two axes, 2 cells, 2x1-d codebooks
+    val base = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)),
+      (3L, Seq(0.1, 0.9)), (4L, Seq(0.2, 0.8)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Similarity.writePqIndex(base, "vec_id", "embedding",
+      path, pqM = 2, pqKs = 2, ivfCells = 2, kmeansIters = 2)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.pqIndexStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), path, tmp("ckpt_pq_idx"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: insert near-x v5; batch 2: re-embed v3 from y to x
+    input.addData((5L, Array(0.95, 0.05)))
+    q.processAllAvailable()
+    input.addData((3L, Array(0.85, 0.15)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L), rows.toString)
+    assert(rows(5L) == rows(1L), "insert landed in the wrong cell")
+    assert(rows(3L) == rows(1L), "re-embedded key did not move cells")
+    // the sidecar (quantizer) is untouched by streaming merges, and the
+    // index stays probe-able: the whole lifecycle's codes come from the
+    // SEED-trained codebooks
+    val (_, _, _, cb2, _) = graft.ops.Similarity.readPqSidecar(spark, path)
+    assert(cb2.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    val probed = graft.ops.Similarity.probePqIndex(spark, path, "vec_id",
+        Array(1.0, 0.0), k = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed.size == 2 && probed.subsetOf(Set(1L, 2L, 3L, 5L)),
+      probed.toString)
+  }
+
   test("zLayoutStream maintains the Z-clustered layout: insert, re-score cell move, box stays exact") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("z_layout_stream") + "/layout"
