@@ -32,7 +32,16 @@ object Pack {
     * integral expression (e.g. `TextAnalysis.tokenCount(col("text"))`).
     */
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
-                    budget: Long): DataFrame = {
+                    budget: Long): DataFrame =
+    assignByPrefix(docs, idCol, tokens, budget, Nil)
+
+  /** The distributed prefix-sum assignment shared by [[packSequences]]
+    * and [[shardManifest]]; `extra` columns ride the range partitioning
+    * unchanged and come back beside (id, n_tokens, seq_id).
+    */
+  private def assignByPrefix(docs: DataFrame, idCol: String, tokens: Column,
+                             budget: Long, extra: Seq[Column],
+                             startOffset: Long = 0L): DataFrame = {
     require(budget >= 1, s"need budget >= 1; got $budget")
     // range partition: partition p holds ids < partition p+1's ids, and
     // spark_partition_id() is the range rank. Persist so the offsets job
@@ -41,8 +50,8 @@ object Pack {
       // a null token count (null text) reads as 0 tokens: the window sum
       // skips nulls but `start - n_tokens` would be null, silently
       // assigning the doc a null seq_id and dropping it from packing
-      .select(col(idCol).as("id"),
-        coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"))
+      .select(col(idCol).as("id") +:
+        coalesce(tokens.cast("long"), lit(0L)).as("n_tokens") +: extra: _*)
       .repartitionByRange(col("id"))
       .withColumn("__part", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -67,10 +76,11 @@ object Pack {
       val offDf = broadcast(offsets.toSeq.toDF("__part", "__off"))
       val w = Window.partitionBy(col("__part")).orderBy(col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val start = sum(col("n_tokens")).over(w) + col("__off") - col("n_tokens")
+      val start = sum(col("n_tokens")).over(w) + col("__off") - col("n_tokens") +
+        lit(startOffset)
+      val keep = ranged.columns.filterNot(_ == "__part").map(col).toSeq
       val result = ranged.join(offDf, Seq("__part"))
-        .select(col("id"), col("n_tokens"),
-          floor(start / budget).cast("long").as("seq_id"))
+        .select(keep :+ floor(start / budget).cast("long").as("seq_id"): _*)
       // materialize while `ranged` is cached: the window must read the
       // SAME partitioning that produced the offsets. The returned frame
       // stays persisted (caller unpersists when done).
@@ -78,5 +88,124 @@ object Pack {
     } catch {
       case t: Throwable => ranged.unpersist(blocking = false); throw t
     }
+  }
+
+  /** Modulus of the manifest checksum: 31-bit prime, so per-doc residues
+    * are < 2³⁰ and a shard's plain BIGINT sum stays exact (no ANSI
+    * overflow) up to ~2³³ docs per shard — unreachable, since the token
+    * budget bounds a shard's doc count long before that.
+    */
+  val ChecksumPrime = 1000000007L
+
+  /** Training-ingest shard manifest — the handoff artifact between the
+    * curation pipeline and the training job (webdataset/Megatron-style):
+    * documents are laid end-to-end in id order and cut into shards of
+    * `shardTokens` tokens by the SAME contiguous-fill rule as
+    * [[packSequences]] (a doc belongs to the shard its first token lands
+    * in), then each shard gets one manifest row:
+    *
+    *   shard_id, n_docs, n_tokens, first/last doc id, checksum
+    *
+    * The checksum is order-insensitive content integrity: per-doc 60-bit
+    * md5 digest of `id ":" text`, reduced mod [[ChecksumPrime]], summed,
+    * reduced again — a trainer re-reading the shard recomputes it from
+    * the rows it actually got, so a dropped/duplicated/bit-flipped doc
+    * surfaces before a single gradient step. Modular sums commute, so
+    * the check never needs the read order to match the write order.
+    *
+    * Scale: the assignment is [[packSequences]]'s distributed prefix sum
+    * (numPartitions longs to the driver, everything else parallel); the
+    * manifest itself is one shard-keyed aggregation with full map-side
+    * combine, output = corpus_tokens / shardTokens rows.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    tokens: Column, shardTokens: Long): DataFrame =
+    shardManifestFrom(docs, idCol, textCol, tokens, shardTokens, 0L)
+
+  private def docDigest(idCol: String, textCol: String): Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        coalesce(col(textCol), lit("")))), 1, 15), 16, 10)
+      .cast("long") % ChecksumPrime
+
+  private def shardManifestFrom(docs: DataFrame, idCol: String,
+                                textCol: String, tokens: Column,
+                                shardTokens: Long,
+                                startOffset: Long): DataFrame = {
+    val assigned = assignByPrefix(docs, idCol, tokens, shardTokens,
+      Seq(docDigest(idCol, textCol).as("__d")), startOffset)
+    try {
+      val m = assigned.groupBy(col("seq_id").as("shard_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("id")).as("first_doc_id"),
+          max(col("id")).as("last_doc_id"),
+          (sum(col("__d")) % ChecksumPrime).as("checksum"))
+      // materialize the manifest, then release the assignment cache that
+      // packSequences hands back still-persisted
+      Dedup.eagerly(m, assigned)
+    } catch {
+      case t: Throwable => assigned.unpersist(blocking = false); throw t
+    }
+  }
+
+  /** Fold one append-only batch of documents into the manifest at
+    * `path` — the incremental form of [[shardManifest]] and the batch
+    * body of [[graft.streaming.Streams.shardManifestStream]]. The
+    * modular checksum is exactly what makes this possible: folding a
+    * batch into the last (still-open) shard is `(old + new) mod p`,
+    * bit-identical to recomputing the shard whole, so the streamed
+    * manifest equals the batch manifest over the union corpus at every
+    * commit (the spec pins that equality).
+    *
+    * Contract: the corpus is an append-only LEDGER in id order — a
+    * batch's ids must exceed everything already folded. Rows at or
+    * below the manifest's high-water id are DROPPED as replays, which
+    * is what makes a crash-replayed foreachBatch micro-batch (the
+    * exactly-once gap foreachBatch leaves open) a clean no-op: the
+    * previous fold committed atomically via the staged swap, so a
+    * replay's ids are all ≤ the high-water mark. Rewriting history
+    * (re-chunking, mid-stream edits) is a [[shardManifest]] rebuild by
+    * design, exactly like the index streams' retrain contract.
+    *
+    * Cost per fold: the batch's own prefix-sum assignment + one
+    * manifest-sized merge (manifest rows = corpus_tokens/shardTokens,
+    * never corpus-sized); the swap is two atomic renames
+    * ([[graft.etl.Refresh.swapInto]], crash-recoverable).
+    */
+  def shardManifestUpsert(spark: org.apache.spark.sql.SparkSession,
+                          batch: DataFrame, path: String, idCol: String,
+                          textCol: String, tokens: Column,
+                          shardTokens: Long): Unit = {
+    import graft.etl.Refresh
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Refresh.recoverHalfSwap(fs, hPath)
+    val prior: Option[DataFrame] =
+      if (fs.exists(hPath)) Some(spark.read.parquet(path)) else None
+    val (priorTokens, highWater) = prior match {
+      case None => (0L, Long.MinValue)
+      case Some(p) =>
+        val r = p.agg(coalesce(sum("n_tokens"), lit(0L)),
+          coalesce(max("last_doc_id"), lit(Long.MinValue))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    val fresh = batch.filter(col(idCol) > highWater)
+    if (fresh.isEmpty) return // pure replay (or empty batch): a no-op
+    val batchManifest = shardManifestFrom(fresh, idCol, textCol, tokens,
+      shardTokens, startOffset = priorTokens)
+    try {
+      val merged = prior.map(_.unionByName(batchManifest))
+        .getOrElse(batchManifest)
+        .groupBy("shard_id")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          min("first_doc_id").as("first_doc_id"),
+          max("last_doc_id").as("last_doc_id"),
+          (sum("checksum") % ChecksumPrime).as("checksum"))
+      val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      merged.write.mode("overwrite").parquet(staging.toString)
+      Refresh.swapInto(fs, staging, hPath)
+    } finally batchManifest.unpersist(blocking = false)
   }
 }

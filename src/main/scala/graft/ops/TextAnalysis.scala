@@ -643,4 +643,42 @@ object TextAnalysis {
           round(expr("try_divide(CAST(n_en AS DOUBLE), n_docs)"), 4).as("value")))).as("kv"))
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
       .orderBy("metric")
+
+  /** Model-based quality scoring: a hashed linear classifier over
+    * lowercased whitespace unigrams — the SERVING shape of the
+    * fastText-style quality filters every production curation stack runs
+    * (CCNet's LM filter, DCLM/FineWeb-Edu's classifier gates). Each
+    * token hashes to one of `dim` buckets (md5-prefix, the engine-
+    * portable idiom shared with the split/sketch ops) and each bucket
+    * carries a weight; the document's margin is the mean bucket weight
+    * and the keep/drop decision is `margin > 0`. Weights here derive
+    * deterministically from `md5(seed ":" bucket)` — a stand-in for
+    * trained coefficients (no model artifacts ship in this sandbox);
+    * swapping trained weights in is a broadcast weight-table join or a
+    * regenerated literal map, and the plan shape — one codegen'd
+    * projection, no explode, no shuffle, no UDF — is identical.
+    *
+    * Determinism is EXACT, not round-5-absorbed: every weight is
+    * hex32/2^32*2−1 for a 32-bit md5 prefix hex32, i.e. an exact
+    * multiple of 2⁻³¹ in [−1, 1). A document's weight sum therefore has
+    * every partial sum on the 2⁻³¹ grid with |sum| < n_tokens, which a
+    * double's 53-bit significand represents exactly for any corpus-
+    * plausible n (< 2²¹ tokens) — ADDITION NEVER ROUNDS, so the fold
+    * order cannot matter and Spark's left fold equals DuckDB's list_sum
+    * bit-for-bit. The margin is one correctly-rounded IEEE division of
+    * identical operands — also bit-exact. No sigmoid: the monotone
+    * transform adds a libm-vs-StrictMath ulp hazard and changes no
+    * decision, so the operator emits the raw margin.
+    */
+  def hashedClassifierMargin(text: Column, dim: Int = 4096,
+                             seed: String = "qclf"): Column = {
+    val toks = tokens(lower(text))
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % dim.toLong
+    def weight(b: Column): Column =
+      conv(substring(md5(concat(lit(seed + ":"), b.cast("string"))), 1, 8), 16, 10)
+        .cast(DoubleType) / lit(4294967296.0) * lit(2.0) - lit(1.0)
+    aggregate(toks, lit(0.0), (acc, t) => acc + weight(bucket(t))) /
+      size(toks).cast(DoubleType)
+  }
 }

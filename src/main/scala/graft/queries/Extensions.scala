@@ -661,6 +661,81 @@ object Extensions {
              |WHERE swr >= (SELECT quantile_cont(swr, 0.25) FROM feats)
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Model-based quality gate: hashed-linear-classifier margin + the
+    // keep/drop decision (TextAnalysis.hashedClassifierMargin — the
+    // fastText/DCLM serving shape; deterministic stand-in weights, see
+    // the op scaladoc for the exact-arithmetic argument: the margin is
+    // bit-identical across engines, no round() absorption needed). One
+    // codegen'd scan, no shuffle, source-sized output.
+    Q("q_quality_classifier",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.hashedClassifierMargin(col("text")).as("margin"))
+        .select(col("doc_id"), col("n_tokens"), col("margin"),
+          when(col("margin").isNull, lit(null).cast("string"))
+            .when(col("margin") > 0, lit("keep"))
+            .otherwise(lit("drop")).as("label"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tokens, margin, CASE
+             |WHEN margin IS NULL THEN NULL
+             |WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label FROM (
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |list_sum(list_transform(toks, t ->
+             |CAST(concat('0x', substring(md5(concat('qclf:', CAST(CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096 AS VARCHAR))), 1, 8)) AS BIGINT)
+             |/ 4294967296.0 * 2.0 - 1.0))
+             |/ CAST(len(toks) AS DOUBLE) AS margin
+             |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) v) w
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Classifier-vs-heuristic calibration: the 2×2 confusion matrix
+    // between the model gate (margin > 0) and the production heuristic
+    // gate (stopword ratio ≥ corpus P25, exactly q_quality_filter's
+    // predicate), with each cell's doc count and mean margin — the audit
+    // a team runs BEFORE swapping a trained classifier into the keep/
+    // drop slot (cells where the gates disagree are the review queue).
+    // Cross-row mean goes through the BM25 decimal idiom (round-9 →
+    // DECIMAL sum, one double division): a plain double mean would be
+    // partition-order-dependent. One scan + a 1-row percentile agg +
+    // a 4-cell rollup; at 100 TB the percentile becomes
+    // approx_percentile, same shape.
+    Q("q_classifier_calibration",
+      (s, d) => {
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val feats = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.hashedClassifierMargin(col("text")).as("margin"),
+          (size(filter(toksArr,
+            t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
+            size(toksArr).cast(DoubleType)).as("swr"))
+        // empty-corpus percentile is NULL (same contract as
+        // q_quality_filter): >= NULL is never true, both gates read
+        // 'drop', and the rollup of zero rows is zero rows
+        val thrRow = feats.agg(expr("percentile(swr, 0.25)")).head()
+        val thr: Any = if (thrRow.isNullAt(0)) null else thrRow.getDouble(0)
+        feats
+          .select(
+            when(col("margin") > 0, lit("keep")).otherwise(lit("drop")).as("clf"),
+            when(col("swr") >= thr, lit("keep")).otherwise(lit("drop")).as("heur"),
+            round(col("margin"), 9).cast("decimal(28,9)").as("m9"))
+          .groupBy("clf", "heur")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            round(sum(col("m9")).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 5).as("mean_margin"))
+          .orderBy("clf", "heur")
+      },
+      Some(s"""WITH feats AS (SELECT doc_id,
+             |list_sum(list_transform(string_split(lower(text), ' '), t ->
+             |CAST(concat('0x', substring(md5(concat('qclf:', CAST(CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096 AS VARCHAR))), 1, 8)) AS BIGINT)
+             |/ 4294967296.0 * 2.0 - 1.0))
+             |/ CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS margin,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr FROM documents)
+             |SELECT CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS clf,
+             |CASE WHEN swr >= (SELECT quantile_cont(swr, 0.25) FROM feats) THEN 'keep' ELSE 'drop' END AS heur,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |round(CAST(sum(CAST(round(margin, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
+             |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // Intra-document repetition ratio (duplicate word 3-grams / total) —
     // the "repetitious text" quality signal; narrow array projection,
     // no explode, no shuffle.
@@ -869,6 +944,56 @@ object Extensions {
              |SELECT source, n_docs, n_tokens,
              |round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
              |FROM sc, z ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    // Epoch/repetition planner — the "how many times may each source
+    // repeat" decision (Muennighoff et al. 2023: ~4 epochs before
+    // repeated data stops helping) for an equal-share mixture under a
+    // fixed token budget (4× the corpus here, sized so the fixture
+    // exercises BOTH branches: small sources hit the cap and shortfall,
+    // large ones repeat uncapped). Per source: requested tokens =
+    // budget / n_sources, uncapped epochs = requested / available,
+    // deployed epochs = min(4, uncapped), realized tokens and the
+    // shortfall the mixture designer must re-weight around. Arithmetic
+    // is single IEEE ops on exact integer-derived doubles in the SAME
+    // order both engines — two tiny (sources-sized) aggregates, one
+    // broadcast, no corpus rescan.
+    Q("q_epoch_plan",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .groupBy("source").agg(sum("n_tok").as("avail_tokens"))
+        val tot = bySrc.agg(sum("avail_tokens").as("total"),
+          count(lit(1)).as("n_src"))
+        val req = lit(4.0) * col("total").cast(DoubleType) /
+          col("n_src").cast(DoubleType)
+        val availD = col("avail_tokens").cast(DoubleType)
+        val epochsUnc = req / availD
+        val epochs = least(lit(4.0), epochsUnc)
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("avail_tokens"),
+            round(req, 2).as("requested_tokens"),
+            round(epochsUnc, 5).as("epochs_uncapped"),
+            round(epochs, 5).as("epochs"),
+            round(epochs * availD, 2).as("realized_tokens"),
+            round(greatest(lit(0.0), req - epochs * availD), 2)
+              .as("shortfall_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source,
+             |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+             |FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+             |CAST(count(*) AS BIGINT) AS n_src FROM s),
+             |v AS (SELECT source, avail,
+             |4.0 * CAST(total AS DOUBLE) / CAST(n_src AS DOUBLE) AS req
+             |FROM s, t)
+             |SELECT source, avail AS avail_tokens,
+             |round(req, 2) AS requested_tokens,
+             |round(req / CAST(avail AS DOUBLE), 5) AS epochs_uncapped,
+             |round(least(4.0, req / CAST(avail AS DOUBLE)), 5) AS epochs,
+             |round(least(4.0, req / CAST(avail AS DOUBLE)) * CAST(avail AS DOUBLE), 2) AS realized_tokens,
+             |round(greatest(0.0, req - least(4.0, req / CAST(avail AS DOUBLE)) * CAST(avail AS DOUBLE)), 2) AS shortfall_tokens
+             |FROM v ORDER BY source""".stripMargin.replace("\n", " "))),
 
     // DSIR-style importance weights (Xie et al. 2023): score each
     // out-of-domain document by the log-ratio of two hashed-ngram
@@ -3501,6 +3626,30 @@ object Extensions {
              |CAST(floor((sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)
              |- len(string_split(text, ' '))) / 512.0) AS BIGINT) AS seq_id
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Training-ingest shard manifest: contiguous-fill 4096-token shards
+    // (q_pack_sequences' assignment rule at shard granularity) with one
+    // manifest row per shard — doc/token totals, id range, and an
+    // order-insensitive modular content checksum the trainer re-derives
+    // from the rows it actually read (Pack.shardManifest; the corruption
+    // gate between curation and the first gradient step). Oracle replays
+    // the single-window definition and the same mod-prime arithmetic —
+    // exact BIGINT throughout, no float in the checksum.
+    Q("q_shard_manifest",
+      (s, d) => Pack.shardManifest(Tables.documents(s, d), "doc_id", "text",
+          TextAnalysis.tokenCount(col("text")), shardTokens = 4096)
+        .orderBy("shard_id"),
+      Some("""WITH a AS (SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |CAST(floor((sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)
+             |- len(string_split(text, ' '))) / 4096.0) AS BIGINT) AS shard_id,
+             |CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':', coalesce(text, ''))), 1, 15)) AS BIGINT) % 1000000007 AS dmod
+             |FROM documents)
+             |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id,
+             |CAST(sum(dmod) % 1000000007 AS BIGINT) AS checksum
+             |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "))),
 
     // Per-domain cap: at most 10 documents per source (first by doc_id)
     // — the anti-boilerplate mixture guard. Two-phase row_number under

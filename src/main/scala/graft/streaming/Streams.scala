@@ -379,6 +379,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming shard-manifest maintenance: each drained micro-batch of
+    * append-only (id, text) documents folds into the training-ingest
+    * manifest via [[graft.ops.Pack.shardManifestUpsert]] — the streamed
+    * manifest equals the batch [[graft.ops.Pack.shardManifest]] over the
+    * union corpus at every commit (the modular checksum commutes, so
+    * extending the open tail shard is exact), crash replays no-op at the
+    * high-water id, and the swap is atomic. Cost per batch ∝ batch +
+    * manifest size, never the corpus.
+    */
+  def shardManifestStream(spark: SparkSession, docs: DataFrame, path: String,
+                          checkpoint: String, shardTokens: Long,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          trigger: Trigger = Trigger.AvailableNow()) = {
+    import org.apache.spark.sql.functions.col
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Pack.shardManifestUpsert(spark, batch, path, idCol,
+            textCol, graft.ops.TextAnalysis.tokenCount(col(textCol)),
+            shardTokens)
+      }
+      .start()
+  }
+
   /** Streaming Z-order layout maintenance: each drained micro-batch of
     * keyed (key, x, y, …) rows upserts into the Z-clustered layout via
     * [[graft.ops.Layout.upsertZClustered]] — the layout twin of

@@ -1063,6 +1063,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(two(1L) > got(1L), "second matching term must add score")
   }
 
+  test("hashedClassifierMargin is BIT-equal to the hand fold (exact 2^-31-grid sums)") {
+    def hex32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16)
+    }
+    def weight(t: String): Double =
+      hex32("qclf:" + (hex32(t) % 4096L)) / 4294967296.0 * 2.0 - 1.0
+    val texts = Seq("The quick brown Fox", "one", "a a a b", "")
+    val expected = texts.map { x =>
+      val toks = x.toLowerCase.split(" ", -1)
+      toks.map(weight).sum / toks.length
+    }
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "text")
+      .select($"i", TextAnalysis.hashedClassifierMargin($"text").as("m"))
+      .orderBy("i").as[(Int, Double)].collect().map(_._2).toSeq
+    // == on Double, no tolerance: every summand is an exact multiple of
+    // 2^-31, so the fold never rounds and any summation order agrees
+    assert(got == expected, s"got $got expected $expected")
+    // repeated tokens share a bucket weight (hash features, not counts-free)
+    assert(weight("a") * 3 + weight("b") == got(2) * 4)
+    // NULL text → NULL margin, never a fabricated 'drop'
+    val n = Seq((1, Option.empty[String])).toDF("i", "text")
+      .select(TextAnalysis.hashedClassifierMargin($"text").as("m"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("ANN/decontamination paths survive degenerate corpora (zero/one centroid, empty bench)") {
     // DegenerateSweep findings, pinned as units: an empty corpus seeds
     // zero IVF centroids (greatest() with 0 args won't even analyze), a

@@ -59,6 +59,46 @@ class PipelineDepthSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("shardManifest: boundary rule, exact totals, hand-checked modular checksum") {
+    val docs = Seq(
+      (1L, "a b c"),   // start 0 → shard 0
+      (2L, "d e"),     // start 3 → shard 0 (overflows the 4-token boundary)
+      (3L, "f"),       // start 5 → shard 1
+      (4L, "g h i j")  // start 6 → shard 1
+    ).toDF("doc_id", "text")
+    def dmod(id: Long, text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$id:$text".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % Pack.ChecksumPrime
+    }
+    val expect0 = (dmod(1L, "a b c") + dmod(2L, "d e")) % Pack.ChecksumPrime
+    val expect1 = (dmod(3L, "f") + dmod(4L, "g h i j")) % Pack.ChecksumPrime
+    val m = Pack.shardManifest(docs, "doc_id", "text",
+        TextAnalysis.tokenCount(col("text")), shardTokens = 4L)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == Seq(
+      (0L, 2L, 5L, 1L, 2L, expect0),
+      (1L, 2L, 5L, 3L, 4L, expect1)))
+
+    // the checksum commutes: a hostile input order (reversed, absurd
+    // partitioning) yields the identical manifest
+    val m2 = Pack.shardManifest(docs.orderBy(col("doc_id").desc).repartition(7),
+        "doc_id", "text", TextAnalysis.tokenCount(col("text")), shardTokens = 4L)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m2 == m)
+  }
+
+  test("packSequences carries pass-through columns unchanged (shardManifest's digest lane)") {
+    val docs = Seq((1L, 10L), (2L, 600L), (3L, 10L)).toDF("doc_id", "nt")
+    val packed = Pack.packSequences(docs, "doc_id", col("nt"), budget = 512)
+      .orderBy("id").columns.toSeq
+    assert(packed == Seq("id", "n_tokens", "seq_id"),
+      "the zero-extras path must keep its public shape")
+  }
+
   // ---- Sampling.capPerKey ------------------------------------------------
 
   test("capPerKey's local phase windows on (keys, partition id), global on keys") {

@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scan-only text queries contain no shuffle at all") {
-    for (q <- Seq("q_token_count", "q_lang_id", "q_fingerprint")) {
+    for (q <- Seq("q_token_count", "q_lang_id", "q_fingerprint",
+                  "q_quality_classifier")) {
       val p = plan(q)
       // a global sort for output determinism is allowed; no hash-partition
       // exchange may appear

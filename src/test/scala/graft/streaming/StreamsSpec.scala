@@ -566,6 +566,44 @@ class StreamsSpec extends SparkSpec {
       == Set((1L, "a")))
   }
 
+  test("shardManifestStream: streamed fold == batch manifest (open-shard amend), replays no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Pack, TextAnalysis}
+    val path = tmp("shard_manifest_stream") + "/manifest"
+    val input = MemoryStream[(Long, String)]
+    val q = shardManifestStream(spark, input.toDF().toDF("doc_id", "text"),
+      path, tmp("ckpt_manifest"), shardTokens = 4L,
+      trigger = Trigger.ProcessingTime(0))
+    // batch 1 ends mid-shard-0; batch 2 OPENS shard 1; batch 3 must
+    // AMEND still-open shard 1 (the modular-checksum add) and open 2
+    input.addData((1L, "a b c"), (2L, "d e"))
+    q.processAllAvailable()
+    input.addData((3L, "f"))
+    q.processAllAvailable()
+    input.addData((4L, "g h"), (5L, "i j k l"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(path).orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val whole = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h"),
+        (5L, "i j k l")).toDF("doc_id", "text")
+    val batchM = Pack.shardManifest(whole, "doc_id", "text",
+      TextAnalysis.tokenCount(col("text")), shardTokens = 4L)
+    val expected = batchM.orderBy("shard_id").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    batchM.unpersist()
+    assert(streamed == expected && streamed.map(_._1) == Seq(0L, 1L, 2L))
+    // shard 1 really is multi-batch: docs 3 (batch 2) and 4 (batch 3)
+    assert(streamed(1)._2 == 2L && streamed(1)._4 == 3L && streamed(1)._5 == 4L)
+    // a crash-replayed batch (ids at/below the high-water mark) no-ops
+    Pack.shardManifestUpsert(spark,
+      Seq((4L, "g h"), (5L, "i j k l")).toDF("doc_id", "text"), path,
+      "doc_id", "text", TextAnalysis.tokenCount(col("text")), 4L)
+    val after = spark.read.parquet(path).orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(after == streamed, "replay must not double-count")
+  }
+
   test("annIndexStream upserts into the IVF index: insert, re-embed cell move, emptied cell dropped") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("ann_index_stream") + "/idx"
