@@ -1979,6 +1979,49 @@ object Extensions {
            |ORDER BY query_id""".stripMargin.replace("\n", " ")
       }),
 
+    // The SQ8 tier's recall audit — the OTHER quantization family:
+    // symmetric int8 scalar quantization (Similarity.quantize8, 4×
+    // smaller storage) serving brute-force cosine over DEQUANTIZED
+    // codes. Completes the size/recall tradeoff table the PQ ladder
+    // started: SQ8 keeps the scan cost but shrinks the bytes 4×; PQ
+    // shrinks 64× and pays in recall (X161–X168). The audit is the
+    // number that tells a deployment which compression tier its recall
+    // bar allows. Oracle replays quantize→dequantize (same operation
+    // order, scale FACTORED as maxabs/127 exactly like the Spark side)
+    // →cosine→rank→intersect.
+    Q("q_sq8_recall_audit",
+      (s, d) => recallAudit(s, d, (probes, corpus) =>
+        Similarity.annJoinExact(probes,
+          corpus.select(col("vec_id"),
+            Similarity.dequantize8(Similarity.quantize8(col("embedding")))
+              .as("embedding")),
+          "vec_id", "embedding", 10)),
+      Some("""WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS v
+             |FROM embeddings WHERE vec_id >= 5),
+             |cq AS (SELECT match_id, CASE WHEN maxabs > 0
+             |THEN list_transform(v, x -> round(x / maxabs * 127.0) * (maxabs / 127.0))
+             |ELSE list_transform(v, x -> 0.0) END AS dv
+             |FROM (SELECT match_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM c) t),
+             |ex AS (SELECT query_id, match_id FROM (
+             |SELECT p.query_id, c.match_id,
+             |row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |list_cosine_similarity(p.v, c.v) DESC, c.match_id) AS rk
+             |FROM p CROSS JOIN c) t WHERE rk <= 10),
+             |ap AS (SELECT query_id, match_id FROM (
+             |SELECT p.query_id, cq.match_id,
+             |row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |list_cosine_similarity(p.v, cq.dv) DESC, cq.match_id) AS rk
+             |FROM p CROSS JOIN cq) t WHERE rk <= 10),
+             |hits AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap
+             |ON ap.query_id = ex.query_id AND ap.match_id = ex.match_id
+             |GROUP BY ex.query_id)
+             |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+             |FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)
+             |ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
     // The IVF tier's recall audit — q_ann_recall_audit's pattern applied
     // to the second approximate neighbor stage: per probe, recall@10 of
     // the nProbe=2-of-8-cells IVF join against the exact top-10. An IVF
