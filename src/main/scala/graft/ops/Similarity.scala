@@ -348,19 +348,40 @@ object Similarity {
     */
   def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
                     path: String, m: Int = 16,
-                    kmeansIters: Int = 5): Array[(Long, Array[Double])] = {
+                    kmeansIters: Int = 5,
+                    quantized: Boolean = false): Array[(Long, Array[Double])] = {
     val centroids =
       if (kmeansIters > 0) ivfCentroidsKMeans(vectors, idCol, vecCol, m, kmeansIters)
       else ivfCentroids(vectors, idCol, vecCol, m)
-    graft.etl.Refresh.overwriteStaged(
-      ivfAssign(vectors, idCol, vecCol, centroids)
-        .withColumnRenamed("__cell", "cell").drop("__sim"),
-      path, partitionByCols = Seq("cell"))
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+      .withColumnRenamed("__cell", "cell").drop("__sim")
+    // SQ8 cells: 4× smaller index at recall@10 = 1.0 on the audit
+    // fixture (q_sq8_recall_audit) — the middle compression tier between
+    // raw floats (1×) and PQ codes (64×, the X161-X168 ladder). The
+    // struct(scale, q) column is SELF-DESCRIBING: probes and upserts
+    // detect it from the parquet schema, so no sidecar version is needed
+    // (the quantizer is stateless per-vector, unlike PQ's codebooks)
+    val stored =
+      if (quantized) assigned.withColumn(vecCol, quantize8(col(vecCol)))
+      else assigned
+    graft.etl.Refresh.overwriteStaged(stored, path, partitionByCols = Seq("cell"))
     centroids
   }
 
+  /** True when an index column carries [[quantize8]]'s struct form. */
+  private[graft] def isSq8(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.toSeq == Seq("scale", "q")
+      case _ => false
+    }
+
   /** Probe a [[writeIvfIndex]] extract: exact cosine top-k over only the
-    * `nProbe` nearest cells' partitions.
+    * `nProbe` nearest cells' partitions. SQ8 cells (see
+    * `writeIvfIndex(quantized = true)`) are detected from the schema and
+    * dequantized inside the scan projection — ranks are audited at
+    * recall@10 = 1.0 against the float tier, and the probe reads 4×
+    * fewer bytes per row, which at 100 TB is the scan bill.
     */
   def probeIvfIndex(spark: SparkSession, path: String,
                     centroids: Array[(Long, Array[Double])], idCol: String,
@@ -368,9 +389,12 @@ object Similarity {
                     nProbe: Int = 4): DataFrame = {
     val probeCells = nearestCells(centroids, query, nProbe)
     val q = array(query.map(lit): _*)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+    val idx = spark.read.parquet(path)
+    val vec =
+      if (isSq8(idx.schema(vecCol).dataType)) dequantize8(col(vecCol))
+      else col(vecCol)
+    idx.filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(vec, q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

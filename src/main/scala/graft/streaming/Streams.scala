@@ -329,9 +329,21 @@ object Streams {
     val assigned = graft.ops.Similarity
       .ivfAssign(cleaned, idCol, vecCol, centroids)
       .withColumnRenamed("__cell", "cell").drop("__sim")
+    // an SQ8 index (writeIvfIndex(quantized = true)) is detected from
+    // the existing extract's schema and the delta encoded to match —
+    // the quantizer is stateless per-vector, so unlike pqIndexUpsert
+    // there is no committed-quantizer sidecar to stay consistent with
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (fs.exists(target) &&
+          graft.ops.Similarity.isSq8(
+            spark.read.parquet(path).schema(vecCol).dataType))
+        assigned.withColumn(vecCol, graft.ops.Similarity.quantize8(col(vecCol)))
+      else assigned
     // the merge itself — touched-cells-only dynamic overwrite, emptied
     // cells dropped, empty delta a no-op — is the shared algorithm
-    graft.ops.CellUpsert.upsert(spark, assigned, idCol, "cell", path)
+    graft.ops.CellUpsert.upsert(spark, stored, idCol, "cell", path)
   }
 
   /** Streaming ANN index maintenance: each drained micro-batch of

@@ -497,6 +497,50 @@ class ExtensionsSpec extends SparkSpec {
       "PQ sidecar must carry the refined centroids the build assigned with")
   }
 
+  test("SQ8 IVF index: smaller cells serve the same neighbors; upserts encode to match") {
+    import java.nio.file.Files
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rawPath = Files.createTempDirectory("ivf_raw").toString + "/idx"
+    val sqPath = Files.createTempDirectory("ivf_sq8").toString + "/idx"
+    val cents = Similarity.writeIvfIndex(emb, "vec_id", "embedding", rawPath, m = 8)
+    val cents2 = Similarity.writeIvfIndex(emb, "vec_id", "embedding", sqPath,
+      m = 8, quantized = true)
+    assert(cents.flatMap(_._2).toSeq == cents2.flatMap(_._2).toSeq,
+      "quantized storage must not change the centroid build")
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    def probeIds(path: String): Set[Long] =
+      Similarity.probeIvfIndex(spark, path, cents, "vec_id", "embedding",
+        query, k = 10, nProbe = 2).select("vec_id").as[Long].collect().toSet
+    assert(probeIds(sqPath) == probeIds(rawPath),
+      "SQ8 cells must serve the same top-k as the float cells")
+    // the stored form really is codes, and meaningfully smaller on disk
+    assert(Similarity.isSq8(
+      spark.read.parquet(sqPath).schema("embedding").dataType))
+    def parquetBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    val (rawB, sqB) = (parquetBytes(rawPath), parquetBytes(sqPath))
+    assert(sqB < rawB * 0.6, s"SQ8 index not smaller: $sqB vs $rawB")
+    // an upsert into the SQ8 index encodes its delta to the index form:
+    // a new vector AT the query point must surface first from the codes
+    val delta = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(100000L))
+    graft.streaming.Streams.annIndexUpsert(spark, delta, sqPath, cents)
+    assert(Similarity.isSq8(
+      spark.read.parquet(sqPath).schema("embedding").dataType),
+      "upsert broke the index's quantized schema")
+    // the original vec 0 carries the identical vector; the id tie-break
+    // ranks it first — the upserted twin must sit directly beside it
+    val after = Similarity.probeIvfIndex(spark, sqPath, cents, "vec_id",
+      "embedding", query, k = 2, nProbe = 2).select("vec_id").as[Long].collect()
+    assert(after.toSeq == Seq(0L, 100000L),
+      s"upserted exact-match twin must rank beside the original, got ${after.toSeq}")
+  }
+
   test("batch ANN join: LSH multi-probe recall vs the exact join") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 5)
