@@ -673,12 +673,50 @@ object TextAnalysis {
   def hashedClassifierMargin(text: Column, dim: Int = 4096,
                              seed: String = "qclf"): Column = {
     val toks = tokens(lower(text))
-    def bucket(t: Column): Column =
-      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % dim.toLong
     def weight(b: Column): Column =
       conv(substring(md5(concat(lit(seed + ":"), b.cast("string"))), 1, 8), 16, 10)
         .cast(DoubleType) / lit(4294967296.0) * lit(2.0) - lit(1.0)
-    aggregate(toks, lit(0.0), (acc, t) => acc + weight(bucket(t))) /
+    aggregate(toks, lit(0.0), (acc, t) => acc + weight(classifierBucket(t, dim))) /
+      size(toks).cast(DoubleType)
+  }
+
+  private def classifierBucket(t: Column, dim: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % dim.toLong
+
+  /** The md5-derived stand-in weight table as a driver-side array —
+    * exactly the doubles [[hashedClassifierMargin]]'s expression derives
+    * per token (the arithmetic is EXACT at every step, so the two
+    * constructions agree bit-for-bit; the spec pins it).
+    */
+  def hashedClassifierWeights(dim: Int = 4096,
+                              seed: String = "qclf"): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { b =>
+      val h = md.digest(s"$seed:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16) / 4294967296.0 * 2.0 - 1.0
+    }
+  }
+
+  /** [[hashedClassifierMargin]] SERVING a trained weight table: the
+    * weights arrive as a plain array (from any offline trainer) and are
+    * baked into a constant-folded array literal, so scoring stays ONE
+    * codegen'd projection — per token, hash → element_at — with no
+    * explode, no join, no shuffle (the DSIR literal-table pattern at
+    * classifier width). This is the swap the X169 row promises: replace
+    * the md5 stand-ins with trained coefficients and NOTHING about the
+    * plan changes; the spec proves it by serving the stand-in table
+    * through this path and matching [[hashedClassifierMargin]]
+    * bit-for-bit.
+    */
+  def hashedClassifierMarginFrom(text: Column,
+                                 weights: Array[Double]): Column = {
+    require(weights.nonEmpty, "need a non-empty weight table")
+    val warr = array(weights.map(lit): _*)
+    val toks = tokens(lower(text))
+    aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(warr,
+        (classifierBucket(t, weights.length) + 1L).cast("int"))) /
       size(toks).cast(DoubleType)
   }
 }

@@ -1135,6 +1135,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("classifier weight-table serving path == the expression path, bit-for-bit") {
+    // the trained-weights swap X169 promises: serve the SAME stand-in
+    // table through the literal-array path and match exactly — both
+    // constructions land on identical exact doubles, so == holds
+    val docs = graft.Tables.documents(spark, sf)
+    val w = TextAnalysis.hashedClassifierWeights()
+    val diff = docs.select(
+        TextAnalysis.hashedClassifierMargin($"text").as("a"),
+        TextAnalysis.hashedClassifierMarginFrom($"text", w).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff == 0L, s"$diff docs diverge between serving paths")
+  }
+
   test("ANN/decontamination paths survive degenerate corpora (zero/one centroid, empty bench)") {
     // DegenerateSweep findings, pinned as units: an empty corpus seeds
     // zero IVF centroids (greatest() with 0 args won't even analyze), a
