@@ -3670,6 +3670,64 @@ object Extensions {
              |- len(string_split(text, ' '))) / 512.0) AS BIGINT) AS seq_id
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Padding/batching efficiency audit — the decision table for
+    // length-bucketed batching: form 32-doc training batches two ways
+    // (arrival order by doc_id; length-sorted) and price each strategy's
+    // padding waste (each batch pads to its own max length — the
+    // standard padded-batch cost model). The batch assignment is
+    // packSequences' distributed prefix sum with UNIT weights (count
+    // prefix ≡ row_number, PipelineDepthSpec-proven equal to the single
+    // window), so no global window sneaks in; the length-sorted order
+    // rides a composite (n_tokens·2³², doc_id) key — unique, monotone in
+    // (length, id); fixture ids are < 2³², the width note travels with
+    // the key. Output: one row per strategy. The gap between the two
+    // rows is tokens-per-step bought by sorting before batching.
+    Q("q_padding_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("n_tok"))
+        def audit(strategy: String, keyed: org.apache.spark.sql.DataFrame) = {
+          val batches = Pack.packSequences(keyed, "k", lit(1L), budget = 32)
+            .withColumnRenamed("id", "k").drop("n_tokens")
+          val b = keyed.join(batches, Seq("k"))
+            .groupBy(col("seq_id"))
+            .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+              sum(col("n_tok")).as("tok"))
+            .agg(count(lit(1)).cast(LongType).as("n_batches"),
+              sum(col("tok")).cast(LongType).as("data_tokens"),
+              sum(col("n") * col("mx") - col("tok")).cast(LongType)
+                .as("padding_tokens"))
+          b.select(lit(strategy).as("strategy"), col("n_batches"),
+            col("data_tokens"), col("padding_tokens"),
+            round(col("padding_tokens").cast(DoubleType) /
+              (col("data_tokens") + col("padding_tokens")).cast(DoubleType), 5)
+              .as("padding_ratio"))
+        }
+        val arrival = audit("arrival",
+          docs.select(col("doc_id").as("k"), col("n_tok")))
+        val sorted = audit("length_sorted",
+          docs.select((col("n_tok") * lit(4294967296L) + col("doc_id")).as("k"),
+            col("n_tok")))
+        arrival.unionByName(sorted).orderBy("strategy")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |coalesce(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tok
+             |FROM documents),
+             |a AS (SELECT n_tok, CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT) AS b FROM t),
+             |s AS (SELECT n_tok, CAST((row_number() OVER (ORDER BY n_tok * 4294967296 + doc_id) - 1) // 32 AS BIGINT) AS b FROM t),
+             |pa AS (SELECT count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS tok FROM a GROUP BY b),
+             |ps AS (SELECT count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS tok FROM s GROUP BY b),
+             |ra AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             |CAST(sum(tok) AS BIGINT) AS data_tokens,
+             |CAST(sum(n * mx - tok) AS BIGINT) AS padding_tokens FROM pa),
+             |rs AS (SELECT 'length_sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             |CAST(sum(tok) AS BIGINT) AS data_tokens,
+             |CAST(sum(n * mx - tok) AS BIGINT) AS padding_tokens FROM ps),
+             |u AS (SELECT * FROM ra UNION ALL SELECT * FROM rs)
+             |SELECT strategy, n_batches, data_tokens, padding_tokens,
+             |round(CAST(padding_tokens AS DOUBLE) / CAST(data_tokens + padding_tokens AS DOUBLE), 5) AS padding_ratio
+             |FROM u ORDER BY strategy""".stripMargin.replace("\n", " "))),
+
     // Training-ingest shard manifest: contiguous-fill 4096-token shards
     // (q_pack_sequences' assignment rule at shard granularity) with one
     // manifest row per shard — doc/token totals, id range, and an
