@@ -39,7 +39,7 @@ object Pack {
     * and [[shardManifest]]; `extra` columns ride the range partitioning
     * unchanged and come back beside (id, n_tokens, seq_id).
     */
-  private def assignByPrefix(docs: DataFrame, idCol: String, tokens: Column,
+  private[graft] def assignByPrefix(docs: DataFrame, idCol: String, tokens: Column,
                              budget: Long, extra: Seq[Column],
                              startOffset: Long = 0L): DataFrame = {
     require(budget >= 1, s"need budget >= 1; got $budget")
@@ -186,7 +186,17 @@ object Pack {
       case None => (0L, Long.MinValue)
       case Some(p) =>
         val r = p.agg(coalesce(sum("n_tokens"), lit(0L)),
-          coalesce(max("last_doc_id"), lit(Long.MinValue))).head()
+          coalesce(max("last_doc_id"), lit(Long.MinValue)),
+          coalesce(min("shard_tokens"), lit(shardTokens)),
+          coalesce(max("shard_tokens"), lit(shardTokens))).head()
+        // shard ids computed at one granularity numerically collide with
+        // ids computed at another — a misconfigured restart must refuse
+        // loudly, not merge unrelated boundaries (the index streams'
+        // refuse-the-skip-artifact contract)
+        require(r.getLong(2) == shardTokens && r.getLong(3) == shardTokens,
+          s"manifest at $path was built with shardTokens=${r.getLong(2)}; " +
+            s"refusing to fold a $shardTokens-token batch into it — " +
+            "re-granulating is a shardManifest rebuild by design")
         (r.getLong(0), r.getLong(1))
     }
     val fresh = batch.filter(col(idCol) > highWater)
@@ -194,7 +204,7 @@ object Pack {
     val batchManifest = shardManifestFrom(fresh, idCol, textCol, tokens,
       shardTokens, startOffset = priorTokens)
     try {
-      val merged = prior.map(_.unionByName(batchManifest))
+      val merged = prior.map(_.drop("shard_tokens").unionByName(batchManifest))
         .getOrElse(batchManifest)
         .groupBy("shard_id")
         .agg(sum("n_docs").as("n_docs"),
@@ -202,6 +212,9 @@ object Pack {
           min("first_doc_id").as("first_doc_id"),
           max("last_doc_id").as("last_doc_id"),
           (sum("checksum") % ChecksumPrime).as("checksum"))
+        // the persisted manifest records its own granularity so the
+        // guard above can refuse a drifted restart
+        .withColumn("shard_tokens", lit(shardTokens))
       val staging = new org.apache.hadoop.fs.Path(path + "__staging")
       if (fs.exists(staging)) fs.delete(staging, true)
       merged.write.mode("overwrite").parquet(staging.toString)

@@ -3687,9 +3687,13 @@ object Extensions {
         val docs = Tables.documents(s, d).select(col("doc_id"),
           coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("n_tok"))
         def audit(strategy: String, keyed: org.apache.spark.sql.DataFrame) = {
-          val batches = Pack.packSequences(keyed, "k", lit(1L), budget = 32)
-            .withColumnRenamed("id", "k").drop("n_tokens")
-          val b = keyed.join(batches, Seq("k"))
+          // n_tok rides assignByPrefix's extras lane (the shardManifest
+          // digest pattern) — no re-join, no second source scan; the
+          // 1-row result is materialized eagerly so the doc-sized
+          // assignment cache is released instead of pinning the session
+          val assigned = Pack.assignByPrefix(keyed, "k", lit(1L),
+            budget = 32, extra = Seq(col("n_tok")))
+          val b = assigned
             .groupBy(col("seq_id"))
             .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
               sum(col("n_tok")).as("tok"))
@@ -3697,11 +3701,12 @@ object Extensions {
               sum(col("tok")).cast(LongType).as("data_tokens"),
               sum(col("n") * col("mx") - col("tok")).cast(LongType)
                 .as("padding_tokens"))
-          b.select(lit(strategy).as("strategy"), col("n_batches"),
+          val out = b.select(lit(strategy).as("strategy"), col("n_batches"),
             col("data_tokens"), col("padding_tokens"),
             round(col("padding_tokens").cast(DoubleType) /
               (col("data_tokens") + col("padding_tokens")).cast(DoubleType), 5)
               .as("padding_ratio"))
+          graft.ops.Dedup.eagerly(out, assigned)
         }
         val arrival = audit("arrival",
           docs.select(col("doc_id").as("k"), col("n_tok")))
@@ -3740,12 +3745,13 @@ object Extensions {
       (s, d) => Pack.shardManifest(Tables.documents(s, d), "doc_id", "text",
           TextAnalysis.tokenCount(col("text")), shardTokens = 4096)
         .orderBy("shard_id"),
-      Some("""WITH a AS (SELECT doc_id,
-             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             |CAST(floor((sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)
-             |- len(string_split(text, ' '))) / 4096.0) AS BIGINT) AS shard_id,
+      Some("""WITH t AS (SELECT doc_id,
+             |coalesce(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tok,
              |CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':', coalesce(text, ''))), 1, 15)) AS BIGINT) % 1000000007 AS dmod
-             |FROM documents)
+             |FROM documents),
+             |a AS (SELECT doc_id, n_tok, dmod,
+             |CAST(floor((sum(n_tok) OVER (ORDER BY doc_id) - n_tok) / 4096.0) AS BIGINT) AS shard_id
+             |FROM t)
              |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
              |CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              |min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id,

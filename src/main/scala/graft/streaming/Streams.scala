@@ -335,6 +335,12 @@ object Streams {
     // there is no committed-quantizer sidecar to stay consistent with
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a retrain swap that crashed between its two renames leaves the
+    // index only at __old — recover BEFORE the exists() read below, or
+    // this batch reads "absent store", skips quantization, and publishes
+    // its raw delta as the whole index (recoverHalfSwap's contract:
+    // call before any read that decides "absent table")
+    graft.etl.Refresh.recoverHalfSwap(fs, target)
     val stored =
       if (fs.exists(target) &&
           graft.ops.Similarity.isSq8(

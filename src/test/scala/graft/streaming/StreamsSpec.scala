@@ -584,7 +584,10 @@ class StreamsSpec extends SparkSpec {
     input.addData((4L, "g h"), (5L, "i j k l"))
     q.processAllAvailable()
     q.stop()
+    val cols6 = Seq("shard_id", "n_docs", "n_tokens", "first_doc_id",
+      "last_doc_id", "checksum")
     val streamed = spark.read.parquet(path).orderBy("shard_id")
+      .select(cols6.head, cols6.tail: _*)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     val whole = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h"),
         (5L, "i j k l")).toDF("doc_id", "text")
@@ -600,8 +603,16 @@ class StreamsSpec extends SparkSpec {
       Seq((4L, "g h"), (5L, "i j k l")).toDF("doc_id", "text"), path,
       "doc_id", "text", TextAnalysis.tokenCount(col("text")), 4L)
     val after = spark.read.parquet(path).orderBy("shard_id")
+      .select(cols6.head, cols6.tail: _*)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(after == streamed, "replay must not double-count")
+    // the persisted manifest records its granularity, and a drifted
+    // restart refuses loudly instead of merging unrelated boundaries
+    intercept[IllegalArgumentException] {
+      Pack.shardManifestUpsert(spark,
+        Seq((6L, "m n o")).toDF("doc_id", "text"), path,
+        "doc_id", "text", TextAnalysis.tokenCount(col("text")), 8L)
+    }
   }
 
   test("annIndexStream upserts into the IVF index: insert, re-embed cell move, emptied cell dropped") {
