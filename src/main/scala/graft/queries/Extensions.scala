@@ -3733,6 +3733,61 @@ object Extensions {
              |round(CAST(padding_tokens AS DOUBLE) / CAST(data_tokens + padding_tokens AS DOUBLE), 5) AS padding_ratio
              |FROM u ORDER BY strategy""".stripMargin.replace("\n", " "))),
 
+    // Manifest verification — the READ-side half of q_shard_manifest's
+    // contract: a trainer recomputes each shard's checksum from the rows
+    // it actually read and compares against the ledger. Here the read
+    // leg deterministically LOSES every doc with doc_id % 97 == 13 (a
+    // dropped-rows corruption), and the verdict table shows the checksum
+    // catching exactly the shards that lost docs — the demonstration
+    // that X171's modular checksum detects corruption, not just that it
+    // round-trips. One assignment pass feeds both legs (ledger = all
+    // rows, read = surviving rows, grouped by the SAME shard ids);
+    // everything stays exact BIGINT.
+    Q("q_manifest_verify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val assigned = Pack.assignByPrefix(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 4096,
+          extra = Seq((conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), coalesce(col("text"), lit("")))), 1, 15), 16, 10)
+            .cast(LongType) % lit(1000000007L)).as("dmod")))
+        def side(df: org.apache.spark.sql.DataFrame, prefix: String) =
+          df.groupBy(col("seq_id").as("shard_id"))
+            .agg(count(lit(1)).cast(LongType).as(s"${prefix}_docs"),
+              (sum(col("dmod")) % 1000000007L).as(s"${prefix}_checksum"))
+        val ledger = side(assigned, "ledger")
+        val read = side(assigned.filter(!(col("id") % 97 === 13)), "read")
+        val out = ledger.join(read, Seq("shard_id"), "left")
+          .select(col("shard_id"), col("ledger_docs"),
+            coalesce(col("read_docs"), lit(0L)).as("read_docs"),
+            (coalesce(col("read_checksum"), lit(0L)) === col("ledger_checksum"))
+              .as("checksum_ok"),
+            (col("ledger_docs") - coalesce(col("read_docs"), lit(0L)))
+              .as("missing_docs"))
+          .orderBy("shard_id")
+        graft.ops.Dedup.eagerly(out, assigned)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |coalesce(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tok,
+             |CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':', coalesce(text, ''))), 1, 15)) AS BIGINT) % 1000000007 AS dmod
+             |FROM documents),
+             |a AS (SELECT doc_id, dmod,
+             |CAST(floor((sum(n_tok) OVER (ORDER BY doc_id) - n_tok) / 4096.0) AS BIGINT) AS shard_id
+             |FROM t),
+             |ledger AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS ledger_docs,
+             |CAST(sum(dmod) % 1000000007 AS BIGINT) AS ledger_checksum
+             |FROM a GROUP BY shard_id),
+             |rd AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS read_docs,
+             |CAST(sum(dmod) % 1000000007 AS BIGINT) AS read_checksum
+             |FROM a WHERE NOT (doc_id % 97 = 13) GROUP BY shard_id)
+             |SELECT l.shard_id, l.ledger_docs,
+             |coalesce(r.read_docs, 0) AS read_docs,
+             |coalesce(r.read_checksum, 0) = l.ledger_checksum AS checksum_ok,
+             |l.ledger_docs - coalesce(r.read_docs, 0) AS missing_docs
+             |FROM ledger l LEFT JOIN rd r ON r.shard_id = l.shard_id
+             |ORDER BY l.shard_id""".stripMargin.replace("\n", " "))),
+
     // Training-ingest shard manifest: contiguous-fill 4096-token shards
     // (q_pack_sequences' assignment rule at shard granularity) with one
     // manifest row per shard — doc/token totals, id range, and an
