@@ -93,7 +93,13 @@ object Pack {
   /** Modulus of the manifest checksum: 31-bit prime, so per-doc residues
     * are < 2³⁰ and a shard's plain BIGINT sum stays exact (no ANSI
     * overflow) up to ~2³³ docs per shard — unreachable, since the token
-    * budget bounds a shard's doc count long before that.
+    * budget bounds a shard's doc count long before that. Caveat: the
+    * budget bound assumes docs carry >= 1 token; null/empty-text rows
+    * coalesce to 0 tokens and do NOT advance the prefix sum, so a run of
+    * zero-token docs lands in one shard without consuming budget. The sum
+    * only goes inexact past ~8.6 billion zero-token docs in a single
+    * shard — not a corpus any pipeline ships — but the exactness claim
+    * is conditional on that, not on the budget alone.
     */
   val ChecksumPrime = 1000000007L
 

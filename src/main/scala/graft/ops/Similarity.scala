@@ -818,9 +818,22 @@ object Similarity {
   /** Symmetric int8 quantization: struct(scale = max|x| / 127,
     * q = round(x / scale) as tinyint) — 4x/8x storage shrink for ANN
     * index extracts at <1% cosine error on typical embeddings. All-zero
-    * vectors quantize to scale 0 + zeros. Narrow projection.
+    * vectors quantize to scale 0 + zeros. Narrow projection via the
+    * fused native expression (graft.functions.Quantize8 — the HOF form
+    * re-scans for max|x| per element, O(d²) interpreted per row).
     */
-  def quantize8(vec: Column): Column = {
+  def quantize8(vec: Column): Column = graft.functions.Quantize8(vec)
+
+  /** Inverse of [[quantize8]]: q * scale back to double (native). */
+  def dequantize8(qv: Column): Column = graft.functions.Dequantize8(qv)
+
+  /** Composable higher-order-function formulation of [[quantize8]] —
+    * the reference implementation the native expression is verified
+    * against (the [[cosineHof]] pattern). Not a scale path: the
+    * `array_max` subtree sits inside the per-element lambda and HOFs do
+    * no cross-lambda CSE, so it re-evaluates per element.
+    */
+  private[graft] def quantize8Hof(vec: Column): Column = {
     val d = transform(vec, _.cast(DoubleType))
     val maxabs = array_max(transform(d, x => abs(x)))
     val scale = when(maxabs > 0, maxabs / 127.0d).otherwise(lit(0.0d))
@@ -830,8 +843,8 @@ object Similarity {
         .otherwise(transform(d, _ => lit(0).cast("byte"))).as("q"))
   }
 
-  /** Inverse of [[quantize8]]: q * scale back to double. */
-  def dequantize8(qv: Column): Column =
+  /** Composable reference formulation of [[dequantize8]]. */
+  private[graft] def dequantize8Hof(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast(DoubleType) * qv.getField("scale"))
 
   /** Deterministic product-quantization codebooks, `[m][ks][D/m]`:

@@ -1989,13 +1989,63 @@ object Extensions {
     // bar allows. Oracle replays quantize→dequantize (same operation
     // order, scale FACTORED as maxabs/127 exactly like the Spark side)
     // →cosine→rank→intersect.
+    //
+    // NOT recallAudit: SQ8's approx leg is BY DESIGN a full scan (the
+    // tier trades bytes, not scan cost), so the generic two-leg shape
+    // would read the identical probes×corpus pairs twice. Instead ONE
+    // cross-join pass computes BOTH cosines per pair (raw and
+    // dequantized — the dequantize is one more codegen'd expression on
+    // a row already in hand) into a leaf-materialized pair table, and
+    // both rank windows are cache scans over it — the X160
+    // sampled-ground-truth posture extended to the approx leg, halving
+    // the corpus scans of the round's worst ×64 exponent (50.0).
     Q("q_sq8_recall_audit",
-      (s, d) => recallAudit(s, d, (probes, corpus) =>
-        Similarity.annJoinExact(probes,
-          corpus.select(col("vec_id"),
-            Similarity.dequantize8(Similarity.quantize8(col("embedding")))
-              .as("embedding")),
-          "vec_id", "embedding", 10)),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val k = 10
+        if (corpus.select(col("vec_id")).take(1).isEmpty)
+          probes.select(col("vec_id").as("query_id"),
+            lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
+        else {
+          // broadcast the PROBE side: a nested-loop join streams the
+          // non-broadcast side, so building the corpus instead would
+          // push every pair's cosine through as many tasks as there are
+          // probe rows (5) — parallelism must follow the corpus scan.
+          // Plain columnar persist, not materializeLeaf: no iterative
+          // plan growth here, and the RDD round-trip would drop the
+          // pair build out of codegen for a row-conversion pass
+          val pairs = broadcast(probes
+            .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+            .crossJoin(corpus.select(col("vec_id").as("match_id"),
+              col("embedding").as("__cv"),
+              Similarity.dequantize8(Similarity.quantize8(col("embedding")))
+                .as("__dv")))
+            .select(col("query_id"), col("match_id"),
+              Similarity.cosine(col("__qv"), col("__cv")).as("sim_exact"),
+              Similarity.cosine(col("__qv"), col("__dv")).as("sim_sq8"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          def top(simCol: String) = {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col(simCol).desc, col("match_id"))
+            pairs.withColumn("__rk", row_number().over(w))
+              .filter(col("__rk") <= k).select("query_id", "match_id")
+          }
+          val exact = top("sim_exact")
+          val hits = exact.join(top("sim_sq8"), Seq("query_id", "match_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          val out = exact.select("query_id").distinct()
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+                lit(k.toDouble), 4).as("recall_at_10"))
+            .orderBy("query_id")
+          Dedup.eagerly(out, pairs)
+        }
+      },
       Some("""WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
              |FROM embeddings WHERE vec_id < 5),
              |c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3678,48 +3728,60 @@ object Extensions {
     // packSequences' distributed prefix sum with UNIT weights (count
     // prefix ≡ row_number, PipelineDepthSpec-proven equal to the single
     // window), so no global window sneaks in; the length-sorted order
-    // rides a composite (n_tokens·2³², doc_id) key — unique, monotone in
-    // (length, id); fixture ids are < 2³², the width note travels with
-    // the key. Output: one row per strategy. The gap between the two
-    // rows is tokens-per-step bought by sorting before batching.
+    // rides a struct (n_tokens, doc_id) key — unique, monotone in
+    // (length, id), no arithmetic composite to overflow (structs are
+    // orderable, so repartitionByRange and the per-partition window
+    // sort on them directly). Output: one row per strategy, collected
+    // to the driver and re-emitted as a fresh local frame so neither
+    // leg's persisted intermediate outlives the call (a returned union
+    // of persisted frames can't be released by the caller). The gap
+    // between the two rows is tokens-per-step bought by sorting before
+    // batching.
     Q("q_padding_audit",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"),
           coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("n_tok"))
-        def audit(strategy: String, keyed: org.apache.spark.sql.DataFrame) = {
+        def audit(strategy: String, keyed: org.apache.spark.sql.DataFrame)
+            : (String, Long, Long, Long, Double) = {
           // n_tok rides assignByPrefix's extras lane (the shardManifest
-          // digest pattern) — no re-join, no second source scan; the
-          // 1-row result is materialized eagerly so the doc-sized
-          // assignment cache is released instead of pinning the session
+          // digest pattern) — no re-join, no second source scan
           val assigned = Pack.assignByPrefix(keyed, "k", lit(1L),
             budget = 32, extra = Seq(col("n_tok")))
-          val b = assigned
-            .groupBy(col("seq_id"))
-            .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
-              sum(col("n_tok")).as("tok"))
-            .agg(count(lit(1)).cast(LongType).as("n_batches"),
-              sum(col("tok")).cast(LongType).as("data_tokens"),
-              sum(col("n") * col("mx") - col("tok")).cast(LongType)
-                .as("padding_tokens"))
-          val out = b.select(lit(strategy).as("strategy"), col("n_batches"),
-            col("data_tokens"), col("padding_tokens"),
-            round(col("padding_tokens").cast(DoubleType) /
-              (col("data_tokens") + col("padding_tokens")).cast(DoubleType), 5)
-              .as("padding_ratio"))
-          graft.ops.Dedup.eagerly(out, assigned)
+          val out = try {
+            assigned
+              .groupBy(col("seq_id"))
+              .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+                sum(col("n_tok")).as("tok"))
+              .agg(count(lit(1)).cast(LongType).as("n_batches"),
+                coalesce(sum(col("tok")), lit(0L)).cast(LongType)
+                  .as("data_tokens"),
+                coalesce(sum(col("n") * col("mx") - col("tok")), lit(0L))
+                  .cast(LongType).as("padding_tokens"))
+              .collect().head
+          } finally assigned.unpersist(blocking = false)
+          val data = out.getLong(1); val pad = out.getLong(2)
+          val total = data + pad
+          val ratio = if (total == 0L) 0.0
+            else BigDecimal(pad.toDouble / total.toDouble)
+              .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (strategy, out.getLong(0), data, pad, ratio)
         }
         val arrival = audit("arrival",
           docs.select(col("doc_id").as("k"), col("n_tok")))
         val sorted = audit("length_sorted",
-          docs.select((col("n_tok") * lit(4294967296L) + col("doc_id")).as("k"),
+          docs.select(struct(col("n_tok"), col("doc_id")).as("k"),
             col("n_tok")))
-        arrival.unionByName(sorted).orderBy("strategy")
+        import s.implicits._
+        Seq(arrival, sorted)
+          .toDF("strategy", "n_batches", "data_tokens", "padding_tokens",
+            "padding_ratio")
+          .orderBy("strategy")
       },
       Some("""WITH t AS (SELECT doc_id,
              |coalesce(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tok
              |FROM documents),
              |a AS (SELECT n_tok, CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT) AS b FROM t),
-             |s AS (SELECT n_tok, CAST((row_number() OVER (ORDER BY n_tok * 4294967296 + doc_id) - 1) // 32 AS BIGINT) AS b FROM t),
+             |s AS (SELECT n_tok, CAST((row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS BIGINT) AS b FROM t),
              |pa AS (SELECT count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS tok FROM a GROUP BY b),
              |ps AS (SELECT count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS tok FROM s GROUP BY b),
              |ra AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,

@@ -179,4 +179,48 @@ class NativeExprSpec extends SparkSpec {
       .select(graft.functions.Security.decryptToken($"t", "0123456789abcdef"))
     assert(corrupt.head().isNullAt(0))
   }
+
+  test("quantize8/dequantize8: native kernels match the HOF reference on fixtures") {
+    // the fixture corpus (float arrays) through both forms — struct AND
+    // roundtrip must agree value-for-value, or the SQ8 recall audit and
+    // the quantized IVF extract silently diverge from the oracle
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val both = emb.select(
+      graft.ops.Similarity.quantize8($"embedding").as("nat"),
+      graft.ops.Similarity.quantize8Hof($"embedding").as("hof"),
+      graft.ops.Similarity.dequantize8(
+        graft.ops.Similarity.quantize8($"embedding")).as("nat_rt"),
+      graft.ops.Similarity.dequantize8Hof(
+        graft.ops.Similarity.quantize8Hof($"embedding")).as("hof_rt"))
+    assert(both.filter($"nat" =!= $"hof").count() === 0,
+      "native quantize8 must equal the HOF reference")
+    assert(both.filter($"nat_rt" =!= $"hof_rt").count() === 0,
+      "native roundtrip must equal the HOF roundtrip")
+  }
+
+  test("quantize8: HALF_UP rounding boundaries and degenerate vectors match the HOF form") {
+    // maxabs = 127 makes x/maxabs*127 = x, so .5 values sit exactly on
+    // the rounding boundary: HALF_UP goes away from zero on both signs
+    val vecs = Seq(
+      Seq(127.0, 2.5, -2.5, 0.4999, -0.5),
+      Seq(0.0, 0.0),             // all-zero: scale 0 + zero codes
+      Seq.empty[Double])         // empty: scale 0 + empty codes
+      .map(Tuple1(_)).toDF("v")
+    val rows = vecs.select(
+      graft.ops.Similarity.quantize8($"v").as("nat"),
+      graft.ops.Similarity.quantize8Hof($"v").as("hof")).collect()
+    rows.foreach { r => assert(r.get(0) === r.get(1), s"mismatch: $r") }
+    val q = rows.head.getStruct(0).getSeq[Byte](1)
+    assert(q === Seq[Byte](127, 3, -3, 0, -1), "HALF_UP away from zero")
+    // null elements survive quantize (null code) and dequantize (null slot)
+    val withNull = Seq(Tuple1(1)).toDF("x")
+      .select(expr("array(1.0d, cast(null as double), -1.0d)").as("v"))
+    val natQ = withNull.select(
+      graft.ops.Similarity.quantize8($"v").as("nat"),
+      graft.ops.Similarity.quantize8Hof($"v").as("hof"),
+      graft.ops.Similarity.dequantize8(
+        graft.ops.Similarity.quantize8($"v")).as("rt")).head()
+    assert(natQ.getStruct(0) === natQ.getStruct(1))
+    assert(natQ.getSeq[Any](2) === Seq(1.0, null, -1.0))
+  }
 }
