@@ -669,9 +669,25 @@ object TextAnalysis {
     * identical operands — also bit-exact. No sigmoid: the monotone
     * transform adds a libm-vs-StrictMath ulp hazard and changes no
     * decision, so the operator emits the raw margin.
+    *
+    * Served by the fused native expression (graft.functions.
+    * HashedLinearMargin) with the stand-in table materialized once on
+    * the driver: the HOF reference form below pays TWO interpreted md5 +
+    * hex-conv chains per token (one for the bucket, one re-deriving the
+    * bucket's weight); exactness makes the two constructions bit-equal
+    * (ExtensionsSpec pins it).
     */
   def hashedClassifierMargin(text: Column, dim: Int = 4096,
-                             seed: String = "qclf"): Column = {
+                             seed: String = "qclf"): Column =
+    graft.functions.HashedLinearMargin(text, hashedClassifierWeights(dim, seed))
+
+  /** Composable HOF reference formulation of [[hashedClassifierMargin]]
+    * — what the native kernel is verified against (the cosineHof
+    * pattern); derives each bucket's weight inline from the seed rather
+    * than a table.
+    */
+  private[graft] def hashedClassifierMarginHof(text: Column, dim: Int = 4096,
+                                               seed: String = "qclf"): Column = {
     val toks = tokens(lower(text))
     def weight(b: Column): Column =
       conv(substring(md5(concat(lit(seed + ":"), b.cast("string"))), 1, 8), 16, 10)
@@ -699,24 +715,16 @@ object TextAnalysis {
   }
 
   /** [[hashedClassifierMargin]] SERVING a trained weight table: the
-    * weights arrive as a plain array (from any offline trainer) and are
-    * baked into a constant-folded array literal, so scoring stays ONE
-    * codegen'd projection — per token, hash → element_at — with no
-    * explode, no join, no shuffle (the DSIR literal-table pattern at
-    * classifier width). This is the swap the X169 row promises: replace
-    * the md5 stand-ins with trained coefficients and NOTHING about the
-    * plan changes; the spec proves it by serving the stand-in table
-    * through this path and matching [[hashedClassifierMargin]]
-    * bit-for-bit.
+    * weights arrive as a plain array (from any offline trainer) and ride
+    * the native kernel as an expression-held double[], so scoring stays
+    * ONE codegen'd projection — per token, hash → array read — with no
+    * explode, no join, no shuffle. This is the swap the X169 row
+    * promises: replace the md5 stand-ins with trained coefficients and
+    * NOTHING about the plan changes; the spec proves it by serving the
+    * stand-in table through this path and matching
+    * [[hashedClassifierMargin]] bit-for-bit.
     */
   def hashedClassifierMarginFrom(text: Column,
-                                 weights: Array[Double]): Column = {
-    require(weights.nonEmpty, "need a non-empty weight table")
-    val warr = array(weights.map(lit): _*)
-    val toks = tokens(lower(text))
-    aggregate(toks, lit(0.0), (acc, t) =>
-      acc + element_at(warr,
-        (classifierBucket(t, weights.length) + 1L).cast("int"))) /
-      size(toks).cast(DoubleType)
-  }
+                                 weights: Array[Double]): Column =
+    graft.functions.HashedLinearMargin(text, weights)
 }

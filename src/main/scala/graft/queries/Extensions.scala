@@ -696,23 +696,46 @@ object Extensions {
     // drop slot (cells where the gates disagree are the review queue).
     // Cross-row mean goes through the BM25 decimal idiom (round-9 →
     // DECIMAL sum, one double division): a plain double mean would be
-    // partition-order-dependent. One scan + a 1-row percentile agg +
-    // a 4-cell rollup; at 100 TB the percentile becomes
-    // approx_percentile, same shape.
+    // partition-order-dependent. The feature frame (3 narrow columns)
+    // is persisted so ONE tokenize+stopword pass serves the threshold
+    // agg, the sketch-disagreement count, and the matrix — the
+    // tokenize scan is the dominant cost, not the percentile.
+    //
+    // The 100 TB swap is REAL here, not a comment: the same agg
+    // computes approx_percentile (GK sketch, bounded state — exact
+    // percentile's state is every distinct value) and the output
+    // carries `sketch_within_bound`: whether the number of docs whose
+    // heuristic gate FLIPS between the exact and sketch thresholds
+    // stays within the sketch's rank-error guarantee (≤ 2n/accuracy,
+    // floored at 3 for tiny fixtures). The oracle pins TRUE — the
+    // q_approx_distinct move, collapsing sketch merge-order
+    // nondeterminism into an invariant the gate still checks. At
+    // 100 TB drop the exact anchor column and gate on the sketch; the
+    // bound column is the evidence that swap is safe.
     Q("q_classifier_calibration",
       (s, d) => {
         val toksArr = TextAnalysis.tokens(col("text"))
+        val accuracy = 10000
         val feats = Tables.documents(s, d).select(col("doc_id"),
           TextAnalysis.hashedClassifierMargin(col("text")).as("margin"),
           (size(filter(toksArr,
             t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
             size(toksArr).cast(DoubleType)).as("swr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // empty-corpus percentile is NULL (same contract as
         // q_quality_filter): >= NULL is never true, both gates read
         // 'drop', and the rollup of zero rows is zero rows
-        val thrRow = feats.agg(expr("percentile(swr, 0.25)")).head()
-        val thr: Any = if (thrRow.isNullAt(0)) null else thrRow.getDouble(0)
-        feats
+        val t = feats.agg(expr("percentile(swr, 0.25)"),
+          expr(s"approx_percentile(swr, 0.25, $accuracy)"),
+          count(lit(1))).head()
+        val thr: Any = if (t.isNullAt(0)) null else t.getDouble(0)
+        val thrS: Any = if (t.isNullAt(1)) null else t.getDouble(1)
+        val n = t.getLong(2)
+        def gate(th: Any) = coalesce(col("swr") >= th, lit(false))
+        val flips = if (t.isNullAt(0) || t.isNullAt(1)) 0L
+          else feats.filter(gate(thr) =!= gate(thrS)).count()
+        val ok = flips.toDouble <= math.max(3.0, 2.0 * n / accuracy)
+        val out = feats
           .select(
             when(col("margin") > 0, lit("keep")).otherwise(lit("drop")).as("clf"),
             when(col("swr") >= thr, lit("keep")).otherwise(lit("drop")).as("heur"),
@@ -721,7 +744,11 @@ object Extensions {
           .agg(count(lit(1)).cast(LongType).as("n_docs"),
             round(sum(col("m9")).cast(DoubleType) /
               count(lit(1)).cast(DoubleType), 5).as("mean_margin"))
+          .select(col("clf"), col("heur"), col("n_docs"), col("mean_margin"),
+            round(lit(thr).cast(DoubleType), 6).as("thr_exact"),
+            lit(ok).as("sketch_within_bound"))
           .orderBy("clf", "heur")
+        Dedup.eagerly(out, feats)
       },
       Some(s"""WITH feats AS (SELECT doc_id,
              |list_sum(list_transform(string_split(lower(text), ' '), t ->
@@ -733,7 +760,9 @@ object Extensions {
              |SELECT CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS clf,
              |CASE WHEN swr >= (SELECT quantile_cont(swr, 0.25) FROM feats) THEN 'keep' ELSE 'drop' END AS heur,
              |CAST(count(*) AS BIGINT) AS n_docs,
-             |round(CAST(sum(CAST(round(margin, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
+             |round(CAST(sum(CAST(round(margin, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin,
+             |round((SELECT quantile_cont(swr, 0.25) FROM feats), 6) AS thr_exact,
+             |TRUE AS sketch_within_bound
              |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
     // Intra-document repetition ratio (duplicate word 3-grams / total) —

@@ -1138,13 +1138,18 @@ class ExtensionsSpec extends SparkSpec {
   test("classifier weight-table serving path == the expression path, bit-for-bit") {
     // the trained-weights swap X169 promises: serve the SAME stand-in
     // table through the literal-array path and match exactly — both
-    // constructions land on identical exact doubles, so == holds
+    // constructions land on identical exact doubles, so == holds. The
+    // HOF reference form (per-token md5 weight derivation, no table) is
+    // pinned against the native kernel in the same pass — the
+    // cosineHof-pattern guarantee that the fused kernel computes the
+    // same function the composable expression defines.
     val docs = graft.Tables.documents(spark, sf)
     val w = TextAnalysis.hashedClassifierWeights()
     val diff = docs.select(
         TextAnalysis.hashedClassifierMargin($"text").as("a"),
-        TextAnalysis.hashedClassifierMarginFrom($"text", w).as("b"))
-      .filter(!($"a" <=> $"b")).count()
+        TextAnalysis.hashedClassifierMarginFrom($"text", w).as("b"),
+        TextAnalysis.hashedClassifierMarginHof($"text").as("c"))
+      .filter(!($"a" <=> $"b") || !($"a" <=> $"c")).count()
     assert(diff == 0L, s"$diff docs diverge between serving paths")
   }
 
