@@ -765,6 +765,106 @@ object Extensions {
              |TRUE AS sketch_within_bound
              |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // The classifier loop CLOSED with genuinely trained weights: fit
+    // hashed-bucket coefficients against an in-engine teacher (the
+    // stopword-ratio >= P25 heuristic gate — q_quality_filter's
+    // predicate), serve them through the SAME native kernel the
+    // stand-in table rides, and emit the trained-vs-teacher confusion
+    // matrix. The trainer is the one-scan closed form a hashed linear
+    // model admits: each token occurrence carries its doc's ±1 teacher
+    // label; a bucket's weight is the mean label over its occurrences
+    // CENTERED on the global mean label (the centroid estimate minus
+    // the class prior — without the centering a 75%-keep teacher makes
+    // every bucket positive and the gate degenerates to all-keep),
+    // each term QUANTIZED onto the exact 2⁻³¹ grid (floor, matching
+    // the oracle's floor()) — fixed-point int32 shipping, which keeps
+    // every per-doc weight sum exact and order-free, so the served
+    // margin is bit-identical between the kernel's token-order fold
+    // and the oracle's unordered explode-join sum. Unlike X170's
+    // deliberate 75% disagreement (random stand-ins vs the heuristic),
+    // the trained matrix shows real agreement — the diagonal carries
+    // the corpus (spec-pinned).
+    //
+    // Scale shape: scan 1 builds the teacher features (persisted, 3
+    // narrow columns); a 1-row percentile agg; scan 2 is the training
+    // pass — explode to (bucket, label) and map-side-combine down to
+    // <= 4096 rows (the vocabulary-shuffle floor at classifier width);
+    // the weights collect to the driver (4096 doubles — the model IS
+    // driver-sized) and serve as one codegen'd scan 3.
+    Q("q_classifier_trained",
+      (s, d) => {
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val dim = 4096
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          (size(filter(toksArr,
+            t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
+            size(toksArr).cast(DoubleType)).as("swr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val thrRow = docs.agg(expr("percentile(swr, 0.25)")).head()
+        val thr: Any = if (thrRow.isNullAt(0)) null else thrRow.getDouble(0)
+        val teacher = coalesce(col("swr") >= thr, lit(false))
+        val occ = docs
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"),
+            when(teacher, lit(1L)).otherwise(lit(-1L)).as("lab"))
+          .select((conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast(LongType) % dim).as("b"), col("lab"))
+        val w = new Array[Double](dim) // unseen buckets stay 0.0
+        val rows = occ.groupBy(col("b"))
+          .agg(sum(col("lab")).as("sl"), count(lit(1)).as("c"))
+          .collect()
+        // mean label, floored onto the 2^-31 grid: s/c is one
+        // correctly-rounded division, *2^31 is exact (power of two),
+        // floor and /2^31 are exact — both engines land on the
+        // identical double. The global mean (class prior) rides the
+        // same grid, so centered weights stay grid-exact.
+        def grid(sl: Long, c: Long): Double =
+          math.floor(sl.toDouble / c.toDouble * 2147483648.0) / 2147483648.0
+        val (slAll, cAll) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+          (a + r.getLong(1), b + r.getLong(2))
+        }
+        val g = if (cAll > 0) grid(slAll, cAll) else 0.0
+        rows.foreach { r =>
+          w(r.getLong(0).toInt) = grid(r.getLong(1), r.getLong(2)) - g
+        }
+        val out = docs
+          .select(TextAnalysis.hashedClassifierMarginFrom(col("text"), w)
+              .as("margin"),
+            when(teacher, lit("keep")).otherwise(lit("drop")).as("heur"))
+          .select(
+            when(col("margin") > 0, lit("keep")).otherwise(lit("drop")).as("clf"),
+            col("heur"),
+            round(col("margin"), 9).cast("decimal(28,9)").as("m9"))
+          .groupBy("clf", "heur")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            round(sum(col("m9")).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 5).as("mean_margin"))
+          .orderBy("clf", "heur")
+        Dedup.eagerly(out, docs)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr FROM documents),
+             |lab AS (SELECT doc_id, text,
+             |coalesce(swr >= (SELECT quantile_cont(swr, 0.25) FROM docs), FALSE) AS keep FROM docs),
+             |occ AS (SELECT doc_id, keep,
+             |CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+             |FROM (SELECT doc_id, keep, unnest(string_split(lower(text), ' ')) AS tok FROM lab)),
+             |g AS (SELECT floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0 AS gm FROM occ),
+             |w AS (SELECT b, floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0
+             |- (SELECT gm FROM g) AS wt
+             |FROM occ GROUP BY b),
+             |m AS (SELECT occ.doc_id, sum(w.wt) / count(*) AS margin
+             |FROM occ JOIN w USING (b) GROUP BY occ.doc_id),
+             |cells AS (SELECT CASE WHEN m.margin > 0 THEN 'keep' ELSE 'drop' END AS clf,
+             |CASE WHEN lab.keep THEN 'keep' ELSE 'drop' END AS heur,
+             |round(m.margin, 9) AS m9
+             |FROM lab LEFT JOIN m USING (doc_id))
+             |SELECT clf, heur, CAST(count(*) AS BIGINT) AS n_docs,
+             |round(CAST(sum(CAST(m9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
+             |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // Intra-document repetition ratio (duplicate word 3-grams / total) —
     // the "repetitious text" quality signal; narrow array projection,
     // no explode, no shuffle.
@@ -1023,6 +1123,88 @@ object Extensions {
              |round(least(4.0, req / CAST(avail AS DOUBLE)) * CAST(avail AS DOUBLE), 2) AS realized_tokens,
              |round(greatest(0.0, req - least(4.0, req / CAST(avail AS DOUBLE)) * CAST(avail AS DOUBLE)), 2) AS shortfall_tokens
              |FROM v ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    // The epoch plan composed into an EXECUTABLE mixture schedule —
+    // the end artifact q_epoch_plan (the cap) and q_weighted_mixture
+    // (the sampler) each carry half of: per-source realized tokens and
+    // sampling rates AFTER the 4-epoch cap redistributes shortfall.
+    // Budget = 2× the corpus; equal shares; sources whose share
+    // exceeds 4 epochs cap there, and the undistributed shortfall is
+    // reallocated to the uncapped sources PROPORTIONAL TO HEADROOM
+    // (4·avail − realized): because every source's capacity bound is
+    // the same 4-epoch multiple, headroom-proportional filling can
+    // never push a source past its cap (extra_i = S·h_i/H ≤ h_i since
+    // S ≤ H when budget ≤ 4×corpus) — the water-filling fixpoint in
+    // ONE round, no iteration. All arithmetic is INTEGER (floor
+    // divisions), so both engines agree bit-for-bit with no summation-
+    // order hazard, and the budget identity is exact: Σ realized +
+    // unallocated_tokens + (B mod n_src) == B, with unallocated < n_src
+    // (one floor loss per source — the "exact-arithmetic bound").
+    // `full_epochs` + `final_pass_pct` are literally
+    // Sampling.weightedMixture's pctByStratum input: run full_epochs
+    // complete passes, then one weightedMixture pass at
+    // final_pass_pct% (ExtensionsSpec composes them). Everything after
+    // the per-source token count is sources-sized; the DIV products
+    // (S·h_i) fit BIGINT through ×256 of the fixture (~2⁶² at
+    // 3×10⁹ tokens) — past that, route the one multiply-divide through
+    // DECIMAL(38,0)/HUGEINT, same plan.
+    Q("q_mixture_schedule",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          .groupBy("source")
+          .agg(coalesce(sum("n_tok"), lit(0L)).as("avail"))
+        val tot = bySrc.agg(sum("avail").as("total"),
+          count(lit(1)).as("n_src"))
+        val planned = bySrc.crossJoin(broadcast(tot))
+          .withColumn("req", expr("(2 * total) DIV n_src"))
+          .withColumn("base", least(col("avail") * 4, col("req")))
+          .withColumn("short", col("req") - col("base"))
+          .withColumn("head", col("avail") * 4 - col("base"))
+        val sh = planned.agg(
+          coalesce(sum("short"), lit(0L)).as("S"),
+          coalesce(sum("head"), lit(0L)).as("H"))
+        val alloc = planned.crossJoin(broadcast(sh))
+          .withColumn("extra",
+            when(col("H") > 0, expr("(S * head) DIV H")).otherwise(lit(0L)))
+          .withColumn("realized", col("base") + col("extra"))
+        val resid = alloc.agg((max("S") - sum("extra")).as("unalloc"))
+        alloc.crossJoin(broadcast(resid))
+          .select(col("source"), col("avail").as("avail_tokens"),
+            col("req").as("requested_tokens"),
+            col("realized").as("realized_tokens"),
+            round(when(col("avail") > 0,
+              col("realized").cast(DoubleType) / col("avail").cast(DoubleType))
+              .otherwise(lit(0.0)), 5).as("epochs"),
+            when(col("avail") > 0, expr("realized DIV avail")).otherwise(lit(0L))
+              .as("full_epochs"),
+            when(col("avail") > 0,
+              expr("(100 * (realized - (realized DIV avail) * avail)) DIV avail"))
+              .otherwise(lit(0L)).as("final_pass_pct"),
+            col("unalloc").as("unallocated_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source,
+             |CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS avail
+             |FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+             |CAST(count(*) AS BIGINT) AS n_src FROM s),
+             |p AS (SELECT source, avail, (2 * total) // n_src AS req,
+             |least(4 * avail, (2 * total) // n_src) AS base FROM s, t),
+             |p2 AS (SELECT source, avail, req, base,
+             |req - base AS short, 4 * avail - base AS head FROM p),
+             |sh AS (SELECT CAST(coalesce(sum(short), 0) AS BIGINT) AS sS,
+             |CAST(coalesce(sum(head), 0) AS BIGINT) AS hH FROM p2),
+             |a AS (SELECT p2.*, base + (CASE WHEN hH > 0 THEN (sS * head) // hH ELSE 0 END) AS realized
+             |FROM p2, sh),
+             |rz AS (SELECT CAST((SELECT sS FROM sh) - sum(realized - base) AS BIGINT) AS unalloc FROM a)
+             |SELECT source, avail AS avail_tokens, req AS requested_tokens,
+             |realized AS realized_tokens,
+             |round(CASE WHEN avail > 0 THEN CAST(realized AS DOUBLE) / CAST(avail AS DOUBLE) ELSE 0.0 END, 5) AS epochs,
+             |CAST(CASE WHEN avail > 0 THEN realized // avail ELSE 0 END AS BIGINT) AS full_epochs,
+             |CAST(CASE WHEN avail > 0 THEN (100 * (realized - (realized // avail) * avail)) // avail ELSE 0 END AS BIGINT) AS final_pass_pct,
+             |unalloc AS unallocated_tokens
+             |FROM a, rz ORDER BY source""".stripMargin.replace("\n", " "))),
 
     // DSIR-style importance weights (Xie et al. 2023): score each
     // out-of-domain document by the log-ratio of two hashed-ngram

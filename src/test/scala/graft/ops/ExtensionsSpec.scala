@@ -1153,6 +1153,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(diff == 0L, s"$diff docs diverge between serving paths")
   }
 
+  test("trained classifier gate really separates (not the stand-in's coin-flip)") {
+    // q_classifier_trained's promise: weights fitted against the
+    // teacher produce REAL agreement — the diagonal carries the corpus
+    // and the gate emits both classes (the uncentered estimate
+    // degenerated to all-keep under a 75%-keep prior; this pins the fix)
+    val m = graft.SparkEntry.queries("q_classifier_trained")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val total = m.map(_._3).sum
+    val diag = m.filter(r => r._1 == r._2).map(_._3).sum
+    assert(total > 0)
+    assert(diag.toDouble / total >= 0.6,
+      s"trained gate agrees on only $diag/$total")
+    assert(m.map(_._1).distinct.length == 2,
+      s"trained gate is degenerate (one class): ${m.toSeq}")
+  }
+
+  test("mixture schedule: exact budget identity, cap respected, composes with weightedMixture") {
+    val sched = graft.SparkEntry.queries("q_mixture_schedule")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val totalAvail = sched.map(_._2).sum
+    val budget = 2L * totalAvail
+    val n = sched.length
+    val realized = sched.map(_._4).sum
+    val unalloc = sched.head._8
+    // the exact-arithmetic bound: realized + unallocated + the integer-
+    // division remainder of the equal split reconstruct the budget
+    assert(realized + unalloc + budget % n == budget,
+      s"budget identity broken: $realized + $unalloc + ${budget % n} != $budget")
+    assert(unalloc >= 0 && unalloc < n, s"floor loss out of bounds: $unalloc")
+    sched.foreach { r =>
+      assert(r._4 <= 4 * r._2, s"${r._1} exceeds the 4-epoch cap: $r")
+      assert(r._5 >= 0.0 && r._5 <= 4.0, s"${r._1} epochs out of range: $r")
+      // full passes + fractional pct reconstruct the realized tokens
+      // (DIV identities): realized = full*avail + (pct-ish remainder)
+      assert(r._6 * r._2 <= r._4 && r._4 < (r._6 + 1) * r._2 || r._2 == 0,
+        s"${r._1} full_epochs inconsistent: $r")
+      assert(r._7 >= 0 && r._7 <= 99, s"${r._1} final_pass_pct out of range: $r")
+    }
+    // the schedule is EXECUTABLE: its final_pass_pct column is
+    // weightedMixture's pctByStratum input — a fractional source's
+    // sampled final pass keeps a non-empty strict subset
+    val frac = sched.filter(r => r._7 > 0 && r._7 < 100)
+    assert(frac.nonEmpty, "fixture exercises no fractional final pass")
+    val pctMap = sched.map(r => r._1 -> r._7.toInt).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = graft.ops.Sampling.weightedMixture(
+      docs, "source", "doc_id", pctMap, defaultPct = 0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    frac.foreach { r =>
+      val k = kept.getOrElse(r._1, 0L)
+      assert(k < all(r._1),
+        s"${r._1} sampled pass kept everything at pct=${r._7}")
+    }
+    assert(frac.exists(r => kept.getOrElse(r._1, 0L) > 0),
+      "every fractional source sampled empty")
+  }
+
   test("ANN/decontamination paths survive degenerate corpora (zero/one centroid, empty bench)") {
     // DegenerateSweep findings, pinned as units: an empty corpus seeds
     // zero IVF centroids (greatest() with 0 args won't even analyze), a
