@@ -140,6 +140,23 @@ object Bench {
                                 retryErrorFree: Boolean): Boolean =
     retryDrift < firstDrift && retryErrorFree
 
+  /** Whether the COOL-DOWN escalation fires after the immediate retry:
+    * the run still ends above the accept gate, i.e. whatever the gate
+    * would publish is a sample the harness itself refuses to adopt as
+    * the comparison record. r15 ended exactly there — drift 1.53, record
+    * refused, yet the contended 53.65 s total became the committed round
+    * artifact while the adopted record said 39.79. The immediate retry
+    * ran back-to-back into the same contention window; this pass sleeps
+    * [[CooldownSec]] first (transient load — a build, a backup — usually
+    * clears in that window) and the lowest-drift error-free pass wins,
+    * same [[adoptRetry]] rule.
+    */
+  private[graft] def cooldownRetryNeeded(canaryDrift: Double): Boolean =
+    canaryDrift > RecordAcceptDrift
+
+  /** Cool-down before the escalation pass (seconds; env-overridable). */
+  private[graft] val CooldownSec = 90
+
   /** Whether this run's figures may replace the comparison record
     * (`bench_prev`): no error on ANY run (a flaky query's surviving
     * sample is unrepresentative), canary drift within
@@ -316,6 +333,29 @@ object Bench {
       val (d2, raw2) = driftOf(c2)
       if (adoptRetry(canaryDrift, d2, r2.forall(_._3.isEmpty))) {
         results = r2; canaryTimes = c2; canaryDrift = d2; canaryDriftRaw = raw2
+      }
+    }
+    // ---- cool-down escalation (policy in cooldownRetryNeeded): the run
+    // STILL ends above the accept gate after the immediate retry, so the
+    // published figures would be a sample the harness itself refuses as
+    // the record. Sleep out the transient load and measure once more;
+    // lowest-drift error-free pass wins. One extra loop, only on a box
+    // contended enough that the record was already lost.
+    var cooldownRetried = false
+    if (retryEnabled && cooldownRetryNeeded(canaryDrift) &&
+        results.forall(_._3.isEmpty)) {
+      val coolSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC",
+        CooldownSec.toString).toInt
+      System.err.println(
+        f"[bench] WARN canary drift $canaryDrift%.2fx still > accept gate " +
+          f"$RecordAcceptDrift%.2fx after retry — cooling down ${coolSec}s, " +
+          "then one escalation pass")
+      Thread.sleep(coolSec * 1000L)
+      cooldownRetried = true
+      val (r3, c3) = measureOnce()
+      val (d3, raw3) = driftOf(c3)
+      if (adoptRetry(canaryDrift, d3, r3.forall(_._3.isEmpty))) {
+        results = r3; canaryTimes = c3; canaryDrift = d3; canaryDriftRaw = raw3
       }
     }
 
@@ -587,6 +627,7 @@ object Bench {
       s"""{"query":${jsonStr(canaryQuery)},"n":${canaryTimes.size},""" +
         s""""times":${canaryTimes.map(t => f"$t%.4f").mkString("[", ",", "]")},""" +
         s""""drift":$canaryDrift,"drift_raw":$canaryDriftRaw,""" +
+        s""""cooldown_retried":$cooldownRetried,""" +
         s""""contaminated":${canaryDrift > 3.0}}"""
 
     val line =

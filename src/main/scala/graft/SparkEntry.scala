@@ -82,6 +82,11 @@ object SparkEntry {
     "q_skew_audit", "q_semantic_decontaminate", "q_entity_resolution",
     // r12: hybrid retrieval — BM25 lexical ranking + reciprocal-rank
     // fusion with the unigram-LM fluency leg
-    "q_bm25", "q_rrf_fusion"
+    "q_bm25", "q_rrf_fusion",
+    // r16: the shipped PQ serving tier and the training-handoff
+    // manifest — scale-proven in r15 but previously tracked only by
+    // scaling re-runs, so a serving-path regression would have missed
+    // the round-over-round gate
+    "q_pq_full_stack", "q_shard_manifest"
   ).filter(queries.contains)
 }

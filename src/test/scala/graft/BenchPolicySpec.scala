@@ -70,6 +70,19 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.adoptRetry(1.4, 1.4, retryErrorFree = true))
   }
 
+  test("cool-down escalation fires exactly when the run ends above the accept gate") {
+    // the r15 lesson: the immediate retry runs back-to-back into the
+    // same contention window — a run that STILL ends refused as a
+    // record (drift > 1.5) pays one more pass after a cool-down, so the
+    // committed round artifact is an accepted measurement whenever the
+    // contention was transient
+    assert(!Bench.cooldownRetryNeeded(Bench.RecordAcceptDrift),
+      "at exactly the gate the record is accepted — no escalation")
+    assert(Bench.cooldownRetryNeeded(Bench.RecordAcceptDrift + 0.01))
+    assert(!Bench.cooldownRetryNeeded(1.0))
+    assert(Bench.CooldownSec > 0)
+  }
+
   // ---- compact summary line guard -------------------------------------
 
   test("settleTargets: fires only past the band, only slow-direction, most-inflated first, capped") {
