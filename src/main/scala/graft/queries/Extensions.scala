@@ -1706,6 +1706,61 @@ object Extensions {
     // threshold GIVEN the deployed LSH geometry — exactly what
     // flipping the production knob would do; the oracle replays the
     // same candidate set over the same twin-injected corpus.
+    // EXACT set-similarity self-join (Dedup.setSimJoinExact): every
+    // shingle-set pair at Jaccard >= 7/10 with NO miss probability —
+    // the AllPairs/PPJoin prefix filter (rarest-first canonical order,
+    // integer-exact gating; the operator scaladoc carries the
+    // completeness argument and the shingles-not-tokens rationale).
+    // Same prefix-twin corpus as the threshold sweep so the fixture
+    // spans the threshold; where the sweep prices the LSH geometry's
+    // RECALL, this is the join a decontamination-grade dedup runs when
+    // a miss is not an option. ExtensionsSpec pins output ==
+    // brute-force all-pairs on the fixture.
+    Q("q_setsim_join",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + (col("doc_id") % 10).cast("double") * lit(0.05)))
+          .cast("int"), lit(3))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(words, lit(1), keep), " ").as("text"))
+        Dedup.setSimJoinExact(docs.unionAll(twins), "doc_id", "text",
+            num = 7, den = 10)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH twins AS (SELECT doc_id + 10000000 AS doc_id,
+             |array_to_string(list_slice(string_split(text, ' '), 1,
+             |greatest(CAST(ceil(len(string_split(text, ' ')) *
+             |(CAST(0.5 AS DOUBLE) + (doc_id % 10) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
+             |FROM documents),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |UNION ALL SELECT doc_id, text FROM twins),
+             |tok AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+             |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+             |sized AS (SELECT id, tok, cnt,
+             |row_number() OVER (PARTITION BY id ORDER BY cnt, tok) AS pos,
+             |count(*) OVER (PARTITION BY id) AS s
+             |FROM tok JOIN freq USING (tok)),
+             |pre AS (SELECT id, tok, s FROM sized
+             |WHERE pos <= s - (7 * s + 9) // 10 + 1),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |a.s AS s_a, b.s AS s_b
+             |FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+             |WHERE 10 * least(a.s, b.s) >= 7 * greatest(a.s, b.s)),
+             |i AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |FROM cand c JOIN tok ta ON ta.id = c.id_a
+             |JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok
+             |GROUP BY c.id_a, c.id_b)
+             |SELECT c.id_a, c.id_b,
+             |round(CAST(inter AS DOUBLE) / CAST(c.s_a + c.s_b - inter AS DOUBLE), 6) AS jaccard
+             |FROM cand c JOIN i USING (id_a, id_b)
+             |WHERE 10 * inter >= 7 * (c.s_a + c.s_b - inter)
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     Q("q_dedup_threshold_sweep",
       (s, d) => {
         import s.implicits._

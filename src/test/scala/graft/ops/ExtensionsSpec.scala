@@ -1153,6 +1153,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(diff == 0L, s"$diff docs diverge between serving paths")
   }
 
+  test("setSimJoinExact == brute-force all-pairs (the prefix filter's completeness guarantee)") {
+    // the operator's whole claim is NO miss probability: on a corpus
+    // with twins spanning the threshold, the prefix-filtered join must
+    // return exactly the pairs a driver-side all-pairs sweep finds
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(120)
+      .as[(Long, String)].collect()
+    val words = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val keep = math.max(math.ceil(w.length * (0.5 + (id % 10) * 0.05)).toInt, 3)
+      (id + 10000000L, w.take(keep).mkString(" "))
+    }
+    val corpus = docs ++ words
+    val sets = corpus.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if uni > 0 && 10L * inter >= 7L * uni
+    } yield (a, b)).toSet
+    val got = graft.ops.Dedup.setSimJoinExact(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text", 7, 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == brute,
+      s"missed ${(brute -- got).take(5)}; spurious ${(got -- brute).take(5)}")
+  }
+
   test("trained classifier gate really separates (not the stand-in's coin-flip)") {
     // q_classifier_trained's promise: weights fitted against the
     // teacher produce REAL agreement — the diagonal carries the corpus
