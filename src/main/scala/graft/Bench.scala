@@ -344,8 +344,8 @@ object Bench {
     var cooldownRetried = false
     if (retryEnabled && cooldownRetryNeeded(canaryDrift) &&
         results.forall(_._3.isEmpty)) {
-      val coolSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC",
-        CooldownSec.toString).toInt
+      val coolSec = sys.env.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC")
+        .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(CooldownSec)
       System.err.println(
         f"[bench] WARN canary drift $canaryDrift%.2fx still > accept gate " +
           f"$RecordAcceptDrift%.2fx after retry — cooling down ${coolSec}s, " +

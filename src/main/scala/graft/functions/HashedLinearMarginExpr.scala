@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output values are IDENTICAL to the composable forms: every weight is
   * an exact multiple of 2⁻³¹ so the fold never rounds (any summation
-  * order agrees) and the single closing division is correctly rounded —
+  * order agrees) and the single closing division is correctly rounded.
+  * The no-rounding claim is conditional on the running sum staying inside
+  * the exact-integer range of the 2⁻³¹ grid: with |w| ≤ ~2, |sum|·2³¹
+  * stays below 2⁵³ while a document has fewer than ~2²¹ (~2M) tokens —
+  * past that bound, token-order folds can diverge from an unordered sum
+  * (the Pack.ChecksumPrime caveat pattern; no fixture or real corpus doc
+  * approaches it, and q_token_budget enforces far smaller packing caps) —
   * ExtensionsSpec pins bit-equality against the hand fold and the HOF
   * path. Tokenization matches `split(lower(text), " ")` exactly: split
   * on every single space, empty tokens KEPT (an empty string is one

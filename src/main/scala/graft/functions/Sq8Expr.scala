@@ -90,15 +90,20 @@ object Quantize8 {
     }
     val out = new Array[Any](n)
     if (maxabs > 0) {
-      val inv = 127.0 / maxabs
       i = 0
       while (i < n) {
         if (checkNull && arr.isNullAt(i)) out(i) = null
         else {
           val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
           // Spark round(_, 0) semantics exactly: BigDecimal.valueOf →
-          // setScale(0, HALF_UP) — the oracle replays the same rounding
-          out(i) = java.math.BigDecimal.valueOf(x * inv)
+          // setScale(0, HALF_UP) — the oracle replays the same rounding.
+          // Operation ORDER is load-bearing too: divide-then-multiply
+          // (x / maxabs * 127.0), the exact order the HOF reference and
+          // the DuckDB oracle use. x * (127.0/maxabs) is NOT bit-equal —
+          // maxabs=3.0, x=0.22440944881889763 gives 9.4999…96 one way and
+          // exactly 9.5 the other, flipping the HALF_UP code by 1
+          // (NativeExprSpec pins this vector).
+          out(i) = java.math.BigDecimal.valueOf(x / maxabs * 127.0)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toByte
         }
         i += 1
@@ -117,6 +122,13 @@ object Quantize8 {
 /** Inverse of [[Quantize8]]: `q * scale` back to array<double>, null
   * elements preserved. Field lookup is by NAME so structs read back from
   * a parquet index extract resolve regardless of field order.
+  *
+  * Null handling matches the HOF reference exactly: a null `q` field (or
+  * null struct) yields a NULL array (`transform(null, …)` is null); a
+  * null `scale` with non-null `q` — unreachable from [[Quantize8]] output
+  * but reachable from structs read back from parquet — yields an array of
+  * all-null elements (`x * NULL` per element), so the output element type
+  * is nullable whenever either `q` elements or the `scale` field are.
   */
 case class Dequantize8(child: Expression) extends UnaryExpression {
 
@@ -140,8 +152,11 @@ case class Dequantize8(child: Expression) extends UnaryExpression {
     child.dataType.asInstanceOf[StructType](fieldIdx("q")).dataType
       .asInstanceOf[ArrayType].containsNull
 
+  private def scaleNullable: Boolean =
+    child.dataType.asInstanceOf[StructType](fieldIdx("scale")).nullable
+
   override def dataType: DataType =
-    ArrayType(DoubleType, containsNull = qContainsNull)
+    ArrayType(DoubleType, containsNull = qContainsNull || scaleNullable)
 
   // null on a null q field (mirroring the HOF transform-of-null), so the
   // default child-derived nullability is not enough
@@ -178,10 +193,14 @@ object Dequantize8 {
   def dequantize(row: InternalRow, scaleIdx: Int, qIdx: Int,
                  checkNull: Boolean): GenericArrayData = {
     if (row.isNullAt(qIdx)) return null
-    val scale = if (row.isNullAt(scaleIdx)) return null else row.getDouble(scaleIdx)
     val q = row.getArray(qIdx)
     val n = q.numElements()
     val out = new Array[Any](n)
+    if (row.isNullAt(scaleIdx)) {
+      // HOF parity: x * NULL scale = null per element, not a NULL array
+      return new GenericArrayData(out)
+    }
+    val scale = row.getDouble(scaleIdx)
     var i = 0
     while (i < n) {
       out(i) = if (checkNull && q.isNullAt(i)) null

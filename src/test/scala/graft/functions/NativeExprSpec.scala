@@ -223,4 +223,32 @@ class NativeExprSpec extends SparkSpec {
     assert(natQ.getStruct(0) === natQ.getStruct(1))
     assert(natQ.getSeq[Any](2) === Seq(1.0, null, -1.0))
   }
+
+  test("quantize8: operation ORDER regression — divide-then-multiply, not reciprocal") {
+    // maxabs=3.0, x=0.22440944881889763: x/3*127 = 9.4999…96 (rounds to 9,
+    // the HOF/oracle value) while x*(127/3) = exactly 9.5 (rounds to 10).
+    // A reciprocal-form native kernel passes every power-of-two-friendly
+    // fixture and silently diverges here.
+    val v = Seq(Tuple1(Seq(3.0, 0.22440944881889763))).toDF("v")
+    val r = v.select(
+      graft.ops.Similarity.quantize8($"v").as("nat"),
+      graft.ops.Similarity.quantize8Hof($"v").as("hof")).head()
+    assert(r.getStruct(0) === r.getStruct(1), "order-of-operations divergence")
+    assert(r.getStruct(0).getSeq[Byte](1) === Seq[Byte](127, 9),
+      "x/maxabs*127 rounds 9.4999… down to 9")
+  }
+
+  test("dequantize8: null scale with non-null q yields per-element nulls (HOF parity)") {
+    // unreachable from quantize8 output but reachable from structs read
+    // back from parquet — x * NULL = null per element, not a NULL array
+    val df = Seq(Tuple1(1)).toDF("x").select(expr(
+      "named_struct('scale', cast(null as double), " +
+        "'q', array(cast(1 as tinyint), cast(-2 as tinyint)))").as("qv"))
+    val r = df.select(
+      graft.ops.Similarity.dequantize8($"qv").as("nat"),
+      graft.ops.Similarity.dequantize8Hof($"qv").as("hof")).head()
+    assert(!r.isNullAt(0), "array itself must be non-null")
+    assert(r.getSeq[Any](0) === Seq(null, null))
+    assert(r.getSeq[Any](0) === r.getSeq[Any](1), "must match the HOF form")
+  }
 }
