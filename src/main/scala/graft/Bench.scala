@@ -157,6 +157,78 @@ object Bench {
   /** Cool-down before the escalation pass (seconds; env-overridable). */
   private[graft] val CooldownSec = 90
 
+  // ---- record lifecycle under a sustained environment shift (r17) ----
+  // The refusal machinery (retry band, cool-down escalation, accept
+  // gate) protects the record from TRANSIENT contention, but r16 showed
+  // it has no counterpart for the RECORD going stale when the box's
+  // whole regime moves: three independent sessions (two fully-idle
+  // builder runs at 73.2/73.8 s, the judge's at 68.5 s) agreed within
+  // ~8% while the adopted record said 39.79 s from a 01:43 quiet
+  // window — every session was correctly refused, and round-over-round
+  // deltas stayed uninterpretable. Two complementary fixes:
+  //
+  //  1. every record now carries `machine.canary_median` (the fixed
+  //     trivial query's median — an in-band probe of box throughput),
+  //     and `machine.total_normalized` divides this run's total by
+  //     (cur canary median / prev canary median): the series that stays
+  //     comparable under any UNIFORM machine-speed shift;
+  //  2. clean-but-refused runs append to a session history ledger
+  //     (bench_history.jsonl); when [[RegimeMinSessions]] consecutive
+  //     refused-but-sane sessions at the same sf and surface size agree
+  //     on the total within [[RegimeAgreeBand]], the current run is
+  //     ADOPTED as the comparison record with "regime_shift": true —
+  //     sustained cross-session agreement is the box's new price, not
+  //     contention (contention does not reproduce within 10% across
+  //     hours-apart sessions; r16's three sessions are the calibration).
+
+  /** Sessions (including the current one) that must agree. */
+  private[graft] val RegimeMinSessions = 3
+
+  /** Pairwise total agreement band for a regime shift (max ≤ min·1.10):
+    * r16's three agreeing sessions spanned 7.7%; best-of-2 noise on a
+    * quiet box is ~5%.
+    */
+  private[graft] val RegimeAgreeBand = 0.10
+
+  /** Sessions above the contamination verdict (canary drift > 3) never
+    * count toward a regime — an actively-competing box is not a regime.
+    */
+  private[graft] val RegimeMaxDrift = 3.0
+
+  /** Whether this clean-but-refused run re-qualifies the comparison
+    * record as a regime shift. `history` is (total, drift, accepted, n)
+    * per prior session at this sf, oldest → newest; the streak counts
+    * backwards from the latest and BREAKS on any accepted session (the
+    * record was fresh then), any contaminated one, or a different
+    * query-surface size (totals are not comparable across n). Pure —
+    * BenchPolicySpec pins the policy.
+    */
+  private[graft] def regimeShiftAdopt(curTotal: Double, curDrift: Double,
+      curN: Int, history: Seq[(Double, Double, Boolean, Int)],
+      minSessions: Int = RegimeMinSessions,
+      band: Double = RegimeAgreeBand,
+      maxDrift: Double = RegimeMaxDrift): Boolean =
+    if (curDrift > maxDrift || curTotal <= 0.0) false
+    else {
+      val streak = history.reverse
+        .takeWhile { case (_, d, acc, n) => !acc && d <= maxDrift && n == curN }
+        .take(minSessions - 1)
+      val totals = curTotal +: streak.map(_._1)
+      totals.size >= minSessions && totals.max <= totals.min * (1.0 + band)
+    }
+
+  /** Median (the canary regime probe: outlier-tolerant where max/min
+    * drift is outlier-sensitive — one GC hiccup moves the drift, not
+    * the median).
+    */
+  private[graft] def medianOf(ts: Seq[Double]): Option[Double] =
+    if (ts.isEmpty) None
+    else {
+      val s = ts.sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }
+
   /** Whether this run's figures may replace the comparison record
     * (`bench_prev`): no error on ANY run (a flaky query's surviving
     * sample is unrepresentative), canary drift within
@@ -370,9 +442,18 @@ object Bench {
     // computation and the record refresh — a smoke run at another SF must
     // not clobber the canonical record.
     var prevSfMatches: Option[Boolean] = None
+    // the previous record's canary median (regime probe) — parsed from
+    // its "canary":{...,"times":[...]} array so old-format records work;
+    // only meaningful against a record at the same sf dir
+    var prevCanaryMedian: Option[Double] = None
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
+        prevCanaryMedian =
+          "\"canary\"\\s*:\\s*\\{[^}]*?\"times\"\\s*:\\s*\\[([^\\]]*)\\]".r
+            .findFirstMatchIn(txt)
+            .flatMap(m => medianOf(m.group(1).split(",")
+              .map(_.trim).filter(_.nonEmpty).flatMap(_.toDoubleOption).toSeq))
         // whitespace-tolerant: the prev record may have been re-dumped by
         // a pretty-printer ("sf": "..." with spaces) — r4's deltas came
         // out empty because the matcher here assumed compact JSON
@@ -399,6 +480,33 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val accepted = acceptAsRecord(results.exists(_._3.nonEmpty), canaryDrift,
       prevSfMatches, sfDir)
+
+    // ---- regime-shift re-qualification (policy in regimeShiftAdopt):
+    // prior sessions at this sf from the history ledger, oldest-first.
+    // Line-oriented regex parse (the prev-record pattern): a malformed
+    // line degrades to "not part of a streak", never to a crash.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    def numField(txt: String, k: String): Option[Double] =
+      (s""""$k"\\s*:\\s*(-?[0-9][0-9.eE+-]*)""").r
+        .findFirstMatchIn(txt).flatMap(_.group(1).toDoubleOption)
+    def boolField(txt: String, k: String): Option[Boolean] =
+      (s""""$k"\\s*:\\s*(true|false)""").r
+        .findFirstMatchIn(txt).map(_.group(1) == "true")
+    val history: Seq[(Double, Double, Boolean, Int)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(histPath))
+          .asScala.toSeq
+          .filter(("\"sf\"\\s*:\\s*" + java.util.regex.Pattern.quote(jsonStr(sfDir)))
+            .r.findFirstIn(_).isDefined)
+          .flatMap { ln =>
+            for {
+              t <- numField(ln, "total"); d <- numField(ln, "drift")
+              a <- boolField(ln, "accepted"); n <- numField(ln, "n")
+            } yield (t, d, a, n.toInt)
+          }
+      } catch { case _: Throwable => Seq.empty }
 
     // ---- slow-tail settle pass (policy in settleTargets): when this
     // session reads materially slower than the comparison record, the
@@ -601,6 +709,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.minOption).sum
 
+    // regime decision (needs the final settled total) — see
+    // regimeShiftAdopt: a clean run the accept gate refused may still
+    // re-qualify the record when it agrees with the trailing refused
+    // sessions, because sustained cross-session agreement is a regime,
+    // not contention.
+    val regimeAdopted = !accepted && results.forall(_._3.isEmpty) &&
+      regimeShiftAdopt(total, canaryDrift, results.size, history)
+
+    // machine regime probe: this run's canary median, the record's, and
+    // the normalized total — the round-over-round series that stays
+    // comparable under a uniform machine-speed shift
+    val curCanaryMedian = medianOf(canaryTimes)
+    val machineScale = for (c <- curCanaryMedian; p <- prevCanaryMedian
+                            if p > 0.0) yield c / p
+    val totalNormalized = machineScale.map(total / _)
+    val machineJson =
+      s"""{"canary_median":${curCanaryMedian.map(m => f"$m%.4f").getOrElse("null")},""" +
+        s""""prev_canary_median":${prevCanaryMedian.map(m => f"$m%.4f").getOrElse("null")},""" +
+        s""""scale":${machineScale.map(m => f"$m%.3f").getOrElse("null")},""" +
+        s""""total_normalized":${totalNormalized.map(t => f"$t%.2f").getOrElse("null")}}"""
+
     // previous round's figures (parsed above, before the scale-proof):
     // per-query cur/prev ratio against the comparison record
     val deltas = results.flatMap { case (k, ts, _) =>
@@ -637,6 +766,7 @@ object Bench {
         s""""sampling":${jsonStr(SamplingPolicy)},""" +
         s""""settled":${settledQueries.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""accepted_as_record":$accepted,""" +
+        s""""regime_shift":$regimeAdopted,"machine":$machineJson,""" +
         s""""scaling":${scaling.getOrElse("null")}}"""
 
     // grep-stable tagged copy FIRST (r7 driver records had "parsed": null
@@ -654,11 +784,32 @@ object Bench {
     // just doesn't become the baseline.
     if (accepted)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
-    else if (results.forall(_._3.isEmpty) && canaryDrift > RecordAcceptDrift)
+    else if (regimeAdopted) {
+      System.err.println(
+        f"[bench] WARN regime shift: this refused run (total $total%.2f s, drift " +
+          f"$canaryDrift%.2fx) agrees within ${RegimeAgreeBand * 100}%.0f%% with the " +
+          s"trailing refused sessions in $histPath — adopting as the comparison " +
+          "record with \"regime_shift\": true (the box's new price, not contention)")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
+    } else if (results.forall(_._3.isEmpty) && canaryDrift > RecordAcceptDrift)
       System.err.println(
         f"[bench] WARN run NOT adopted as comparison record: canary drift " +
           f"$canaryDrift%.2fx > $RecordAcceptDrift%.1fx — a contended run must " +
           "not become the baseline next round's deltas flatter themselves against")
+    // session history ledger (feeds regimeShiftAdopt next round): one
+    // line per full bench run; `accepted` here includes regime adoption
+    // so an adoption resets the streak (future sessions compare to the
+    // fresh record). Append-only; never fails the bench.
+    try {
+      val entry = s"""{"ts":${System.currentTimeMillis()},"sf":${jsonStr(sfDir)},""" +
+        s""""n":${results.size},"total":${f"$total%.3f"},""" +
+        s""""drift":${f"$canaryDrift%.3f"},"accepted":${accepted || regimeAdopted}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(histPath),
+        entry + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history append failed: $e") }
     results.filter(_._3.nonEmpty).foreach { case (k, ts, e) =>
       val kind = if (ts.isEmpty) "FAILED" else "FLAKY"
       System.err.println(s"[bench] $kind $k: ${e.map(_.toString).getOrElse("?")}")

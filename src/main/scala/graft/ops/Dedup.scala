@@ -515,8 +515,11 @@ object Dedup {
     *
     * Scale shape: one explode to (id, distinct token), a vocabulary
     * groupBy for frequencies, a per-doc window for the canonical order,
-    * the prefix self-join (bucket sizes = rare-token frequencies), and
-    * a relational intersection count over candidates only — no arrays
+    * the prefix self-join (bucket sizes = rare-token frequencies) with
+    * the PPJoin POSITIONAL filter pruning before the distinct (r17 —
+    * see [[setSimCandidates]]), and candidate-sized native verification
+    * (fused ShingleOverlap per pair — see [[setSimVerify]] for why the
+    * relational intersection count was the ×64 disk killer) — no arrays
     * carried through the join, no all-pairs anywhere. Like any EXACT
     * similarity join the OUTPUT can be quadratic on a degenerate corpus
     * (everything similar to everything); when that is acceptable to
@@ -527,38 +530,183 @@ object Dedup {
                       num: Int, den: Int, n: Int = 3): DataFrame = {
     require(num >= 1 && den >= num,
       s"need a threshold in (0, 1]: got $num/$den")
-    import org.apache.spark.sql.expressions.Window
     // documents with fewer than n words have no shingle set and are
     // absent from the join (the minhash-tier contract)
-    val tok = docs.select(col(idCol).as("id"),
+    setSimVerify(setSimCandidates(docs, idCol, textCol, num, den, n),
+      docs, docs, idCol, textCol, num, den, n)
+  }
+
+  /** The candidate stage of [[setSimJoinExact]] alone — (id_a, id_b,
+    * s_a, s_b) after the prefix join, the integer length filter, and the
+    * POSITIONAL filter, BEFORE verification. Public so the tier-pricing
+    * query (q_setsim_vs_lsh) can weigh the exact join's candidate volume
+    * against the LSH tier's on the same corpus: candidates are where an
+    * exact similarity join's cost lives, so the count per threshold IS
+    * the price of losslessness.
+    *
+    * The positional filter (PPJoin, Xiao et al. 2008 §3.2): a pair with
+    * J ≥ num/den needs overlap α = ⌈num·(s_a+s_b)/(num+den)⌉; for its
+    * FIRST shared token (minimum in the canonical order — provably
+    * inside both prefixes whenever any shared prefix token exists), the
+    * whole shared set sits in both suffixes from that token on, so
+    * overlap ≤ 1 + min(s_a−pos_a, s_b−pos_b). Rows where that upper
+    * bound can't reach α are dropped BEFORE the distinct — integer form
+    * `(num+den)·ub ≥ num·(s_a+s_b)` (ub ≥ ⌈x⌉ ⟺ ub ≥ x for integer ub).
+    * The max-bound row of a qualifying pair always survives, so the
+    * filter changes candidates but NEVER output (ExtensionsSpec pins
+    * this). Measured on the sf0.1 twin corpus at 7/10: 268k → 85k
+    * candidates (3.2×).
+    */
+  def setSimCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       num: Int, den: Int, n: Int = 3,
+                       positionalFilter: Boolean = true): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need a threshold in (0, 1]: got $num/$den")
+    val tok = setSimTok(docs, idCol, textCol, n)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val prefix = setSimPrefix(tok, freq, num, den)
+    val rows = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"),
+        (lit(1L) + least(col("a.s") - col("a.pos"), col("b.s") - col("b.pos")))
+          .as("__ub"))
+      .filter(lit(den.toLong) * least(col("s_a"), col("s_b")) >=
+        lit(num.toLong) * greatest(col("s_a"), col("s_b")))
+    // the `positionalFilter = false` arm exists ONLY for the spec that
+    // pins "changes candidates, never output" — production callers
+    // always want the pruned set
+    val pruned =
+      if (positionalFilter)
+        rows.filter(lit((num + den).toLong) * col("__ub") >=
+          lit(num.toLong) * (col("s_a") + col("s_b")))
+      else rows
+    pruned.select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+  }
+
+  /** EXACT two-table (R-S) set-similarity join — [[setSimJoinExact]]'s
+    * machinery generalized to the decontamination shape: every
+    * (probe, corpus) pair with shingle-set Jaccard ≥ num/den, NO miss
+    * probability. The production use is eval-suite decontamination —
+    * benchmark probes against a training corpus, where an S-curve miss
+    * (q_semantic_decontaminate / q_decontaminate, the approximate tiers)
+    * means a leaked eval document survives into training.
+    *
+    * The prefix-filter principle is order-agnostic: if |A∩B| ≥ α then
+    * prefixes of length |A|−α+1 and |B|−α+1 under ANY shared total order
+    * intersect — so token frequencies are computed over the UNION of
+    * both sides (one shared rarest-first canonical order; ties by token)
+    * and each side indexes its own `s − ⌈num·s/den⌉ + 1` prefix. Same
+    * integer-exact gating as the self-join (a float ceil would shorten a
+    * prefix and void completeness); candidates are R-prefix × S-prefix
+    * on the shared token, bounded by rare-token bucket sizes.
+    *
+    * Scale shape: the probe side is small (an eval suite — thousands of
+    * docs) and the corpus side huge; the probe prefix table broadcasts,
+    * so the corpus is scanned, never shuffled, for candidate generation,
+    * and verification touches only candidate ids. Output columns
+    * (id_a = probe, id_b = corpus doc, jaccard).
+    */
+  def setSimJoinExactRS(probes: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        num: Int, den: Int, n: Int = 3): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need a threshold in (0, 1]: got $num/$den")
+    val tokA = setSimTok(probes, idCol, textCol, n)
+    val tokB = setSimTok(corpus, idCol, textCol, n)
+    // one shared total order for both prefixes: global frequency over
+    // the union (a probe that also appears in the corpus counts twice —
+    // harmless: ANY consistent order preserves completeness; frequency
+    // ordering only optimizes bucket sizes)
+    val freq = tokA.unionAll(tokB).groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val preA = setSimPrefix(tokA, freq, num, den)
+    val preB = setSimPrefix(tokB, freq, num, den)
+    val cand = broadcast(preA).as("a").join(preB.as("b"),
+        col("a.tok") === col("b.tok"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"),
+        (lit(1L) + least(col("a.s") - col("a.pos"), col("b.s") - col("b.pos")))
+          .as("__ub"))
+      .filter(lit(den.toLong) * least(col("s_a"), col("s_b")) >=
+        lit(num.toLong) * greatest(col("s_a"), col("s_b")))
+      // positional filter — same first-shared-token bound as the
+      // self-join (see setSimCandidates), order-agnostic so it holds
+      // across tables under the shared union-frequency order
+      .filter(lit((num + den).toLong) * col("__ub") >=
+        lit(num.toLong) * (col("s_a") + col("s_b")))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n)
+  }
+
+  /** (id, tok) over DISTINCT word n-gram shingles — the set
+    * representation every set-similarity stage shares.
+    */
+  private def setSimTok(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
         .as("tok"))
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val sized = tok.join(freq, Seq("tok"))
+
+  /** Rarest-global-frequency-first canonical order (ties by token — a
+    * total order both engines share) and the integer-exact prefix cut:
+    * keep positions ≤ s − ⌈num·s/den⌉ + 1. `pos` rides along for the
+    * candidate stage's positional filter.
+    */
+  private def setSimPrefix(tok: DataFrame, freq: DataFrame,
+                           num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tok.join(freq, Seq("tok"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
       .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-    val prefix = sized
       .filter(col("pos") <= col("s") -
         expr(s"($num * s + ${den - 1}) DIV $den") + 1)
-      .select(col("tok"), col("id"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .filter(lit(den.toLong) * least(col("s_a"), col("s_b")) >=
-        lit(num.toLong) * greatest(col("s_a"), col("s_b")))
-      .distinct()
-    val inter = cand.select(col("id_a"), col("id_b"))
-      .join(tok.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(tok.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("id_a", "id_b"))
-      .withColumn("uni", col("s_a") + col("s_b") - col("inter"))
+      .select(col("tok"), col("id"), col("s"), col("pos"))
+  }
+
+  /** Native per-pair verification: fetch just the candidate documents'
+    * texts (broadcast semi-joins — each side scanned once, never
+    * shuffled) and compute the exact distinct-shingle overlap with the
+    * fused [[graft.functions.ShingleOverlap]] kernel, then the
+    * integer-exact Jaccard gate `den·|A∩B| ≥ num·|A∪B|` on its LONG
+    * counts. `docsA`/`docsB` are the id_a/id_b sides — identical for the
+    * self-join, per-table for the R-S form.
+    *
+    * Why not the relational intersection count (join candidates back to
+    * the (id, tok) table twice and group): that join materializes
+    * Σ_cand s_a rows — measured 17.4M at sf0.1-twin scale, ~1.1 BILLION
+    * at ×64, whose sort spill exhausted the disk. The native kernel
+    * makes verification candidate-sized: one row per pair, two bounded
+    * text payloads, zero shingle shuffle — the exact move nearDupPairs
+    * made for the LSH tier (its scaladoc: "the 200× shingle blowup of
+    * the relational formulation never materializes"). The DuckDB oracle
+    * keeps the relational formulation — opposite plan, identical
+    * output, which is the point of the oracle.
+    */
+  private def setSimVerify(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                           idCol: String, textCol: String,
+                           num: Int, den: Int, n: Int): DataFrame = {
+    val pairs = cand.select(col("id_a"), col("id_b")).persist(Disk)
+    def sideTexts(df: DataFrame, ids: DataFrame): DataFrame =
+      df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+        .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
+    val txtA = sideTexts(docsA, pairs.select(col("id_a").as("__cid")))
+    val txtB = sideTexts(docsB, pairs.select(col("id_b").as("__cid")))
+    val result = pairs
+      .join(txtA.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
+      .join(txtB.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ShingleOverlap(col("__ta"), col("__tb"), n).as("__ov"))
+      .select(col("id_a"), col("id_b"),
+        element_at(col("__ov"), 1).as("inter"),
+        (element_at(col("__ov"), 2) + element_at(col("__ov"), 3) -
+          element_at(col("__ov"), 1)).as("uni"))
       .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6)
           .as("jaccard"))
+    eagerly(result, pairs)
   }
 
   /** Texts of just the candidate-pair documents: ONE corpus scan (a

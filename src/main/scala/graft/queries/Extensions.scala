@@ -865,6 +865,101 @@ object Extensions {
              |round(CAST(sum(CAST(m9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
              |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // The trained classifier evaluated HONESTLY: q_classifier_trained
+    // fits and scores on the same corpus (resubstitution — the matrix
+    // flatters the model). Here the corpus splits leakage-safely
+    // (q_leakage_safe_split's content-hash key, so a normalization-level
+    // duplicate can never straddle the boundary), the teacher threshold
+    // AND the weights come from the TRAIN side only, and the confusion
+    // matrix is computed over the held-out ~20% — documents provably
+    // disjoint from training (ExtensionsSpec pins the disjointness).
+    // Held-out tokens hashing to buckets unseen in training serve weight
+    // 0.0 (the kernel's default), which the oracle replays as a LEFT
+    // JOIN + coalesce — margins stay bit-identical because every weight
+    // sits on the 2^-31 grid (the q_classifier_trained contract).
+    //
+    // Scale shape: same as q_classifier_trained — the split predicate is
+    // a narrow projection (no shuffle), training shuffles <= 4096
+    // map-side-combined rows, the model collects at driver (4,096
+    // doubles), and evaluation is one codegen'd scan of the holdout.
+    Q("q_classifier_holdout",
+      (s, d) => {
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val dim = 4096
+        val all = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          (size(filter(toksArr,
+            t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
+            size(toksArr).cast(DoubleType)).as("swr"),
+          (Sampling.hashBucket(
+            md5(TextAnalysis.normalizeText(col("text"))), 100) < 80).as("is_train"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val train = all.filter(col("is_train"))
+        val thrRow = train.agg(expr("percentile(swr, 0.25)")).head()
+        val thr: Any = if (thrRow.isNullAt(0)) null else thrRow.getDouble(0)
+        val teacher = coalesce(col("swr") >= thr, lit(false))
+        val occ = train
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"),
+            when(teacher, lit(1L)).otherwise(lit(-1L)).as("lab"))
+          .select((conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast(LongType) % dim).as("b"), col("lab"))
+        val w = new Array[Double](dim) // buckets unseen in TRAIN stay 0.0
+        val rows = occ.groupBy(col("b"))
+          .agg(sum(col("lab")).as("sl"), count(lit(1)).as("c"))
+          .collect()
+        def grid(sl: Long, c: Long): Double =
+          math.floor(sl.toDouble / c.toDouble * 2147483648.0) / 2147483648.0
+        val (slAll, cAll) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+          (a + r.getLong(1), b + r.getLong(2))
+        }
+        val g = if (cAll > 0) grid(slAll, cAll) else 0.0
+        rows.foreach { r =>
+          w(r.getLong(0).toInt) = grid(r.getLong(1), r.getLong(2)) - g
+        }
+        val out = all.filter(!col("is_train"))
+          .select(TextAnalysis.hashedClassifierMarginFrom(col("text"), w)
+              .as("margin"),
+            when(teacher, lit("keep")).otherwise(lit("drop")).as("heur"))
+          .select(
+            when(col("margin") > 0, lit("keep")).otherwise(lit("drop")).as("clf"),
+            col("heur"),
+            round(col("margin"), 9).cast("decimal(28,9)").as("m9"))
+          .groupBy("clf", "heur")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            round(sum(col("m9")).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 5).as("mean_margin"))
+          .orderBy("clf", "heur")
+        Dedup.eagerly(out, all)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr,
+             |CAST(concat('0x', substring(md5(md5(trim(
+             |regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')
+             |))), 1, 4)) AS BIGINT) % 100 < 80 AS is_train FROM documents),
+             |lab AS (SELECT doc_id, text, is_train,
+             |coalesce(swr >= (SELECT quantile_cont(swr, 0.25) FROM docs WHERE is_train), FALSE) AS keep FROM docs),
+             |occ AS (SELECT doc_id, keep,
+             |CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+             |FROM (SELECT doc_id, keep, unnest(string_split(lower(text), ' ')) AS tok FROM lab WHERE is_train)),
+             |g AS (SELECT floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0 AS gm FROM occ),
+             |w AS (SELECT b, floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0
+             |- (SELECT gm FROM g) AS wt
+             |FROM occ GROUP BY b),
+             |etoks AS (SELECT doc_id,
+             |CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+             |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM lab WHERE NOT is_train)),
+             |m AS (SELECT etoks.doc_id, sum(coalesce(w.wt, 0.0)) / count(*) AS margin
+             |FROM etoks LEFT JOIN w USING (b) GROUP BY etoks.doc_id),
+             |cells AS (SELECT CASE WHEN m.margin > 0 THEN 'keep' ELSE 'drop' END AS clf,
+             |CASE WHEN lab.keep THEN 'keep' ELSE 'drop' END AS heur,
+             |round(m.margin, 9) AS m9
+             |FROM lab JOIN m USING (doc_id) WHERE NOT lab.is_train)
+             |SELECT clf, heur, CAST(count(*) AS BIGINT) AS n_docs,
+             |round(CAST(sum(CAST(m9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
+             |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // Intra-document repetition ratio (duplicate word 3-grams / total) —
     // the "repetitious text" quality signal; narrow array projection,
     // no explode, no shuffle.
@@ -1760,6 +1855,181 @@ object Extensions {
              |FROM cand c JOIN i USING (id_a, id_b)
              |WHERE 10 * inter >= 7 * (c.s_a + c.s_b - inter)
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // The exact set-similarity join in its PRODUCTION shape: two-table
+    // (R-S) decontamination (Dedup.setSimJoinExactRS) — eval-suite
+    // probes against the training corpus, every (probe, doc) pair at
+    // Jaccard >= 7/10 with NO miss probability (q_decontaminate /
+    // q_semantic_decontaminate are the approximate tiers; an S-curve
+    // miss there means a leaked eval document survives into training).
+    // Token frequencies come from the UNION of both sides (the prefix
+    // principle needs only a shared total order); the probe prefix
+    // table broadcasts, so the corpus is scanned, never shuffled, for
+    // candidate generation. Probes are deterministic prefix-keep twins
+    // of every 25th document (keep fraction 50–95% stepped by
+    // (doc_id % 250) DIV 25), so the fixture's matches span the
+    // threshold instead of clustering at j≈1.
+    Q("q_setsim_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + expr("(doc_id % 250) DIV 25").cast(DoubleType) * lit(0.05)))
+          .cast("int"), lit(3))
+        val probes = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(slice(words, lit(1), keep), " ").as("text"))
+        Dedup.setSimJoinExactRS(probes, docs, "doc_id", "text",
+            num = 7, den = 10)
+          .select(col("id_a").as("probe_id"), col("id_b").as("doc_id"),
+            col("jaccard"))
+          .orderBy("probe_id", "doc_id")
+      },
+      Some("""WITH probes AS (SELECT doc_id + 20000000 AS id,
+             |array_to_string(list_slice(string_split(text, ' '), 1,
+             |greatest(CAST(ceil(len(string_split(text, ' ')) *
+             |(CAST(0.5 AS DOUBLE) + ((doc_id % 250) // 25) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
+             |FROM documents WHERE doc_id % 25 = 0),
+             |toka AS (SELECT DISTINCT id, tok FROM
+             |(SELECT id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT id, string_split(text, ' ') AS w FROM probes))),
+             |tokb AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM
+             |(SELECT id, tok FROM toka UNION ALL SELECT id, tok FROM tokb) u GROUP BY tok),
+             |prea AS (SELECT id, tok, s FROM (SELECT id, tok,
+             |row_number() OVER (PARTITION BY id ORDER BY cnt, tok) AS pos,
+             |count(*) OVER (PARTITION BY id) AS s
+             |FROM toka JOIN freq USING (tok)) x WHERE pos <= s - (7 * s + 9) // 10 + 1),
+             |preb AS (SELECT id, tok, s FROM (SELECT id, tok,
+             |row_number() OVER (PARTITION BY id ORDER BY cnt, tok) AS pos,
+             |count(*) OVER (PARTITION BY id) AS s
+             |FROM tokb JOIN freq USING (tok)) x WHERE pos <= s - (7 * s + 9) // 10 + 1),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |a.s AS s_a, b.s AS s_b
+             |FROM prea a JOIN preb b ON a.tok = b.tok
+             |WHERE 10 * least(a.s, b.s) >= 7 * greatest(a.s, b.s)),
+             |i AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |FROM cand c JOIN toka ta ON ta.id = c.id_a
+             |JOIN tokb tb ON tb.id = c.id_b AND tb.tok = ta.tok
+             |GROUP BY c.id_a, c.id_b)
+             |SELECT c.id_a AS probe_id, c.id_b AS doc_id,
+             |round(CAST(inter AS DOUBLE) / CAST(c.s_a + c.s_b - inter AS DOUBLE), 6) AS jaccard
+             |FROM cand c JOIN i USING (id_a, id_b)
+             |WHERE 10 * inter >= 7 * (c.s_a + c.s_b - inter)
+             |ORDER BY probe_id, doc_id""".stripMargin.replace("\n", " "))),
+
+    // The exact tier PRICED against the LSH tier (the X147/X159
+    // pattern): per threshold, the exact join's pair count and
+    // candidate volume beside the LSH pipeline's recovered pairs and
+    // band-collision candidates — the decision table for "when is
+    // losslessness worth it". lsh_recall is the number a
+    // decontamination review reads: at a recall the pass can't accept,
+    // the exact join's candidate surplus is the price of closing the
+    // miss probability. Same twin-augmented corpus as q_setsim_join so
+    // both tiers face matches spanning the swept thresholds; LSH
+    // geometry is the deployed default (6 components, 3 bands of 2),
+    // so the recovered counts price the PRODUCTION knob. Counts are
+    // 1-row driver-sized aggregates; the heavy stages run once per
+    // threshold for the exact tier and once total for LSH.
+    Q("q_setsim_vs_lsh",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + (col("doc_id") % 10).cast("double") * lit(0.05)))
+          .cast("int"), lit(3))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(words, lit(1), keep), " ").as("text"))
+        val corpus = docs.unionAll(twins)
+        val lshVer = Dedup.nearDupPairs(corpus, "doc_id", "text",
+            threshold = 0.7).select(col("jaccard"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val lshCandN = Dedup.lshCandidates(Dedup.lshBands(
+          Dedup.minhashSignatureNarrow(corpus, "doc_id", "text"))).count()
+        val rows = Seq((0.7, 7, 10), (0.9, 9, 10)).map { case (t, num, den) =>
+          (t,
+            Dedup.setSimJoinExact(corpus, "doc_id", "text", num, den).count(),
+            lshVer.filter(col("jaccard") >= t).count(),
+            Dedup.setSimCandidates(corpus, "doc_id", "text", num, den).count(),
+            lshCandN)
+        }
+        lshVer.unpersist(blocking = false)
+        rows.toDF("threshold", "exact_pairs", "lsh_recovered",
+            "exact_candidates", "lsh_candidates")
+          .select(col("threshold"), col("exact_pairs"), col("lsh_recovered"),
+            (col("exact_pairs") - col("lsh_recovered")).as("lsh_missed"),
+            when(col("exact_pairs") === 0, lit(null))
+              .otherwise(round(col("lsh_recovered").cast(DoubleType) /
+                col("exact_pairs").cast(DoubleType), 4)).as("lsh_recall"),
+            col("exact_candidates"), col("lsh_candidates"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH twins AS (SELECT doc_id + 10000000 AS doc_id,
+             |array_to_string(list_slice(string_split(text, ' '), 1,
+             |greatest(CAST(ceil(len(string_split(text, ' ')) *
+             |(CAST(0.5 AS DOUBLE) + (doc_id % 10) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
+             |FROM documents),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |UNION ALL SELECT doc_id, text FROM twins),
+             |tok AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+             |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+             |sized AS (SELECT id, tok, cnt,
+             |row_number() OVER (PARTITION BY id ORDER BY cnt, tok) AS pos,
+             |count(*) OVER (PARTITION BY id) AS s
+             |FROM tok JOIN freq USING (tok)),
+             |pre7 AS (SELECT id, tok, s, pos FROM sized WHERE pos <= s - (7 * s + 9) // 10 + 1),
+             |pre9 AS (SELECT id, tok, s, pos FROM sized WHERE pos <= s - (9 * s + 9) // 10 + 1),
+             |cand7 AS (SELECT DISTINCT id_a, id_b, s_a, s_b FROM
+             |(SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+             |1 + least(a.s - a.pos, b.s - b.pos) AS ub
+             |FROM pre7 a JOIN pre7 b ON a.tok = b.tok AND a.id < b.id) x
+             |WHERE 10 * least(s_a, s_b) >= 7 * greatest(s_a, s_b)
+             |AND 17 * ub >= 7 * (s_a + s_b)),
+             |cand9 AS (SELECT DISTINCT id_a, id_b, s_a, s_b FROM
+             |(SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+             |1 + least(a.s - a.pos, b.s - b.pos) AS ub
+             |FROM pre9 a JOIN pre9 b ON a.tok = b.tok AND a.id < b.id) x
+             |WHERE 10 * least(s_a, s_b) >= 9 * greatest(s_a, s_b)
+             |AND 19 * ub >= 9 * (s_a + s_b)),
+             |i7 AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |FROM cand7 c JOIN tok ta ON ta.id = c.id_a
+             |JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok GROUP BY c.id_a, c.id_b),
+             |i9 AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |FROM cand9 c JOIN tok ta ON ta.id = c.id_a
+             |JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok GROUP BY c.id_a, c.id_b),
+             |ex7 AS (SELECT c.id_a FROM cand7 c JOIN i7 USING (id_a, id_b)
+             |WHERE 10 * inter >= 7 * (c.s_a + c.s_b - inter)),
+             |ex9 AS (SELECT c.id_a FROM cand9 c JOIN i9 USING (id_a, id_b)
+             |WHERE 10 * inter >= 9 * (c.s_a + c.s_b - inter)),
+             |${lshPairsCtesOver("corpus")},
+             |lv AS (SELECT CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id),
+             |s7 AS (SELECT CAST(0.7 AS DOUBLE) AS threshold,
+             |(SELECT count(*) FROM ex7) AS exact_pairs,
+             |(SELECT count(*) FROM lv WHERE j >= CAST(0.7 AS DOUBLE)) AS lsh_recovered,
+             |(SELECT count(*) FROM cand7) AS exact_candidates),
+             |s9 AS (SELECT CAST(0.9 AS DOUBLE) AS threshold,
+             |(SELECT count(*) FROM ex9) AS exact_pairs,
+             |(SELECT count(*) FROM lv WHERE j >= CAST(0.9 AS DOUBLE)) AS lsh_recovered,
+             |(SELECT count(*) FROM cand9) AS exact_candidates),
+             |lc AS (SELECT count(*) AS lsh_candidates FROM cand)
+             |SELECT threshold, CAST(exact_pairs AS BIGINT) AS exact_pairs,
+             |CAST(lsh_recovered AS BIGINT) AS lsh_recovered,
+             |CAST(exact_pairs - lsh_recovered AS BIGINT) AS lsh_missed,
+             |CASE WHEN exact_pairs = 0 THEN NULL
+             |ELSE round(CAST(lsh_recovered AS DOUBLE) / exact_pairs, 4) END AS lsh_recall,
+             |CAST(exact_candidates AS BIGINT) AS exact_candidates,
+             |CAST((SELECT lsh_candidates FROM lc) AS BIGINT) AS lsh_candidates
+             |FROM (SELECT * FROM s7 UNION ALL SELECT * FROM s9) u
+             |ORDER BY threshold""".stripMargin.replace("\n", " "))),
 
     Q("q_dedup_threshold_sweep",
       (s, d) => {

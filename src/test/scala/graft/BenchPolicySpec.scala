@@ -201,6 +201,42 @@ class BenchPolicySpec extends AnyFunSuite {
         s"SparkEntry declares ${SparkEntry.queries.size}")
   }
 
+  test("regimeShiftAdopt: N agreeing refused sessions re-qualify; anything else doesn't") {
+    // the r16 calibration case: three refused sessions at 73.21/73.79/
+    // 68.49 agree within 7.7% — a current run inside that band adopts
+    val r16 = Seq((73.21, 2.24, false, 95), (73.79, 1.60, false, 95))
+    assert(Bench.regimeShiftAdopt(68.49, 1.86, 95, r16))
+    // a quiet-window fast run does NOT regime-adopt (it would be
+    // accepted by the normal gate anyway; here it just disagrees)
+    assert(!Bench.regimeShiftAdopt(39.8, 1.2, 95, r16))
+    // fewer than minSessions-1 prior refused sessions: no adoption
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95, r16.take(1)))
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95, Nil))
+    // an accepted session BREAKS the streak (the record was fresh then)
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 2.24, false, 95), (40.0, 1.1, true, 95), (73.79, 1.6, false, 95))))
+    // ...but older history BEFORE the streak does not interfere
+    assert(Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      (40.0, 1.1, true, 95) +: r16))
+    // a contaminated session (drift > 3) never counts — in the streak
+    // or as the current run
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 4.5, false, 95), (73.79, 1.6, false, 95))))
+    assert(!Bench.regimeShiftAdopt(68.49, 3.5, 95, r16))
+    // a different query-surface size is not total-comparable
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 97, r16))
+    // agreement is the FULL set including the current run: two priors
+    // agreeing with each other but not with the current run refuse
+    assert(!Bench.regimeShiftAdopt(90.0, 1.86, 95, r16))
+  }
+
+  test("medianOf: outlier-tolerant regime probe") {
+    assert(Bench.medianOf(Nil).isEmpty)
+    assert(Bench.medianOf(Seq(3.0)).contains(3.0))
+    assert(Bench.medianOf(Seq(1.0, 2.0, 100.0)).contains(2.0)) // outlier ignored
+    assert(Bench.medianOf(Seq(4.0, 1.0, 3.0, 2.0)).contains(2.5))
+  }
+
   test("build.sbt keeps the flags that make the bench line the last stdout line") {
     // walk up from the test cwd to find build.sbt (forked tests run at
     // the repo root, but don't depend on it)

@@ -1183,6 +1183,115 @@ class ExtensionsSpec extends SparkSpec {
       s"missed ${(brute -- got).take(5)}; spurious ${(got -- brute).take(5)}")
   }
 
+  test("positional filter changes candidates but never output") {
+    // PPJoin's first-shared-token bound must PRUNE (that's its job) yet
+    // every pruned pair must be sub-threshold — dropped-and-qualifying
+    // would be a completeness bug the brute-force pin might miss if the
+    // fixture's qualifying pairs all carry slack
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(120)
+      .as[(Long, String)].collect()
+    val twins = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val keep = math.max(math.ceil(w.length * (0.5 + (id % 10) * 0.05)).toInt, 3)
+      (id + 10000000L, w.take(keep).mkString(" "))
+    }
+    val corpus = (docs ++ twins).toSeq.toDF("doc_id", "text")
+    def cands(positional: Boolean) = graft.ops.Dedup.setSimCandidates(
+        corpus, "doc_id", "text", 7, 10, positionalFilter = positional)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pruned = cands(positional = true)
+    val full = cands(positional = false)
+    assert(pruned.subsetOf(full), "positional filter may only remove candidates")
+    assert(pruned.size < full.size,
+      s"positional filter pruned nothing (${full.size} candidates)")
+    // every dropped candidate is genuinely sub-threshold
+    val sets = (docs ++ twins).map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val qualifyingDropped = (full -- pruned).filter { case (a, b) =>
+      val inter = (sets(a) & sets(b)).size
+      val uni = (sets(a) | sets(b)).size
+      uni > 0 && 10L * inter >= 7L * uni
+    }
+    assert(qualifyingDropped.isEmpty,
+      s"positional filter dropped qualifying pairs: ${qualifyingDropped.take(5)}")
+  }
+
+  test("setSimJoinExactRS == brute-force all cross pairs (two-table completeness)") {
+    // the R-S generalization's claim is the same NO-miss guarantee under
+    // a shared union-frequency order: probes (prefix-keep twins spanning
+    // the threshold) against the corpus must return exactly the cross
+    // pairs a driver-side sweep finds
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(120)
+      .as[(Long, String)].collect()
+    val probes = docs.filter(_._1 % 5 == 0).map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val keep = math.max(math.ceil(w.length * (0.5 + (id % 10) * 0.05)).toInt, 3)
+      (id + 20000000L, w.take(keep).mkString(" "))
+    }
+    def setOf(t: String) = t.split(" ", -1).toSeq.sliding(3)
+      .filter(_.size == 3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (a, ta) <- probes; (b, tb) <- docs
+      sa = setOf(ta); sb = setOf(tb)
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if uni > 0 && 10L * inter >= 7L * uni
+    } yield (a, b)).toSet
+    val got = graft.ops.Dedup.setSimJoinExactRS(
+        probes.toSeq.toDF("doc_id", "text"), docs.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", 7, 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture produced no qualifying cross pairs")
+    assert(got == brute,
+      s"missed ${(brute -- got).take(5)}; spurious ${(got -- brute).take(5)}")
+  }
+
+  test("q_classifier_holdout evaluates on docs provably disjoint from training") {
+    // the whole point vs q_classifier_trained: the matrix must be
+    // computed over the held-out side only, and the held-out side must
+    // share no document with the side the threshold/weights saw
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        (Sampling.hashBucket(md5(TextAnalysis.normalizeText($"text")), 100) < 80)
+          .as("is_train"))
+    val trainIds = docs.filter($"is_train").select("doc_id").as[Long].collect().toSet
+    val holdIds = docs.filter(!$"is_train").select("doc_id").as[Long].collect().toSet
+    assert(trainIds.nonEmpty && holdIds.nonEmpty, "split degenerate at this sf")
+    assert((trainIds & holdIds).isEmpty, "split sides overlap")
+    // the matrix totals exactly the holdout population — evaluation
+    // cannot have touched a training document
+    val m = graft.SparkEntry.queries("q_classifier_holdout")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(m.map(_._3).sum == holdIds.size.toLong,
+      s"matrix covers ${m.map(_._3).sum} docs vs ${holdIds.size} held out")
+    assert(m.map(_._1).distinct.length == 2,
+      s"held-out gate is degenerate (one class): ${m.toSeq}")
+  }
+
+  test("q_setsim_vs_lsh: exact tier dominates LSH on the same measure") {
+    // invariants the pricing table must satisfy by construction: the
+    // exact join can never find FEWER pairs than LSH recovers (recovered
+    // pairs are a subset), pairs never exceed candidates on either tier,
+    // and higher thresholds only shrink both pair counts
+    val rows = graft.SparkEntry.queries("q_setsim_vs_lsh")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 2)
+    rows.foreach { case (t, exact, rec, missed, exCand, lshCand) =>
+      assert(rec <= exact, s"t=$t: LSH recovered $rec > exact $exact")
+      assert(missed == exact - rec)
+      assert(exact <= exCand, s"t=$t: pairs $exact > candidates $exCand")
+      assert(rec <= lshCand, s"t=$t: recovered $rec > LSH candidates $lshCand")
+    }
+    val Array(r7, r9) = rows.sortBy(_._1)
+    assert(r9._2 <= r7._2, "exact pairs must shrink as the threshold rises")
+    assert(r9._5 <= r7._5, "exact candidates must shrink as the threshold rises")
+    assert(r7._2 > 0, "fixture produced no exact pairs at 0.7")
+  }
+
   test("trained classifier gate really separates (not the stand-in's coin-flip)") {
     // q_classifier_trained's promise: weights fitted against the
     // teacher produce REAL agreement — the diagonal carries the corpus

@@ -841,4 +841,16 @@ class PlanSpec extends SparkSpec {
       "each gate half costs one corpus scan")
     assert(!p.contains("UDF"), "md5 inverse-CDF sampling fell back to a UDF")
   }
+
+  test("setsim decontamination: the probe prefix side broadcasts into the candidate join") {
+    // the R-S join's scale contract: the eval-suite side is small, so
+    // its prefix table must BROADCAST — the corpus side is scanned, not
+    // shuffled into a symmetric hash join, for candidate generation
+    val p = plan("q_setsim_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe prefix side lost its broadcast hint")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on the shared token")
+  }
 }
