@@ -565,6 +565,15 @@ object Dedup {
     val tok = setSimTok(docs, idCol, textCol, n)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val prefix = setSimPrefix(tok, freq, num, den)
+    setSimCandFromPrefix(prefix, num, den, positionalFilter)
+  }
+
+  /** The candidate self-join from an already-built prefix frame —
+    * shared by [[setSimCandidates]] and the one-pass tier sweep
+    * ([[setSimExactCounts]]).
+    */
+  private def setSimCandFromPrefix(prefix: DataFrame, num: Int, den: Int,
+                                   positionalFilter: Boolean): DataFrame = {
     val rows = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -582,6 +591,45 @@ object Dedup {
           lit(num.toLong) * (col("s_a") + col("s_b")))
       else rows
     pruned.select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+  }
+
+  /** Candidate and verified-pair COUNTS per threshold, one corpus pass:
+    * the shingle explode, vocabulary frequencies, and the per-doc
+    * canonical-order window — the expensive corpus-wide stages — run
+    * ONCE (persisted); each threshold derives only its prefix cut,
+    * candidate join, and candidate-sized native verification from the
+    * shared frame (the X159 run-the-expensive-stages-once pattern).
+    * Returns (num, den, candidates, pairs) per input threshold —
+    * driver-sized by construction; the tier-pricing query
+    * (q_setsim_vs_lsh) is the consumer.
+    */
+  def setSimExactCounts(docs: DataFrame, idCol: String, textCol: String,
+                        thresholds: Seq[(Int, Int)], n: Int = 3)
+      : Seq[(Int, Int, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = setSimTok(docs, idCol, textCol, n)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val sized = tok.join(freq, Seq("tok"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
+      .persist(Disk)
+    try thresholds.map { case (num, den) =>
+      require(num >= 1 && den >= num,
+        s"need a threshold in (0, 1]: got $num/$den")
+      val prefix = sized
+        .filter(col("pos") <= col("s") -
+          expr(s"($num * s + ${den - 1}) DIV $den") + 1)
+        .select(col("tok"), col("id"), col("s"), col("pos"))
+      val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
+        .persist(Disk)
+      val nCand = cand.count()
+      val verified = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n)
+      val nPairs = verified.count()
+      verified.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+      (num, den, nCand, nPairs)
+    } finally sized.unpersist(blocking = false)
   }
 
   /** EXACT two-table (R-S) set-similarity join — [[setSimJoinExact]]'s

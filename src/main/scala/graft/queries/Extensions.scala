@@ -1933,8 +1933,11 @@ object Extensions {
     // both tiers face matches spanning the swept thresholds; LSH
     // geometry is the deployed default (6 components, 3 bands of 2),
     // so the recovered counts price the PRODUCTION knob. Counts are
-    // 1-row driver-sized aggregates; the heavy stages run once per
-    // threshold for the exact tier and once total for LSH.
+    // driver-sized; the corpus-wide exact stages (explode, vocabulary
+    // frequencies, the canonical-order window) run ONCE via
+    // Dedup.setSimExactCounts — each threshold pays only its prefix
+    // cut, candidate join, and candidate-sized verification — and the
+    // LSH pipeline runs once total.
     Q("q_setsim_vs_lsh",
       (s, d) => {
         import s.implicits._
@@ -1951,12 +1954,12 @@ object Extensions {
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val lshCandN = Dedup.lshCandidates(Dedup.lshBands(
           Dedup.minhashSignatureNarrow(corpus, "doc_id", "text"))).count()
-        val rows = Seq((0.7, 7, 10), (0.9, 9, 10)).map { case (t, num, den) =>
-          (t,
-            Dedup.setSimJoinExact(corpus, "doc_id", "text", num, den).count(),
-            lshVer.filter(col("jaccard") >= t).count(),
-            Dedup.setSimCandidates(corpus, "doc_id", "text", num, den).count(),
-            lshCandN)
+        val thresholds = Seq((0.7, 7, 10), (0.9, 9, 10))
+        val exact = Dedup.setSimExactCounts(corpus, "doc_id", "text",
+          thresholds.map { case (_, num, den) => (num, den) })
+        val rows = thresholds.zip(exact).map {
+          case ((t, _, _), (_, _, nCand, nPairs)) =>
+            (t, nPairs, lshVer.filter(col("jaccard") >= t).count(), nCand, lshCandN)
         }
         lshVer.unpersist(blocking = false)
         rows.toDF("threshold", "exact_pairs", "lsh_recovered",
