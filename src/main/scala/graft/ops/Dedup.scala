@@ -800,6 +800,89 @@ object Dedup {
     lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows)
       .write.mode("append").parquet(path)
 
+  /** Persist the set-similarity PREFIX index of a corpus — the LOSSLESS
+    * analog of [[writeBandIndex]] for incremental decontamination: the
+    * corpus's full ordered token lists (`tokens/`: tok, id, s, pos in
+    * the corpus-frequency canonical order) plus the frequency table the
+    * order derives from (`freq/`: tok, cnt). At 100 TB the corpus is
+    * tokenized, counted, and window-ordered exactly ONCE; every future
+    * eval suite or batch joins its own prefixes against the stored
+    * rows with no corpus recompute and NO miss probability (the band
+    * index's S-curve miss is exactly what a decontamination gate can't
+    * accept).
+    *
+    * Storing ALL positions (not a fixed-τ prefix) keeps the threshold a
+    * READ-time knob: the prefix cut `pos ≤ s − ⌈num·s/den⌉ + 1` is a
+    * scan filter. A deployment with one fixed production τ can
+    * partition on a precomputed prefix flag instead; this keeps the
+    * sweep-at-read flexibility the tier-pricing query needs. Staged
+    * atomic publish like every extract ([[graft.etl.Refresh]]).
+    */
+  def writeSetSimIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       path: String, n: Int = 3): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = setSimTok(corpus, idCol, textCol, n)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val sized = tok.join(freq, Seq("tok"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
+      .select(col("tok"), col("id"), col("s"), col("pos"))
+    graft.etl.Refresh.overwriteStaged(sized, s"$path/tokens")
+    graft.etl.Refresh.overwriteStaged(freq, s"$path/freq")
+    ()
+  }
+
+  /** EXACT decontamination of a probe set against the corpus behind a
+    * persisted prefix index ([[writeSetSimIndex]]): every (probe, doc)
+    * pair with shingle-set Jaccard ≥ num/den, no miss probability, no
+    * corpus recompute. The canonical order is the STORED corpus
+    * frequency (unseen probe tokens order at cnt 0 — rarest-first,
+    * which is also the tightest pruning); the prefix principle needs
+    * only a shared total order, and `(stored cnt, tok)` is the same
+    * function of the token on both sides, so completeness holds
+    * (ExtensionsSpec pins index-served == [[setSimJoinExactRS]] on the
+    * same fixture). `corpus` supplies verification texts only — one
+    * broadcast-semi-joined scan of the candidate ids, the
+    * [[nearDupsAgainstIndex]] contract.
+    */
+  def setSimAgainstIndex(probes: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, corpus: DataFrame,
+                         num: Int, den: Int, n: Int = 3): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need a threshold in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    val idxTok = spark.read.parquet(s"$indexPath/tokens")
+    val freq = spark.read.parquet(s"$indexPath/freq")
+    val tokA = setSimTok(probes, idCol, textCol, n)
+    val sizedA = tokA.join(freq, Seq("tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
+    val preA = sizedA
+      .filter(col("pos") <= col("s") -
+        expr(s"($num * s + ${den - 1}) DIV $den") + 1)
+      .select(col("tok"), col("id"), col("s"), col("pos"))
+    val preB = idxTok
+      .filter(col("pos") <= col("s") -
+        expr(s"($num * s + ${den - 1}) DIV $den") + 1)
+    val cand = broadcast(preA).as("a").join(preB.as("b"),
+        col("a.tok") === col("b.tok"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"),
+        (lit(1L) + least(col("a.s") - col("a.pos"), col("b.s") - col("b.pos")))
+          .as("__ub"))
+      .filter(lit(den.toLong) * least(col("s_a"), col("s_b")) >=
+        lit(num.toLong) * greatest(col("s_a"), col("s_b")))
+      .filter(lit((num + den).toLong) * col("__ub") >=
+        lit(num.toLong) * (col("s_a") + col("s_b")))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n)
+  }
+
   /** Near-dup pairs between a NEW batch and the historical corpus behind
     * a persisted band index ([[writeBandIndex]]): (id_new, id_old,
     * jaccard >= threshold). Intra-batch duplicates are [[nearDupPairs]]

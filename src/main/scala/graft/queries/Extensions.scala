@@ -1922,6 +1922,58 @@ object Extensions {
              |WHERE 10 * inter >= 7 * (c.s_a + c.s_b - inter)
              |ORDER BY probe_id, doc_id""".stripMargin.replace("\n", " "))),
 
+    // The lossless tier in its INCREMENTAL form: the corpus's prefix
+    // index persisted once (Dedup.writeSetSimIndex — ordered token
+    // lists + the frequency table), each probe batch decontaminated
+    // against the STORED rows (Dedup.setSimAgainstIndex) with no corpus
+    // recompute and no miss probability — writeBandIndex's shape for
+    // the join a gate can't run lossy. Same probe fixture as
+    // q_setsim_decontaminate; the ORACLE here is the definitional
+    // brute force (every cross pair's shingle intersection, no prefix
+    // machinery at all) — the strongest possible losslessness check,
+    // complementing the replayed-algorithm oracles of its siblings.
+    // ExtensionsSpec pins index-served == the direct two-table join.
+    Q("q_setsim_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + expr("(doc_id % 250) DIV 25").cast(DoubleType) * lit(0.05)))
+          .cast("int"), lit(3))
+        val probes = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(slice(words, lit(1), keep), " ").as("text"))
+        val idx = Fixtures.dir("setsim_index_q", d)
+        Dedup.writeSetSimIndex(docs, "doc_id", "text", idx)
+        Dedup.setSimAgainstIndex(probes, "doc_id", "text", idx, docs,
+            num = 7, den = 10)
+          .select(col("id_a").as("probe_id"), col("id_b").as("doc_id"),
+            col("jaccard"))
+          .orderBy("probe_id", "doc_id")
+      },
+      Some("""WITH probes AS (SELECT doc_id + 20000000 AS id,
+             |array_to_string(list_slice(string_split(text, ' '), 1,
+             |greatest(CAST(ceil(len(string_split(text, ' ')) *
+             |(CAST(0.5 AS DOUBLE) + ((doc_id % 250) // 25) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
+             |FROM documents WHERE doc_id % 25 = 0),
+             |toka AS (SELECT DISTINCT id, tok FROM
+             |(SELECT id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT id, string_split(text, ' ') AS w FROM probes))),
+             |tokb AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             |sa AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM toka GROUP BY id),
+             |sb AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tokb GROUP BY id),
+             |i AS (SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS c
+             |FROM toka a JOIN tokb b ON a.tok = b.tok GROUP BY a.id, b.id)
+             |SELECT ia AS probe_id, ib AS doc_id,
+             |round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+             |FROM i JOIN sa ON sa.id = ia JOIN sb ON sb.id = ib
+             |WHERE 10 * c >= 7 * (sa.n + sb.n - c)
+             |ORDER BY probe_id, doc_id""".stripMargin.replace("\n", " "))),
+
     // The exact tier PRICED against the LSH tier (the X147/X159
     // pattern): per threshold, the exact join's pair count and
     // candidate volume beside the LSH pipeline's recovered pairs and

@@ -1271,6 +1271,32 @@ class ExtensionsSpec extends SparkSpec {
       s"held-out gate is degenerate (one class): ${m.toSeq}")
   }
 
+  test("setSimAgainstIndex == setSimJoinExactRS (index round-trip loses nothing)") {
+    // the index form changes the canonical order (stored corpus
+    // frequency, unseen-probe tokens at cnt 0) and the storage path —
+    // neither may change the answer of a LOSSLESS join
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(150)
+    val words = split($"text", " ")
+    val keep = greatest(ceil(size(words) *
+        (lit(0.5) + ($"doc_id" % 10).cast("double") * lit(0.05))).cast("int"), lit(3))
+    val probes = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 20000000L).as("doc_id"),
+        array_join(slice(words, lit(1), keep), " ").as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("setsim_idx").toString + "/idx"
+    graft.ops.Dedup.writeSetSimIndex(docs, "doc_id", "text", idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = rows(graft.ops.Dedup.setSimJoinExactRS(
+      probes, docs, "doc_id", "text", 7, 10))
+    val indexed = rows(graft.ops.Dedup.setSimAgainstIndex(
+      probes, "doc_id", "text", idx, docs, 7, 10))
+    assert(direct.nonEmpty, "fixture produced no qualifying pairs")
+    assert(indexed == direct,
+      s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
+  }
+
   test("q_setsim_vs_lsh: exact tier dominates LSH on the same measure") {
     // invariants the pricing table must satisfy by construction: the
     // exact join can never find FEWER pairs than LSH recovers (recovered
