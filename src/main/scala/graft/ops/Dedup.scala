@@ -833,6 +833,32 @@ object Dedup {
     ()
   }
 
+  /** Append a new batch's ordered token lists to an existing prefix
+    * index (after the batch is accepted into the corpus) — the
+    * [[appendToBandIndex]] counterpart. The batch's tokens order by the
+    * STORED frequency snapshot (unseen tokens at cnt 0, the
+    * [[setSimAgainstIndex]] probe rule): the canonical order is FROZEN
+    * at [[writeSetSimIndex]] time, which completeness permits — the
+    * prefix principle needs a shared total order, not an accurate one;
+    * only PRUNING quality decays as true frequencies drift from the
+    * snapshot, so a corpus that grows severalfold re-freezes with a
+    * rebuild (stage-and-swap keeps the old index serving meanwhile).
+    */
+  def appendToSetSimIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                          path: String, n: Int = 3): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
+    val freq = spark.read.parquet(s"$path/freq")
+    val tok = setSimTok(newDocs, idCol, textCol, n)
+    tok.join(freq, Seq("tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
+      .select(col("tok"), col("id"), col("s"), col("pos"))
+      .write.mode("append").parquet(s"$path/tokens")
+  }
+
   /** EXACT decontamination of a probe set against the corpus behind a
     * persisted prefix index ([[writeSetSimIndex]]): every (probe, doc)
     * pair with shingle-set Jaccard ≥ num/den, no miss probability, no

@@ -1297,6 +1297,40 @@ class ExtensionsSpec extends SparkSpec {
       s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
   }
 
+  test("setSim index append: frozen-order batches serve losslessly") {
+    // the order is FROZEN at build time; an appended batch (whose true
+    // frequencies the snapshot has never seen) must still decontaminate
+    // exactly — the shared-total-order argument, exercised end to end
+    val all = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(150)
+    val base = all.filter($"doc_id" % 3 =!= 0)
+    val batch = all.filter($"doc_id" % 3 === 0)
+    val words = split($"text", " ")
+    val keep = greatest(ceil(size(words) *
+        (lit(0.5) + ($"doc_id" % 10).cast("double") * lit(0.05))).cast("int"), lit(3))
+    val probes = all.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 20000000L).as("doc_id"),
+        array_join(slice(words, lit(1), keep), " ").as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("setsim_idx_app").toString + "/idx"
+    graft.ops.Dedup.writeSetSimIndex(base, "doc_id", "text", idx)
+    graft.ops.Dedup.appendToSetSimIndex(batch, "doc_id", "text", idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = rows(graft.ops.Dedup.setSimJoinExactRS(
+      probes, all, "doc_id", "text", 7, 10))
+    val indexed = rows(graft.ops.Dedup.setSimAgainstIndex(
+      probes, "doc_id", "text", idx, all, 7, 10))
+    assert(direct.nonEmpty, "fixture produced no qualifying pairs")
+    // sanity: some qualifying pairs involve APPENDED docs, or the test
+    // proves nothing about the frozen-order batch path
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(direct.exists { case (_, b, _) => batchIds.contains(b) },
+      "no qualifying pair touches the appended batch")
+    assert(indexed == direct,
+      s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
+  }
+
   test("q_setsim_vs_lsh: exact tier dominates LSH on the same measure") {
     // invariants the pricing table must satisfy by construction: the
     // exact join can never find FEWER pairs than LSH recovers (recovered

@@ -842,6 +842,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), "md5 inverse-CDF sampling fell back to a UDF")
   }
 
+  test("setsim index probe: broadcast prefixes, stored rows never pre-shuffled") {
+    // the index form's scale contract mirrors the direct R-S join's:
+    // probe prefixes broadcast; the stored token rows are scanned and
+    // filtered, never cartesian'd
+    val p = plan("q_setsim_index")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe prefix side lost its broadcast hint")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on the shared token")
+  }
+
   test("setsim decontamination: the probe prefix side broadcasts into the candidate join") {
     // the R-S join's scale contract: the eval-suite side is small, so
     // its prefix table must BROADCAST — the corpus side is scanned, not
