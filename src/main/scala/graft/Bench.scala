@@ -196,22 +196,27 @@ object Bench {
   private[graft] val RegimeMaxDrift = 3.0
 
   /** Whether this clean-but-refused run re-qualifies the comparison
-    * record as a regime shift. `history` is (total, drift, accepted, n)
-    * per prior session at this sf, oldest → newest; the streak counts
-    * backwards from the latest and BREAKS on any accepted session (the
-    * record was fresh then), any contaminated one, or a different
-    * query-surface size (totals are not comparable across n). Pure —
-    * BenchPolicySpec pins the policy.
+    * record as a regime shift. `history` is (total, drift, accepted, n,
+    * nFailed) per prior session at this sf, oldest → newest; the streak
+    * counts backwards from the latest and BREAKS on any accepted session
+    * (the record was fresh then), any contaminated one, a different
+    * query-surface size (totals are not comparable across n), or an
+    * ERRORED session (nFailed > 0: its total omits the failed queries'
+    * samples, so it is a deflated non-comparable figure — r17 ledger
+    * lines predate the marker and parse as nFailed 0, which matches
+    * what they were: full clean runs). Pure — BenchPolicySpec pins the
+    * policy.
     */
   private[graft] def regimeShiftAdopt(curTotal: Double, curDrift: Double,
-      curN: Int, history: Seq[(Double, Double, Boolean, Int)],
+      curN: Int, history: Seq[(Double, Double, Boolean, Int, Int)],
       minSessions: Int = RegimeMinSessions,
       band: Double = RegimeAgreeBand,
       maxDrift: Double = RegimeMaxDrift): Boolean =
     if (curDrift > maxDrift || curTotal <= 0.0) false
     else {
       val streak = history.reverse
-        .takeWhile { case (_, d, acc, n) => !acc && d <= maxDrift && n == curN }
+        .takeWhile { case (_, d, acc, n, nf) =>
+          !acc && d <= maxDrift && n == curN && nf == 0 }
         .take(minSessions - 1)
       val totals = curTotal +: streak.map(_._1)
       totals.size >= minSessions && totals.max <= totals.min * (1.0 + band)
@@ -242,7 +247,22 @@ object Bench {
                                     prevSfMatches: Option[Boolean],
                                     sfDir: String): Boolean =
     !anyError && canaryDrift <= RecordAcceptDrift &&
-      (prevSfMatches != Some(false) || sfDir == DefaultSfDir)
+      sfRuleOk(prevSfMatches, sfDir)
+
+  /** The sf-dir record rule, shared by [[acceptAsRecord]] AND the
+    * regime-adoption path: a run at a different sf than the stored
+    * record leaves the record alone, except at the canonical sf (which
+    * may reclaim a stale record a smoke run seeded when none existed).
+    * Extracted because r17 shipped it only on the accept gate — a clean
+    * low-drift smoke run at a non-canonical sf was refused ONLY for the
+    * sf mismatch, logged to the ledger as refused-but-sane, and after
+    * RegimeMinSessions agreeing smoke sessions the regime path would
+    * overwrite the canonical record: exactly the clobbering the rule
+    * exists to prevent.
+    */
+  private[graft] def sfRuleOk(prevSfMatches: Option[Boolean],
+                              sfDir: String): Boolean =
+    prevSfMatches != Some(false) || sfDir == DefaultSfDir
 
   /** Quarantine for the scaling section's superlinear flags (pure, so
     * BenchPolicySpec pins the policy): EVERY flag must REPRODUCE in a
@@ -275,6 +295,60 @@ object Bench {
         flagged.partition(n => fresh(n).exists(_ > threshold))
       (upheld, suspect, fresh)
     }
+
+  /** A query whose superlinear scale ratio is a DECLARED algorithm
+    * switch, not a regression: `t1` prices one algorithm and `tF` a
+    * deliberately different one, so the ratio measures the switch, not
+    * the operator's exponent. `baseRatio` is the measured ratio at
+    * `baseFactor`; a sampled ratio within `slack ×` the linearly-scaled
+    * band reads as the documented switch, while a ratio LEAVING the band
+    * is a real regression and takes the normal quarantine → superlinear
+    * path — so the recurring expected flag can no longer camouflage an
+    * actual one (r17 "what's wrong" #1).
+    */
+  private[graft] case class DeclaredSwitch(note: String, baseFactor: Int,
+                                           baseRatio: Double,
+                                           slack: Double = 1.5)
+
+  /** q_salted_join: at 1× the small side broadcasts (Scale.saltedJoin
+    * never prices the salted path), at ×F the documented broadcast →
+    * salted switch engages — ×8 ratio measured 19.9–21.1 across r11–r17
+    * sessions; the ENGAGED path's own ×64→×256 exponent is sublinear
+    * (2.79× time for 4× data, SCALING256_TIER2.json).
+    */
+  private[graft] val DeclaredSwitches: Map[String, DeclaredSwitch] = Map(
+    "q_salted_join" -> DeclaredSwitch(
+      "documented broadcast->salted algorithm switch (Scale.saltedJoin): " +
+        "t1 prices the broadcast path, tF the engaged salted path; " +
+        "engaged-path x64->x256 exponent sublinear (2.79x time for 4x " +
+        "data, SCALING256_TIER2)", baseFactor = 8, baseRatio = 21.1))
+
+  /** Max in-band ratio for a declared switch at `factor`: the measured
+    * base ratio scaled LINEARLY to the sampled factor (generous — the
+    * engaged path is sublinear, so a real regression still leaves the
+    * band) times the slack. None for queries with no declared switch.
+    */
+  private[graft] def declaredSwitchAllowed(name: String,
+                                           factor: Int): Option[Double] =
+    DeclaredSwitches.get(name).map(s =>
+      s.baseRatio * s.slack * (factor.toDouble / s.baseFactor))
+
+  /** Split the in-session scale flags: declared-switch queries whose
+    * ratio sits inside their measured band are published under
+    * `declared_switch` WITHOUT paying fresh-session quarantine (the
+    * expected behavior needs no reproduction); everything else —
+    * including a declared-switch query whose ratio LEFT its band —
+    * takes the normal quarantine path. Pure; BenchPolicySpec pins it.
+    */
+  private[graft] def splitDeclaredSwitches(flagged: Seq[(String, Double)],
+                                           factor: Int)
+    : (Seq[String], Seq[(String, Double, Double)]) = {
+    val (declared, normal) = flagged.partition { case (n, r) =>
+      declaredSwitchAllowed(n, factor).exists(r <= _) }
+    (normal.map(_._1),
+      declared.map { case (n, r) =>
+        (n, r, declaredSwitchAllowed(n, factor).get) })
+  }
 
   /** The compact last-line summary the driver's tail parser reads: same
     * schema head as the full record (metric/value/unit/queries/sf) with
@@ -493,7 +567,7 @@ object Bench {
     def boolField(txt: String, k: String): Option[Boolean] =
       (s""""$k"\\s*:\\s*(true|false)""").r
         .findFirstMatchIn(txt).map(_.group(1) == "true")
-    val history: Seq[(Double, Double, Boolean, Int)] =
+    val history: Seq[(Double, Double, Boolean, Int, Int)] =
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(java.nio.file.Paths.get(histPath))
@@ -504,7 +578,10 @@ object Bench {
             for {
               t <- numField(ln, "total"); d <- numField(ln, "drift")
               a <- boolField(ln, "accepted"); n <- numField(ln, "n")
-            } yield (t, d, a, n.toInt)
+              // pre-r18 lines predate the error marker and were full
+              // clean runs — missing n_failed reads as 0
+            } yield (t, d, a, n.toInt,
+              numField(ln, "n_failed").map(_.toInt).getOrElse(0))
           }
       } catch { case _: Throwable => Seq.empty }
 
@@ -635,8 +712,12 @@ object Bench {
             case None => f"""{"t1":$t1%.4f,"tf":null,"ratio":null}"""
           })
         }.mkString("{", ",", "}")
-        val flagged = entries.collect {
-          case (n, t1, Some(tF)) if tF / t1 > 1.3 * scaleFactor => n }
+        val flaggedAll = entries.collect {
+          case (n, t1, Some(tF)) if tF / t1 > 1.3 * scaleFactor => (n, tF / t1) }
+        // declared algorithm switches (see DeclaredSwitches): in-band
+        // ratios publish as annotation, not flag, and skip quarantine
+        val (flagged, declaredOk) =
+          splitDeclaredSwitches(flaggedAll, scaleFactor)
         // fresh-context reproduction, engaged by quarantineFlags for
         // EVERY flag (accepted sessions included since r14 — the r13
         // accepted session published ×8 flags physically inconsistent
@@ -687,11 +768,21 @@ object Bench {
             }.mkString("{", ",", "}")
             s""","fresh_repro":$fr"""
           }
+        val declaredJson =
+          if (declaredOk.isEmpty) ""
+          else {
+            val dj = declaredOk.sortBy(_._1).map { case (n, r, allowed) =>
+              jsonStr(n) + ":" +
+                f"""{"ratio":$r%.3f,"allowed":$allowed%.3f,""" +
+                s""""note":${jsonStr(DeclaredSwitches(n).note)}}"""
+            }.mkString("{", ",", "}")
+            s""","declared_switch":$dj"""
+          }
         Some(s"""{"factor":$scaleFactor,"queries":$qjson,""" +
           s""""session_accepted":$accepted,""" +
           s""""superlinear":${upheld.map(jsonStr).mkString("[", ",", "]")},""" +
           s""""suspect_contention":${suspect.map(jsonStr).mkString("[", ",", "]")}""" +
-          freshJson + "}")
+          freshJson + declaredJson + "}")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] scaling section failed: $e"); None
@@ -714,7 +805,11 @@ object Bench {
     // re-qualify the record when it agrees with the trailing refused
     // sessions, because sustained cross-session agreement is a regime,
     // not contention.
+    // sfRuleOk gates regime adoption too: sustained agreement among
+    // smoke runs at a NON-canonical sf is a regime of the wrong
+    // experiment — it must not clobber the canonical record
     val regimeAdopted = !accepted && results.forall(_._3.isEmpty) &&
+      sfRuleOk(prevSfMatches, sfDir) &&
       regimeShiftAdopt(total, canaryDrift, results.size, history)
 
     // machine regime probe: this run's canary median, the record's, and
@@ -759,6 +854,29 @@ object Bench {
         s""""cooldown_retried":$cooldownRetried,""" +
         s""""contaminated":${canaryDrift > 3.0}}"""
 
+    // accepted-sibling pointer (r17 "what's wrong" #2): when a session
+    // is ACCEPTED (or regime-adopted) its full record is also written
+    // aside to bench_accepted.json; a later refused run's artifact then
+    // carries a machine-readable pointer to the accepted sibling, so a
+    // committed round artifact that happens to be a refused sample still
+    // names the accepted figures from the same box instead of reading as
+    // the round's only truth.
+    val acceptedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACCEPTED",
+      "bench_accepted.json")
+    val acceptedSibling: String =
+      if (accepted || regimeAdopted) "null" // this run IS the accepted one
+      else try {
+        val p = java.nio.file.Paths.get(acceptedPath)
+        val txt = java.nio.file.Files.readString(p)
+        val sfOfSib = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        numField(txt, "value").map { v =>
+          s"""{"path":${jsonStr(acceptedPath)},"total":${f"$v%.3f"},""" +
+            s""""sf":${jsonStr(sfOfSib)},""" +
+            s""""mtime_ms":${java.nio.file.Files.getLastModifiedTime(p).toMillis}}"""
+        }.getOrElse("null")
+      } catch { case _: Throwable => "null" }
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
@@ -767,6 +885,7 @@ object Bench {
         s""""settled":${settledQueries.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""accepted_as_record":$accepted,""" +
         s""""regime_shift":$regimeAdopted,"machine":$machineJson,""" +
+        s""""accepted_sibling":$acceptedSibling,""" +
         s""""scaling":${scaling.getOrElse("null")}}"""
 
     // grep-stable tagged copy FIRST (r7 driver records had "parsed": null
@@ -782,6 +901,13 @@ object Bench {
     // behind — see acceptAsRecord for the full rule. A rejected run still
     // wrote bench_out.json above (the round's figures stay visible); it
     // just doesn't become the baseline.
+    // the accepted-sibling aside (see acceptedSibling above): every
+    // accepted/adopted session leaves its full record at acceptedPath
+    if (accepted || regimeAdopted)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(acceptedPath), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] accepted-sibling write failed: $e") }
     if (accepted)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(prevPath), line + "\n")
     else if (regimeAdopted) {
@@ -802,7 +928,7 @@ object Bench {
     // fresh record). Append-only; never fails the bench.
     try {
       val entry = s"""{"ts":${System.currentTimeMillis()},"sf":${jsonStr(sfDir)},""" +
-        s""""n":${results.size},"total":${f"$total%.3f"},""" +
+        s""""n":${results.size},"n_failed":${failed.size},"total":${f"$total%.3f"},""" +
         s""""drift":${f"$canaryDrift%.3f"},"accepted":${accepted || regimeAdopted}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(histPath),
         entry + "\n",

@@ -87,6 +87,13 @@ object SparkEntry {
     // manifest — scale-proven in r15 but previously tracked only by
     // scaling re-runs, so a serving-path regression would have missed
     // the round-over-round gate
-    "q_pq_full_stack", "q_shard_manifest"
+    "q_pq_full_stack", "q_shard_manifest",
+    // r18: the lossless set-similarity tier (r17's exact self-join,
+    // the R-S decontamination shape, and the persisted prefix index) —
+    // among the heaviest recommended-path operators in the suite
+    // (smoke t1 ~4.9/2.7/4.1 s), previously visible only to the sf0.01
+    // smoke ledger, so a regression on the exact tier would have
+    // missed the round-over-round record entirely
+    "q_setsim_join", "q_setsim_decontaminate", "q_setsim_index"
   ).filter(queries.contains)
 }

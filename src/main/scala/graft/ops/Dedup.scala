@@ -70,6 +70,31 @@ object Dedup {
       result
     } finally intermediates.foreach(_.unpersist(blocking = false))
 
+  /** [[eagerlyWith]] for INDEX-PROBING operators: the materialized
+    * result lives OUTSIDE the cache manager (`localCheckpoint`, eager),
+    * with lineage severed. These operators are called repeatedly in a
+    * long-lived session with the SAME logical plan over GROWING storage,
+    * and Spark's cached-plan lookup matches file relations by ROOT PATH
+    * (`InMemoryFileIndex.equals` compares rootPaths only) — so a
+    * persisted result from probe N is served VERBATIM to probe N+1 even
+    * after an append added the very document the probe asks about
+    * (observed: a probe before a batch commit cached its empty answer
+    * and the identical probe after the commit read the stale cache;
+    * `refreshByPath` recaching doesn't help because the re-executed
+    * cached plan still holds the old corpus-side file index).
+    * Checkpointed rows can't be confused with a future invocation's
+    * plan, and the caller's terminal action reads the materialized rows
+    * with no recompute.
+    */
+  private[graft] def eagerlyDetachedWith(result: DataFrame,
+                                         afterAction: () => Unit,
+                                         intermediates: DataFrame*): DataFrame =
+    try {
+      val out = result.localCheckpoint(true)
+      afterAction()
+      out
+    } finally intermediates.foreach(_.unpersist(blocking = false))
+
   /** Keep only rows whose `keys` bucket holds <= `maxBucket` rows, and
     * record what was dropped in [[CapMetrics]] — the shared super-bucket
     * guard of every banded near-dup pipeline.
@@ -479,6 +504,41 @@ object Dedup {
     eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
   }
 
+  /** [[nearDupPairs]]' pipeline with the RAW intersection/union counts
+    * (id_a, id_b, inter, uni) instead of the double jaccard, gated by
+    * the same INTEGER rule the exact tier verifies with
+    * (`den·|A∩B| ≥ num·|A∪B|`). Exists so the tier-pricing comparison
+    * (q_setsim_vs_lsh) counts LSH-recovered pairs with bit-identical
+    * gating to [[setSimJoinExact]]'s pairs: a double `jaccard ≥ t`
+    * re-filter of [[nearDupPairs]] output could, at a ratio in the IEEE
+    * representation gap just below the rational threshold, round into
+    * passing while the integer gate refuses — breaking the
+    * `recovered ≤ exact` invariant the pricing table pins. Carrying the
+    * LONG counts through keeps every downstream threshold cut exact.
+    */
+  def nearDupPairCounts(docs: DataFrame, idCol: String, textCol: String,
+                        num: Int, den: Int, k: Int = 6, bandRows: Int = 2,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need a threshold in (0, 1]: got $num/$den")
+    val sig = minhashSignatureNarrow(docs, idCol, textCol, k = k).persist(Disk)
+    val (cand, counts, recordCap) =
+      lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
+    val pairs = cand.persist(Disk)
+    val txt = candidateTexts(docs, idCol, textCol, pairs)
+    val result = pairs
+      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ShingleOverlap(col("__ta"), col("__tb"), 3).as("__ov"))
+      .select(col("id_a"), col("id_b"),
+        element_at(col("__ov"), 1).as("inter"),
+        (element_at(col("__ov"), 2) + element_at(col("__ov"), 3) -
+          element_at(col("__ov"), 1)).as("uni"))
+      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("uni"))
+    eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
+  }
+
   /** EXACT set-similarity self-join — every pair with Jaccard ≥
     * num/den over DISTINCT word n-gram shingle sets, with NO miss
     * probability — via the AllPairs/PPJoin prefix filter (Bayardo et
@@ -734,7 +794,8 @@ object Dedup {
     */
   private def setSimVerify(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
                            idCol: String, textCol: String,
-                           num: Int, den: Int, n: Int): DataFrame = {
+                           num: Int, den: Int, n: Int,
+                           detach: Boolean = false): DataFrame = {
     val pairs = cand.select(col("id_a"), col("id_b")).persist(Disk)
     def sideTexts(df: DataFrame, ids: DataFrame): DataFrame =
       df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
@@ -754,7 +815,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6)
           .as("jaccard"))
-    eagerly(result, pairs)
+    // detach = the index-probing caller (setSimAgainstIndex): see
+    // eagerlyDetachedWith for why its results must not enter the cache
+    if (detach) eagerlyDetachedWith(result, () => (), pairs)
+    else eagerly(result, pairs)
   }
 
   /** Texts of just the candidate-pair documents: ONE corpus scan (a
@@ -848,6 +912,9 @@ object Dedup {
                           path: String, n: Int = 3): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
+    // a re-freeze by another session replaces freq/ wholesale — never
+    // order an append by a stale cached listing of it
+    spark.catalog.refreshByPath(s"$path/freq")
     val freq = spark.read.parquet(s"$path/freq")
     val tok = setSimTok(newDocs, idCol, textCol, n)
     tok.join(freq, Seq("tok"), "left")
@@ -879,6 +946,12 @@ object Dedup {
       s"need a threshold in (0, 1]: got $num/$den")
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
+    // drop any cached file listing for the index first: appends land
+    // through OTHER sessions (a stream's micro-batch clone writes via
+    // its own session, which refreshes only its own FileStatusCache) —
+    // without this, a session that probed once keeps serving the stale
+    // listing and silently misses every later-appended document
+    spark.catalog.refreshByPath(s"$indexPath/tokens")
     val idxTok = spark.read.parquet(s"$indexPath/tokens")
     val freq = spark.read.parquet(s"$indexPath/freq")
     val tokA = setSimTok(probes, idCol, textCol, n)
@@ -906,7 +979,108 @@ object Dedup {
         lit(num.toLong) * (col("s_a") + col("s_b")))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
-    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n)
+    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n,
+      detach = true)
+  }
+
+  /** Drift gauge for the FROZEN canonical order of a set-sim prefix
+    * index ([[writeSetSimIndex]] / [[appendToSetSimIndex]]): the
+    * decision signal for WHEN to re-freeze. Appends order by the stored
+    * frequency snapshot, which never costs correctness (completeness
+    * needs only a shared total order — spec-pinned) but decays PRUNING
+    * quality as true frequencies drift: the canonical failure mode is
+    * post-freeze boilerplate — tokens the snapshot has never seen (cnt
+    * 0 ⇒ "rarest" ⇒ in every appended doc's prefix) that are actually
+    * the new corpus's most COMMON, flooding prefix buckets that a
+    * re-frozen order would exclude. Two index-resident measurements, no
+    * corpus re-read:
+    *
+    *  1. `rank_corr` — Spearman rank correlation between the stored
+    *     snapshot counts and fresh counts (recounted from the stored
+    *     token lists themselves), over the index's token vocabulary;
+    *     ties broken by token, so ranks are a total order both engines
+    *     share and Σd² is INTEGER-exact. Runs on the vocabulary (orders
+    *     of magnitude below corpus scale); at extreme vocabularies
+    *     `vocabMod` samples tokens by md5 (deterministic, replayable) —
+    *     Spearman on a uniform subset is the standard estimator.
+    *  2. `cand_mass_stored` vs `cand_mass_refrozen` — the prefix
+    *     self-join's candidate-pair count Σ_tok C(p_tok, 2) at the
+    *     num/den threshold, under the stored positions vs positions
+    *     recomputed from fresh counts, over docs sampled by
+    *     `id % sampleMod == 0` (deterministic). This is the quantity
+    *     pruning quality IS: the ratio says how many extra candidate
+    *     pairs the stale order generates versus what a rebuild buys.
+    *
+    * `refreeze` trips when stored mass exceeds `massFactor ×` the
+    * re-frozen mass, or rank correlation falls below
+    * `corrBarNum/corrBarDen` — both compared in exact integer/decimal
+    * arithmetic (the corr gate `6·corrBarDen·Σd² > (corrBarDen −
+    * corrBarNum)·n(n²−1)` in DECIMAL(38,0), so no float boundary can
+    * disagree between engines). Output is ONE row; the signal feeds
+    * [[graft.streaming.Streams.refreezeSetSimIndex]], whose
+    * stage-and-swap keeps the old order serving until the new one
+    * commits.
+    */
+  def setSimIndexDrift(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, num: Int, den: Int,
+                       sampleMod: Long = 16, vocabMod: Long = 1,
+                       massFactor: Long = 2,
+                       corrBarNum: Long = 4, corrBarDen: Long = 5): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need a threshold in (0, 1]: got $num/$den")
+    require(sampleMod >= 1 && vocabMod >= 1 && massFactor >= 1 &&
+      corrBarNum >= 0 && corrBarDen > corrBarNum,
+      "need sampleMod/vocabMod/massFactor >= 1 and a corr bar in [0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    // same stale-listing guard as setSimAgainstIndex: the gauge must see
+    // every appended batch or it under-reports drift
+    spark.catalog.refreshByPath(s"$indexPath/tokens")
+    val tokAll = spark.read.parquet(s"$indexPath/tokens")
+    val storedFreq = spark.read.parquet(s"$indexPath/freq")
+    val fresh = tokAll.groupBy("tok").agg(count(lit(1)).as("fcnt"))
+    // vocabulary = every token the index has seen; frozen-unseen tokens
+    // carry stored cnt 0 (exactly how appends ordered them)
+    val vocab = fresh.join(storedFreq, Seq("tok"), "left")
+      .withColumn("scnt", coalesce(col("cnt"), lit(0L)))
+      .filter(pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast(LongType), lit(vocabMod)) === 0)
+    val ranked = vocab.select(
+      row_number().over(Window.orderBy(col("scnt"), col("tok"))).as("rs"),
+      row_number().over(Window.orderBy(col("fcnt"), col("tok"))).as("rf"))
+    val dd = col("rs").cast(LongType) - col("rf").cast(LongType)
+    val ra = ranked.agg(count(lit(1)).as("n"),
+      coalesce(sum((dd * dd).cast(dec)), lit(0).cast(dec)).as("s2"))
+    // sampled docs' stored rows: pos/s are the frozen positions as
+    // persisted; the re-frozen comparison recomputes pos from fresh
+    // counts over the SAME rows (each sampled doc's token list is
+    // complete in the index, so the per-doc window is exact)
+    val samp = tokAll.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val cut = expr(s"s - ($num * s + ${den - 1}) DIV $den + 1")
+    def mass(pref: DataFrame, out: String): DataFrame =
+      pref.groupBy("tok").agg(count(lit(1)).as("p"))
+        .agg(coalesce(sum((col("p").cast(dec) * (col("p").cast(dec) - 1) /
+          2).cast(dec)), lit(0).cast(dec)).as(out))
+    val mS = mass(samp.filter(col("pos") <= cut), "ms")
+    val mF = mass(samp.join(fresh, Seq("tok"))
+      .withColumn("pos2",
+        row_number().over(Window.partitionBy("id").orderBy(col("fcnt"), col("tok"))))
+      .filter(col("pos2") <= cut), "mf")
+    val nD = col("n").cast(dec)
+    val bigD = nD * nD * nD - nD // n(n²−1), exact in decimal
+    ra.crossJoin(mS).crossJoin(mF)
+      .select(
+        col("n").as("n_tokens"),
+        when(col("n") < 2, lit(1.0)).otherwise(
+          round(lit(1.0) - (lit(6.0) * col("s2").cast("double")) /
+            bigD.cast("double"), 6)).as("rank_corr"),
+        col("ms").cast(LongType).as("cand_mass_stored"),
+        col("mf").cast(LongType).as("cand_mass_refrozen"),
+        (col("ms") > lit(massFactor).cast(dec) * col("mf") ||
+          (col("n") >= 2 &&
+            lit(6L * corrBarDen).cast(dec) * col("s2") >
+              lit(corrBarDen - corrBarNum).cast(dec) * bigD))
+          .as("refreeze"))
   }
 
   /** Near-dup pairs between a NEW batch and the historical corpus behind
@@ -927,6 +1101,9 @@ object Dedup {
                            bandRows: Int = 2,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = newDocs.sparkSession
+    // same stale-listing guard as setSimAgainstIndex: band appends from
+    // a stream's micro-batch session don't refresh THIS session's cache
+    spark.catalog.refreshByPath(indexPath)
     val newBands = lshBands(
       minhashSignatureNarrow(newDocs, idCol, textCol, k = k), k, bandRows)
     val (oldBounded, counts, recordCap) = capByKey(spark.read.parquet(indexPath),
@@ -950,7 +1127,7 @@ object Dedup {
       .select(col("id_new"), col("id_old"),
         graft.functions.ShingleJaccard(col("__tn"), col("__to"), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    eagerlyWith(result, recordCap, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
+    eagerlyDetachedWith(result, recordCap, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
   }
 
   /** All-pairs EXACT n-gram Jaccard at `threshold`, via prefix filtering

@@ -2001,8 +2001,13 @@ object Extensions {
         val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
           array_join(slice(words, lit(1), keep), " ").as("text"))
         val corpus = docs.unionAll(twins)
-        val lshVer = Dedup.nearDupPairs(corpus, "doc_id", "text",
-            threshold = 0.7).select(col("jaccard"))
+        // LSH-recovered pairs carry LONG inter/uni counts so every
+        // threshold cut below uses the SAME integer gate as the exact
+        // tier (den·inter ≥ num·uni) — a double `jaccard >= t` re-filter
+        // could round a representation-gap ratio into passing and break
+        // the pinned recovered ≤ exact invariant (r17 ADVICE)
+        val lshVer = Dedup.nearDupPairCounts(corpus, "doc_id", "text",
+            num = 7, den = 10).select(col("inter"), col("uni"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val lshCandN = Dedup.lshCandidates(Dedup.lshBands(
           Dedup.minhashSignatureNarrow(corpus, "doc_id", "text"))).count()
@@ -2010,8 +2015,11 @@ object Extensions {
         val exact = Dedup.setSimExactCounts(corpus, "doc_id", "text",
           thresholds.map { case (_, num, den) => (num, den) })
         val rows = thresholds.zip(exact).map {
-          case ((t, _, _), (_, _, nCand, nPairs)) =>
-            (t, nPairs, lshVer.filter(col("jaccard") >= t).count(), nCand, lshCandN)
+          case ((t, nm, dn), (_, _, nCand, nPairs)) =>
+            (t, nPairs,
+              lshVer.filter(lit(dn.toLong) * col("inter") >=
+                lit(nm.toLong) * col("uni")).count(),
+              nCand, lshCandN)
         }
         lshVer.unpersist(blocking = false)
         rows.toDF("threshold", "exact_pairs", "lsh_recovered",
@@ -2065,15 +2073,15 @@ object Extensions {
              |ex9 AS (SELECT c.id_a FROM cand9 c JOIN i9 USING (id_a, id_b)
              |WHERE 10 * inter >= 9 * (c.s_a + c.s_b - inter)),
              |${lshPairsCtesOver("corpus")},
-             |lv AS (SELECT CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |lv AS (SELECT i, sa.n + sb.n - i AS u
              |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id),
              |s7 AS (SELECT CAST(0.7 AS DOUBLE) AS threshold,
              |(SELECT count(*) FROM ex7) AS exact_pairs,
-             |(SELECT count(*) FROM lv WHERE j >= CAST(0.7 AS DOUBLE)) AS lsh_recovered,
+             |(SELECT count(*) FROM lv WHERE 10 * i >= 7 * u) AS lsh_recovered,
              |(SELECT count(*) FROM cand7) AS exact_candidates),
              |s9 AS (SELECT CAST(0.9 AS DOUBLE) AS threshold,
              |(SELECT count(*) FROM ex9) AS exact_pairs,
-             |(SELECT count(*) FROM lv WHERE j >= CAST(0.9 AS DOUBLE)) AS lsh_recovered,
+             |(SELECT count(*) FROM lv WHERE 10 * i >= 9 * u) AS lsh_recovered,
              |(SELECT count(*) FROM cand9) AS exact_candidates),
              |lc AS (SELECT count(*) AS lsh_candidates FROM cand)
              |SELECT threshold, CAST(exact_pairs AS BIGINT) AS exact_pairs,
@@ -2085,6 +2093,75 @@ object Extensions {
              |CAST((SELECT lsh_candidates FROM lc) AS BIGINT) AS lsh_candidates
              |FROM (SELECT * FROM s7 UNION ALL SELECT * FROM s9) u
              |ORDER BY threshold""".stripMargin.replace("\n", " "))),
+
+    // The frozen canonical order's DRIFT GAUGE (Dedup.setSimIndexDrift):
+    // appendToSetSimIndex keeps losslessness under the stored frequency
+    // snapshot (spec-pinned), but pruning quality decays as true
+    // frequencies drift — and nothing measured WHEN until now. The
+    // fixture manufactures the canonical failure mode: a post-freeze
+    // batch carrying shared boilerplate the snapshot has never seen
+    // (stored cnt 0 ⇒ "rarest" ⇒ in every appended doc's prefix, while
+    // actually the new corpus's most COMMON tokens) — so the stored
+    // order's candidate mass blows past the re-frozen order's and the
+    // re-freeze signal trips. Both legs are index-resident (fresh
+    // counts recounted from the stored token lists, no corpus re-read);
+    // the Spearman leg runs on the vocabulary, the mass legs on docs
+    // sampled by id % 4. All gating is integer/decimal-exact; the
+    // oracle replays freeze + append + gauge from the raw tables.
+    Q("q_setsim_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val idx = Fixtures.dir("setsim_drift_idx", d)
+        Dedup.writeSetSimIndex(docs, "doc_id", "text", idx)
+        val drifted = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(lit("the quick brown fox jumps over the lazy dog and then "),
+              col("text")).as("text"))
+        Dedup.appendToSetSimIndex(drifted, "doc_id", "text", idx)
+        Dedup.setSimIndexDrift(s, idx, num = 7, den = 10, sampleMod = 4)
+      },
+      Some("""WITH drift AS (SELECT doc_id + 30000000 AS doc_id,
+             |'the quick brown fox jumps over the lazy dog and then ' || text AS text
+             |FROM documents WHERE doc_id % 3 = 0),
+             |tok0 AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             |tokd AS (SELECT DISTINCT id, tok FROM
+             |(SELECT doc_id AS id, unnest(list_transform(range(1, len(w) - 1),
+             |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM drift))),
+             |sfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS scnt FROM tok0 GROUP BY tok),
+             |toka AS (SELECT id, tok FROM tok0 UNION ALL SELECT id, tok FROM tokd),
+             |fresh AS (SELECT tok, CAST(count(*) AS BIGINT) AS fcnt FROM toka GROUP BY tok),
+             |vocab AS (SELECT f.tok, f.fcnt, coalesce(s.scnt, 0) AS scnt
+             |FROM fresh f LEFT JOIN sfreq s USING (tok)),
+             |ranked AS (SELECT row_number() OVER (ORDER BY scnt, tok) AS rs,
+             |row_number() OVER (ORDER BY fcnt, tok) AS rf FROM vocab),
+             |ra AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |coalesce(CAST(sum(CAST(rs - rf AS BIGINT) * CAST(rs - rf AS BIGINT)) AS HUGEINT),
+             |CAST(0 AS HUGEINT)) AS s2 FROM ranked),
+             |sized AS (SELECT t.id, t.tok, f.fcnt,
+             |row_number() OVER (PARTITION BY t.id ORDER BY coalesce(s.scnt, 0), t.tok) AS pos,
+             |row_number() OVER (PARTITION BY t.id ORDER BY f.fcnt, t.tok) AS pos2,
+             |count(*) OVER (PARTITION BY t.id) AS s
+             |FROM toka t LEFT JOIN sfreq s USING (tok) JOIN fresh f USING (tok)
+             |WHERE t.id % 4 = 0),
+             |ms AS (SELECT coalesce(CAST(sum(CAST(p AS HUGEINT) * (p - 1) // 2) AS HUGEINT),
+             |CAST(0 AS HUGEINT)) AS m FROM
+             |(SELECT count(*) AS p FROM sized WHERE pos <= s - (7 * s + 9) // 10 + 1 GROUP BY tok)),
+             |mf AS (SELECT coalesce(CAST(sum(CAST(p AS HUGEINT) * (p - 1) // 2) AS HUGEINT),
+             |CAST(0 AS HUGEINT)) AS m FROM
+             |(SELECT count(*) AS p FROM sized WHERE pos2 <= s - (7 * s + 9) // 10 + 1 GROUP BY tok))
+             |SELECT ra.n AS n_tokens,
+             |CASE WHEN ra.n < 2 THEN 1.0
+             |ELSE round(1.0 - 6.0 * CAST(ra.s2 AS DOUBLE) /
+             |CAST(CAST(ra.n AS HUGEINT) * ra.n * ra.n - ra.n AS DOUBLE), 6) END AS rank_corr,
+             |CAST(ms.m AS BIGINT) AS cand_mass_stored,
+             |CAST(mf.m AS BIGINT) AS cand_mass_refrozen,
+             |(ms.m > 2 * mf.m OR (ra.n >= 2 AND 30 * ra.s2 >
+             |CAST(ra.n AS HUGEINT) * ra.n * ra.n - ra.n)) AS refreeze
+             |FROM ra, ms, mf""".stripMargin.replace("\n", " "))),
 
     Q("q_dedup_threshold_sweep",
       (s, d) => {

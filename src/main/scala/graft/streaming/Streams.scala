@@ -707,6 +707,96 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance for the LOSSLESS set-similarity prefix index
+    * ([[graft.ops.Dedup.writeSetSimIndex]]) — the exact-tier analog of
+    * [[incrementalDedupQuery]], completing the pattern every other index
+    * in the repo already has (band / IVF / PQ / Z-layout): each
+    * micro-batch is decontaminated (a) within itself via the exact
+    * self-join (keep-lowest-id over pairs at Jaccard ≥ num/den — NO miss
+    * probability, unlike the banded tier) and (b) against everything
+    * accepted so far via the persisted prefix index
+    * ([[graft.ops.Dedup.setSimAgainstIndex]] — history is tokenized,
+    * counted, and window-ordered exactly once, never recomputed), then
+    * survivors append to the clean corpus extract and their ordered
+    * token lists to the index under the FROZEN frequency snapshot
+    * ([[graft.ops.Dedup.appendToSetSimIndex]]). The first accepted batch
+    * FREEZES the canonical order (writeSetSimIndex); losslessness holds
+    * across any number of appends because completeness needs only a
+    * shared total order — only PRUNING quality decays as true
+    * frequencies drift from the snapshot, and [[refreezeSetSimIndex]]
+    * is the compaction step when the drift gauge
+    * ([[graft.ops.Dedup.setSimIndexDrift]]) says the order has gone
+    * stale.
+    *
+    * Replay idempotency: survivors land in their own `batch=<ckpt>-<id>`
+    * corpus partition via overwrite (the [[incrementalDedupQuery]]
+    * contract — a replayed batch rewrites, never duplicates); a replayed
+    * index append can duplicate token rows, which is harmless —
+    * candidates are distinct-ed and verification is per-pair (the
+    * band-append rule). Corpus commits BEFORE the index append: a crash
+    * between the two leaves a doc unindexed (its dups slip through once)
+    * rather than index rows pointing at docs the corpus doesn't have.
+    */
+  def setSimIndexMaintenanceQuery(spark: SparkSession, docs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  corpusPath: String, indexPath: String,
+                                  checkpoint: String,
+                                  num: Int = 7, den: Int = 10,
+                                  trigger: Trigger = Trigger.AvailableNow()) = {
+    migrateFlatCorpus(spark, corpusPath)
+    val ckptId = checkpointId(checkpoint)
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val intra = graft.ops.Dedup.setSimJoinExact(batch, idCol, textCol,
+            num, den)
+          val batchClean = batch.join(
+            intra.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+          val (fs, idxTok) = Refresh.hfs(spark, s"$indexPath/tokens")
+          val indexed = fs.exists(idxTok)
+          val survivors = (if (indexed) {
+            val cross = graft.ops.Dedup.setSimAgainstIndex(
+              batchClean, idCol, textCol, indexPath,
+              spark.read.parquet(corpusPath), num, den)
+            val out = batchClean.join(
+              cross.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+            graft.ops.Dedup.eagerly(out, intra, cross)
+          } else graft.ops.Dedup.eagerly(batchClean, intra))
+          try {
+            survivors.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$ckptId-$batchId")
+            if (indexed)
+              graft.ops.Dedup.appendToSetSimIndex(survivors, idCol, textCol,
+                indexPath)
+            else
+              graft.ops.Dedup.writeSetSimIndex(survivors, idCol, textCol,
+                indexPath)
+          } finally survivors.unpersist(blocking = false)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Re-freeze the set-sim prefix index's canonical order from the
+    * corpus as it currently stands — [[setSimIndexMaintenanceQuery]]'s
+    * compaction step, the reference's cron-sync maintenance shape
+    * (scheduler-driven rebuild while the live artifact keeps serving).
+    * [[graft.ops.Dedup.writeSetSimIndex]] stages and swaps atomically,
+    * so probes against the old order are served until the new order
+    * commits; run it when [[graft.ops.Dedup.setSimIndexDrift]]'s
+    * re-freeze signal trips.
+    */
+  def refreezeSetSimIndex(spark: SparkSession, corpusPath: String,
+                          indexPath: String, idCol: String,
+                          textCol: String): Unit =
+    graft.ops.Dedup.writeSetSimIndex(
+      spark.read.parquet(corpusPath).select(col(idCol), col(textCol)),
+      idCol, textCol, indexPath)
+
   /** One micro-batch's distribution-drift report — see
     * [[driftMonitorQuery]].
     */

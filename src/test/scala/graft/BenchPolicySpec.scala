@@ -204,7 +204,7 @@ class BenchPolicySpec extends AnyFunSuite {
   test("regimeShiftAdopt: N agreeing refused sessions re-qualify; anything else doesn't") {
     // the r16 calibration case: three refused sessions at 73.21/73.79/
     // 68.49 agree within 7.7% — a current run inside that band adopts
-    val r16 = Seq((73.21, 2.24, false, 95), (73.79, 1.60, false, 95))
+    val r16 = Seq((73.21, 2.24, false, 95, 0), (73.79, 1.60, false, 95, 0))
     assert(Bench.regimeShiftAdopt(68.49, 1.86, 95, r16))
     // a quiet-window fast run does NOT regime-adopt (it would be
     // accepted by the normal gate anyway; here it just disagrees)
@@ -214,20 +214,62 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95, Nil))
     // an accepted session BREAKS the streak (the record was fresh then)
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      Seq((73.21, 2.24, false, 95), (40.0, 1.1, true, 95), (73.79, 1.6, false, 95))))
+      Seq((73.21, 2.24, false, 95, 0), (40.0, 1.1, true, 95, 0),
+        (73.79, 1.6, false, 95, 0))))
     // ...but older history BEFORE the streak does not interfere
     assert(Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      (40.0, 1.1, true, 95) +: r16))
+      (40.0, 1.1, true, 95, 0) +: r16))
     // a contaminated session (drift > 3) never counts — in the streak
     // or as the current run
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      Seq((73.21, 4.5, false, 95), (73.79, 1.6, false, 95))))
+      Seq((73.21, 4.5, false, 95, 0), (73.79, 1.6, false, 95, 0))))
     assert(!Bench.regimeShiftAdopt(68.49, 3.5, 95, r16))
     // a different query-surface size is not total-comparable
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 97, r16))
+    // an ERRORED session (n_failed > 0) breaks the streak — its total
+    // omits the failed queries' samples, a deflated non-comparable
+    // figure that must not vouch for a regime (r17 ADVICE)
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 2.24, false, 95, 0), (73.79, 1.60, false, 95, 2))))
     // agreement is the FULL set including the current run: two priors
     // agreeing with each other but not with the current run refuse
     assert(!Bench.regimeShiftAdopt(90.0, 1.86, 95, r16))
+  }
+
+  test("sfRuleOk is shared by accept AND regime paths (r17 ADVICE)") {
+    val sf = Bench.DefaultSfDir
+    // matching or unknown prev sf: fine anywhere
+    assert(Bench.sfRuleOk(Some(true), "/tmp/sf0.01"))
+    assert(Bench.sfRuleOk(None, "/tmp/sf0.01"))
+    // mismatched prev sf: only the canonical sf may reclaim the record
+    assert(!Bench.sfRuleOk(Some(false), "/tmp/sf0.01"))
+    assert(Bench.sfRuleOk(Some(false), sf))
+    // and acceptAsRecord still routes through the same rule
+    assert(Bench.acceptAsRecord(anyError = false, 1.0, Some(false), sf))
+    assert(!Bench.acceptAsRecord(anyError = false, 1.0, Some(false), "/tmp/sf0.01"))
+  }
+
+  test("declared switch: in-band ratio annotates, out-of-band flags (r17 #2)") {
+    // q_salted_join at x8: measured 19.9-21.1 across sessions — inside
+    // the band, so it publishes as declared_switch and skips quarantine
+    val (norm1, dec1) =
+      Bench.splitDeclaredSwitches(Seq(("q_salted_join", 19.9)), 8)
+    assert(norm1.isEmpty && dec1.map(_._1) == Seq("q_salted_join"))
+    // allowed at x8 = 21.1 * 1.5 (slack) * 1 = 31.65
+    assert(dec1.head._3 > 31.0 && dec1.head._3 < 32.0)
+    // the band scales linearly with the sampled factor
+    assert(Bench.declaredSwitchAllowed("q_salted_join", 16)
+      .exists(a => a > 63.0 && a < 64.0))
+    assert(Bench.declaredSwitchAllowed("q_tpch_q1", 8).isEmpty)
+    // a ratio LEAVING the band takes the normal quarantine path — a
+    // real regression can no longer hide behind the expected flag
+    val (norm2, dec2) =
+      Bench.splitDeclaredSwitches(Seq(("q_salted_join", 40.0)), 8)
+    assert(norm2 == Seq("q_salted_join") && dec2.isEmpty)
+    // non-declared queries always take the normal path
+    val (norm3, dec3) =
+      Bench.splitDeclaredSwitches(Seq(("q_tpch_q1", 12.0)), 8)
+    assert(norm3 == Seq("q_tpch_q1") && dec3.isEmpty)
   }
 
   test("medianOf: outlier-tolerant regime probe") {

@@ -1331,6 +1331,55 @@ class ExtensionsSpec extends SparkSpec {
       s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
   }
 
+  test("setSimIndexDrift: drifted appends trip re-freeze; output stays identical") {
+    // the gauge's contract: the re-freeze signal is about PRUNING, never
+    // about correctness — a fixture whose appended batch inverts the
+    // frozen frequency order must trip the signal while the index still
+    // serves the exact same pairs as the direct two-table join
+    val all = graft.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text").as("text")).limit(150)
+    val base = all.filter($"doc_id" % 3 =!= 0)
+    // shared boilerplate the snapshot never saw: stored cnt 0 ("rarest",
+    // so it floods every appended doc's prefix) yet the most common
+    // tokens of the new corpus — the canonical drift failure mode
+    val batch = all.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 30000000L).as("doc_id"),
+        concat(lit("the quick brown fox jumps over the lazy dog and then "),
+          $"text").as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("setsim_idx_drift").toString + "/idx"
+    graft.ops.Dedup.writeSetSimIndex(base, "doc_id", "text", idx)
+    // pre-append: the index IS its own freeze — no drift, no trip
+    val calm = graft.ops.Dedup.setSimIndexDrift(spark, idx, 7, 10, sampleMod = 1)
+      .collect().head
+    assert(!calm.getBoolean(4), s"freshly frozen index tripped: $calm")
+    assert(calm.getDouble(1) == 1.0, s"fresh index rank_corr ${calm.getDouble(1)}")
+    graft.ops.Dedup.appendToSetSimIndex(batch, "doc_id", "text", idx)
+    val drifted = graft.ops.Dedup.setSimIndexDrift(spark, idx, 7, 10, sampleMod = 1)
+      .collect().head
+    assert(drifted.getBoolean(4), s"drifted fixture did not trip: $drifted")
+    assert(drifted.getLong(2) > 2 * drifted.getLong(3),
+      s"stored mass ${drifted.getLong(2)} vs refrozen ${drifted.getLong(3)}")
+    // ...while the answer is STILL exact: index-served == direct join
+    // over the grown corpus (losslessness unaffected by drift)
+    val corpus = base.unionAll(batch.select($"doc_id", $"text"))
+    val words = split($"text", " ")
+    val keep = greatest(ceil(size(words) *
+        (lit(0.5) + ($"doc_id" % 10).cast("double") * lit(0.05))).cast("int"), lit(3))
+    val probes = corpus.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 60000000L).as("doc_id"),
+        array_join(slice(words, lit(1), keep), " ").as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = rows(graft.ops.Dedup.setSimJoinExactRS(
+      probes, corpus, "doc_id", "text", 7, 10))
+    val indexed = rows(graft.ops.Dedup.setSimAgainstIndex(
+      probes, "doc_id", "text", idx, corpus, 7, 10))
+    assert(direct.nonEmpty, "fixture produced no qualifying pairs")
+    assert(indexed == direct,
+      s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
+  }
+
   test("q_setsim_vs_lsh: exact tier dominates LSH on the same measure") {
     // invariants the pricing table must satisfy by construction: the
     // exact join can never find FEWER pairs than LSH recovers (recovered

@@ -868,6 +868,70 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("setSimIndexMaintenanceQuery: lossless history memory; probe flips after commit") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmp("ss_maint_corpus") + "/corpus"
+    val index = tmp("ss_maint_index") + "/index"
+    val ckpt = tmp("ckpt_ssmaint")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten"
+    val textC = "red orange yellow green blue indigo violet umber ochre teal"
+    val textD = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    // drop-last-word twin: 7 of 8 shingles shared -> J = 7/8 >= 7/10
+    def near(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    def drain(input: MemoryStream[(Long, String)]): Unit = {
+      val q = setSimIndexMaintenanceQuery(spark,
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        corpus, index, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
+    }
+    def committed = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    // batch 1: intra-batch near-dup (2 = twin of 1, keep-lowest-id) +
+    // unique (3); the first accepted batch FREEZES the canonical order
+    input.addData((1L, textA), (2L, near(textA)), (3L, textB))
+    drain(input)
+    assert(committed === Set(1L, 3L), s"batch 1 kept $committed")
+    // the r17 verdict's exact scenario: a probe for content whose batch
+    // has NOT committed yet must miss...
+    val probeC = Seq((90L, near(textC))).toDF("doc_id", "text")
+    def probeHits = graft.ops.Dedup.setSimAgainstIndex(
+        probeC, "doc_id", "text", index,
+        spark.read.parquet(corpus), 7, 10)
+      .select($"id_b").as[Long].collect().toSet
+    assert(probeHits.isEmpty, s"probe matched before commit: $probeHits")
+    // batch 2: near-dup of HISTORY (4 = twin of textA, caught through
+    // the index under the frozen order) + the probe's content (5)
+    input.addData((4L, near(textA)), (5L, textC))
+    drain(input)
+    assert(committed === Set(1L, 3L, 5L), s"batch 2 kept $committed")
+    // ...and catch the duplicate after its batch commits
+    assert(probeHits === Set(5L), s"probe after commit: $probeHits")
+    // batch 3 = the SECOND append under the frozen order
+    input.addData((6L, textD))
+    drain(input)
+    assert(committed === Set(1L, 3L, 5L, 6L), s"batch 3 kept $committed")
+    // frozen-order losslessness across >= 2 appended batches: the index
+    // (order frozen at batch 1) must serve exactly what a direct
+    // two-table join over the as-committed corpus finds
+    val probes = Seq((91L, near(textA)), (92L, near(textB)),
+      (93L, near(textC)), (94L, near(textD))).toDF("doc_id", "text")
+    val corpusDf = spark.read.parquet(corpus).select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = rows(graft.ops.Dedup.setSimJoinExactRS(
+      probes, corpusDf, "doc_id", "text", 7, 10))
+    val indexed = rows(graft.ops.Dedup.setSimAgainstIndex(
+      probes, "doc_id", "text", index, corpusDf, 7, 10))
+    assert(direct.map(t => (t._1, t._2)) ===
+      Set((91L, 1L), (92L, 3L), (93L, 5L), (94L, 6L)), s"direct = $direct")
+    assert(indexed === direct,
+      s"missed ${(direct -- indexed).take(5)}; spurious ${(indexed -- direct).take(5)}")
+  }
+
   test("incrementalDedupQuery migrates a flat pre-partitioned corpus into batch=legacy") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = tmp("inc_corpus_legacy") + "/corpus"
