@@ -692,6 +692,90 @@ object Dedup {
     } finally sized.unpersist(blocking = false)
   }
 
+  /** The LSH geometry FRONTIER priced against the exact tier — the
+    * empirical extension of [[lshGeometryTable]]'s S-curve arithmetic
+    * and the geometry-sweep generalization of the fixed-geometry
+    * pricing in q_setsim_vs_lsh: for every shippable chunked-md5
+    * geometry ([[lshGeometries]]) and every threshold, the MEASURED
+    * recall (LSH candidates ∩ exact pairs, integer-gated — not the
+    * S-curve estimate) and the candidate volume, beside the exact
+    * tier's pair count. One artifact answers "could a cheaper LSH
+    * geometry reach the recall bar before paying for exact?": read up
+    * the candidate-volume column until lsh_recall clears the bar; if
+    * none does, the exact tier's candidate surplus is the price of
+    * closing the miss probability.
+    *
+    * Cost shape: the exact corpus-wide stages (shingle explode,
+    * vocabulary frequencies, canonical-order window) run ONCE
+    * (persisted, the setSimExactCounts pattern) with each threshold
+    * paying only its prefix cut + candidate join + candidate-sized
+    * verification; signatures are computed once PER k (geometries
+    * sharing k reuse it) and only the banding re-runs per geometry;
+    * recovered counts are broadcast semi-joins of capped candidates
+    * against the exact pair sets. Counts are driver-sized; the result
+    * frame is a literal table.
+    */
+  def lshGeometryFrontier(docs: DataFrame, idCol: String, textCol: String,
+                          thresholds: Seq[(Int, Int)], n: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    thresholds.foreach { case (num, den) =>
+      require(num >= 1 && den >= num,
+        s"need a threshold in (0, 1]: got $num/$den") }
+    val tok = setSimTok(docs, idCol, textCol, n)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val sized = tok.join(freq, Seq("tok"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
+      .persist(Disk)
+    try {
+      val exact = thresholds.map { case (num, den) =>
+        val prefix = sized
+          .filter(col("pos") <= col("s") -
+            expr(s"($num * s + ${den - 1}) DIV $den") + 1)
+          .select(col("tok"), col("id"), col("s"), col("pos"))
+        val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
+        val pairs = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n)
+          .select(col("id_a"), col("id_b")).persist(Disk)
+        (num, den, pairs, pairs.count())
+      }
+      try {
+        val rows = lshGeometries.groupBy(_._1).toSeq.sortBy(_._1)
+          .flatMap { case (k, geoms) =>
+            val sig = minhashSignatureNarrow(docs, idCol, textCol, n, k)
+              .persist(Disk)
+            try geoms.sortBy(_._2).flatMap { case (_, bandRows) =>
+              val cand = lshCandidates(lshBands(sig, k, bandRows), maxBucket)
+                .persist(Disk)
+              try {
+                val nCand = cand.count()
+                exact.map { case (num, den, pairs, nExact) =>
+                  val rec = cand.join(pairs, Seq("id_a", "id_b"), "left_semi")
+                    .count()
+                  (num.toDouble / den, k, bandRows, k / bandRows,
+                    lshCaptureProb(num.toDouble / den, bandRows, k / bandRows),
+                    nExact, rec, nCand)
+                }
+              } finally cand.unpersist(blocking = false)
+            } finally sig.unpersist(blocking = false)
+          }
+        rows.toDF("threshold", "k", "band_rows", "bands", "__cap",
+            "exact_pairs", "lsh_recovered", "lsh_candidates")
+          .select(col("threshold"), col("k"), col("band_rows"), col("bands"),
+            round(col("__cap"), 4).as("capture_at_t"),
+            col("exact_pairs"), col("lsh_recovered"),
+            when(col("exact_pairs") === 0, lit(null))
+              .otherwise(round(col("lsh_recovered").cast("double") /
+                col("exact_pairs").cast("double"), 4)).as("lsh_recall"),
+            col("lsh_candidates"))
+          .orderBy("threshold", "k", "band_rows")
+      } finally exact.foreach(_._3.unpersist(blocking = false))
+    } finally sized.unpersist(blocking = false)
+  }
+
   /** EXACT two-table (R-S) set-similarity join — [[setSimJoinExact]]'s
     * machinery generalized to the decontamination shape: every
     * (probe, corpus) pair with shingle-set Jaccard ≥ num/den, NO miss
@@ -941,7 +1025,23 @@ object Dedup {
     */
   def setSimAgainstIndex(probes: DataFrame, idCol: String, textCol: String,
                          indexPath: String, corpus: DataFrame,
-                         num: Int, den: Int, n: Int = 3): DataFrame = {
+                         num: Int, den: Int, n: Int = 3): DataFrame =
+    setSimVerify(
+      setSimAgainstIndexCandidates(probes, idCol, textCol, indexPath,
+        num, den, n),
+      probes, corpus, idCol, textCol, num, den, n, detach = true)
+
+  /** The candidate-generation stage of [[setSimAgainstIndex]] as an
+    * UNEXECUTED plan — the broadcast/no-shuffle scale contract lives
+    * here (probe prefixes broadcast; stored rows scan-filtered, never
+    * pre-shuffled), and the detached serving form executes exactly this
+    * plan inside its checkpoint; PlanSpec pins THIS plan, since the
+    * served result's own plan is (deliberately) just the materialized
+    * rows — see [[eagerlyDetachedWith]].
+    */
+  private[graft] def setSimAgainstIndexCandidates(
+      probes: DataFrame, idCol: String, textCol: String,
+      indexPath: String, num: Int, den: Int, n: Int = 3): DataFrame = {
     require(num >= 1 && den >= num,
       s"need a threshold in (0, 1]: got $num/$den")
     import org.apache.spark.sql.expressions.Window
@@ -979,8 +1079,7 @@ object Dedup {
         lit(num.toLong) * (col("s_a") + col("s_b")))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
-    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n,
-      detach = true)
+    cand
   }
 
   /** Drift gauge for the FROZEN canonical order of a set-sim prefix

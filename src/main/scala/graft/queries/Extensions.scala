@@ -37,6 +37,89 @@ object Extensions {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Oracle for q_setsim_lsh_frontier, GENERATED from the same
+    * [[graft.ops.Dedup.lshGeometries]] enumeration and
+    * [[graft.ops.Dedup.sigWidth]] chunk widths the engine uses — the
+    * geometry set, per-k signature scheme, and banding cannot drift
+    * between the two sides. Replays, over the q_setsim_join twin corpus:
+    * one chunked-md5 signature CTE per distinct k, one banding +
+    * candidate CTE per geometry, the exact prefix-filter join per
+    * threshold (the q_setsim_vs_lsh relational formulation, keeping
+    * (id_a, id_b)), and a UNION ALL row per (threshold, geometry) with
+    * capture/recall/candidate columns.
+    */
+  private lazy val FrontierOracleSql: String = {
+    val geoms = graft.ops.Dedup.lshGeometries
+    val thresholds = Seq((7, 10), (9, 10))
+    val sigCtes = geoms.map(_._1).distinct.sorted.map { k =>
+      val w = graft.ops.Dedup.sigWidth(k)
+      val cols = (0 until k)
+        .map(i => s"min(substr(md5(shingle), ${i * w + 1}, $w)) AS s$i")
+        .mkString(", ")
+      s"sig$k AS (SELECT id, $cols FROM sh GROUP BY id)"
+    }
+    val bandCtes = geoms.map { case (k, r) =>
+      val sel = (0 until k / r).map { bi =>
+        val key = (0 until r).map(j => s"s${bi * r + j}").mkString(" || '|' || ")
+        s"SELECT $bi AS band_id, $key AS band_key, id FROM sig$k"
+      }.mkString(" UNION ALL ")
+      s"bands${k}_$r AS ($sel), cand${k}_$r AS (SELECT DISTINCT a.id AS id_a, " +
+        s"b.id AS id_b FROM bands${k}_$r a JOIN bands${k}_$r b " +
+        "ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id)"
+    }
+    val exactCtes = thresholds.map { case (num, den) =>
+      s"""pre$num AS (SELECT id, tok, s, pos FROM sized
+         |WHERE pos <= s - ($num * s + ${den - 1}) // $den + 1),
+         |pcand$num AS (SELECT DISTINCT id_a, id_b, s_a, s_b FROM
+         |(SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+         |1 + least(a.s - a.pos, b.s - b.pos) AS ub
+         |FROM pre$num a JOIN pre$num b ON a.tok = b.tok AND a.id < b.id) x
+         |WHERE $den * least(s_a, s_b) >= $num * greatest(s_a, s_b)
+         |AND ${num + den} * ub >= $num * (s_a + s_b)),
+         |pi$num AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+         |FROM pcand$num c JOIN tok ta ON ta.id = c.id_a
+         |JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok GROUP BY c.id_a, c.id_b),
+         |ex$num AS (SELECT c.id_a, c.id_b FROM pcand$num c JOIN pi$num USING (id_a, id_b)
+         |WHERE $den * inter >= $num * (c.s_a + c.s_b - inter))""".stripMargin
+    }
+    val rowSelects = for {
+      (num, den) <- thresholds; (k, r) <- geoms.sortBy(g => (g._1, g._2))
+    } yield {
+      val b = k / r
+      s"""SELECT CAST($num AS DOUBLE) / $den AS threshold,
+         |CAST($k AS INTEGER) AS k, CAST($r AS INTEGER) AS band_rows,
+         |CAST($b AS INTEGER) AS bands,
+         |round(1 - pow(1 - pow(CAST($num AS DOUBLE) / $den, $r), $b), 4) AS capture_at_t,
+         |(SELECT CAST(count(*) AS BIGINT) FROM ex$num) AS exact_pairs,
+         |(SELECT CAST(count(*) AS BIGINT) FROM cand${k}_$r c
+         |JOIN ex$num USING (id_a, id_b)) AS lsh_recovered,
+         |CASE WHEN (SELECT count(*) FROM ex$num) = 0 THEN NULL
+         |ELSE round(CAST((SELECT count(*) FROM cand${k}_$r c JOIN ex$num USING (id_a, id_b)) AS DOUBLE)
+         |/ (SELECT count(*) FROM ex$num), 4) END AS lsh_recall,
+         |(SELECT CAST(count(*) AS BIGINT) FROM cand${k}_$r) AS lsh_candidates""".stripMargin
+    }
+    (s"""WITH twins AS (SELECT doc_id + 10000000 AS doc_id,
+        |array_to_string(list_slice(string_split(text, ' '), 1,
+        |greatest(CAST(ceil(len(string_split(text, ' ')) *
+        |(CAST(0.5 AS DOUBLE) + (doc_id % 10) * CAST(0.05 AS DOUBLE))) AS INTEGER), 3)), ' ') AS text
+        |FROM documents),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id, text FROM twins),
+        |sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) words,
+        |LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+        |tok AS (SELECT id, shingle AS tok FROM sh),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |sized AS (SELECT id, tok, cnt,
+        |row_number() OVER (PARTITION BY id ORDER BY cnt, tok) AS pos,
+        |count(*) OVER (PARTITION BY id) AS s
+        |FROM tok JOIN freq USING (tok)),
+        |""".stripMargin +
+      (sigCtes ++ bandCtes ++ exactCtes).mkString(",\n") + "\n" +
+      rowSelects.mkString(" UNION ALL ") +
+      " ORDER BY threshold, k, band_rows").replace("\n", " ")
+  }
+
   /** Number of frequency-ranked merge rules q_bpe_encode applies. */
   private val BpeRules = 16
 
@@ -958,6 +1041,121 @@ object Extensions {
              |FROM lab JOIN m USING (doc_id) WHERE NOT lab.is_train)
              |SELECT clf, heur, CAST(count(*) AS BIGINT) AS n_docs,
              |round(CAST(sum(CAST(m9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin
+             |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
+    // q_classifier_holdout's 100 TB form: the train-side teacher
+    // threshold — the one remaining exact `percentile` on a corpus-∝
+    // path in the classifier loop — swapped for approx_percentile (GK
+    // sketch, bounded state, map-side combinable), with the
+    // q_classifier_calibration evidence pattern riding along:
+    // `sketch_within_bound` pins that the number of TRAIN docs whose
+    // teacher gate flips between the sketch threshold and the exact
+    // DISCRETE-rank anchor (percentile_disc — the same rank query the
+    // sketch answers) stays within the sketch's rank-error guarantee.
+    // Below the sketch's compression onset (train count < accuracy —
+    // both gate scales qualify) the GK query provably returns the value
+    // at 1-based rank ⌈0.25·n⌉ of the sorted train side — identical to
+    // percentile_disc, so the matrix is UNCHANGED under the sketch swap
+    // (ExtensionsSpec pins both: thrS == thrD and the matrix/totals).
+    // The interpolated `percentile` of q_classifier_holdout is a
+    // different QUARTILE CONVENTION (it answers a value no rank holds);
+    // the two matrices may differ by the documents tied at the boundary
+    // rank — a teacher-definition choice, not sketch error. The oracle
+    // replays the rank pick (row_number = ⌈0.25·n⌉), NOT quantile_cont.
+    // At 100 TB drop the anchor column: teacher labels, trained
+    // weights, AND the holdout matrix already gate on the sketch alone.
+    Q("q_classifier_holdout_sketch",
+      (s, d) => {
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val dim = 4096
+        val accuracy = 10000
+        val all = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          (size(filter(toksArr,
+            t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast(DoubleType) /
+            size(toksArr).cast(DoubleType)).as("swr"),
+          (Sampling.hashBucket(
+            md5(TextAnalysis.normalizeText(col("text"))), 100) < 80).as("is_train"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val train = all.filter(col("is_train"))
+        val t = train.agg(
+          expr(s"approx_percentile(swr, 0.25, $accuracy)"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY swr)"),
+          count(lit(1))).head()
+        val thrS: Any = if (t.isNullAt(0)) null else t.getDouble(0)
+        val thrD: Any = if (t.isNullAt(1)) null else t.getDouble(1)
+        val nTrain = t.getLong(2)
+        def gate(th: Any) = coalesce(col("swr") >= th, lit(false))
+        val flips = if (t.isNullAt(0) || t.isNullAt(1)) 0L
+          else train.filter(gate(thrS) =!= gate(thrD)).count()
+        val ok = flips.toDouble <= math.max(3.0, 2.0 * nTrain / accuracy)
+        val teacher = gate(thrS)
+        val occ = train
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"),
+            when(teacher, lit(1L)).otherwise(lit(-1L)).as("lab"))
+          .select((conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast(LongType) % dim).as("b"), col("lab"))
+        val w = new Array[Double](dim)
+        val rows = occ.groupBy(col("b"))
+          .agg(sum(col("lab")).as("sl"), count(lit(1)).as("c"))
+          .collect()
+        def grid(sl: Long, c: Long): Double =
+          math.floor(sl.toDouble / c.toDouble * 2147483648.0) / 2147483648.0
+        val (slAll, cAll) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+          (a + r.getLong(1), b + r.getLong(2))
+        }
+        val g = if (cAll > 0) grid(slAll, cAll) else 0.0
+        rows.foreach { r =>
+          w(r.getLong(0).toInt) = grid(r.getLong(1), r.getLong(2)) - g
+        }
+        val out = all.filter(!col("is_train"))
+          .select(TextAnalysis.hashedClassifierMarginFrom(col("text"), w)
+              .as("margin"),
+            when(teacher, lit("keep")).otherwise(lit("drop")).as("heur"))
+          .select(
+            when(col("margin") > 0, lit("keep")).otherwise(lit("drop")).as("clf"),
+            col("heur"),
+            round(col("margin"), 9).cast("decimal(28,9)").as("m9"))
+          .groupBy("clf", "heur")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            round(sum(col("m9")).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 5).as("mean_margin"))
+          .select(col("clf"), col("heur"), col("n_docs"), col("mean_margin"),
+            lit(ok).as("sketch_within_bound"))
+          .orderBy("clf", "heur")
+        Dedup.eagerly(out, all)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text,
+             |CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(TextAnalysis.StopwordsEn)}))) AS DOUBLE)
+             |/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS swr,
+             |CAST(concat('0x', substring(md5(md5(trim(
+             |regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')
+             |))), 1, 4)) AS BIGINT) % 100 < 80 AS is_train FROM documents),
+             |thr AS (SELECT swr FROM
+             |(SELECT swr, row_number() OVER (ORDER BY swr) AS rk FROM docs WHERE is_train) r
+             |WHERE rk = CAST(ceil(0.25 * (SELECT count(*) FROM docs WHERE is_train)) AS BIGINT)),
+             |lab AS (SELECT doc_id, text, is_train,
+             |coalesce(swr >= (SELECT swr FROM thr), FALSE) AS keep FROM docs),
+             |occ AS (SELECT doc_id, keep,
+             |CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+             |FROM (SELECT doc_id, keep, unnest(string_split(lower(text), ' ')) AS tok FROM lab WHERE is_train)),
+             |g AS (SELECT floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0 AS gm FROM occ),
+             |w AS (SELECT b, floor(CAST(sum(CASE WHEN keep THEN 1 ELSE -1 END) AS DOUBLE)
+             |/ CAST(count(*) AS DOUBLE) * 2147483648.0) / 2147483648.0
+             |- (SELECT gm FROM g) AS wt
+             |FROM occ GROUP BY b),
+             |etoks AS (SELECT doc_id,
+             |CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+             |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM lab WHERE NOT is_train)),
+             |m AS (SELECT etoks.doc_id, sum(coalesce(w.wt, 0.0)) / count(*) AS margin
+             |FROM etoks LEFT JOIN w USING (b) GROUP BY etoks.doc_id),
+             |cells AS (SELECT CASE WHEN m.margin > 0 THEN 'keep' ELSE 'drop' END AS clf,
+             |CASE WHEN lab.keep THEN 'keep' ELSE 'drop' END AS heur,
+             |round(m.margin, 9) AS m9
+             |FROM lab JOIN m USING (doc_id) WHERE NOT lab.is_train)
+             |SELECT clf, heur, CAST(count(*) AS BIGINT) AS n_docs,
+             |round(CAST(sum(CAST(m9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 5) AS mean_margin,
+             |TRUE AS sketch_within_bound
              |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
     // Intra-document repetition ratio (duplicate word 3-grams / total) —
@@ -2162,6 +2360,33 @@ object Extensions {
              |(ms.m > 2 * mf.m OR (ra.n >= 2 AND 30 * ra.s2 >
              |CAST(ra.n AS HUGEINT) * ra.n * ra.n - ra.n)) AS refreeze
              |FROM ra, ms, mf""".stripMargin.replace("\n", " "))),
+
+    // The LSH GEOMETRY FRONTIER priced against the exact tier
+    // (Dedup.lshGeometryFrontier): q_setsim_vs_lsh fixes geometry at the
+    // deployed 3×2, but lshGeometries ships ~19 (k, band_rows) choices —
+    // this sweeps ALL of them per threshold and emits the MEASURED
+    // recall (candidates ∩ exact pairs, integer-gated) plus candidate
+    // volume beside the exact tier, answering "could a cheaper LSH
+    // geometry reach the recall bar before paying for exact?" in one
+    // artifact. Exact corpus stages run once; signatures once per k;
+    // only banding re-runs per geometry. Same twin corpus as
+    // q_setsim_join. The oracle replays every geometry's chunked-md5
+    // banding (per-k chunk widths = Dedup.sigWidth) and the exact
+    // prefix-filter join relationally — generated from the SAME
+    // lshGeometries enumeration, so geometry set and SQL can't drift.
+    Q("q_setsim_lsh_frontier",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val keep = greatest(ceil(size(words) *
+            (lit(0.5) + (col("doc_id") % 10).cast("double") * lit(0.05)))
+          .cast("int"), lit(3))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(words, lit(1), keep), " ").as("text"))
+        Dedup.lshGeometryFrontier(docs.unionAll(twins), "doc_id", "text",
+          Seq((7, 10), (9, 10)))
+      },
+      Some(FrontierOracleSql)),
 
     Q("q_dedup_threshold_sweep",
       (s, d) => {

@@ -1271,6 +1271,35 @@ class ExtensionsSpec extends SparkSpec {
       s"held-out gate is degenerate (one class): ${m.toSeq}")
   }
 
+  test("q_classifier_holdout_sketch: sketch == discrete-rank anchor, matrix unchanged by the swap") {
+    // the 100 TB swap's safety case: below the GK sketch's compression
+    // onset (train count < accuracy), approx_percentile answers the
+    // exact rank query bit-identically to percentile_disc — so the
+    // teacher threshold, and therefore weights and the whole holdout
+    // matrix, are UNCHANGED by gating on the sketch. (The interpolated
+    // q_classifier_holdout is a different quartile convention —
+    // documented at the query — so the comparison anchor here is disc.)
+    val toksArr = TextAnalysis.tokens($"text")
+    val feats = graft.Tables.documents(spark, sf).select($"doc_id",
+      (size(filter(toksArr,
+        t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*))).cast("double") /
+        size(toksArr).cast("double")).as("swr"),
+      (Sampling.hashBucket(
+        md5(TextAnalysis.normalizeText($"text")), 100) < 80).as("is_train"))
+    val t = feats.filter($"is_train").agg(
+      expr("approx_percentile(swr, 0.25, 10000)"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY swr)")).head()
+    assert(!t.isNullAt(0) && !t.isNullAt(1), "fixture train side degenerate")
+    assert(t.getDouble(0) == t.getDouble(1),
+      s"sketch ${t.getDouble(0)} != disc anchor ${t.getDouble(1)} below compression")
+    val m = graft.SparkEntry.queries("q_classifier_holdout_sketch")(spark, sf)
+      .as[(String, String, Long, Double, Boolean)].collect()
+    val holdN = feats.filter(!$"is_train").count()
+    assert(m.map(_._3).sum == holdN,
+      s"matrix covers ${m.map(_._3).sum} docs vs $holdN held out")
+    assert(m.forall(_._5), s"sketch_within_bound false: ${m.toSeq}")
+  }
+
   test("setSimAgainstIndex == setSimJoinExactRS (index round-trip loses nothing)") {
     // the index form changes the canonical order (stored corpus
     // frequency, unseen-probe tokens at cnt 0) and the storage path —

@@ -845,13 +845,31 @@ class PlanSpec extends SparkSpec {
   test("setsim index probe: broadcast prefixes, stored rows never pre-shuffled") {
     // the index form's scale contract mirrors the direct R-S join's:
     // probe prefixes broadcast; the stored token rows are scanned and
-    // filtered, never cartesian'd
-    val p = plan("q_setsim_index")
+    // filtered, never cartesian'd. The SERVED result is deliberately a
+    // detached materialization (its plan is just the checkpointed rows —
+    // Dedup.eagerlyDetachedWith, the stale-cached-probe fix), so the pin
+    // reads the candidate-generation plan the serving form executes
+    // inside that checkpoint.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50)
+    val idx = java.nio.file.Files.createTempDirectory("plan_ss_idx").toString + "/idx"
+    graft.ops.Dedup.writeSetSimIndex(docs, "doc_id", "text", idx)
+    val p = graft.ops.Dedup.setSimAgainstIndexCandidates(
+        docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")),
+        "doc_id", "text", idx, 7, 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "probe prefix side lost its broadcast hint")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must stay an equi-join on the shared token")
+    // and the served form IS the detached materialization: no join
+    // operators may remain in the returned plan (they already ran)
+    val served = plan("q_setsim_index")
+    assert(!served.contains("BroadcastHashJoin") &&
+      served.contains("ExistingRDD") || served.contains("Scan"),
+      s"served plan should read materialized rows: ${served.take(300)}")
   }
 
   test("setsim decontamination: the probe prefix side broadcasts into the candidate join") {
