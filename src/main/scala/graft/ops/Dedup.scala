@@ -666,21 +666,15 @@ object Dedup {
   def setSimExactCounts(docs: DataFrame, idCol: String, textCol: String,
                         thresholds: Seq[(Int, Int)], n: Int = 3)
       : Seq[(Int, Int, Long, Long)] = {
-    import org.apache.spark.sql.expressions.Window
     val tok = setSimTok(docs, idCol, textCol, n)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val sized = tok.join(freq, Seq("tok"))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-      .persist(Disk)
+    val sized = setSimSized(tok, freq).persist(Disk)
     try thresholds.map { case (num, den) =>
       require(num >= 1 && den >= num,
         s"need a threshold in (0, 1]: got $num/$den")
       val prefix = sized
         .filter(col("pos") <= col("s") -
           expr(s"($num * s + ${den - 1}) DIV $den") + 1)
-        .select(col("tok"), col("id"), col("s"), col("pos"))
       val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
         .persist(Disk)
       val nCand = cand.count()
@@ -718,7 +712,6 @@ object Dedup {
   def lshGeometryFrontier(docs: DataFrame, idCol: String, textCol: String,
                           thresholds: Seq[(Int, Int)], n: Int = 3,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     thresholds.foreach { case (num, den) =>
@@ -726,17 +719,12 @@ object Dedup {
         s"need a threshold in (0, 1]: got $num/$den") }
     val tok = setSimTok(docs, idCol, textCol, n)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val sized = tok.join(freq, Seq("tok"))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-      .persist(Disk)
+    val sized = setSimSized(tok, freq).persist(Disk)
     try {
       val exact = thresholds.map { case (num, den) =>
         val prefix = sized
           .filter(col("pos") <= col("s") -
             expr(s"($num * s + ${den - 1}) DIV $den") + 1)
-          .select(col("tok"), col("id"), col("s"), col("pos"))
         val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
         val pairs = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n)
           .select(col("id_a"), col("id_b")).persist(Disk)
@@ -831,31 +819,54 @@ object Dedup {
     setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n)
   }
 
-  /** (id, tok) over DISTINCT word n-gram shingles — the set
-    * representation every set-similarity stage shares.
+  /** (id, s, tok) over DISTINCT word n-gram shingles — the set
+    * representation every set-similarity stage shares. `s` (the set
+    * size, long) is computed NARROWLY from the pre-explode array: it is
+    * exactly what the old `count(*) OVER (PARTITION BY id)` window
+    * produced after the frequency join (the join is key-preserving —
+    * every token is in the corpus frequency table, and probe-side
+    * callers join `left`), so carrying it from the projection deletes
+    * one corpus-wide window pass from every prefix pipeline (r18,
+    * guide §2.4: remove shuffled/buffered passes outright).
     */
   private def setSimTok(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingleArray(col(textCol), n)))
-        .as("tok"))
+        array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast(LongType).as("s"),
+        explode(col("__toks")).as("tok"))
 
-  /** Rarest-global-frequency-first canonical order (ties by token — a
-    * total order both engines share) and the integer-exact prefix cut:
-    * keep positions ≤ s − ⌈num·s/den⌉ + 1. `pos` rides along for the
-    * candidate stage's positional filter.
+  /** Rarest-global-frequency-first canonical positions over the WHOLE
+    * token list — (tok, id, s, pos) with pos = row_number by (cnt, tok)
+    * within id (ties by token — a total order both engines share). One
+    * window function over one exchange+sort; `s` arrives narrow on the
+    * token stream (see [[setSimTok]]) instead of a second window pass.
+    * `joinType` is `inner` when `freq` covers every token (self-join /
+    * index build) and `left` for probe sides ordering against a FROZEN
+    * snapshot (unseen tokens at cnt 0 — the append/probe rule).
     */
-  private def setSimPrefix(tok: DataFrame, freq: DataFrame,
-                           num: Int, den: Int): DataFrame = {
+  private def setSimSized(tok: DataFrame, freq: DataFrame,
+                          joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    tok.join(freq, Seq("tok"))
+    val joined =
+      if (joinType == "inner") tok.join(freq, Seq("tok"))
+      else tok.join(freq, Seq("tok"), joinType)
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    joined
       .withColumn("pos",
         row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-      .filter(col("pos") <= col("s") -
-        expr(s"($num * s + ${den - 1}) DIV $den") + 1)
       .select(col("tok"), col("id"), col("s"), col("pos"))
   }
+
+  /** The integer-exact prefix cut over [[setSimSized]] positions: keep
+    * pos ≤ s − ⌈num·s/den⌉ + 1. `pos` rides along for the candidate
+    * stage's positional filter.
+    */
+  private def setSimPrefix(tok: DataFrame, freq: DataFrame,
+                           num: Int, den: Int): DataFrame =
+    setSimSized(tok, freq)
+      .filter(col("pos") <= col("s") -
+        expr(s"($num * s + ${den - 1}) DIV $den") + 1)
 
   /** Native per-pair verification: fetch just the candidate documents'
     * texts (broadcast semi-joins — each side scanned once, never
@@ -884,8 +895,21 @@ object Dedup {
     def sideTexts(df: DataFrame, ids: DataFrame): DataFrame =
       df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
         .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
-    val txtA = sideTexts(docsA, pairs.select(col("id_a").as("__cid")))
-    val txtB = sideTexts(docsB, pairs.select(col("id_b").as("__cid")))
+    // self-join verification (docsA eq docsB): ONE corpus scan against
+    // the union of both pair sides — the candidateTexts contract — and
+    // both joins read the cached fetch; the R-S form keeps per-side
+    // scans (different tables). r18, guide §2.4.
+    val (txtA, txtB, toRelease) =
+      if (docsA eq docsB) {
+        val txt = sideTexts(docsA,
+          pairs.select(col("id_a").as("__cid"))
+            .union(pairs.select(col("id_b").as("__cid")))).persist(Disk)
+        (txt, txt, Seq(txt))
+      } else {
+        val ta = sideTexts(docsA, pairs.select(col("id_a").as("__cid")))
+        val tb = sideTexts(docsB, pairs.select(col("id_b").as("__cid")))
+        (ta, tb, Seq.empty[DataFrame])
+      }
     val result = pairs
       .join(txtA.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
       .join(txtB.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
@@ -901,8 +925,8 @@ object Dedup {
           .as("jaccard"))
     // detach = the index-probing caller (setSimAgainstIndex): see
     // eagerlyDetachedWith for why its results must not enter the cache
-    if (detach) eagerlyDetachedWith(result, () => (), pairs)
-    else eagerly(result, pairs)
+    if (detach) eagerlyDetachedWith(result, () => (), pairs +: toRelease: _*)
+    else eagerly(result, pairs +: toRelease: _*)
   }
 
   /** Texts of just the candidate-pair documents: ONE corpus scan (a
@@ -968,16 +992,17 @@ object Dedup {
     */
   def writeSetSimIndex(corpus: DataFrame, idCol: String, textCol: String,
                        path: String, n: Int = 3): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val tok = setSimTok(corpus, idCol, textCol, n)
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val sized = tok.join(freq, Seq("tok"))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-      .select(col("tok"), col("id"), col("s"), col("pos"))
-    graft.etl.Refresh.overwriteStaged(sized, s"$path/tokens")
-    graft.etl.Refresh.overwriteStaged(freq, s"$path/freq")
+    // freq feeds BOTH staged writes (the tokens/ order join and freq/
+    // itself) — persist it so the corpus is tokenized and counted once
+    // per build, not once per write (it is vocabulary-sized; the r18
+    // profile had the un-persisted second pass costing a full extra
+    // explode + aggregate of the corpus)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist(Disk)
+    try {
+      graft.etl.Refresh.overwriteStaged(setSimSized(tok, freq), s"$path/tokens")
+      graft.etl.Refresh.overwriteStaged(freq, s"$path/freq")
+    } finally freq.unpersist(blocking = false)
     ()
   }
 
@@ -994,19 +1019,12 @@ object Dedup {
     */
   def appendToSetSimIndex(newDocs: DataFrame, idCol: String, textCol: String,
                           path: String, n: Int = 3): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     // a re-freeze by another session replaces freq/ wholesale — never
     // order an append by a stale cached listing of it
     spark.catalog.refreshByPath(s"$path/freq")
     val freq = spark.read.parquet(s"$path/freq")
-    val tok = setSimTok(newDocs, idCol, textCol, n)
-    tok.join(freq, Seq("tok"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-      .select(col("tok"), col("id"), col("s"), col("pos"))
+    setSimSized(setSimTok(newDocs, idCol, textCol, n), freq, "left")
       .write.mode("append").parquet(s"$path/tokens")
   }
 
@@ -1044,7 +1062,6 @@ object Dedup {
       indexPath: String, num: Int, den: Int, n: Int = 3): DataFrame = {
     require(num >= 1 && den >= num,
       s"need a threshold in (0, 1]: got $num/$den")
-    import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     // drop any cached file listing for the index first: appends land
     // through OTHER sessions (a stream's micro-batch clone writes via
@@ -1054,16 +1071,9 @@ object Dedup {
     spark.catalog.refreshByPath(s"$indexPath/tokens")
     val idxTok = spark.read.parquet(s"$indexPath/tokens")
     val freq = spark.read.parquet(s"$indexPath/freq")
-    val tokA = setSimTok(probes, idCol, textCol, n)
-    val sizedA = tokA.join(freq, Seq("tok"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("id")))
-    val preA = sizedA
+    val preA = setSimSized(setSimTok(probes, idCol, textCol, n), freq, "left")
       .filter(col("pos") <= col("s") -
         expr(s"($num * s + ${den - 1}) DIV $den") + 1)
-      .select(col("tok"), col("id"), col("s"), col("pos"))
     val preB = idxTok
       .filter(col("pos") <= col("s") -
         expr(s"($num * s + ${den - 1}) DIV $den") + 1)
@@ -1332,6 +1342,73 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
     clustersWithRounds(pairs, maxIters)._1
 
+  /** Edge-count ceiling for the driver union-find fast path of
+    * [[clustersWithRounds]] (env-overridable,
+    * `GRAFT_CLUSTERS_DRIVER_MAX_EDGES`; 0 disables). 200k edges is a
+    * few MB of driver transient — well under any driver's budget at any
+    * cluster size — while every distributed pointer-doubling round
+    * costs ≥ 3 shuffles + 2 materialization barriers even for a
+    * 10-edge graph. The same adaptive-switch shape as
+    * [[graft.ops.Scale.saltedJoin]]'s broadcast-vs-salt: the size check
+    * reads a count the edge materialization already paid for.
+    */
+  private[graft] def driverMaxEdgesDefault: Long =
+    sys.env.get("GRAFT_CLUSTERS_DRIVER_MAX_EDGES")
+      .flatMap(_.toLongOption).getOrElse(200000L)
+
+  /** Whether the driver fast path may order ids of this type exactly as
+    * Spark's `min`/`least` would: integral types are numeric; strings
+    * compare as unsigned UTF-8 bytes (UTF8String.compareTo). Other
+    * types (decimals, dates, binary) take the distributed path — never
+    * a silently different ordering.
+    */
+  private def driverOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
+  /** min-id union-find over collected edges: representative of every
+    * component is its smallest id under [[driverOrderable]]'s ordering —
+    * exactly the distributed loop's fixpoint. Union-by-min keeps the
+    * invariant "every root is the minimum of its tree", so find() after
+    * all unions IS the component minimum; path halving keeps it near
+    * O(α).
+    */
+  private def unionFindLabels(edges: Array[(Any, Any)]): Map[Any, Any] = {
+    val lt: (Any, Any) => Boolean = {
+      case (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case (a: Number, b: Number) => a.longValue() < b.longValue()
+      case (a, b) => sys.error(s"unorderable id types: $a / $b")
+    }
+    val idx = scala.collection.mutable.HashMap[Any, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer[Any]()
+    def of(v: Any): Int = idx.getOrElseUpdate(v, { ids += v; ids.size - 1 })
+    val es = edges.map { case (a, b) => (of(a), of(b)) }
+    val parent = Array.tabulate(ids.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ids(ra), ids(rb))) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    ids.indices.map(i => ids(i) -> ids(find(i))).toMap
+  }
+
   /** [[clusters]] exposing the converged round count — the observability
     * hook the giant-component stress proof pins: pointer doubling must
     * close a diameter-d component in O(log d) rounds, and a regression
@@ -1339,7 +1416,9 @@ object Dedup {
     * shows up as wall-clock on a ledger (GIANTPROOF.json, OpsSpec).
     */
   private[graft] def clustersWithRounds(pairs: DataFrame,
-                                        maxIters: Int = 50): (DataFrame, Int) = {
+                                        maxIters: Int = 50,
+                                        driverMaxEdges: Long = driverMaxEdgesDefault)
+      : (DataFrame, Int) = {
     // ids keep their natural type (long, string, ...) — min/least give
     // the component's smallest id under that type's ordering
     // edges is also a LEAF, not just persisted: the caller's `pairs`
@@ -1348,6 +1427,32 @@ object Dedup {
     // cache dodges recompute but not per-round re-analysis/rendering of
     // that tree. Leafing it here makes every round's plan O(1) total.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // ---- driver union-find fast path (r18): near-dup pair sets are
+    // ∝ duplicates, not corpus size — at ANY scale most clusterings are
+    // graphs a driver closes in microseconds, while the distributed loop
+    // below pays ≥ 3 shuffles and 2 barriers PER ROUND (plus the
+    // symmetric-union/distinct edge materialization it needs first —
+    // the fast path skips that too: union-find needs neither symmetry
+    // nor dedup). Decision = one bounded count over the caller's pair
+    // frame (LIMIT driverMaxEdges+1 — never a full count of a huge pair
+    // set). Same labels by construction (min-id representative under
+    // the identical ordering — OpsSpec pins driver == distributed on
+    // chain/star/string-id fixtures); the distributed pointer-doubling
+    // loop stays the ≥ driverMaxEdges path (GIANTPROOF's 1.28M-edge
+    // chain exercises it unchanged).
+    val idType = fwd.schema("src").dataType
+    val capInt = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
+    if (driverMaxEdges > 0 && driverOrderable(idType) &&
+        fwd.limit(capInt + 1).count() <= capInt) {
+      val labelMap = unionFindLabels(fwd.collect().map(r => (r.get(0), r.get(1))))
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      val rows = labelMap.toSeq.map { case (id, c) => Row(id, c) }
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema), 0)
+    }
     val (edges, edgesRdd) = materializeLeaf(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // labels(0) = least(id, min neighbor id) — round 0 of propagation

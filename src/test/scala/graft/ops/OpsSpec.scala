@@ -159,13 +159,40 @@ class OpsSpec extends SparkSpec {
     assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("clusters: driver union-find fast path == distributed pointer doubling") {
+    // the r18 adaptive switch: graphs under the edge ceiling close with
+    // a driver union-find (0 shuffle rounds) and MUST produce exactly
+    // the distributed loop's labels — min-id representative under the
+    // same ordering — on chains, stars, singleton pairs, and string ids
+    val fixtures = Seq(
+      (0L until 29L).map(i => (i, i + 1)),                    // one chain
+      Seq((5L, 1L), (5L, 9L), (5L, 3L), (20L, 21L)),          // star + pair
+      Seq((7L, 7L))                                           // self-loop
+    )
+    fixtures.foreach { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val fast = Dedup.clustersWithRounds(pairs, driverMaxEdges = 1000000L)
+      val dist = Dedup.clustersWithRounds(pairs, driverMaxEdges = 0L)
+      assert(fast._2 == 0, "fast path must not run propagation rounds")
+      assert(fast._1.as[(Long, Long)].collect().toMap ==
+        dist._1.as[(Long, Long)].collect().toMap, s"labels diverged on $edges")
+    }
+    val sp = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    assert(Dedup.clustersWithRounds(sp, driverMaxEdges = 100L)
+      ._1.as[(String, String)].collect().toMap ==
+      Dedup.clustersWithRounds(sp, driverMaxEdges = 0L)
+        ._1.as[(String, String)].collect().toMap)
+  }
+
   test("clusters: deep chain graph converges fast with a bounded plan (lineage truncation)") {
     // a 30-node chain has diameter 30 → ~29 propagation rounds. Without
     // per-round lineage truncation the logical plan doubles each round
     // (O(2^29) nodes — unplannable); with localCheckpoint it stays O(1).
+    // driverMaxEdges = 0: this pins the DISTRIBUTED loop's plan bound —
+    // the fast path would trivially satisfy it.
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val t0 = System.nanoTime()
-    val labels = Dedup.clusters(chain)
+    val labels = Dedup.clustersWithRounds(chain, driverMaxEdges = 0L)._1
     val planNodes = labels.queryExecution.optimizedPlan.collect { case n => n }.length
     assert(planNodes <= 10, s"optimized plan has $planNodes nodes — lineage is accumulating")
     val got = labels.as[(Long, Long)].collect().toMap
@@ -184,10 +211,12 @@ class OpsSpec extends SparkSpec {
     // before any wall-clock ledger moves. GIANTPROOF.json carries the
     // ×64 timing of the same shape; SkewCapSpec pins the cap-engaged
     // reporting of the identical-text variant of this family.
+    // driverMaxEdges = 0: the pin is about the DISTRIBUTED loop's round
+    // complexity; the driver fast path (its own spec above) would dodge it
     val n = 1024L
     val edges = spark.range(0, n - 1)
       .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
-    val (labels, rounds) = Dedup.clustersWithRounds(edges)
+    val (labels, rounds) = Dedup.clustersWithRounds(edges, driverMaxEdges = 0L)
     assert(labels.count() == n)
     assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L),
       "the chain must resolve to ONE component labeled by its min id")
