@@ -428,21 +428,21 @@ object Dedup {
     val (cand, counts, recordCap) =
       lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
     val pairs = cand.persist(Disk)
-    val txt = candidateTexts(docs, idCol, textCol, pairs)
-    val ov = graft.functions.ShingleOverlap(col("__ta"), col("__tb"), 3)
+    val txt = candidateShingles(docs, idCol, textCol, pairs)
     val result = pairs
-      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
-      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), ov.as("__ov"))
+      .join(txt.select(col("__cid").as("id_a"), col("__n").as("__na"),
+        col("__sh").as("__sha")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__n").as("__nb"),
+        col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("__i"))
       // a candidate pair can share a band yet no shingle (chunk-min hash
       // collision); the relational form and the oracle emit only
       // overlapping pairs, so filter to |∩| >= 1 for identical output
-      .filter(element_at(col("__ov"), 1) >= 1)
+      .filter(col("__i") >= 1)
       .select(col("id_a"), col("id_b"),
-        (element_at(col("__ov"), 1).cast("double") /
-          element_at(col("__ov"), 2).cast("double")).as("cont_a"),
-        (element_at(col("__ov"), 1).cast("double") /
-          element_at(col("__ov"), 3).cast("double")).as("cont_b"))
+        (col("__i").cast("double") / col("__na").cast("double")).as("cont_a"),
+        (col("__i").cast("double") / col("__nb").cast("double")).as("cont_b"))
     // eagerlyWith, not eagerly: the cap recorder must run or a capped
     // super-bucket's dropped candidates would be silent recall loss —
     // the exact contract nearDupPairs keeps
@@ -494,12 +494,23 @@ object Dedup {
     val (cand, counts, recordCap) =
       lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
     val pairs = cand.persist(Disk)
-    val txt = candidateTexts(docs, idCol, textCol, pairs)
+    val txt = candidateShingles(docs, idCol, textCol, pairs)
+    // inter / (|A| + |B| − inter) over the precomputed distinct sets —
+    // the same integer counts and the same double division the fused
+    // text kernel (ShingleJaccard) produced, without re-shingling both
+    // texts per pair (see candidateShingles). Candidates always carry a
+    // non-empty set (signature-less docs never reach banding), so the
+    // kernel's both-empty → null case cannot occur here.
     val result = pairs
-      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
-      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .join(txt.select(col("__cid").as("id_a"), col("__n").as("__na"),
+        col("__sh").as("__sha")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__n").as("__nb"),
+        col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("__i"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
   }
@@ -525,16 +536,18 @@ object Dedup {
     val (cand, counts, recordCap) =
       lshCandidatesReleasable(lshBands(sig, k, bandRows), maxBucket)
     val pairs = cand.persist(Disk)
-    val txt = candidateTexts(docs, idCol, textCol, pairs)
+    val txt = candidateShingles(docs, idCol, textCol, pairs)
     val result = pairs
-      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
-      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .join(txt.select(col("__cid").as("id_a"), col("__n").as("__na"),
+        col("__sh").as("__sha")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__n").as("__nb"),
+        col("__sh").as("__shb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.ShingleOverlap(col("__ta"), col("__tb"), 3).as("__ov"))
-      .select(col("id_a"), col("id_b"),
-        element_at(col("__ov"), 1).as("inter"),
-        (element_at(col("__ov"), 2) + element_at(col("__ov"), 3) -
-          element_at(col("__ov"), 1)).as("uni"))
+        size(array_intersect(col("__sha"), col("__shb"))).cast(LongType)
+          .as("inter"),
+        (col("__na") + col("__nb")).cast(LongType).as("__ss"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("__ss") - col("inter")).as("uni"))
       .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("uni"))
     eagerlyWith(result, recordCap, Seq(sig, pairs, txt) ++ counts: _*)
   }
@@ -592,8 +605,16 @@ object Dedup {
       s"need a threshold in (0, 1]: got $num/$den")
     // documents with fewer than n words have no shingle set and are
     // absent from the join (the minhash-tier contract)
-    setSimVerify(setSimCandidates(docs, idCol, textCol, num, den, n),
-      docs, docs, idCol, textCol, num, den, n)
+    val tok = setSimTok(docs, idCol, textCol, n)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // the prefix frame feeds BOTH sides of the candidate self-join, and
+    // the broadcast build side defeats exchange reuse — the r18 plan
+    // capture (plans/r18/setsim_candidates_stage.txt) shows the whole
+    // explode → frequency → order-window pipeline planned TWICE. Persist
+    // it once; released after the verify stage materializes.
+    val prefix = setSimPrefix(tok, freq, num, den).persist(Disk)
+    setSimVerify(setSimCandFromPrefix(prefix, num, den, positionalFilter = true),
+      docs, docs, idCol, textCol, num, den, n, releasables = Seq(prefix))
   }
 
   /** The candidate stage of [[setSimJoinExact]] alone — (id_a, id_b,
@@ -797,8 +818,12 @@ object Dedup {
     // one shared total order for both prefixes: global frequency over
     // the union (a probe that also appears in the corpus counts twice —
     // harmless: ANY consistent order preserves completeness; frequency
-    // ordering only optimizes bucket sizes)
+    // ordering only optimizes bucket sizes). Persisted: it feeds BOTH
+    // prefix joins, and without the cache each side re-explodes and
+    // re-counts the union (r18 — vocabulary-sized, released after the
+    // verify stage materializes).
     val freq = tokA.unionAll(tokB).groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(Disk)
     val preA = setSimPrefix(tokA, freq, num, den)
     val preB = setSimPrefix(tokB, freq, num, den)
     val cand = broadcast(preA).as("a").join(preB.as("b"),
@@ -816,7 +841,8 @@ object Dedup {
         lit(num.toLong) * (col("s_a") + col("s_b")))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
-    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n)
+    setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n,
+      releasables = Seq(freq))
   }
 
   /** (id, s, tok) over DISTINCT word n-gram shingles — the set
@@ -890,10 +916,22 @@ object Dedup {
   private def setSimVerify(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
                            idCol: String, textCol: String,
                            num: Int, den: Int, n: Int,
-                           detach: Boolean = false): DataFrame = {
-    val pairs = cand.select(col("id_a"), col("id_b")).persist(Disk)
-    def sideTexts(df: DataFrame, ids: DataFrame): DataFrame =
-      df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+                           detach: Boolean = false,
+                           releasables: Seq[DataFrame] = Seq.empty): DataFrame = {
+    // carry the candidate stage's set sizes through: |A∪B| = s_a+s_b−inter,
+    // so verification needs only the INTERSECTION per pair
+    val pairs = cand.select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .persist(Disk)
+    // each candidate document's distinct shingle set is computed ONCE at
+    // fetch time (a candidate doc appears in ~(pairs/docs) pairs — r18
+    // profile: re-shingling per PAIR via the fused text kernel made
+    // verification ~70% of q_setsim_join); the per-pair kernel is then
+    // a codegen'd array_intersect over the pre-tokenized sets. Counts are
+    // bit-identical to the text kernel's: same distinct shingle sets,
+    // same integer gate.
+    def sideSets(df: DataFrame, ids: DataFrame): DataFrame =
+      df.select(col(idCol).as("__cid"),
+          array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__sh"))
         .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
     // self-join verification (docsA eq docsB): ONE corpus scan against
     // the union of both pair sides — the candidateTexts contract — and
@@ -901,45 +939,57 @@ object Dedup {
     // scans (different tables). r18, guide §2.4.
     val (txtA, txtB, toRelease) =
       if (docsA eq docsB) {
-        val txt = sideTexts(docsA,
+        val txt = sideSets(docsA,
           pairs.select(col("id_a").as("__cid"))
             .union(pairs.select(col("id_b").as("__cid")))).persist(Disk)
         (txt, txt, Seq(txt))
       } else {
-        val ta = sideTexts(docsA, pairs.select(col("id_a").as("__cid")))
-        val tb = sideTexts(docsB, pairs.select(col("id_b").as("__cid")))
+        val ta = sideSets(docsA, pairs.select(col("id_a").as("__cid")))
+        val tb = sideSets(docsB, pairs.select(col("id_b").as("__cid")))
         (ta, tb, Seq.empty[DataFrame])
       }
     val result = pairs
-      .join(txtA.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
-      .join(txtB.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .join(txtA.select(col("__cid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(txtB.select(col("__cid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.ShingleOverlap(col("__ta"), col("__tb"), n).as("__ov"))
-      .select(col("id_a"), col("id_b"),
-        element_at(col("__ov"), 1).as("inter"),
-        (element_at(col("__ov"), 2) + element_at(col("__ov"), 3) -
-          element_at(col("__ov"), 1)).as("uni"))
+        size(array_intersect(col("__sha"), col("__shb"))).cast(LongType)
+          .as("inter"),
+        (col("s_a") + col("s_b")).as("__ss"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("__ss") - col("inter")).as("uni"))
       .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6)
           .as("jaccard"))
     // detach = the index-probing caller (setSimAgainstIndex): see
     // eagerlyDetachedWith for why its results must not enter the cache
-    if (detach) eagerlyDetachedWith(result, () => (), pairs +: toRelease: _*)
-    else eagerly(result, pairs +: toRelease: _*)
+    if (detach)
+      eagerlyDetachedWith(result, () => (), pairs +: (toRelease ++ releasables): _*)
+    else eagerly(result, pairs +: (toRelease ++ releasables): _*)
   }
 
-  /** Texts of just the candidate-pair documents: ONE corpus scan (a
-    * broadcast semi-join against the candidate id set) instead of the two
-    * full scans that joining each pair side directly against the corpus
-    * would cost — at 100 TB the verification stage reads the corpus once,
-    * and the surviving table is O(candidate docs), cached.
+  /** Distinct shingle sets of just the candidate-pair documents —
+    * (__cid, __n, __sh): ONE corpus scan (a broadcast semi-join against
+    * the candidate id set) instead of the two full scans that joining
+    * each pair side directly against the corpus would cost — at 100 TB
+    * the verification stage reads the corpus once, and the surviving
+    * table is O(candidate docs), cached. Tokenized AT FETCH TIME (r18):
+    * a candidate doc appears in (pairs / docs) pairs on average, and the
+    * per-pair text kernels re-shingled both sides every time — the r18
+    * profile had that re-shingling as ~70% of the exact set-sim join.
+    * The per-pair kernel downstream is a codegen'd `array_intersect`
+    * over these precomputed sets; counts (and so every jaccard /
+    * containment double) are bit-identical to the text kernels': same
+    * distinct shingle sets (Shingles.scala and ShingleArray share the
+    * one wordStarts scan), same integer counts, same IEEE division.
     */
-  private def candidateTexts(docs: DataFrame, idCol: String, textCol: String,
-                             pairs: DataFrame): DataFrame = {
+  private def candidateShingles(docs: DataFrame, idCol: String, textCol: String,
+                                pairs: DataFrame, n: Int = 3): DataFrame = {
     val candIds = pairs.select(col("id_a").as("__cid"))
       .union(pairs.select(col("id_b").as("__cid"))).distinct()
-    docs.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+    docs.select(col(idCol).as("__cid"),
+        array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__sh"))
+      .select(col("__cid"), size(col("__sh")).as("__n"), col("__sh"))
       .join(broadcast(candIds), Seq("__cid"), "left_semi")
       .persist(Disk)
   }
@@ -1224,17 +1274,28 @@ object Dedup {
       .filter(col("id_new") =!= col("id_old")) // re-submitted same doc id
       .select("id_new", "id_old").distinct()
       .persist(Disk)
-    def sideTexts(df: DataFrame, ids: DataFrame) =
-      df.select(col(idCol).as("__cid"), col(textCol).as("__ct"))
+    // each side's distinct shingle set computed once at fetch time; the
+    // per-pair kernel is array_intersect over the precomputed sets (see
+    // candidateShingles — counts and the jaccard double are identical
+    // to the fused text kernel's)
+    def sideSets(df: DataFrame, ids: DataFrame) =
+      df.select(col(idCol).as("__cid"),
+          array_distinct(TextAnalysis.shingleArray(col(textCol), 3)).as("__sh"))
+        .select(col("__cid"), size(col("__sh")).as("__n"), col("__sh"))
         .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
         .persist(Disk)
-    val newTxt = sideTexts(newDocs, pairs.select(col("id_new").as("__cid")))
-    val oldTxt = sideTexts(corpus, pairs.select(col("id_old").as("__cid")))
+    val newTxt = sideSets(newDocs, pairs.select(col("id_new").as("__cid")))
+    val oldTxt = sideSets(corpus, pairs.select(col("id_old").as("__cid")))
     val result = pairs
-      .join(newTxt.select(col("__cid").as("id_new"), col("__ct").as("__tn")), Seq("id_new"))
-      .join(oldTxt.select(col("__cid").as("id_old"), col("__ct").as("__to")), Seq("id_old"))
+      .join(newTxt.select(col("__cid").as("id_new"), col("__n").as("__na"),
+        col("__sh").as("__sha")), Seq("id_new"))
+      .join(oldTxt.select(col("__cid").as("id_old"), col("__n").as("__nb"),
+        col("__sh").as("__shb")), Seq("id_old"))
+      .select(col("id_new"), col("id_old"), col("__na"), col("__nb"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("__i"))
       .select(col("id_new"), col("id_old"),
-        graft.functions.ShingleJaccard(col("__tn"), col("__to"), 3).as("jaccard"))
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     eagerlyDetachedWith(result, recordCap, Seq(pairs, newTxt, oldTxt) ++ counts: _*)
   }
@@ -1265,18 +1326,24 @@ object Dedup {
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification is per-pair native ShingleJaccard over the two texts
-    // (identical values to the relational jaccardForPairs formulation,
-    // but broadcast joins + local compare instead of shingle-keyed
-    // shuffles — see nearDupPairs); candidate texts come from one
-    // semi-joined corpus scan
+    // verification is per-pair array_intersect over shingle sets computed
+    // once per candidate doc (identical values to the relational
+    // jaccardForPairs formulation AND the fused text kernel — see
+    // candidateShingles), broadcast joins + local compare instead of
+    // shingle-keyed shuffles; candidate sets come from one semi-joined
+    // corpus scan
     val pairsC = pairs.persist(Disk)
-    val txt = candidateTexts(docs, idCol, textCol, pairsC)
+    val txt = candidateShingles(docs, idCol, textCol, pairsC)
     val result = pairsC
-      .join(txt.select(col("__cid").as("id_a"), col("__ct").as("__ta")), Seq("id_a"))
-      .join(txt.select(col("__cid").as("id_b"), col("__ct").as("__tb")), Seq("id_b"))
+      .join(txt.select(col("__cid").as("id_a"), col("__n").as("__na"),
+        col("__sh").as("__sha")), Seq("id_a"))
+      .join(txt.select(col("__cid").as("id_b"), col("__n").as("__nb"),
+        col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("__i"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.ShingleJaccard(col("__ta"), col("__tb"), 3).as("jaccard"))
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     eagerly(result, sh, prefix, pairsC, txt)
   }

@@ -298,9 +298,16 @@ class PlanSpec extends SparkSpec {
     assert(viaIndex == viaAssign)
   }
 
-  test("LSH verification uses the native shingle_jaccard, no shingle shuffle") {
+  test("LSH verification: per-doc sets once, codegen intersect, no shingle shuffle") {
+    // r18: verification tokenizes each candidate doc ONCE at fetch time
+    // (array_distinct over the native shingle_array projection) and the
+    // per-pair kernel is the codegen'd array_intersect — the fused
+    // per-pair text kernel re-shingled both sides for every pair. The
+    // invariant that matters is unchanged: no shingle rows are ever
+    // exploded into a shuffle during verification.
     val p = plan("q_minhash_lsh_pairs")
-    assert(p.contains("shingle_jaccard"), p.take(500))
+    assert(p.contains("array_intersect"), p.take(500))
+    assert(p.contains("shingle_array"), "candidate-set fetch lost the native tokenizer")
     assert(!p.contains("Generate explode(transform"),
       "verification re-exploded shingle rows")
   }
