@@ -6007,9 +6007,14 @@ object Extensions {
         val docs = Tables.documents(s, d)
         val bench = docs.filter(col("doc_id") % 50 === 0)
         val toks = TextAnalysis.tokens(col("text"))
-        val q = docs.filter(col("doc_id") % 50 =!= 0)
+        // the quality-filtered corpus feeds THREE consumers too (the
+        // near-dup signature pass, the verification text fetch, and the
+        // canonical anti-join) — leaf-materialize it like `ded` below,
+        // or each consumer re-runs the tokenize + per-token stopword
+        // membership scan (r18; same rationale as the ded leaf)
+        val (q, _) = Dedup.materializeLeaf(docs.filter(col("doc_id") % 50 =!= 0)
           .filter((size(filter(toks, t => t.isin(TextAnalysis.StopwordsEn.map(lit): _*)))
-            .cast(DoubleType) / size(toks).cast(DoubleType)) >= 0.05)
+            .cast(DoubleType) / size(toks).cast(DoubleType)) >= 0.05))
         val pairs = Dedup.nearDupPairs(q, "doc_id", "text", threshold = 0.8)
           .select("id_a", "id_b")
         // the canonical corpus feeds THREE downstream branches (the
