@@ -605,7 +605,10 @@ object Dedup {
       s"need a threshold in (0, 1]: got $num/$den")
     // documents with fewer than n words have no shingle set and are
     // absent from the join (the minhash-tier contract)
-    val tok = setSimTok(docs, idCol, textCol, n)
+    // tok feeds the frequency aggregate AND the order join — persist so
+    // the corpus is tokenized once per join, not once per consumer (the
+    // same volume setSimExactCounts already persists as `sized`)
+    val tok = setSimTok(docs, idCol, textCol, n).persist(Disk)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // the prefix frame feeds BOTH sides of the candidate self-join, and
     // the broadcast build side defeats exchange reuse — the r18 plan
@@ -614,7 +617,7 @@ object Dedup {
     // it once; released after the verify stage materializes.
     val prefix = setSimPrefix(tok, freq, num, den).persist(Disk)
     setSimVerify(setSimCandFromPrefix(prefix, num, den, positionalFilter = true),
-      docs, docs, idCol, textCol, num, den, n, releasables = Seq(prefix))
+      docs, docs, idCol, textCol, num, den, n, releasables = Seq(tok, prefix))
   }
 
   /** The candidate stage of [[setSimJoinExact]] alone — (id_a, id_b,
@@ -1042,17 +1045,20 @@ object Dedup {
     */
   def writeSetSimIndex(corpus: DataFrame, idCol: String, textCol: String,
                        path: String, n: Int = 3): Unit = {
-    val tok = setSimTok(corpus, idCol, textCol, n)
-    // freq feeds BOTH staged writes (the tokens/ order join and freq/
-    // itself) — persist it so the corpus is tokenized and counted once
-    // per build, not once per write (it is vocabulary-sized; the r18
-    // profile had the un-persisted second pass costing a full extra
-    // explode + aggregate of the corpus)
+    // tok feeds the frequency aggregate and the tokens/ order join, and
+    // freq feeds BOTH staged writes — persist both so the corpus is
+    // tokenized once and counted once per BUILD, not once per consumer
+    // (the r18 profile had each un-persisted re-evaluation costing a
+    // full extra explode/aggregate of the corpus)
+    val tok = setSimTok(corpus, idCol, textCol, n).persist(Disk)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist(Disk)
     try {
       graft.etl.Refresh.overwriteStaged(setSimSized(tok, freq), s"$path/tokens")
       graft.etl.Refresh.overwriteStaged(freq, s"$path/freq")
-    } finally freq.unpersist(blocking = false)
+    } finally {
+      freq.unpersist(blocking = false)
+      tok.unpersist(blocking = false)
+    }
     ()
   }
 
