@@ -44,6 +44,21 @@ object Sessions {
   /** Single-JVM session for tests/dev: `local[cpus]`, shuffle width =
     * core count (32 partitions at 32 cores beats the 200 default: every
     * stage fits one wave).
+    *
+    * Scan-split floor (r18): `openCostInBytes` defaults to 4 MB, which
+    * FLOORS the computed split size at 4 MB — a sub-4 MB parquet corpus
+    * (every local test SF) scans as ONE task no matter how many cores
+    * the session has, and the tokenize/md5-heavy corpus scans are
+    * CPU-bound, not I/O-bound, so the other cpus−1 cores sit idle for
+    * the whole stage. Lowering the open-cost floor to 64 KB lets the
+    * standard split formula (`max(openCost, totalBytes/minPartitionNum)`,
+    * capped at `maxPartitionBytes`) derive the split size from the CORE
+    * COUNT — the scale-adaptive behavior, not a constant: at
+    * SPARK_GRAFT_CPUS=8 the same data yields proportionally fewer
+    * splits, and effective parallelism is still bounded by the file's
+    * row-group layout. The cluster posture ([[ClusterConf]]) is
+    * untouched: at 100 TB splits are sized by `maxPartitionBytes=256m`
+    * and the floor never engages (input ≫ cores × openCost).
     */
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
@@ -51,6 +66,8 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+      .config("spark.sql.files.minPartitionNum", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new functions.GraftExtensions)

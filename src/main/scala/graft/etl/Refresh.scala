@@ -163,6 +163,23 @@ object Refresh {
   def overwriteStaged(df: DataFrame, path: String,
                       partitionByCols: Seq[String] = Nil,
                       beforeSwap: Path => Unit = _ => ()): Long = {
+    overwriteStagedUncounted(df, path, partitionByCols, beforeSwap)
+    // count() over freshly-written parquet is served from footer
+    // row-group metadata — no column data is re-read
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** [[overwriteStaged]] without the read-back row count — for index
+    * writers (band/set-sim/IVF/PQ, streaming extract ticks) that
+    * discard the count: the footer read is metadata-only but still a
+    * full Spark job plus a file listing per call, pure fixed overhead
+    * on every index rebuild/sync tick (r18: two such jobs per
+    * set-sim-index build). Callers that report an imported-row count
+    * (the reference's COPY semantics) keep [[overwriteStaged]].
+    */
+  def overwriteStagedUncounted(df: DataFrame, path: String,
+                               partitionByCols: Seq[String] = Nil,
+                               beforeSwap: Path => Unit = _ => ()): Unit = {
     val spark = df.sparkSession
     val (fs, target) = hfs(spark, path)
     // a crashed prior swap may have left the extract at __old only —
@@ -175,7 +192,6 @@ object Refresh {
     ensureReadable(spark, staging.toString, df.schema)
     beforeSwap(staging)
     swapInto(fs, staging, target)
-    spark.read.parquet(path).count()
   }
 
   /** Full-refresh pipeline: read → overwrite extract → count. */

@@ -1011,10 +1011,9 @@ object Dedup {
     */
   def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, k: Int = 6, bandRows: Int = 2): Unit = {
-    graft.etl.Refresh.overwriteStaged(
+    graft.etl.Refresh.overwriteStagedUncounted(
       lshBands(minhashSignatureNarrow(docs, idCol, textCol, k = k), k, bandRows),
       path)
-    ()
   }
 
   /** Append a new batch's bands to an existing index (after the batch is
@@ -1053,8 +1052,8 @@ object Dedup {
     val tok = setSimTok(corpus, idCol, textCol, n).persist(Disk)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist(Disk)
     try {
-      graft.etl.Refresh.overwriteStaged(setSimSized(tok, freq), s"$path/tokens")
-      graft.etl.Refresh.overwriteStaged(freq, s"$path/freq")
+      graft.etl.Refresh.overwriteStagedUncounted(setSimSized(tok, freq), s"$path/tokens")
+      graft.etl.Refresh.overwriteStagedUncounted(freq, s"$path/freq")
     } finally {
       freq.unpersist(blocking = false)
       tok.unpersist(blocking = false)
@@ -1905,11 +1904,21 @@ object Dedup {
             coalesce(col(s"__c$j"), lit(0L))): _*) >= minCount)
           .select(col("id"), col("start"), col("g"))
       }
-    val flagged = candGrams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // the gram stream feeds BOTH the flagged aggregate (the broadcast
+    // build side of the semi-join below) and the probe side — without a
+    // persist the explode + per-gram hash subtree is planned TWICE (r18
+    // plan capture: two Generate nodes over the same scan; the broadcast
+    // build defeats exchange reuse, the same shape the set-sim prefix
+    // fix closed). The broadcast job runs first and populates the
+    // cache; the probe stage reads it. Rows are narrow (id, start, g) —
+    // at 100 TB this trades one disk-cached pass of ~24-byte rows
+    // against a second full explode + hash of every gram occurrence.
+    val candGramsP = candGrams.persist(Disk)
+    val flagged = candGramsP.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
-    candGrams.join(flagged, Seq("g"), "left_semi")
+    candGramsP.join(flagged, Seq("g"), "left_semi")
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
       .withColumn("brk",
         when(col("start") - col("prev") >= n, 1L).otherwise(0L))

@@ -15,15 +15,9 @@ object Explain {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the bench's exact session recipe — captured plans must reflect the
+    // configuration the bench actually runs under
+    val spark = graft.Sessions.local(cpus.toInt, "graft-explain")
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -29,8 +29,10 @@ object StageProfile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val dur = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
+        val ops = i.rddInfos.flatMap(_.scope).map(_.name)
+          .distinct.take(8).mkString(",")
         stages += ((i.stageId, dur, i.taskMetrics.executorRunTime,
-          i.numTasks, i.name.takeWhile(_ != '\n').take(90)))
+          i.numTasks, s"${i.name.takeWhile(_ != '\n').take(40)} | $ops"))
       }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs += ((js.jobId, js.time))
