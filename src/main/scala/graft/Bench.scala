@@ -197,26 +197,30 @@ object Bench {
 
   /** Whether this clean-but-refused run re-qualifies the comparison
     * record as a regime shift. `history` is (total, drift, accepted, n,
-    * nFailed) per prior session at this sf, oldest → newest; the streak
-    * counts backwards from the latest and BREAKS on any accepted session
-    * (the record was fresh then), any contaminated one, a different
-    * query-surface size (totals are not comparable across n), or an
-    * ERRORED session (nFailed > 0: its total omits the failed queries'
-    * samples, so it is a deflated non-comparable figure — r17 ledger
-    * lines predate the marker and parse as nFailed 0, which matches
-    * what they were: full clean runs). Pure — BenchPolicySpec pins the
-    * policy.
+    * nFailed, cpus) per prior session at this sf, oldest → newest; the
+    * streak counts backwards from the latest and BREAKS on any accepted
+    * session (the record was fresh then), any contaminated one, a
+    * different query-surface size (totals are not comparable across n),
+    * an ERRORED session (nFailed > 0: its total omits the failed
+    * queries' samples, so it is a deflated non-comparable figure — r17
+    * ledger lines predate the marker and parse as nFailed 0, which
+    * matches what they were: full clean runs), or a DIFFERENT core
+    * count (r18: totals are not comparable across cpus; pre-r19 ledger
+    * lines carry no cpus marker, parse as -1, and never vouch — the
+    * conservative read, since the r18 ledger mixes 8- and 32-core
+    * lines indistinguishably). Pure — BenchPolicySpec pins the policy.
     */
   private[graft] def regimeShiftAdopt(curTotal: Double, curDrift: Double,
-      curN: Int, history: Seq[(Double, Double, Boolean, Int, Int)],
+      curN: Int, history: Seq[(Double, Double, Boolean, Int, Int, Int)],
+      curCpus: Int = DefaultCpus,
       minSessions: Int = RegimeMinSessions,
       band: Double = RegimeAgreeBand,
       maxDrift: Double = RegimeMaxDrift): Boolean =
     if (curDrift > maxDrift || curTotal <= 0.0) false
     else {
       val streak = history.reverse
-        .takeWhile { case (_, d, acc, n, nf) =>
-          !acc && d <= maxDrift && n == curN && nf == 0 }
+        .takeWhile { case (_, d, acc, n, nf, c) =>
+          !acc && d <= maxDrift && n == curN && nf == 0 && c == curCpus }
         .take(minSessions - 1)
       val totals = curTotal +: streak.map(_._1)
       totals.size >= minSessions && totals.max <= totals.min * (1.0 + band)
@@ -245,9 +249,11 @@ object Bench {
     */
   private[graft] def acceptAsRecord(anyError: Boolean, canaryDrift: Double,
                                     prevSfMatches: Option[Boolean],
-                                    sfDir: String): Boolean =
+                                    sfDir: String,
+                                    prevCpusMatches: Option[Boolean] = None,
+                                    cpus: Int = DefaultCpus): Boolean =
     !anyError && canaryDrift <= RecordAcceptDrift &&
-      sfRuleOk(prevSfMatches, sfDir)
+      sfRuleOk(prevSfMatches, sfDir) && cpusRuleOk(prevCpusMatches, cpus)
 
   /** The sf-dir record rule, shared by [[acceptAsRecord]] AND the
     * regime-adoption path: a run at a different sf than the stored
@@ -263,6 +269,26 @@ object Bench {
   private[graft] def sfRuleOk(prevSfMatches: Option[Boolean],
                               sfDir: String): Boolean =
     prevSfMatches != Some(false) || sfDir == DefaultSfDir
+
+  /** The canonical bench core count — the width the driver's main run
+    * uses and records are comparable at.
+    */
+  private[graft] val DefaultCpus = 32
+
+  /** The cpus-dimension record rule (r18 verdict "what's wrong" #2: the
+    * driver's SPARK_GRAFT_CPUS=8 scaling run self-accepted as the
+    * comparison record — totals happened to be close at sf0.1, but the
+    * record policy had no cpus dimension at all, so next round's deltas
+    * would baseline against a different-width run). Same shape as
+    * [[sfRuleOk]]: a run at a different core count than the stored
+    * record leaves the record alone, except at the canonical width
+    * (which may reclaim a record a scaling run seeded). `None` (a
+    * pre-r19 record with no cpus field) permits — the canonical-width
+    * run that follows stamps the field and engages the rule.
+    */
+  private[graft] def cpusRuleOk(prevCpusMatches: Option[Boolean],
+                                cpus: Int): Boolean =
+    prevCpusMatches != Some(false) || cpus == DefaultCpus
 
   /** Quarantine for the scaling section's superlinear flags (pure, so
     * BenchPolicySpec pins the policy): EVERY flag must REPRODUCE in a
@@ -516,6 +542,12 @@ object Bench {
     // computation and the record refresh — a smoke run at another SF must
     // not clobber the canonical record.
     var prevSfMatches: Option[Boolean] = None
+    // Some(true/false) = prev record carries a cpus stamp that does/
+    // doesn't match this run's core count; None = pre-r19 record with no
+    // stamp. Gates deltas, the settle pass, and the record refresh — an
+    // 8-core scaling run's record must not baseline a 32-core round (r18
+    // verdict "what's wrong" #2).
+    var prevCpusMatches: Option[Boolean] = None
     // the previous record's canary median (regime probe) — parsed from
     // its "canary":{...,"times":[...]} array so old-format records work;
     // only meaningful against a record at the same sf dir
@@ -523,6 +555,8 @@ object Bench {
     val prev: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
+        prevCpusMatches = "\"cpus\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt == cpus.toInt)
         prevCanaryMedian =
           "\"canary\"\\s*:\\s*\\{[^}]*?\"times\"\\s*:\\s*\\[([^\\]]*)\\]".r
             .findFirstMatchIn(txt)
@@ -534,7 +568,10 @@ object Bench {
         val sfOk = ("\"sf\"\\s*:\\s*" + java.util.regex.Pattern.quote(jsonStr(sfDir)))
           .r.findFirstIn(txt).isDefined
         prevSfMatches = Some(sfOk)
-        if (!sfOk) Map.empty
+        // a cpus-stamped record at a DIFFERENT width yields no deltas
+        // and no settle targets (cross-width "deltas" are noise
+        // presented as signal, the sf-mismatch rule's twin)
+        if (!sfOk || prevCpusMatches.contains(false)) Map.empty
         else {
           val qm = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
           qm.map { m =>
@@ -553,7 +590,7 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val accepted = acceptAsRecord(results.exists(_._3.nonEmpty), canaryDrift,
-      prevSfMatches, sfDir)
+      prevSfMatches, sfDir, prevCpusMatches, cpus.toInt)
 
     // ---- regime-shift re-qualification (policy in regimeShiftAdopt):
     // prior sessions at this sf from the history ledger, oldest-first.
@@ -567,7 +604,7 @@ object Bench {
     def boolField(txt: String, k: String): Option[Boolean] =
       (s""""$k"\\s*:\\s*(true|false)""").r
         .findFirstMatchIn(txt).map(_.group(1) == "true")
-    val history: Seq[(Double, Double, Boolean, Int, Int)] =
+    val history: Seq[(Double, Double, Boolean, Int, Int, Int)] =
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(java.nio.file.Paths.get(histPath))
@@ -579,9 +616,14 @@ object Bench {
               t <- numField(ln, "total"); d <- numField(ln, "drift")
               a <- boolField(ln, "accepted"); n <- numField(ln, "n")
               // pre-r18 lines predate the error marker and were full
-              // clean runs — missing n_failed reads as 0
+              // clean runs — missing n_failed reads as 0. Pre-r19 lines
+              // predate the cpus marker and the r18 ledger mixes 8- and
+              // 32-core sessions indistinguishably — missing cpus reads
+              // as -1, which never matches a real width (conservative:
+              // unmarked sessions cannot vouch for a regime).
             } yield (t, d, a, n.toInt,
-              numField(ln, "n_failed").map(_.toInt).getOrElse(0))
+              numField(ln, "n_failed").map(_.toInt).getOrElse(0),
+              numField(ln, "cpus").map(_.toInt).getOrElse(-1))
           }
       } catch { case _: Throwable => Seq.empty }
 
@@ -810,7 +852,8 @@ object Bench {
     // experiment — it must not clobber the canonical record
     val regimeAdopted = !accepted && results.forall(_._3.isEmpty) &&
       sfRuleOk(prevSfMatches, sfDir) &&
-      regimeShiftAdopt(total, canaryDrift, results.size, history)
+      cpusRuleOk(prevCpusMatches, cpus.toInt) &&
+      regimeShiftAdopt(total, canaryDrift, results.size, history, cpus.toInt)
 
     // machine regime probe: this run's canary median, the record's, and
     // the normalized total — the round-over-round series that stays
@@ -879,7 +922,8 @@ object Bench {
 
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":${jsonStr(sfDir)},"n_failed":${failed.size},"errors":$errs,""" +
+        s""""sf":${jsonStr(sfDir)},"cpus":${cpus.toInt},""" +
+        s""""n_failed":${failed.size},"errors":$errs,""" +
         s""""delta_vs_prev":$deltas,"cap_drops":$capDrops,"canary":$canaryJson,""" +
         s""""sampling":${jsonStr(SamplingPolicy)},""" +
         s""""settled":${settledQueries.map(jsonStr).mkString("[", ",", "]")},""" +
@@ -928,6 +972,7 @@ object Bench {
     // fresh record). Append-only; never fails the bench.
     try {
       val entry = s"""{"ts":${System.currentTimeMillis()},"sf":${jsonStr(sfDir)},""" +
+        s""""cpus":${cpus.toInt},""" +
         s""""n":${results.size},"n_failed":${failed.size},"total":${f"$total%.3f"},""" +
         s""""drift":${f"$canaryDrift%.3f"},"accepted":${accepted || regimeAdopted}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(histPath),

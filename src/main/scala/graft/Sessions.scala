@@ -51,8 +51,11 @@ object Sessions {
     * the session has, and the tokenize/md5-heavy corpus scans are
     * CPU-bound, not I/O-bound, so the other cpus−1 cores sit idle for
     * the whole stage. Lowering the open-cost floor to 64 KB lets the
-    * standard split formula (`max(openCost, totalBytes/minPartitionNum)`,
-    * capped at `maxPartitionBytes`) derive the split size from the CORE
+    * standard split formula — `bytesPerCore = (totalBytes +
+    * numFiles·openCost) / minPartitionNum`, split size
+    * `min(maxPartitionBytes, max(openCost, bytesPerCore))`; note each
+    * FILE is charged openCost in the numerator, which matters for
+    * many-small-file corpora — derive the split size from the CORE
     * COUNT — the scale-adaptive behavior, not a constant: at
     * SPARK_GRAFT_CPUS=8 the same data yields proportionally fewer
     * splits, and effective parallelism is still bounded by the file's

@@ -1516,14 +1516,21 @@ object Dedup {
     val capInt = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
     if (driverMaxEdges > 0 && driverOrderable(idType) &&
         fwd.limit(capInt + 1).count() <= capInt) {
-      val labelMap = unionFindLabels(fwd.collect().map(r => (r.get(0), r.get(1))))
-      val spark = pairs.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", idType),
-        org.apache.spark.sql.types.StructField("cluster_id", idType)))
-      val rows = labelMap.toSeq.map { case (id, c) => Row(id, c) }
-      return (spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema), 0)
+      val collected = fwd.collect().map(r => (r.get(0), r.get(1)))
+      // a null id would MatchError the fast path's comparator where the
+      // distributed loop's min/least tolerate nulls — null edges (none of
+      // the current pair producers emit them, but the contract must not
+      // depend on that) fall through to the distributed path unchanged
+      if (!collected.exists { case (a, b) => a == null || b == null }) {
+        val labelMap = unionFindLabels(collected)
+        val spark = pairs.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("cluster_id", idType)))
+        val rows = labelMap.toSeq.map { case (id, c) => Row(id, c) }
+        return (spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema), 0)
+      }
     }
     val (edges, edgesRdd) = materializeLeaf(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())

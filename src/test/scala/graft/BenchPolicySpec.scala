@@ -204,7 +204,7 @@ class BenchPolicySpec extends AnyFunSuite {
   test("regimeShiftAdopt: N agreeing refused sessions re-qualify; anything else doesn't") {
     // the r16 calibration case: three refused sessions at 73.21/73.79/
     // 68.49 agree within 7.7% — a current run inside that band adopts
-    val r16 = Seq((73.21, 2.24, false, 95, 0), (73.79, 1.60, false, 95, 0))
+    val r16 = Seq((73.21, 2.24, false, 95, 0, 32), (73.79, 1.60, false, 95, 0, 32))
     assert(Bench.regimeShiftAdopt(68.49, 1.86, 95, r16))
     // a quiet-window fast run does NOT regime-adopt (it would be
     // accepted by the normal gate anyway; here it just disagrees)
@@ -214,15 +214,15 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95, Nil))
     // an accepted session BREAKS the streak (the record was fresh then)
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      Seq((73.21, 2.24, false, 95, 0), (40.0, 1.1, true, 95, 0),
-        (73.79, 1.6, false, 95, 0))))
+      Seq((73.21, 2.24, false, 95, 0, 32), (40.0, 1.1, true, 95, 0, 32),
+        (73.79, 1.6, false, 95, 0, 32))))
     // ...but older history BEFORE the streak does not interfere
     assert(Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      (40.0, 1.1, true, 95, 0) +: r16))
+      (40.0, 1.1, true, 95, 0, 32) +: r16))
     // a contaminated session (drift > 3) never counts — in the streak
     // or as the current run
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      Seq((73.21, 4.5, false, 95, 0), (73.79, 1.6, false, 95, 0))))
+      Seq((73.21, 4.5, false, 95, 0, 32), (73.79, 1.6, false, 95, 0, 32))))
     assert(!Bench.regimeShiftAdopt(68.49, 3.5, 95, r16))
     // a different query-surface size is not total-comparable
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 97, r16))
@@ -230,10 +230,39 @@ class BenchPolicySpec extends AnyFunSuite {
     // omits the failed queries' samples, a deflated non-comparable
     // figure that must not vouch for a regime (r17 ADVICE)
     assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
-      Seq((73.21, 2.24, false, 95, 0), (73.79, 1.60, false, 95, 2))))
+      Seq((73.21, 2.24, false, 95, 0, 32), (73.79, 1.60, false, 95, 2, 32))))
     // agreement is the FULL set including the current run: two priors
     // agreeing with each other but not with the current run refuse
     assert(!Bench.regimeShiftAdopt(90.0, 1.86, 95, r16))
+    // a DIFFERENT-core-count session breaks the streak (r18: totals are
+    // not comparable across cpus), and pre-r19 ledger lines with no
+    // cpus marker (parsed as -1) never vouch
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 2.24, false, 95, 0, 32), (73.79, 1.60, false, 95, 0, 8))))
+    assert(!Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 2.24, false, 95, 0, -1), (73.79, 1.60, false, 95, 0, -1))))
+    // and an 8-core run only adopts against an 8-core streak
+    assert(Bench.regimeShiftAdopt(68.49, 1.86, 95,
+      Seq((73.21, 2.24, false, 95, 0, 8), (73.79, 1.60, false, 95, 0, 8)),
+      curCpus = 8))
+  }
+
+  test("cpusRuleOk: a different-width record blocks adoption except at canonical width (r18 #2)") {
+    // matching or unstamped (pre-r19) prev record: fine at any width
+    assert(Bench.cpusRuleOk(Some(true), 8))
+    assert(Bench.cpusRuleOk(None, 8))
+    // mismatched width: only the canonical 32-core run may reclaim the
+    // record (exactly how an 8-core scaling run's record gets replaced)
+    assert(!Bench.cpusRuleOk(Some(false), 8))
+    assert(Bench.cpusRuleOk(Some(false), Bench.DefaultCpus))
+    // and acceptAsRecord routes through the rule
+    assert(!Bench.acceptAsRecord(anyError = false, 1.0, Some(true),
+      Bench.DefaultSfDir, prevCpusMatches = Some(false), cpus = 8))
+    assert(Bench.acceptAsRecord(anyError = false, 1.0, Some(true),
+      Bench.DefaultSfDir, prevCpusMatches = Some(false),
+      cpus = Bench.DefaultCpus))
+    assert(Bench.acceptAsRecord(anyError = false, 1.0, Some(true),
+      Bench.DefaultSfDir, prevCpusMatches = Some(true), cpus = 8))
   }
 
   test("sfRuleOk is shared by accept AND regime paths (r17 ADVICE)") {

@@ -21,6 +21,17 @@ class SessionsSpec extends SparkSpec {
     assert(thr.endsWith("m") && thr.stripSuffix("m").toInt > 10)
     // every window/timestamp in the query set assumes UTC
     assert(c("spark.sql.session.timeZone") == "UTC")
+    // scan splits at 100 TB are sized by maxPartitionBytes with Spark's
+    // DEFAULT per-file open cost; the 64 KB open-cost floor and the
+    // minPartitionNum=cpus floor are LOCAL-mode measurement fixes
+    // (Sessions.local scaladoc) and must never leak into the cluster
+    // posture — a 64 KB open cost at 100 TB would under-charge
+    // many-small-file corpora and explode the scan task count
+    assert(c("spark.sql.files.maxPartitionBytes") == "256m")
+    assert(!c.contains("spark.sql.files.openCostInBytes"),
+      "cluster posture must keep Spark's default openCostInBytes")
+    assert(!c.contains("spark.sql.files.minPartitionNum"),
+      "cluster posture must not pin a local-mode parallelism floor")
   }
 
   test("the function surface registers post-hoc on sessions not built by the recipes") {

@@ -184,6 +184,22 @@ class OpsSpec extends SparkSpec {
         ._1.as[(String, String)].collect().toMap)
   }
 
+  test("clusters: a null-id edge falls through to the distributed path") {
+    // the fast path's driver comparator pattern-matches Number/String —
+    // a null id would MatchError where the distributed loop's min/least
+    // tolerate nulls, so null edges must take the distributed path (r18
+    // verdict "what's wrong" #4)
+    val withNull = Seq((Some(1L), Some(2L)), (None: Option[Long], Some(3L)))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.clustersWithRounds(withNull, driverMaxEdges = 1000000L)
+    assert(rounds > 0, "null edges must not take the 0-round driver path")
+    // and the labels match an explicit distributed run
+    assert(labels.collect().map(r => (r.get(0), r.get(1))).toMap ==
+      Dedup.clustersWithRounds(withNull, driverMaxEdges = 0L)
+        ._1.collect().map(r => (r.get(0), r.get(1))).toMap)
+  }
+
   test("clusters: deep chain graph converges fast with a bounded plan (lineage truncation)") {
     // a 30-node chain has diameter 30 → ~29 propagation rounds. Without
     // per-round lineage truncation the logical plan doubles each round

@@ -873,9 +873,12 @@ class PlanSpec extends SparkSpec {
       "candidate generation must stay an equi-join on the shared token")
     // and the served form IS the detached materialization: no join
     // operators may remain in the returned plan (they already ran)
+    // (r18 verdict: this parsed as `(A && B) || C` with C true for any
+    // plan — the pin could never fail; parenthesized so a join operator
+    // in the served plan now fails it)
     val served = plan("q_setsim_index")
     assert(!served.contains("BroadcastHashJoin") &&
-      served.contains("ExistingRDD") || served.contains("Scan"),
+      (served.contains("ExistingRDD") || served.contains("Scan")),
       s"served plan should read materialized rows: ${served.take(300)}")
   }
 
