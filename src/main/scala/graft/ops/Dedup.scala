@@ -1845,11 +1845,20 @@ object Dedup {
     * window; both operators consume THIS frame, so the gram expression
     * and the island break condition can never drift between them.
     */
+  /** Returns (islands, persisted gram stream): the SECOND element is the
+    * corpus-sized cached intermediate backing the first — the caller must
+    * hand it to [[eagerly]] with its own result so it is released when
+    * the invocation's terminal action materializes (r18 ADVICE: returning
+    * only the lazy plan leaked one corpus-sized cache entry per call for
+    * the session lifetime, and a lingering entry can serve STALE rows to
+    * a later identical-plan invocation after the corpus path grows — the
+    * rootPaths-only cache-match hazard documented at [[eagerlyDetachedWith]]).
+    */
   private def flaggedIslands(docs: DataFrame, idCol: String, textCol: String,
                              n: Int, minCount: Int,
                              hashGrams: Boolean = false,
                              cmsPrefilterW: Int = 0,
-                             cmsPrefilterD: Int = 2): DataFrame = {
+                             cmsPrefilterD: Int = 2): (DataFrame, DataFrame) = {
     require(n >= 2 && minCount >= 2, s"need n>=2, minCount>=2; got $n, $minCount")
     val toks = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("w"))
@@ -1925,13 +1934,14 @@ object Dedup {
       .filter(col("c") >= minCount).select(col("g"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
-    candGramsP.join(flagged, Seq("g"), "left_semi")
+    (candGramsP.join(flagged, Seq("g"), "left_semi")
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
       .withColumn("brk",
         when(col("start") - col("prev") >= n, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(byDoc))
       .groupBy(col("id"), col("island"))
-      .agg(min(col("start")).as("lo"), (max(col("start")) + n - 1).as("hi"))
+      .agg(min(col("start")).as("lo"), (max(col("start")) + n - 1).as("hi")),
+      candGramsP)
   }
 
   def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
@@ -1939,18 +1949,21 @@ object Dedup {
                             hashGrams: Boolean = false,
                             cmsPrefilterW: Int = 0,
                             cmsPrefilterD: Int = 2): DataFrame = {
-    val covered = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams,
-        cmsPrefilterW, cmsPrefilterD)
+    val (islands, gramStream) = flaggedIslands(docs, idCol, textCol, n,
+      minCount, hashGrams, cmsPrefilterW, cmsPrefilterD)
+    val covered = islands
       .groupBy(col("id"))
       .agg(sum(col("hi") - col("lo") + 1).cast(LongType).as("covered"))
     // EVERY document reports — clean docs at covered 0 (the rows a
     // coverage-distribution or keep-gate consumer most wants), matching
     // the contamination operator's left-join convention
-    docs.select(col(idCol).as("id"),
-        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
-      .join(covered, Seq("id"), "left")
-      .na.fill(0L, Seq("covered"))
-      .select(col("id"), col("n_tokens"), col("covered"))
+    eagerly(
+      docs.select(col(idCol).as("id"),
+          size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
+        .join(covered, Seq("id"), "left")
+        .na.fill(0L, Seq("covered"))
+        .select(col("id"), col("n_tokens"), col("covered")),
+      gramStream)
   }
 
   /** The REMOVAL counterpart of [[repeatedNgramCoverage]]: every token
@@ -1974,8 +1987,9 @@ object Dedup {
                                hashGrams: Boolean = false,
                                cmsPrefilterW: Int = 0,
                                cmsPrefilterD: Int = 2): DataFrame = {
-    val ranges = flaggedIslands(docs, idCol, textCol, n, minCount, hashGrams,
-        cmsPrefilterW, cmsPrefilterD)
+    val (islands, gramStream) = flaggedIslands(docs, idCol, textCol, n,
+      minCount, hashGrams, cmsPrefilterW, cmsPrefilterD)
+    val ranges = islands
       .groupBy(col("id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
     // Positions are real ELEMENT values of a sequence() array rather
@@ -1988,17 +2002,19 @@ object Dedup {
     // covered-positions array: a mostly-covered 100k-token boilerplate
     // doc would make array_contains an O(n_tokens × covered) single-task
     // scan, ~10^10 comparisons for one document.
-    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
-      .join(ranges, Seq("id"), "left")
-      .select(col("id"), array_join(
-        when(col("rs").isNull, col("w")).otherwise(expr(
-          // token at 1-based position p survives iff no island covers p;
-          // dropped tokens become NULL then filter out (split() tokens
-          // are never null themselves)
-          """filter(transform(sequence(1, size(w)),
-            |p -> IF(exists(rs, r -> p >= r.lo AND p <= r.hi),
-            |NULL, element_at(w, p))),
-            |x -> x IS NOT NULL)""".stripMargin.replace("\n", " "))),
-        " ").as("text"))
+    eagerly(
+      docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+        .join(ranges, Seq("id"), "left")
+        .select(col("id"), array_join(
+          when(col("rs").isNull, col("w")).otherwise(expr(
+            // token at 1-based position p survives iff no island covers p;
+            // dropped tokens become NULL then filter out (split() tokens
+            // are never null themselves)
+            """filter(transform(sequence(1, size(w)),
+              |p -> IF(exists(rs, r -> p >= r.lo AND p <= r.hi),
+              |NULL, element_at(w, p))),
+              |x -> x IS NOT NULL)""".stripMargin.replace("\n", " "))),
+          " ").as("text")),
+      gramStream)
   }
 }
