@@ -605,10 +605,14 @@ object Dedup {
       s"need a threshold in (0, 1]: got $num/$den")
     // documents with fewer than n words have no shingle set and are
     // absent from the join (the minhash-tier contract)
-    // tok feeds the frequency aggregate AND the order join — persist so
-    // the corpus is tokenized once per join, not once per consumer (the
-    // same volume setSimExactCounts already persists as `sized`)
-    val tok = setSimTok(docs, idCol, textCol, n).persist(Disk)
+    // the corpus is TOKENIZED once per join (r19): the persisted per-doc
+    // array frame feeds the frequency aggregate and the order join (as
+    // cheap explodes of cached arrays) AND the verification fetch (the
+    // arrays are the sets) — the r18 shape persisted the exploded rows
+    // instead, which left verification re-shingling every candidate doc
+    // from raw text (profiled as q_setsim_join's largest wall stage)
+    val sets = setSimSets(docs, idCol, textCol, n).persist(Disk)
+    val tok = setSimTokFromSets(sets)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // the prefix frame feeds BOTH sides of the candidate self-join, and
     // the broadcast build side defeats exchange reuse — the r18 plan
@@ -617,7 +621,9 @@ object Dedup {
     // it once; released after the verify stage materializes.
     val prefix = setSimPrefix(tok, freq, num, den).persist(Disk)
     setSimVerify(setSimCandFromPrefix(prefix, num, den, positionalFilter = true),
-      docs, docs, idCol, textCol, num, den, n, releasables = Seq(tok, prefix))
+      docs, docs, idCol, textCol, num, den, n,
+      releasables = Seq(sets, prefix),
+      preSetsA = Some(sets), preSetsB = Some(sets))
   }
 
   /** The candidate stage of [[setSimJoinExact]] alone — (id_a, id_b,
@@ -690,7 +696,10 @@ object Dedup {
   def setSimExactCounts(docs: DataFrame, idCol: String, textCol: String,
                         thresholds: Seq[(Int, Int)], n: Int = 3)
       : Seq[(Int, Int, Long, Long)] = {
-    val tok = setSimTok(docs, idCol, textCol, n)
+    // tokenize once for the WHOLE sweep (r19): every threshold's
+    // verification fetch reads the cached arrays instead of re-shingling
+    val sets = setSimSets(docs, idCol, textCol, n).persist(Disk)
+    val tok = setSimTokFromSets(sets)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val sized = setSimSized(tok, freq).persist(Disk)
     try thresholds.map { case (num, den) =>
@@ -702,12 +711,16 @@ object Dedup {
       val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
         .persist(Disk)
       val nCand = cand.count()
-      val verified = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n)
+      val verified = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n,
+        preSetsA = Some(sets), preSetsB = Some(sets))
       val nPairs = verified.count()
       verified.unpersist(blocking = false)
       cand.unpersist(blocking = false)
       (num, den, nCand, nPairs)
-    } finally sized.unpersist(blocking = false)
+    } finally {
+      sized.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
   }
 
   /** The LSH geometry FRONTIER priced against the exact tier — the
@@ -741,7 +754,10 @@ object Dedup {
     thresholds.foreach { case (num, den) =>
       require(num >= 1 && den >= num,
         s"need a threshold in (0, 1]: got $num/$den") }
-    val tok = setSimTok(docs, idCol, textCol, n)
+    // tokenize once for the whole frontier sweep (r19, the
+    // setSimExactCounts pattern)
+    val sets = setSimSets(docs, idCol, textCol, n).persist(Disk)
+    val tok = setSimTokFromSets(sets)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val sized = setSimSized(tok, freq).persist(Disk)
     try {
@@ -750,7 +766,8 @@ object Dedup {
           .filter(col("pos") <= col("s") -
             expr(s"($num * s + ${den - 1}) DIV $den") + 1)
         val cand = setSimCandFromPrefix(prefix, num, den, positionalFilter = true)
-        val pairs = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n)
+        val pairs = setSimVerify(cand, docs, docs, idCol, textCol, num, den, n,
+            preSetsA = Some(sets), preSetsB = Some(sets))
           .select(col("id_a"), col("id_b")).persist(Disk)
         (num, den, pairs, pairs.count())
       }
@@ -785,7 +802,10 @@ object Dedup {
             col("lsh_candidates"))
           .orderBy("threshold", "k", "band_rows")
       } finally exact.foreach(_._3.unpersist(blocking = false))
-    } finally sized.unpersist(blocking = false)
+    } finally {
+      sized.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
   }
 
   /** EXACT two-table (R-S) set-similarity join — [[setSimJoinExact]]'s
@@ -816,8 +836,13 @@ object Dedup {
                         num: Int, den: Int, n: Int = 3): DataFrame = {
     require(num >= 1 && den >= num,
       s"need a threshold in (0, 1]: got $num/$den")
-    val tokA = setSimTok(probes, idCol, textCol, n)
-    val tokB = setSimTok(corpus, idCol, textCol, n)
+    // tokenize each side ONCE (r19, the setSimJoinExact pattern): the
+    // cached array frames feed the union-frequency aggregate, the prefix
+    // joins (cheap explodes), and the verification fetch
+    val setsA = setSimSets(probes, idCol, textCol, n).persist(Disk)
+    val setsB = setSimSets(corpus, idCol, textCol, n).persist(Disk)
+    val tokA = setSimTokFromSets(setsA)
+    val tokB = setSimTokFromSets(setsB)
     // one shared total order for both prefixes: global frequency over
     // the union (a probe that also appears in the corpus counts twice —
     // harmless: ANY consistent order preserves completeness; frequency
@@ -845,7 +870,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
     setSimVerify(cand, probes, corpus, idCol, textCol, num, den, n,
-      releasables = Seq(freq))
+      releasables = Seq(freq, setsA, setsB),
+      preSetsA = Some(setsA), preSetsB = Some(setsB))
   }
 
   /** (id, s, tok) over DISTINCT word n-gram shingles — the set
@@ -860,10 +886,32 @@ object Dedup {
     */
   private def setSimTok(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
+    setSimTokFromSets(setSimSets(docs, idCol, textCol, n))
+
+  /** (id, __sh) — each document's DISTINCT shingle array, the
+    * tokenize-ONCE frame (r19): callers persist it so the expensive text
+    * kernel (shingleArray + array_distinct) runs one time per corpus per
+    * invocation, with BOTH the prefix pipeline (via
+    * [[setSimTokFromSets]]' cheap explode of the cached arrays) and the
+    * verification fetch (the arrays ARE the sets `array_intersect`
+    * consumes) reading the cache. Strictly narrower cache than the r18
+    * exploded-rows persist (one array row per doc vs one row per token
+    * occurrence), and it deletes the second corpus-wide tokenization the
+    * r18 shape still paid at fetch time (profiled: the verify fetch
+    * stage was the largest wall item of q_setsim_join, re-shingling
+    * ~every candidate doc the prefix stage had already shingled).
+    */
+  private def setSimSets(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__toks"))
-      .select(col("id"), size(col("__toks")).cast(LongType).as("s"),
-        explode(col("__toks")).as("tok"))
+      array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__sh"))
+
+  /** The (id, s, tok) token stream derived from a (cached) [[setSimSets]]
+    * frame — explode of in-memory arrays, no re-tokenization.
+    */
+  private def setSimTokFromSets(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("__sh")).cast(LongType).as("s"),
+      explode(col("__sh")).as("tok"))
 
   /** Rarest-global-frequency-first canonical positions over the WHOLE
     * token list — (tok, id, s, pos) with pos = row_number by (cnt, tok)
@@ -920,7 +968,9 @@ object Dedup {
                            idCol: String, textCol: String,
                            num: Int, den: Int, n: Int,
                            detach: Boolean = false,
-                           releasables: Seq[DataFrame] = Seq.empty): DataFrame = {
+                           releasables: Seq[DataFrame] = Seq.empty,
+                           preSetsA: Option[DataFrame] = None,
+                           preSetsB: Option[DataFrame] = None): DataFrame = {
     // carry the candidate stage's set sizes through: |A∪B| = s_a+s_b−inter,
     // so verification needs only the INTERSECTION per pair
     val pairs = cand.select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
@@ -931,10 +981,15 @@ object Dedup {
     // verification ~70% of q_setsim_join); the per-pair kernel is then
     // a codegen'd array_intersect over the pre-tokenized sets. Counts are
     // bit-identical to the text kernel's: same distinct shingle sets,
-    // same integer gate.
-    def sideSets(df: DataFrame, ids: DataFrame): DataFrame =
-      df.select(col(idCol).as("__cid"),
-          array_distinct(TextAnalysis.shingleArray(col(textCol), n)).as("__sh"))
+    // same integer gate. `preSetsA`/`preSetsB` (r19): a caller whose
+    // prefix stage already tokenized the side hands its persisted
+    // [[setSimSets]] frame here, so the fetch reads cached arrays
+    // instead of re-shingling every candidate doc a second time — the
+    // arrays are definitionally the same sets, counts unchanged.
+    def sideSets(df: DataFrame, pre: Option[DataFrame],
+                 ids: DataFrame): DataFrame =
+      pre.getOrElse(setSimSets(df, idCol, textCol, n))
+        .select(col("id").as("__cid"), col("__sh"))
         .join(broadcast(ids.distinct()), Seq("__cid"), "left_semi")
     // self-join verification (docsA eq docsB): ONE corpus scan against
     // the union of both pair sides — the candidateTexts contract — and
@@ -942,13 +997,13 @@ object Dedup {
     // scans (different tables). r18, guide §2.4.
     val (txtA, txtB, toRelease) =
       if (docsA eq docsB) {
-        val txt = sideSets(docsA,
+        val txt = sideSets(docsA, preSetsA,
           pairs.select(col("id_a").as("__cid"))
             .union(pairs.select(col("id_b").as("__cid")))).persist(Disk)
         (txt, txt, Seq(txt))
       } else {
-        val ta = sideSets(docsA, pairs.select(col("id_a").as("__cid")))
-        val tb = sideSets(docsB, pairs.select(col("id_b").as("__cid")))
+        val ta = sideSets(docsA, preSetsA, pairs.select(col("id_a").as("__cid")))
+        val tb = sideSets(docsB, preSetsB, pairs.select(col("id_b").as("__cid")))
         (ta, tb, Seq.empty[DataFrame])
       }
     val result = pairs
@@ -1098,11 +1153,18 @@ object Dedup {
     */
   def setSimAgainstIndex(probes: DataFrame, idCol: String, textCol: String,
                          indexPath: String, corpus: DataFrame,
-                         num: Int, den: Int, n: Int = 3): DataFrame =
+                         num: Int, den: Int, n: Int = 3): DataFrame = {
+    // the probe batch is tokenized ONCE (r19): the cached arrays feed
+    // both the prefix candidates and the probe side of verification
+    // (the corpus side stays a candidate-sized re-shingle — the stored
+    // index holds exploded tokens, not arrays)
+    val probeSets = setSimSets(probes, idCol, textCol, n).persist(Disk)
     setSimVerify(
       setSimAgainstIndexCandidates(probes, idCol, textCol, indexPath,
-        num, den, n),
-      probes, corpus, idCol, textCol, num, den, n, detach = true)
+        num, den, n, preSets = Some(probeSets)),
+      probes, corpus, idCol, textCol, num, den, n, detach = true,
+      releasables = Seq(probeSets), preSetsA = Some(probeSets))
+  }
 
   /** The candidate-generation stage of [[setSimAgainstIndex]] as an
     * UNEXECUTED plan — the broadcast/no-shuffle scale contract lives
@@ -1114,7 +1176,8 @@ object Dedup {
     */
   private[graft] def setSimAgainstIndexCandidates(
       probes: DataFrame, idCol: String, textCol: String,
-      indexPath: String, num: Int, den: Int, n: Int = 3): DataFrame = {
+      indexPath: String, num: Int, den: Int, n: Int = 3,
+      preSets: Option[DataFrame] = None): DataFrame = {
     require(num >= 1 && den >= num,
       s"need a threshold in (0, 1]: got $num/$den")
     val spark = probes.sparkSession
@@ -1126,7 +1189,9 @@ object Dedup {
     spark.catalog.refreshByPath(s"$indexPath/tokens")
     val idxTok = spark.read.parquet(s"$indexPath/tokens")
     val freq = spark.read.parquet(s"$indexPath/freq")
-    val preA = setSimSized(setSimTok(probes, idCol, textCol, n), freq, "left")
+    val probeTok = preSets.map(setSimTokFromSets)
+      .getOrElse(setSimTok(probes, idCol, textCol, n))
+    val preA = setSimSized(probeTok, freq, "left")
       .filter(col("pos") <= col("s") -
         expr(s"($num * s + ${den - 1}) DIV $den") + 1)
     val preB = idxTok
