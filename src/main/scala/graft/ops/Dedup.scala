@@ -1107,8 +1107,21 @@ object Dedup {
     val tok = setSimTok(corpus, idCol, textCol, n).persist(Disk)
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist(Disk)
     try {
-      graft.etl.Refresh.overwriteStagedUncounted(setSimSized(tok, freq), s"$path/tokens")
+      // ONE action materializes tok (its input) and freq; the two staged
+      // writes then read only caches and are independent of each other —
+      // run the heavy tokens/ write on a concurrent job so the freq/
+      // write (and both commit swaps) overlap it instead of queueing
+      // behind it (guide §2.6). Without the pre-materialization the
+      // concurrent writes would RACE the cache population and tokenize
+      // the corpus twice.
+      freq.count()
+      val tokensFut = scala.concurrent.Future {
+        graft.etl.Refresh.overwriteStagedUncounted(
+          setSimSized(tok, freq), s"$path/tokens")
+      }(scala.concurrent.ExecutionContext.global)
       graft.etl.Refresh.overwriteStagedUncounted(freq, s"$path/freq")
+      scala.concurrent.Await.result(tokensFut,
+        scala.concurrent.duration.Duration.Inf)
     } finally {
       freq.unpersist(blocking = false)
       tok.unpersist(blocking = false)

@@ -255,11 +255,23 @@ object Extensions {
       probes.select(col("vec_id").as("query_id"),
         lit(0L).as("n_hits"), lit(0.0).as("recall_at_10")).limit(0)
     else {
-      val (exact, exactRdd) = Dedup.materializeLeaf(
-        Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
-          .select(col("query_id"), col("match_id")))
+      // the exact ground-truth leg and the approximate leg are
+      // independent until the hits join, and the approximate leg's
+      // construction runs several BLOCKING driver actions (centroid
+      // collects, codebook training) — materialize the exact leg on a
+      // concurrent job so its stages back-fill the executors those
+      // actions leave idle (guide §2.6; r18 profile: q_pq_full_stack
+      // spent >half its wall in driver gaps between 26 tiny jobs). Same
+      // results by construction — only job scheduling overlaps.
+      val exactFut = scala.concurrent.Future {
+        Dedup.materializeLeaf(
+          Similarity.annJoinExact(probes, corpus, "vec_id", "embedding", k)
+            .select(col("query_id"), col("match_id")))
+      }(scala.concurrent.ExecutionContext.global)
       val approx = approxJoin(probes, corpus)
         .select(col("query_id"), col("match_id"))
+      val (exact, exactRdd) = scala.concurrent.Await.result(
+        exactFut, scala.concurrent.duration.Duration.Inf)
       val hits = exact.join(approx, Seq("query_id", "match_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
       val out = exact.select("query_id").distinct()
